@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by the query inventory and the
+  * imaging pipeline. Everything here composes Spark built-ins
+  * (codegen'd, Catalyst-foldable) — no Scala UDFs in hot paths.
+  */
+object GraftFunctions {
+
+  /** Emission-wavelength (nm) → OME channel color, as an upper-bound
+    * lookup: first band whose upper bound exceeds the wavelength wins;
+    * >= 750 falls through to pink (reference
+    * compress/png_to_zarr.py:397-436, exclusive upper bounds).
+    * Expressed as a when-chain so Catalyst can constant-fold it.
+    */
+  def wavelengthToHex(wl: Column): Column = {
+    val bands: Seq[(Int, Int)] = Seq(
+      460 -> 0x690AFE, 470 -> 0x3F2EFE, 480 -> 0x4B90FE, 490 -> 0x59D5F8,
+      500 -> 0x5DF8D6, 520 -> 0x5AFEB8, 540 -> 0x58FEA1, 560 -> 0x51FF1E,
+      565 -> 0xBBFB01, 575 -> 0xE9EC02, 580 -> 0xF5C503, 590 -> 0xF39107,
+      600 -> 0xF15211, 620 -> 0xF0121E, 750 -> 0xF00050)
+    bands.foldRight(lit(0xF00050): Column) { case ((ub, hexVal), rest) =>
+      when(wl < lit(ub), lit(hexVal)).otherwise(rest)
+    }
+  }
+
+  /** `#%06x`-style channel color string (reference png_to_zarr.py:80). */
+  def colorHex(c: Column): Column = format_string("%06x", c)
+
+  /** 28-bit deterministic hash of a string via md5 — chosen because the
+    * DuckDB oracle can compute the identical value
+    * (CAST(concat('0x', substr(md5(s),1,7)) AS BIGINT)); small enough
+    * that affine permutations (a*h+b) never overflow int64.
+    */
+  def hash28(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** Tokenize to lowercase word array, empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > lit(0))
+
+  /** Distinct word n-gram shingles of a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * zip_with + aggregate keeps it inside whole-stage codegen; at 100 TB
+    * this is the brute-force baseline — the LSH/IVF paths bound the
+    * candidate set before this runs.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Squared L2 norm of a float-array column (double). */
+  def normSq(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+}

@@ -1,8 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.GraftFunctions._
 
 /** Relational operator inventory (SURVEY.md §2.3–§2.8 added categories).
   *
@@ -10,12 +12,17 @@ import graft.Tables
   *  - every aggregate / computed column is aliased identically on both
   *    sides (the driver hash-compares by column name);
   *  - every query ends in a total ORDER BY so row order is deterministic
-  *    regardless of partitioning;
-  *  - floating-point aggregates are rounded (sums to 2 dp, ratios to 6 dp)
-  *    so summation-order ulp drift cannot flip the hash.
+  *    regardless of partitioning; oracle ORDER BY spells NULLS FIRST to
+  *    match Spark's asc default;
+  *  - floating-point aggregates are rounded (sums to 2 dp, ratios to
+  *    6 dp) so summation-order ulp drift cannot flip the hash;
+  *  - integer sums in the oracle are CAST(... AS BIGINT) (DuckDB widens
+  *    to HUGEINT, Spark stays long).
   */
 object Relational {
   type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- scans
 
   /** TPC-H Q1-style hash aggregation with partial (map-side) combine. */
   val q1Agg: Q = (s, d) => {
@@ -32,8 +39,537 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Projection + predicate — both must reach the parquet scan
+    * (PushedFilters / 3-column ReadSchema in .explain). */
+  val qScanProject: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate", "l_discount")
+      .where(col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+             col("l_discount") > lit(0.07))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Compound predicates: IN, BETWEEN, LIKE. */
+  val qFilterPred: Q = (s, d) => {
+    Tables.part(s, d)
+      .where(col("p_type").isin("ECONOMY", "SMALL") &&
+             col("p_size").between(10, 30) &&
+             col("p_name").like("%a%") &&
+             col("p_retailprice") > 500.0)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(avg("p_retailprice"), 4).as("avg_price"))
+      .orderBy("p_brand")
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Two broadcast joins up a snowflake: customer ⋈ nation ⋈ region. */
+  val qJoinBcast: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("r_name")
+  }
+
+  /** Large-large equi-join (sort-merge / shuffle-hash territory). */
+  val qJoinShuffle: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def bigOrders(s: SparkSession, d: String) =
+    Tables.orders(s, d).where(col("o_totalprice") > 300000.0)
+
+  /** Left outer join with non-matching rows (null path exercised). */
+  val qJoinLeft: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(bigOrders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_matched"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Right outer join (mirror of qJoinLeft, from the orders side). */
+  val qJoinRight: Q = (s, d) => {
+    bigOrders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_matched"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Full outer join over deliberately-offset key ranges. */
+  val qJoinFull: Q = (s, d) => {
+    val c = Tables.customer(s, d).where(col("c_nationkey") < 20)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, d).where(col("s_nationkey") >= 5)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Left-semi join (EXISTS). */
+  val qJoinSemi: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(bigOrders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  val qJoinAnti: Q = (s, d) => {
+    Tables.customer(s, d)
+      .join(bigOrders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Equi-join with a range (theta) residual predicate. */
+  val qJoinRange: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d),
+        col("l_partkey") === col("p_partkey") &&
+        col("l_extendedprice") > col("p_retailprice") * 20.0)
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("p_type")
+  }
+
+  /** As-of join: for each purchase, the latest click at-or-before it by
+    * the same user. Composed from union + window `last(ignoreNulls)` —
+    * a single shuffle on user_id, no join at all (SURVEY §2.4).
+    */
+  val qJoinAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("user_id") % 20 === 0 && col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"), unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("purchase_id")
+  }
+
+  /** Cross join (cartesian) — deliberately tiny inputs. */
+  val qJoinCross: Q = (s, d) => {
+    val r1 = Tables.region(s, d).select(col("r_name").as("a"))
+    val r2 = Tables.region(s, d).select(col("r_name").as("b"))
+    r1.crossJoin(r2).orderBy("a", "b")
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  /** Exact distinct aggregation (expand + two-phase agg in Spark). */
+  val qAggDistinct: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** HLL sketch distinct — no oracle (algorithm-dependent), rows-only. */
+  val qAggHll: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** ROLLUP with grouping_id. */
+  val qAggRollup: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+  }
+
+  /** CUBE with grouping_id. */
+  val qAggCube: Q = (s, d) => {
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        grouping_id().as("gid"))
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+  }
+
+  /** GROUPING SETS (SQL surface over a temp view). */
+  val qAggGsets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gsets_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n, grouping_id() AS gid
+        |FROM orders_gsets_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** Statistical aggregates: stddev/variance/correlation/covariance. */
+  val qAggStats: Q = (s, d) => {
+    Tables.lineitem(s, d).agg(
+      round(min("l_quantity"), 2).as("min_q"),
+      round(max("l_quantity"), 2).as("max_q"),
+      round(avg("l_quantity"), 6).as("avg_q"),
+      round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+      round(var_samp(col("l_quantity")), 6).as("var_q"),
+      round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+      round(stddev_samp(col("l_discount")), 6).as("sd_disc"))
+  }
+
+  /** Exact interpolated percentiles + median (reference A3 done right —
+    * png_to_zarr.py:623-627 skips percentiles as "too slow"). */
+  val qAggPercentile: Q = (s, d) => {
+    Tables.lineitem(s, d).agg(
+      round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+      round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+      round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+      round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+  }
+
+  /** Top-k per group via ranking window. */
+  val qTopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  // -------------------------------------------------------------- windows
+
+  /** Ranking window functions (row_number / rank / dense_rank). */
+  val qWinRank: Q = (s, d) => {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d).where(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** ntile bucketing. */
+  val qWinNtile: Q = (s, d) => {
+    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).where(col("o_custkey") % 100 === 0)
+      .withColumn("nt", ntile(4).over(w))
+      .groupBy("nt")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("nt")
+  }
+
+  /** lag / lead analytics over event time. */
+  val qWinLag: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d).where(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"),
+        lag("value", 1).over(w).as("prev_v"),
+        lead("value", 1).over(w).as("next_v"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  /** Running (cumulative) sum with an explicit ROWS frame. */
+  val qWinRunning: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).where(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 2).as("running"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** RANGE frame over event-time milliseconds (trailing 1 hour). */
+  val qWinRange: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    Tables.events(s, d).where(col("user_id") % 50 === 0)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        round(sum("value").over(w), 2).as("hour_sum"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  /** first_value / last_value / nth_value with a full-partition frame. */
+  val qWinFirstLast: Q = (s, d) => {
+    val order = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    val wFull = Window.partitionBy("c_nationkey").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.partitionBy("c_nationkey").orderBy(order: _*)
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        first("c_name").over(wFull).as("richest"),
+        last("c_name").over(wFull).as("poorest"),
+        nth_value(col("c_name"), 2).over(wFull).as("second"),
+        row_number().over(wRank).as("rn"))
+      .where(col("rn") === 1)
+      .drop("rn")
+      .orderBy("c_nationkey")
+  }
+
+  // --------------------------------------------------------------- setops
+
+  private def custNations(s: SparkSession, d: String) =
+    Tables.customer(s, d).where(col("c_nationkey") < 20)
+      .select(col("c_nationkey").as("nationkey"))
+  private def suppNations(s: SparkSession, d: String) =
+    Tables.supplier(s, d).where(col("s_nationkey") >= 5)
+      .select(col("s_nationkey").as("nationkey"))
+
+  /** UNION (distinct). */
+  val qSetUnion: Q = (s, d) =>
+    custNations(s, d).union(suppNations(s, d)).distinct().orderBy("nationkey")
+
+  /** INTERSECT. */
+  val qSetIntersect: Q = (s, d) =>
+    custNations(s, d).intersect(suppNations(s, d)).orderBy("nationkey")
+
+  /** EXCEPT. */
+  val qSetExcept: Q = (s, d) =>
+    custNations(s, d).except(suppNations(s, d)).orderBy("nationkey")
+
+  /** UNION ALL with provenance tag. */
+  val qSetUnionAll: Q = (s, d) => {
+    custNations(s, d).withColumn("side", lit("cust"))
+      .union(suppNations(s, d).withColumn("side", lit("supp")))
+      .groupBy("side", "nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("side", "nationkey")
+  }
+
+  // ---------------------------------------------------------- sort / topk
+
+  /** Global top-k (TakeOrderedAndProject, not a full sort). */
+  val qTopkGlobal: Q = (s, d) => {
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  // ----------------------------------------------------- scalar functions
+
+  /** String functions (reference X2/X3 analogues). */
+  val qStrFuncs: Q = (s, d) => {
+    Tables.customer(s, d).where(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_name")).as("lo"),
+        length(col("c_name")).as("len"),
+        substring(col("c_name"), 1, 8).as("pre"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).as("digits"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"))
+      .orderBy("c_custkey")
+  }
+
+  /** Date/time functions over order dates. */
+  val qDateFuncs: Q = (s, d) => {
+    Tables.orders(s, d).where(col("o_orderkey") % 101 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        unix_millis(date_trunc("month", col("o_orderdate"))).as("month_ms"),
+        datediff(lit("1995-01-01").cast("date"), col("o_orderdate")).cast("long").as("days_to_95"),
+        unix_millis((col("o_orderdate") + expr("INTERVAL 30 DAY")).cast("timestamp")).as("plus30_ms"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Math functions. */
+  val qMathFuncs: Q = (s, d) => {
+    Tables.lineitem(s, d).where(col("l_orderkey") % 997 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_extendedprice") - 30000.0), 2).as("abs_d"),
+        ceil(col("l_quantity")).as("ceil_q"),
+        floor(col("l_quantity")).as("floor_q"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+        round(log(col("l_extendedprice")), 6).as("ln_p"),
+        round(exp(col("l_discount")), 6).as("exp_d"),
+        round(pow(col("l_discount"), 2), 6).as("pow_d"),
+        (col("l_orderkey") % 7).as("mod7"),
+        signum(col("l_discount") - 0.05).cast("int").as("sgn"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** CASE WHEN bucketing. */
+  val qCaseExpr: Q = (s, d) => {
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "mid")
+          .when(col("o_totalprice") < 300000, "large")
+          .otherwise("huge"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("bucket")
+  }
+
+  /** Array higher-order functions over embeddings. */
+  val qArrayFuncs: Q = (s, d) => {
+    Tables.embeddings(s, d).where(col("vec_id") % 25 === 0)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(normSq(col("embedding"))), 4).as("l2"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")) / size(col("embedding")), 6).as("mean_v"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
+        round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 6).as("head8_sum"),
+        size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"))
+      .orderBy("vec_id")
+  }
+
+  /** posexplode (generator) + re-aggregation by position. */
+  val qExplode: Q = (s, d) => {
+    Tables.embeddings(s, d).where(col("vec_id") < 20)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(round(sum(col("v").cast("double")), 4).as("sum_v"), count(lit(1)).as("n"))
+      .orderBy("pos")
+  }
+
+  /** JSON extraction from events.props. */
+  val qJsonFuncs: Q = (s, d) => {
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).cast("long").as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        count(when(col("k") > 50, 1)).as("n_big"))
+      .orderBy("event_type")
+  }
+
+  /** Map construction + element access round-trip. */
+  val qMapFuncs: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("m", map(lit("n"), col("cnt")))
+      .select(col("event_type"), element_at(col("m"), "n").as("n"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------- reference-operator analogs
+
+  /** A1: non-overlapping 2×2×2 windowed-mean downsample in long form,
+    * dtype-preserving (floor) — the reference's core pyramid aggregation
+    * (png_to_zarr.py:386-392) as a relational groupBy. */
+  val qDownsample3d: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).as("z"),
+        (col("l_partkey") % 16).as("y"),
+        (col("l_suppkey") % 16).as("x"),
+        col("l_quantity").as("v"))
+      .groupBy((col("z") / 2).cast("int").as("zc"),
+        (col("y") / 2).cast("int").as("yc"),
+        (col("x") / 2).cast("int").as("xc"))
+      .agg(floor(avg("v")).cast("long").as("mean_v"), count(lit(1)).as("n"))
+      .orderBy("zc", "yc", "xc")
+  }
+
+  /** X1+X4: wavelength → channel color lookup + hex formatting. */
+  val qWavelengthHex: Q = (s, d) => {
+    Tables.part(s, d)
+      .withColumn("wl", (lit(380) + (col("p_partkey") % 40) * 10).cast("int"))
+      .withColumn("color", wavelengthToHex(col("wl")))
+      .withColumn("hex", colorHex(col("color")))
+      .groupBy("wl", "color", "hex").agg(count(lit(1)).as("n"))
+      .orderBy("wl")
+  }
+
+  /** P1: deterministic round-robin partitioning law (i mod n). */
+  val qPartitionRoundRobin: Q = (s, d) => {
+    val w = Window.orderBy("o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("pid", col("rn") % 8)
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n"), min("rn").as("min_rn"), max("rn").as("max_rn"))
+      .orderBy("pid")
+  }
+
+  /** S2: z-index assignment by rank over per-stack file order (the glob
+    * alphabetical Z ordering, readers.py:145) — here per order key. */
+  val qZorderRank: Q = (s, d) => {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    Tables.lineitem(s, d)
+      .withColumn("z", row_number().over(w) - 1)
+      .groupBy("z").agg(count(lit(1)).as("n"))
+      .orderBy("z")
+  }
+
+  // ------------------------------------------------------------ registry
+
   def queries: Map[String, Q] = Map(
-    "q1_agg" -> q1Agg
+    "q1_agg" -> q1Agg,
+    "q_scan_project" -> qScanProject,
+    "q_filter_pred" -> qFilterPred,
+    "q_join_bcast" -> qJoinBcast,
+    "q_join_shuffle" -> qJoinShuffle,
+    "q_join_left" -> qJoinLeft,
+    "q_join_right" -> qJoinRight,
+    "q_join_full" -> qJoinFull,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_range" -> qJoinRange,
+    "q_join_asof" -> qJoinAsof,
+    "q_join_cross" -> qJoinCross,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_agg_hll" -> qAggHll,
+    "q_agg_rollup" -> qAggRollup,
+    "q_agg_cube" -> qAggCube,
+    "q_agg_gsets" -> qAggGsets,
+    "q_agg_stats" -> qAggStats,
+    "q_agg_percentile" -> qAggPercentile,
+    "q_topk_per_group" -> qTopkPerGroup,
+    "q_win_rank" -> qWinRank,
+    "q_win_ntile" -> qWinNtile,
+    "q_win_lag" -> qWinLag,
+    "q_win_running" -> qWinRunning,
+    "q_win_range" -> qWinRange,
+    "q_win_firstlast" -> qWinFirstLast,
+    "q_set_union" -> qSetUnion,
+    "q_set_intersect" -> qSetIntersect,
+    "q_set_except" -> qSetExcept,
+    "q_set_unionall" -> qSetUnionAll,
+    "q_topk_global" -> qTopkGlobal,
+    "q_str_funcs" -> qStrFuncs,
+    "q_date_funcs" -> qDateFuncs,
+    "q_math_funcs" -> qMathFuncs,
+    "q_case_expr" -> qCaseExpr,
+    "q_array_funcs" -> qArrayFuncs,
+    "q_explode" -> qExplode,
+    "q_json_funcs" -> qJsonFuncs,
+    "q_map_funcs" -> qMapFuncs,
+    "q_downsample3d" -> qDownsample3d,
+    "q_wavelength_hex" -> qWavelengthHex,
+    "q_partition_roundrobin" -> qPartitionRoundRobin,
+    "q_zorder_rank" -> qZorderRank
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -45,8 +581,282 @@ object Relational {
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount > 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_pred" ->
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 4) AS avg_price
+        |FROM part
+        |WHERE p_type IN ('ECONOMY','SMALL') AND p_size BETWEEN 10 AND 30
+        |  AND p_name LIKE '%a%' AND p_retailprice > 500.0
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_bcast" ->
+      """SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_matched
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_matched
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_full" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |           WHERE c_nationkey < 20 GROUP BY c_nationkey),
+        |     p AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |           WHERE s_nationkey >= 5 GROUP BY s_nationkey)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN p ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_range" ->
+      """SELECT p_type, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_extendedprice > p_retailprice * 20.0
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q_join_asof" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        |  FROM events
+        |  WHERE user_id % 20 = 0 AND event_type IN ('click','purchase')),
+        |w AS (
+        |  SELECT *, last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        |  FROM tagged)
+        |SELECT event_id AS purchase_id, user_id, click_id, epoch_ms(ts) AS ts_ms
+        |FROM w WHERE kind = 1 ORDER BY purchase_id""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r1.r_name AS a, r2.r_name AS b
+        |FROM region r1 CROSS JOIN region r2 ORDER BY a, b""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_gsets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT round(min(l_quantity), 2) AS min_q, round(max(l_quantity), 2) AS max_q,
+        |  round(avg(l_quantity), 6) AS avg_q,
+        |  round(stddev_samp(l_quantity), 6) AS sd_q,
+        |  round(var_samp(l_quantity), 6) AS var_q,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(stddev_samp(l_discount), 6) AS sd_disc
+        |FROM lineitem""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+        |FROM lineitem""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_win_rank" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |  row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |FROM customer WHERE c_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, rn""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT nt, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM (SELECT o_totalprice,
+        |        ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS nt
+        |      FROM orders WHERE o_custkey % 100 = 0) t
+        |GROUP BY nt ORDER BY nt""".stripMargin,
+    "q_win_lag" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        |  lag(value, 1) OVER w AS prev_v, lead(value, 1) OVER w AS next_v
+        |FROM events WHERE user_id % 50 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_range" ->
+      """SELECT user_id, event_id, ts_ms,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+        |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value
+        |      FROM events WHERE user_id % 50 = 0) t
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_win_firstlast" ->
+      """SELECT c_nationkey, richest, poorest, second FROM (
+        |  SELECT c_nationkey,
+        |    first_value(c_name) OVER wf AS richest,
+        |    last_value(c_name) OVER wf AS poorest,
+        |    nth_value(c_name, 2) OVER wf AS second,
+        |    row_number() OVER wr AS rn
+        |  FROM customer
+        |  WINDOW wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |         wr AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |) t WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
+    "q_set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_nationkey < 20
+        |UNION
+        |SELECT s_nationkey FROM supplier WHERE s_nationkey >= 5
+        |ORDER BY nationkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_nationkey < 20
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier WHERE s_nationkey >= 5
+        |ORDER BY nationkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_nationkey < 20
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier WHERE s_nationkey >= 5
+        |ORDER BY nationkey""".stripMargin,
+    "q_set_unionall" ->
+      """SELECT side, nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'cust' AS side FROM customer WHERE c_nationkey < 20
+        |  UNION ALL
+        |  SELECT s_nationkey, 'supp' FROM supplier WHERE s_nationkey >= 5) t
+        |GROUP BY side, nationkey ORDER BY side, nationkey""".stripMargin,
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_str_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo,
+        |  length(c_name) AS len, substr(c_name, 1, 8) AS pre,
+        |  regexp_extract(c_name, '(\d+)', 1) AS digits,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+        |FROM customer WHERE c_custkey % 97 = 0 ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+        |  datediff('day', o_orderdate, TIMESTAMP '1995-01-01') AS days_to_95,
+        |  epoch_ms(o_orderdate + INTERVAL 30 DAY) AS plus30_ms
+        |FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_extendedprice - 30000.0), 2) AS abs_d,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
+        |  CAST(floor(l_quantity) AS BIGINT) AS floor_q,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_p,
+        |  round(ln(l_extendedprice), 6) AS ln_p,
+        |  round(exp(l_discount), 6) AS exp_d,
+        |  round(pow(l_discount, 2), 6) AS pow_d,
+        |  l_orderkey % 7 AS mod7,
+        |  CAST(sign(l_discount - 0.05) AS INT) AS sgn
+        |FROM lineitem WHERE l_orderkey % 997 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_case_expr" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |  WHEN o_totalprice < 150000 THEN 'mid'
+        |  WHEN o_totalprice < 300000 THEN 'large' ELSE 'huge' END AS bucket,
+        |  count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+        |    / len(embedding), 6) AS mean_v,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+        |  round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6)
+        |    AS head8_sum,
+        |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin,
+    "q_explode" ->
+      """SELECT CAST(pos AS INT) AS pos, round(sum(CAST(embedding[pos + 1] AS DOUBLE)), 4) AS sum_v,
+        |  count(*) AS n
+        |FROM embeddings, unnest(range(len(embedding))) AS t(pos)
+        |WHERE vec_id < 20 GROUP BY pos ORDER BY pos""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_type,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k,
+        |  count(CASE WHEN k > 50 THEN 1 END) AS n_big
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_downsample3d" ->
+      """SELECT CAST(z // 2 AS INT) AS zc, CAST(y // 2 AS INT) AS yc,
+        |  CAST(x // 2 AS INT) AS xc,
+        |  CAST(floor(avg(v)) AS BIGINT) AS mean_v, count(*) AS n
+        |FROM (SELECT l_orderkey % 16 AS z, l_partkey % 16 AS y,
+        |        l_suppkey % 16 AS x, l_quantity AS v FROM lineitem) t
+        |GROUP BY zc, yc, xc ORDER BY zc, yc, xc""".stripMargin,
+    "q_wavelength_hex" ->
+      """SELECT wl, color, printf('%06x', color) AS hex, count(*) AS n FROM (
+        |  SELECT wl, CASE
+        |    WHEN wl < 460 THEN 6884094 WHEN wl < 470 THEN 4140798
+        |    WHEN wl < 480 THEN 4952318 WHEN wl < 490 THEN 5887480
+        |    WHEN wl < 500 THEN 6158550 WHEN wl < 520 THEN 5963448
+        |    WHEN wl < 540 THEN 5832353 WHEN wl < 560 THEN 5373726
+        |    WHEN wl < 565 THEN 12319489 WHEN wl < 575 THEN 15330306
+        |    WHEN wl < 580 THEN 16106755 WHEN wl < 590 THEN 15962375
+        |    WHEN wl < 600 THEN 15815185 WHEN wl < 620 THEN 15733278
+        |    ELSE 15728720 END AS color
+        |  FROM (SELECT CAST(380 + (p_partkey % 40) * 10 AS INT) AS wl FROM part) w) t
+        |GROUP BY wl, color, hex ORDER BY wl""".stripMargin,
+    "q_partition_roundrobin" ->
+      """SELECT pid, count(*) AS n, min(rn) AS min_rn, max(rn) AS max_rn FROM (
+        |  SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) AS rn,
+        |         (row_number() OVER (ORDER BY o_orderkey) - 1) % 8 AS pid
+        |  FROM orders) t
+        |GROUP BY pid ORDER BY pid""".stripMargin,
+    "q_zorder_rank" ->
+      """SELECT z, count(*) AS n FROM (
+        |  SELECT row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS z
+        |  FROM lineitem) t
+        |GROUP BY z ORDER BY z""".stripMargin
   )
 }
