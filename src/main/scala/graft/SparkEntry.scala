@@ -16,7 +16,12 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (q.Relational.queries, q.Relational.oracleSql)
+      (q.Relational.queries, q.Relational.oracleSql),
+      (q.Dedup.queries, q.Dedup.oracleSql),
+      (q.Similarity.queries, q.Similarity.oracleSql),
+      (q.TextAnalysis.queries, q.TextAnalysis.oracleSql),
+      (q.Multimodal.queries, q.Multimodal.oracleSql),
+      (q.Streaming.queries, q.Streaming.oracleSql)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -41,11 +41,13 @@ object GraftFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > lit(0))
 
-  /** Distinct word n-gram shingles of a token array. */
+  /** Distinct word n-gram shingles of a token array. Guarded for arrays
+    * shorter than n (Spark's sequence() would otherwise run backwards). */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
 
   /** Cosine similarity of two float-array columns, computed in double.
     * zip_with + aggregate keeps it inside whole-stage codegen; at 100 TB

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for the training-data pipeline (BASELINE.json
+  * north star). All variants are pure shuffle-parallel DataFrame plans —
+  * no driver-side collection — so they scale to 100 TB by adding
+  * executors:
+  *
+  *  - exact:    hash-groupBy on a content digest (one shuffle);
+  *  - MinHash:  shingle → 16-perm signature → 8 LSH bands → band-key
+  *              equi-join (candidate pairs only, never all-pairs);
+  *  - SimHash:  32-bit signature → hamming histogram;
+  *  - n-gram Jaccard: shingle equi-join computes |∩| without a cross
+  *              join; |∪| from per-doc counts.
+  *
+  * The all-pairs variants here restrict to a keyed sample (doc_id % 5)
+  * to keep the *oracle* runnable; the LSH band join is the 100 TB path.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = 2147483647L // 2^31-1, Mersenne prime for affine perms
+  private def permA(j: Int): Long = 2L * j + 3
+  private def permB(j: Int): Long = 7919L * (j + 1)
+  private val NPERM = 16
+
+  /** Exact dedup profile: distinct-content counts per source. */
+  val qDedupExact: Q = (s, d) => {
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("nd_text"))
+      .orderBy("source")
+  }
+
+  /** Exact dedup with deterministic keeper (min doc_id per digest) —
+    * the scalable form of dropDuplicates: groupBy(digest) → min(id) →
+    * semi-join back. */
+  val qDedupExactKeep: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** Word-3-gram Jaccard near-dup: top-20 most similar pairs. The
+    * shingle equi-join computes intersections directly — candidate
+    * pairs are only those sharing ≥1 shingle. */
+  val qDedupNgramJaccard: Q = (s, d) => {
+    val sh = Tables.documents(s, d).where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val j = pairs
+      .join(cnt.select(col("doc_id").as("da"), col("c").as("ca")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), "db")
+      .withColumn("uni", col("ca") + col("cb") - col("inter"))
+      .withColumn("jac", round(col("inter") / col("uni"), 4))
+    import org.apache.spark.sql.expressions.Window
+    j.withColumn("rn", row_number().over(
+        Window.orderBy(col("jac").desc, col("da").asc, col("db").asc)))
+      .where(col("rn") <= 20)
+      .select("rn", "da", "db", "inter", "uni", "jac")
+      .orderBy("rn")
+  }
+
+  private def unigramHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", hash28(col("tok")))
+
+  /** MinHash + LSH banding over unigram sets: 16 affine permutations of
+    * a 28-bit md5-derived hash, 8 bands × 2 rows; candidate pairs =
+    * distinct band-key matches. This is the join that stays O(candidates)
+    * at 100 TB instead of O(n²). */
+  val qDedupMinhash: Q = (s, d) => {
+    val mhCols = (0 until NPERM).map { j =>
+      min((col("h") * permA(j) + permB(j)) % P).as(s"mh$j")
+    }
+    val sig = unigramHashes(s, d).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bands = (0 until NPERM / 2).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band_id"),
+        concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))
+    }.reduce(_ union _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+      .orderBy("da", "db")
+  }
+
+  /** 32-bit SimHash from unigram hashes; histogram of pairwise hamming
+    * distances over the sample. */
+  val qDedupSimhash: Q = (s, d) => {
+    val bitCols = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)).as(s"w$i")
+    }
+    val sim = unigramHashes(s, d).groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i => when(col(s"w$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .groupBy("hamming").agg(count(lit(1)).as("n"))
+      .orderBy("hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs (double-precision cosine, rounded
+    * before thresholding so the oracle bit-matches). */
+  val qDedupEmbCos: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .where(col("cos") >= 0.35)
+      .orderBy("va", "vb")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_exact_keep" -> qDedupExactKeep,
+    "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embcos" -> qDedupEmbCos
+  )
+
+  private val toksSql =
+    """SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |  t -> t != '') AS w FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  private val unigramSql =
+    s"""WITH toks AS ($toksSql),
+       |uh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h
+       |       FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u)""".stripMargin
+
+  private val mhCols = (0 until NPERM)
+    .map(j => s"min((h * ${permA(j)} + ${permB(j)}) % $P) AS mh$j").mkString(", ")
+  private val bandSelects = (0 until NPERM / 2)
+    .map(b => s"SELECT doc_id, $b AS band_id, concat_ws(',', mh${2 * b}, mh${2 * b + 1}) AS sig FROM sig")
+    .mkString(" UNION ALL ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS nd_text
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_exact_keep" ->
+      """SELECT lang, count(*) AS n_kept FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH toks AS ($toksSql),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |       FROM toks, unnest(range(1, len(w) - 1)) t(i)),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT da, db, inter, ca.c + cb.c - inter AS uni,
+         |        round(inter * 1.0 / (ca.c + cb.c - inter), 4) AS jac
+         |      FROM pairs JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
+         |SELECT rn, da, db, inter, uni, jac FROM (
+         |  SELECT *, row_number() OVER (ORDER BY jac DESC, da ASC, db ASC) AS rn FROM j) t
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""$unigramSql,
+         |sig AS (SELECT doc_id, $mhCols FROM uh GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |ORDER BY da, db""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""$unigramSql,
+         |w AS (SELECT doc_id, ${(0 until 32).map(i =>
+             s"CAST(sum(CASE WHEN (h >> $i) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w$i").mkString(", ")}
+         |     FROM uh GROUP BY doc_id),
+         |sim AS (SELECT doc_id, ${(0 until 32).map(i =>
+             s"(CASE WHEN w$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)").mkString(" + ")} AS simhash
+         |        FROM w)
+         |SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming, count(*) AS n
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |GROUP BY hamming ORDER BY hamming""".stripMargin,
+    "q_dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |        round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        |          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |             * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT va, vb, cos FROM p WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin
+  )
+}

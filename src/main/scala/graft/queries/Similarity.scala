@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over embeddings (64-dim float).
+  *
+  * Three tiers, in ascending scale:
+  *  - brute-force cosine top-k: the correctness baseline. The query set
+  *    is broadcast against the corpus, so the corpus side never
+  *    shuffles — at 100 TB this is one map-side pass + per-partition
+  *    top-k + a tiny final merge (row_number over query only).
+  *  - random-hyperplane LSH: 8 deterministic planes (md5-seeded, so the
+  *    DuckDB oracle reproduces them bit-for-bit) → 256 buckets; search
+  *    touches only the query's bucket.
+  *  - IVF-style partitioned search: coarse cells (here the `label`
+  *    column stands in for k-means cell ids) prune the corpus before
+  *    the exact distance pass.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Brute-force cosine top-5 for a small broadcast query set. */
+  val qAnnBrute: Q = (s, d) => {
+    val corpus = Tables.embeddings(s, d)
+    val queries = corpus.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("qid", "rn", "vec_id", "cos")
+      .orderBy("qid", "rn")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * plane(j, dim) = (md5-hash28(j ++ "_" ++ dim) mod 2001 - 1000)/1000. */
+  private def planeComponent(j: Column, dim: Column): Column =
+    (hash28(concat_ws("_", j, dim)) % 2001 - 1000).cast("double") / 1000.0
+
+  /** Signed dot product of an embedding with plane j (double). */
+  private def planeBit(emb: Column, j: Int): Column = {
+    val dot = aggregate(
+      zip_with(emb, sequence(lit(0), lit(63)),
+        (x, i) => x.cast("double") * planeComponent(lit(j), i)),
+      lit(0.0), (acc, v) => acc + v)
+    when(dot > 0, lit(1 << j)).otherwise(0)
+  }
+
+  /** LSH bucket histogram: 8 hyperplanes → 256 buckets. The bucket id is
+    * the shuffle key at scale; here we validate the bucketing itself. */
+  val qAnnLshBuckets: Q = (s, d) => {
+    Tables.embeddings(s, d)
+      .withColumn("bucket", (0 until 8).map(j => planeBit(col("embedding"), j)).reduce(_ + _))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** IVF-style search: prune to the query's coarse cell (label), then
+    * exact cosine top-3 within the cell. */
+  val qAnnIvfLabel: Q = (s, d) => {
+    val corpus = Tables.embeddings(s, d)
+    val queries = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("qid", "rn", "vec_id", "label", "cos")
+      .orderBy("qid", "rn")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_ann_brute" -> qAnnBrute,
+    "q_ann_lsh_buckets" -> qAnnLshBuckets,
+    "q_ann_ivf_label" -> qAnnIvfLabel
+  )
+
+  private val cosSql =
+    """round(list_sum(list_transform(range(1, 65),
+      |    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ann_brute" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, $cosSql AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id != q.vec_id)
+         |SELECT qid, rn, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "q_ann_lsh_buckets" ->
+      """WITH b AS (
+        |  SELECT vec_id, list_sum(list_transform(range(0, 8), j -> CASE WHEN
+        |    list_sum(list_transform(range(0, 64), d ->
+        |      CAST(embedding[d + 1] AS DOUBLE) *
+        |      ((CAST(concat('0x', substr(md5(concat(j, '_', d)), 1, 7)) AS BIGINT) % 2001 - 1000)
+        |        / 1000.0))) > 0
+        |    THEN (1 << j) ELSE 0 END)) AS bucket
+        |  FROM embeddings)
+        |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n FROM b
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_ann_ivf_label" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, c.label AS label, $cosSql AS cos
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < 10 AND c.label = q.label AND c.vec_id != q.vec_id)
+         |SELECT qid, rn, vec_id, label, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  )
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.10 — absent from the
+  * reference, added by the engine). Batch/stream parity comes from
+  * Catalyst: the streaming hourly rollup is checked against a plain
+  * batch GROUP BY oracle over the same file.
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Event-time tumbling-window counts, executed as a real streaming
+    * query (file source → complete-mode memory sink, drained with
+    * processAllAvailable). */
+  val qStreamHourly: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
+        col("n"), col("sum_v"))
+      .orderBy("hour_ms", "event_type")
+  }
+
+  /** Sessionization: a session breaks after 30 idle minutes. Batch
+    * window-function form (the flatMapGroupsWithState streaming form
+    * lives in graft.streaming with its own suite). */
+  val qSessionize: Q = (s, d) => {
+    val ev = Tables.events(s, d).where(col("user_id") % 25 === 0)
+      .withColumn("t", unix_millis(col("ts")))
+    val wOrd = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val sess = ev
+      .withColumn("gap", col("t") - lag("t", 1).over(wOrd))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > 1800000L, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "sid").agg(count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(max("sid").cast("long").as("n_sessions"),
+        max("n_ev").as("max_sess_events"),
+        sum("n_ev").cast("long").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_stream_hourly" -> qStreamHourly,
+    "q_sessionize" -> qSessionize
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stream_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY hour_ms, event_type
+        |ORDER BY hour_ms, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events
+        |            WHERE user_id % 25 = 0),
+        |g AS (SELECT user_id, t,
+        |        t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        |      FROM ev),
+        |b AS (SELECT user_id, t,
+        |        CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS brk
+        |      FROM g),
+        |sid AS (SELECT user_id,
+        |          sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |        FROM b),
+        |per AS (SELECT user_id, sid, count(*) AS n_ev FROM sid GROUP BY user_id, sid)
+        |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+        |  max(n_ev) AS max_sess_events, CAST(sum(n_ev) AS BIGINT) AS n_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for the training-data pipeline: token
+  * counting (whitespace + BPE-ish regex), quality scoring, n-gram
+  * language ID, document fingerprinting, n-gram frequency, TF-IDF.
+  * All are single-shuffle groupBy/window plans over `documents`.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Corpus token statistics per language: whitespace tokens and a
+    * BPE-ish regex tokenizer (letters / digits / punct pieces). */
+  val qTextStats: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tok"),
+        size(regexp_extract_all(lower(col("text")), lit(BPE_RE), lit(0))).as("n_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_tok"), 4).as("avg_tok"),
+        round(avg("n_bpe"), 4).as("avg_bpe"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  /** Per-document quality signals: token count, mean token length,
+    * stopword ratio, alpha-character ratio. */
+  val qTextQuality: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val stops = Seq("the", "a", "of", "and")
+    Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        size(toks).as("n_tok"),
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks), 6).as("avg_tok_len"),
+        round(size(filter(toks, t => t.isin(stops.map(lit): _*))).cast("double")
+          / size(toks), 6).as("stop_ratio"),
+        round(length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+          / length(col("text")), 6).as("alpha_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-frequency language-ID heuristic: score each candidate
+    * language by marker-token hits, predict the argmax (ties broken by
+    * fixed language order), report the confusion counts. */
+  val qTextLangid: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    def hits(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    Tables.documents(s, d)
+      .withColumn("s_en", hits(Seq("the", "a", "of")))
+      .withColumn("s_de", hits(Seq("der", "und", "die")))
+      .withColumn("s_fr", hits(Seq("le", "la", "et")))
+      .withColumn("s_es", hits(Seq("el", "los", "y")))
+      .withColumn("best", greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+      .withColumn("predicted",
+        when(col("best") === 0, "und")
+          .when(col("s_en") === col("best"), "en")
+          .when(col("s_de") === col("best"), "de")
+          .when(col("s_fr") === col("best"), "fr")
+          .otherwise("es"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * an order-insensitive document signature. */
+  val qTextFingerprint: Q = (s, d) => {
+    Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level top-20 word bigrams (frequency, not distinct). */
+  val qTextNgrams: Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    Tables.documents(s, d)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n").desc, col("bigram").asc)))
+      .where(col("rn") <= 20)
+      .select("rn", "bigram", "n")
+      .orderBy("rn")
+  }
+
+  /** TF-IDF: highest-scoring term per sampled document.
+    * idf = ln(N / df) with df over the full corpus. */
+  val qTextTfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_total"))
+    val tf = terms.where(col("doc_id") % 20 === 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_total") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "term", "tf", "df", "score")
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_text_stats" -> qTextStats,
+    "q_text_quality" -> qTextQuality,
+    "q_text_langid" -> qTextLangid,
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_ngrams" -> qTextNgrams,
+    "q_text_tfidf" -> qTextTfidf
+  )
+
+  private val toksAll =
+    """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  round(avg(len($toksAll)), 4) AS avg_tok,
+         |  round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 4) AS avg_bpe,
+         |  round(avg(n_chars), 4) AS avg_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksAll AS w FROM documents WHERE doc_id % 20 = 0)
+         |SELECT doc_id, CAST(len(w) AS INT) AS n_tok,
+         |  round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 6) AS avg_tok_len,
+         |  round(CAST(len(list_filter(w, x -> x IN ('the','a','of','and'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
+         |  round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / length(text), 6) AS alpha_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT lang, $toksAll AS w FROM documents),
+         |sc AS (SELECT lang,
+         |  len(list_filter(w, x -> x IN ('the','a','of'))) AS s_en,
+         |  len(list_filter(w, x -> x IN ('der','und','die'))) AS s_de,
+         |  len(list_filter(w, x -> x IN ('le','la','et'))) AS s_fr,
+         |  len(list_filter(w, x -> x IN ('el','los','y'))) AS s_es
+         |  FROM t),
+         |p AS (SELECT lang, CASE
+         |    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |    ELSE 'es' END AS predicted
+         |  FROM sc)
+         |SELECT lang, predicted, count(*) AS n FROM p
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksAll)), ' ')) AS fp
+         |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
+    "q_text_ngrams" ->
+      s"""WITH t AS (SELECT $toksAll AS w FROM documents),
+         |bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram
+         |       FROM t, unnest(range(1, len(w))) u(i)),
+         |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+         |SELECT rn, bigram, n FROM (
+         |  SELECT *, row_number() OVER (ORDER BY n DESC, bigram ASC) AS rn FROM c) x
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin,
+    "q_text_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($toksAll) AS term FROM documents),
+         |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) x
+         |       GROUP BY term),
+         |n AS (SELECT count(*) AS n_total FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+         |       WHERE doc_id % 20 = 0 GROUP BY doc_id, term),
+         |sc AS (SELECT doc_id, tf.term AS term, tf, df.df AS df,
+         |         round(tf * ln(CAST(n_total AS DOUBLE) / df), 6) AS score
+         |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term ASC) AS rn FROM sc) x
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  )
+}
