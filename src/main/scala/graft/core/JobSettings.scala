@@ -1,0 +1,48 @@
+package graft.core
+
+/** Job configuration — semantic mirror of the reference's pydantic
+  * `SmartspimJobSettings` (reference models.py:23-79), re-expressed as a
+  * Scala case class validated at the driver.
+  *
+  * Scale-out note: `numOfPartitions` / `partitionToProcess` exist for
+  * parity with the reference's container-level round-robin sharding
+  * (smartspim_job.py:30-41, :221-230). Under Spark a single application
+  * owns the whole input and the scheduler distributes stacks, so the
+  * default (1, 0) processes everything; values > 1 filter the sorted
+  * stack list exactly like the reference for multi-cluster sharding.
+  */
+final case class JobSettings(
+    inputSource: String,
+    outputDirectory: String,
+    s3Location: Option[String] = None,
+    numOfPartitions: Int = 1,
+    partitionToProcess: Int = 0,
+    compressorName: String = "blosc", // only "blosc" or "none" (models.py:17-20)
+    compressorLevel: Int = 3,          // zstd clevel (models.py:55-59)
+    byteShuffle: Boolean = true,       // Blosc.SHUFFLE default
+    chunkSize: Seq[Int] = Seq(128, 128, 128), // models.py:65-69
+    scaleFactor: Seq[Int] = Seq(2, 2, 2),     // models.py:70-74
+    downsampleLevels: Int = 4                 // models.py:75-79
+) {
+  require(numOfPartitions >= 1, "num_of_partitions must be >= 1")
+  require(partitionToProcess >= 0 && partitionToProcess < numOfPartitions,
+    "partition_to_process out of range")
+  require(compressorName == "blosc" || compressorName == "none",
+    s"unsupported compressor: $compressorName (models.py:17-20 allows blosc only)")
+  require(chunkSize.length == 3 && chunkSize.forall(_ > 0), "chunk_size must be 3 positive ints")
+  require(scaleFactor.length == 3 && scaleFactor.forall(_ > 0), "scale_factor must be 3 positive ints")
+  require(downsampleLevels >= 1, "downsample_levels must be >= 1")
+}
+
+object JobSettings {
+
+  /** Deterministic round-robin list partition: item i → partition
+    * i mod n, preserving per-partition order (reference
+    * smartspim_job.py:30-41). Pure — property-tested.
+    */
+  def partitionList[T](lst: Seq[T], numOfPartitions: Int): Seq[Seq[T]] = {
+    require(numOfPartitions >= 1)
+    (0 until numOfPartitions).map(p =>
+      lst.zipWithIndex.collect { case (x, i) if i % numOfPartitions == p => x })
+  }
+}

@@ -1,0 +1,165 @@
+package graft.imaging
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import graft.core.JobSettings
+
+/** End-to-end SmartSPIM conversion job (reference smartspim_job.py):
+  * discover stacks under `SmartSPIM/<channel>/<col>/<col>_<row>`,
+  * shard deterministically, convert each stack to an OME-Zarr pyramid.
+  *
+  * Under Spark, one application owns the whole run; the round-robin
+  * shard filter is kept for parity / multi-cluster splits (P1/P2).
+  * S3 output falls out of writing to an `s3a://` store path directly —
+  * no local staging + `aws s3 sync` step (S9-S11).
+  */
+object SmartSpimJob {
+
+  /** Scalar twin of GraftFunctions.wavelengthToHex (same table,
+    * png_to_zarr.py:397-436; >= 750 nm falls through to pink). */
+  def wavelengthToHex(wavelength: Int): Int = {
+    val bands = Seq(
+      460 -> 0x690AFE, 470 -> 0x3F2EFE, 480 -> 0x4B90FE, 490 -> 0x59D5F8,
+      500 -> 0x5DF8D6, 520 -> 0x5AFEB8, 540 -> 0x58FEA1, 560 -> 0x51FF1E,
+      565 -> 0xBBFB01, 575 -> 0xE9EC02, 580 -> 0xF5C503, 590 -> 0xF39107,
+      600 -> 0xF15211, 620 -> 0xF0121E, 750 -> 0xF00050)
+    bands.collectFirst { case (ub, v) if wavelength < ub => v }.getOrElse(0xF00050)
+  }
+
+  /** Emission wavelength from a channel dir name like `Ex_445_Em_469`
+    * (png_to_zarr.py:588-590). */
+  def emissionWavelength(channelName: String): Int =
+    channelName.stripSuffix(".zarr").split("_").last.toInt
+
+  /** 3-level directory walk collecting stack dirs, sorted so every
+    * node computes the same list (smartspim_job.py:43-63). */
+  def discoverStacks(inputSource: String): Seq[Path] = {
+    val root = Paths.get(inputSource, "SmartSPIM")
+    def dirs(p: Path): Seq[Path] =
+      if (!Files.isDirectory(p)) Seq.empty
+      else Files.list(p).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+    val all = for {
+      channel <- dirs(root)
+      colDir <- dirs(channel)
+      stack <- dirs(colDir)
+    } yield stack
+    all.sortBy(_.toString)
+  }
+
+  /** Voxel resolution [z, y, x] µm from acquisition.json
+    * (smartspim_job.py:65-90; missing file is an error, but a missing
+    * generic JSON reads as empty — io/utils.py:111-135). */
+  def voxelResolution(acquisitionPath: Path): Seq[Double] = {
+    if (!Files.isRegularFile(acquisitionPath))
+      throw new java.io.FileNotFoundException(
+        s"acquisition.json file not found at: $acquisitionPath")
+    val json = ZarrMeta.readJsonAsMap(acquisitionPath).getOrElse(JObject())
+    val tiles = (json \ "tiles").asInstanceOf[JArray].arr
+    val transforms = (tiles.head \ "coordinate_transformations").asInstanceOf[JArray].arr
+    val scale = transforms.collectFirst {
+      case t if (t \ "type") == JString("scale") =>
+        (t \ "scale").asInstanceOf[JArray].arr.map {
+          case JString(s) => s.toDouble
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case JDecimal(d) => d.toDouble
+          case other => throw new IllegalArgumentException(s"bad scale $other")
+        }
+    }.getOrElse(throw new IllegalArgumentException("no scale transform in acquisition.json"))
+    Seq(scale(2), scale(1), scale(0)) // file is XYZ; job wants ZYX
+  }
+
+  /** Convert one stack directory to `<out>/<channel>/<stack>.ome.zarr`. */
+  def convertStack(spark: SparkSession, stack: Path, settings: JobSettings,
+      voxelZyx: Seq[Double]): Unit = {
+    val channelName = stack.getParent.getParent.getFileName.toString
+    val stackName = stack.getFileName.toString
+    val files = Files.list(stack).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+    if (files.isEmpty) throw new java.io.FileNotFoundException(s"No images found in $stack")
+    val extension = {
+      val n = files.head.getFileName.toString
+      n.substring(n.lastIndexOf('.') + 1).toLowerCase
+    }
+    if (!Seq("png", "tif", "tiff").contains(extension))
+      throw new IllegalArgumentException(
+        s"Extension $extension is not valid! Only PNGs and Tiff.")
+
+    val store = Paths.get(settings.outputDirectory, channelName,
+      s"$stackName.ome.zarr").toString
+    val compressed = settings.compressorName == "blosc"
+    val chunk = settings.chunkSize
+
+    // level 0: scan → decode → rechunk shuffle
+    val level0 = SmartSpimPipeline.rechunk(
+      SmartSpimPipeline.slices(spark, stack.toString, extension), chunk)
+
+    // full-res shape (driver probe ≡ reference S4 pims metadata read)
+    val nz = files.size
+    val probe = ImageCodec.decode(Files.readAllBytes(files.minBy(_.toString)))
+    var shape = Seq(nz, probe.height, probe.width)
+
+    var current = level0
+    val shapes = scala.collection.mutable.ArrayBuffer(shape)
+    for (level <- 0 until settings.downsampleLevels) {
+      // persist: written level feeds the next one (reference S6
+      // write-then-readback becomes persist-then-downsample)
+      if (level < settings.downsampleLevels - 1)
+        current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SmartSpimPipeline.writeLevel(current, store, level, chunk,
+        settings.compressorLevel, settings.byteShuffle, compressed)
+      writeZarray(store, level, shape, chunk, settings, compressed)
+      if (level < settings.downsampleLevels - 1) {
+        val next = SmartSpimPipeline.downsampleLevel(current, chunk, settings.scaleFactor)
+        current.unpersist(blocking = false)
+        current = next
+        shape = shape.zip(settings.scaleFactor).map { case (s, f) => (s + f - 1) / f }
+        shapes += shape
+      }
+    }
+
+    // group + OME-NGFF metadata (driver-side, X7)
+    val em = emissionWavelength(channelName)
+    val color = wavelengthToHex(em)
+    val shapeT = Seq(1L, 1L, shapes.head(0).toLong, shapes.head(1).toLong, shapes.head(2).toLong)
+    write(Paths.get(store, ".zgroup"), ZarrMeta.render(ZarrMeta.zgroup))
+    write(Paths.get(settings.outputDirectory, channelName, ".zgroup"),
+      ZarrMeta.render(ZarrMeta.zgroup))
+    val attrs = JObject(
+      ZarrMeta.multiscales(stackName, settings.downsampleLevels,
+        settings.scaleFactor, voxelZyx).obj ++
+      JObject("omero" -> ZarrMeta.omero(
+        stackName, shapeT, Seq(s"Channel:$channelName:0"), Seq(color),
+        minMax = Seq((0.0, 65535.0)),       // uint16 dtype bounds (A2)
+        startEnd = Seq((0.0, 350.0)))).obj) // hard-coded window (A3, :623-627)
+    write(Paths.get(store, ".zattrs"), ZarrMeta.render(attrs))
+  }
+
+  private def writeZarray(store: String, level: Int, shape: Seq[Int],
+      chunk: Seq[Int], settings: JobSettings, compressed: Boolean): Unit = {
+    val shapeT = Seq(1L, 1L, shape(0).toLong, shape(1).toLong, shape(2).toLong)
+    val chunksT = Seq(1, 1, chunk(0), chunk(1), chunk(2))
+    val dir = Paths.get(store, level.toString)
+    Files.createDirectories(dir)
+    write(dir.resolve(".zarray"), ZarrMeta.render(
+      ZarrMeta.zarray(shapeT, chunksT, settings.compressorLevel,
+        settings.byteShuffle, compressed)))
+  }
+
+  private def write(p: Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  /** Full job: discover → shard → convert every stack in this shard
+    * (smartspim_job.py:221-230). */
+  def runJob(spark: SparkSession, settings: JobSettings): Int = {
+    val stacks = discoverStacks(settings.inputSource)
+    val shard = JobSettings.partitionList(stacks, settings.numOfPartitions)(
+      settings.partitionToProcess)
+    val voxel = voxelResolution(Paths.get(settings.inputSource, "acquisition.json"))
+    shard.foreach(stack => convertStack(spark, stack, settings, voxel))
+    shard.size
+  }
+}

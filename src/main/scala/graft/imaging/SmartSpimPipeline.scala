@@ -1,0 +1,293 @@
+package graft.imaging
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The SmartSPIM image dataflow, Spark-first (SURVEY.md §3.2):
+  *
+  *   binaryFile scan → decode (S2/C2) → fragment explode → groupByKey
+  *   chunk assembly (the rechunk shuffle, P3) → per-chunk windowed-mean
+  *   downsample (A1, shuffle-free) → merge sub-blocks (one shrinking
+  *   shuffle per pyramid level) → blosc/zstd encode + zarr chunk files
+  *   (S7/C1) via foreachPartition.
+  *
+  * Scale design: pixel payloads never pass through a window function or
+  * a driver collect. The only full-data shuffle is the level-0 rechunk
+  * (inherent — the reference's dask `rechunk` does the same,
+  * png_to_zarr.py:592-593); each pyramid level then shuffles 8× less
+  * data. Slice z-indices come from a paths-only pass that is
+  * broadcast back, so image bytes stay on their input partitions
+  * until the rechunk.
+  */
+object SmartSpimPipeline {
+
+  /** One decoded Z-slice (reference: one dask chunk per file). */
+  final case class SliceRow(stack: String, z: Int, height: Int, width: Int,
+      data: Array[Byte])
+
+  /** A slice fragment destined for one storage chunk. */
+  final case class Fragment(stack: String, zc: Int, yc: Int, xc: Int,
+      zoff: Int, yoff: Int, xoff: Int, dy: Int, dx: Int, data: Array[Byte])
+
+  /** One zarr storage chunk (chunk-as-row; SURVEY.md §1.4). dz/dy/dx are
+    * the actual (edge-clamped) dims; the writer pads to full chunk. */
+  final case class ChunkRow(stack: String, zc: Int, yc: Int, xc: Int,
+      dz: Int, dy: Int, dx: Int, data: Array[Byte])
+
+  /** Sub-block of a downsampled chunk en route to its coarser chunk.
+    * (Public: Spark's generated code must reach the accessors.) */
+  final case class SubBlock(stack: String, zc: Int, yc: Int, xc: Int,
+      zoff: Int, yoff: Int, xoff: Int, dz: Int, dy: Int, dx: Int,
+      data: Array[Byte])
+
+  // ------------------------------------------------------------- reading
+
+  /** Lazy stack reader (S2): one row per slice, z = rank of the file
+    * path within its stack (glob-alphabetical Z order, readers.py:145).
+    * The rank is computed on a paths-only projection (binaryFile prunes
+    * `content`), broadcast, and joined map-side — image bytes are never
+    * shuffled for indexing.
+    */
+  def slices(spark: SparkSession, dir: String, ext: String): Dataset[SliceRow] = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext")
+      .load(dir)
+    val zmap = spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext").load(dir)
+      .select(col("path"))
+      .withColumn("z", row_number().over(Window.orderBy("path")) - 1)
+    files.join(broadcast(zmap), "path")
+      .select(col("path"), col("z"), col("content"))
+      .as[(String, Int, Array[Byte])]
+      .map { case (path, z, content) =>
+        val dec = ImageCodec.decode(content)
+        val stack = {
+          val p = path.stripSuffix("/")
+          val cut = p.lastIndexOf('/')
+          p.substring(0, math.max(cut, 0))
+        }
+        SliceRow(stack, z, dec.height, dec.width, dec.data)
+      }
+  }
+
+  // ------------------------------------------------- rechunk (P3 shuffle)
+
+  /** Explode each (1, Y, X) slice into per-chunk fragments and assemble
+    * (cz, cy, cx) chunks — the central shuffle, ≡ dask rechunk
+    * (png_to_zarr.py:592-593). */
+  def rechunk(slicesDs: Dataset[SliceRow], chunk: Seq[Int]): Dataset[ChunkRow] = {
+    val spark = slicesDs.sparkSession
+    import spark.implicits._
+    val Seq(cz, cy, cx) = chunk
+    val frags = slicesDs.flatMap { s =>
+      val nyc = (s.height + cy - 1) / cy
+      val nxc = (s.width + cx - 1) / cx
+      for {
+        yc <- 0 until nyc
+        xc <- 0 until nxc
+      } yield {
+        val y0 = yc * cy; val dy = math.min(cy, s.height - y0)
+        val x0 = xc * cx; val dx = math.min(cx, s.width - x0)
+        val out = new Array[Byte](dy * dx * 2)
+        var r = 0
+        while (r < dy) {
+          System.arraycopy(s.data, ((y0 + r) * s.width + x0) * 2, out, r * dx * 2, dx * 2)
+          r += 1
+        }
+        Fragment(s.stack, s.z / cz, yc, xc, s.z % cz, 0, 0, dy, dx, out)
+      }
+    }
+    assembleFragments(frags.map(f =>
+      SubBlock(f.stack, f.zc, f.yc, f.xc, f.zoff, f.yoff, f.xoff, 1, f.dy, f.dx, f.data)))
+  }
+
+  /** Group sub-blocks by target chunk and copy them into place. Chunk
+    * dims are the covered extents (contiguous from 0 by construction). */
+  private def assembleFragments(frags: Dataset[SubBlock]): Dataset[ChunkRow] = {
+    val spark = frags.sparkSession
+    import spark.implicits._
+    frags.groupByKey(f => (f.stack, f.zc, f.yc, f.xc))
+      .mapGroups { (key: (String, Int, Int, Int), it: Iterator[SubBlock]) =>
+        val (stack, zc, yc, xc) = key
+        val fs = it.toArray
+        val dz = fs.map(f => f.zoff + f.dz).max
+        val dy = fs.map(f => f.yoff + f.dy).max
+        val dx = fs.map(f => f.xoff + f.dx).max
+        val out = new Array[Byte](dz * dy * dx * 2)
+        fs.foreach { f =>
+          var z = 0
+          while (z < f.dz) {
+            var y = 0
+            while (y < f.dy) {
+              System.arraycopy(
+                f.data, (z * f.dy + y) * f.dx * 2,
+                out, (((f.zoff + z) * dy + (f.yoff + y)) * dx + f.xoff) * 2,
+                f.dx * 2)
+              y += 1
+            }
+            z += 1
+          }
+        }
+        ChunkRow(stack, zc, yc, xc, dz, dy, dx, out)
+      }
+  }
+
+  // ------------------------------------------- pyramid (A1, per level)
+
+  /** Dtype-preserving non-overlapping windowed mean on one chunk's
+    * voxels: mean over the (clamped) s³ window, truncated toward zero —
+    * matches xarray_multiscale windowed_mean + preserve_dtype
+    * (png_to_zarr.py:386-392). Pure, shuffle-free.
+    */
+  def windowedMean(dz: Int, dy: Int, dx: Int, data: Array[Byte],
+      s: Seq[Int]): (Int, Int, Int, Array[Byte]) = {
+    val Seq(sz, sy, sx) = s
+    val oz = (dz + sz - 1) / sz; val oy = (dy + sy - 1) / sy; val ox = (dx + sx - 1) / sx
+    val out = new Array[Byte](oz * oy * ox * 2)
+    var z = 0
+    while (z < oz) {
+      val z1 = math.min((z + 1) * sz, dz)
+      var y = 0
+      while (y < oy) {
+        val y1 = math.min((y + 1) * sy, dy)
+        var x = 0
+        while (x < ox) {
+          val x1 = math.min((x + 1) * sx, dx)
+          var sum = 0L; var n = 0
+          var iz = z * sz
+          while (iz < z1) {
+            var iy = y * sy
+            while (iy < y1) {
+              var ix = x * sx
+              val rowBase = (iz * dy + iy) * dx
+              while (ix < x1) {
+                val off = (rowBase + ix) * 2
+                sum += ((data(off + 1) & 0xFF) << 8) | (data(off) & 0xFF)
+                n += 1; ix += 1
+              }
+              iy += 1
+            }
+            iz += 1
+          }
+          val v = (sum / n).toInt // floor: preserve_dtype truncation
+          val off = ((z * oy + y) * ox + x) * 2
+          out(off) = (v & 0xFF).toByte
+          out(off + 1) = ((v >> 8) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      z += 1
+    }
+    (oz, oy, ox, out)
+  }
+
+  /** One pyramid step: downsample every chunk in place (no shuffle),
+    * then merge the s³ sibling sub-blocks into full-size chunks of the
+    * next level (a shuffle over 1/8th the bytes for s=2). Requires the
+    * chunk dims to be divisible by the scale factor (true for the
+    * reference defaults 128³ / 2³). */
+  def downsampleLevel(chunks: Dataset[ChunkRow], chunk: Seq[Int],
+      factor: Seq[Int]): Dataset[ChunkRow] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val Seq(cz, cy, cx) = chunk
+    val Seq(sz, sy, sx) = factor
+    require(cz % sz == 0 && cy % sy == 0 && cx % sx == 0,
+      "chunk size must be divisible by scale factor")
+    val sub = chunks.map { c =>
+      val (oz, oy, ox, data) = windowedMean(c.dz, c.dy, c.dx, c.data, factor)
+      SubBlock(c.stack, c.zc / sz, c.yc / sy, c.xc / sx,
+        (c.zc % sz) * (cz / sz), (c.yc % sy) * (cy / sy), (c.xc % sx) * (cx / sx),
+        oz, oy, ox, data)
+    }
+    assembleFragments(sub)
+  }
+
+  // ------------------------------------------------------- zarr sink (S7)
+
+  /** Write one level's chunks as zarr v2 chunk files under
+    * `<store>/<level>/<t>/<c>/<z>/<y>/<x>` ("/" separator,
+    * png_to_zarr.py:691-699). Edge chunks are padded to the full chunk
+    * shape with the fill value (zarr v2 requirement). Executor-side,
+    * one file per chunk row; atomic via temp + rename so task retries
+    * are safe (deterministic chunk paths make retries idempotent).
+    */
+  def writeLevel(chunks: Dataset[ChunkRow], store: String, level: Int,
+      chunk: Seq[Int], clevel: Int, byteShuffle: Boolean,
+      compressed: Boolean): Unit = {
+    val Seq(cz, cy, cx) = chunk
+    chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
+      it.foreach { c =>
+        val full =
+          if (c.dz == cz && c.dy == cy && c.dx == cx) c.data
+          else {
+            val out = new Array[Byte](cz * cy * cx * 2)
+            var z = 0
+            while (z < c.dz) {
+              var y = 0
+              while (y < c.dy) {
+                System.arraycopy(c.data, ((z * c.dy + y) * c.dx) * 2,
+                  out, ((z * cy + y) * cx) * 2, c.dx * 2)
+                y += 1
+              }
+              z += 1
+            }
+            out
+          }
+        val payload =
+          if (compressed) BloscCodec.compress(full, 2, clevel, byteShuffle)
+          else full
+        val dir = Paths.get(store, level.toString, "0", "0",
+          c.zc.toString, c.yc.toString)
+        Files.createDirectories(dir)
+        val tmp = dir.resolve(s".${c.xc}.tmp-${java.util.UUID.randomUUID}")
+        Files.write(tmp, payload)
+        Files.move(tmp, dir.resolve(c.xc.toString),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  // -------------------------------------------------- read-back (S6/test)
+
+  /** Driver-side level reader for verification: assembles the full
+    * (Z, Y, X) voxel array from chunk files. Test-scale only. */
+  def readLevel(store: String, level: Int, shape: Seq[Int], chunk: Seq[Int],
+      compressed: Boolean): Array[Short] = {
+    val Seq(nz, ny, nx) = shape
+    val Seq(cz, cy, cx) = chunk
+    val out = new Array[Short](nz * ny * nx)
+    for {
+      zc <- 0 until (nz + cz - 1) / cz
+      yc <- 0 until (ny + cy - 1) / cy
+      xc <- 0 until (nx + cx - 1) / cx
+    } {
+      val p = Paths.get(store, level.toString, "0", "0",
+        zc.toString, yc.toString, xc.toString)
+      if (Files.exists(p)) {
+        val raw = Files.readAllBytes(p)
+        val full = if (compressed) BloscCodec.decompress(raw) else raw
+        var z = 0
+        while (z < math.min(cz, nz - zc * cz)) {
+          var y = 0
+          while (y < math.min(cy, ny - yc * cy)) {
+            var x = 0
+            while (x < math.min(cx, nx - xc * cx)) {
+              val src = ((z * cy + y) * cx + x) * 2
+              val v = (((full(src + 1) & 0xFF) << 8) | (full(src) & 0xFF)).toShort
+              out(((zc * cz + z) * ny + (yc * cy + y)) * nx + (xc * cx + x)) = v
+              x += 1
+            }
+            y += 1
+          }
+          z += 1
+        }
+      }
+    }
+    out
+  }
+}

@@ -1,0 +1,111 @@
+package graft.imaging
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+
+/** OME-NGFF (OME-Zarr v0.4) + zarr v2 metadata builders — semantic port
+  * of the reference's omero/axes/transform builders
+  * (png_to_zarr.py:36-104 `_build_ome`, :107-203 `_compute_scales`,
+  * :206-227 `_get_axes_5d`) and dataset creation (:691-699).
+  * Driver-side only; json4s ships with Spark.
+  */
+object ZarrMeta {
+
+  /** 5-D TCZYX axes: t in milliseconds, z/y/x in micrometers. */
+  def axes5d(timeUnit: String = "millisecond",
+      spaceUnit: String = "micrometer"): JArray = JArray(List(
+    ("name" -> "t") ~ ("type" -> "time") ~ ("unit" -> timeUnit),
+    ("name" -> "c") ~ ("type" -> "channel"),
+    ("name" -> "z") ~ ("type" -> "space") ~ ("unit" -> spaceUnit),
+    ("name" -> "y") ~ ("type" -> "space") ~ ("unit" -> spaceUnit),
+    ("name" -> "x") ~ ("type" -> "space") ~ ("unit" -> spaceUnit)))
+
+  /** Per-level scale transforms: level i voxel size = pixel size ×
+    * factor^i, TCZYX with t=c=1.0 (png_to_zarr.py:107-203). */
+  def scaleTransforms(numLevels: Int, scaleFactor: Seq[Int],
+      pixelSizesZyx: Seq[Double],
+      translation: Option[Seq[Double]] = None): List[JArray] = {
+    (0 until numLevels).map { lvl =>
+      val s = pixelSizesZyx.indices.map(k =>
+        pixelSizesZyx(k) * math.pow(scaleFactor(k).toDouble, lvl.toDouble))
+      val scale: JObject =
+        ("type" -> "scale") ~ ("scale" -> (List(1.0, 1.0) ++ s.toList))
+      val entries = translation match {
+        case Some(t) => List(scale, ("type" -> "translation") ~ ("translation" -> t.toList))
+        case None => List(scale)
+      }
+      JArray(entries)
+    }.toList
+  }
+
+  /** "multiscales" .zattrs for one channel group. */
+  def multiscales(name: String, numLevels: Int, scaleFactor: Seq[Int],
+      pixelSizesZyx: Seq[Double]): JObject = {
+    val datasets = scaleTransforms(numLevels, scaleFactor, pixelSizesZyx)
+      .zipWithIndex.map { case (t, i) =>
+        ("path" -> i.toString) ~ ("coordinateTransformations" -> t)
+      }
+    "multiscales" -> List(
+      ("axes" -> axes5d()) ~
+      ("datasets" -> datasets) ~
+      ("name" -> name) ~
+      ("version" -> "0.4"))
+  }
+
+  /** "omero" rendering metadata (png_to_zarr.py:36-104): per-channel
+    * color (%06x), window min/max (dtype bounds) and start/end
+    * (hard-coded 0..350 in the reference, :623-627). */
+  def omero(imageName: String, shapeTczyx: Seq[Long], channelNames: Seq[String],
+      channelColors: Seq[Int], minMax: Seq[(Double, Double)],
+      startEnd: Seq[(Double, Double)]): JObject = {
+    val chans = channelNames.indices.map { i =>
+      ("active" -> true) ~
+      ("coefficient" -> 1) ~
+      ("color" -> f"${channelColors(i)}%06x") ~
+      ("family" -> "linear") ~
+      ("inverted" -> false) ~
+      ("label" -> channelNames(i)) ~
+      ("window" ->
+        (("end" -> startEnd(i)._2) ~ ("max" -> minMax(i)._2) ~
+         ("min" -> minMax(i)._1) ~ ("start" -> startEnd(i)._1)))
+    }.toList
+    ("id" -> 1) ~
+    ("name" -> imageName) ~
+    ("version" -> "0.4") ~
+    ("channels" -> chans) ~
+    ("rdefs" ->
+      (("defaultT" -> 0) ~ ("defaultZ" -> (shapeTczyx(2) / 2)) ~ ("model" -> "color")))
+  }
+
+  /** zarr v2 .zarray for a LE uint16 dataset with blosc-zstd compressor
+    * and "/" dimension separator (png_to_zarr.py:691-699). */
+  def zarray(shapeTczyx: Seq[Long], chunksTczyx: Seq[Int], clevel: Int,
+      byteShuffle: Boolean, compressed: Boolean): JObject = {
+    val compressor: JValue =
+      if (compressed)
+        ("id" -> "blosc") ~ ("cname" -> "zstd") ~ ("clevel" -> clevel) ~
+        ("shuffle" -> (if (byteShuffle) 1 else 0)) ~ ("blocksize" -> 0)
+      else JNull
+    ("zarr_format" -> 2) ~
+    ("shape" -> shapeTczyx.toList) ~
+    ("chunks" -> chunksTczyx.toList) ~
+    ("dtype" -> "<u2") ~
+    ("compressor" -> compressor) ~
+    ("fill_value" -> 0) ~
+    ("filters" -> JNull) ~
+    ("order" -> "C") ~
+    ("dimension_separator" -> "/")
+  }
+
+  def zgroup: JObject = "zarr_format" -> 2
+
+  def render(j: JValue): String = JsonMethods.pretty(JsonMethods.render(j))
+
+  /** Tolerant JSON read: missing file → None (reference
+    * io/utils.py:111-135 returns {} when absent). */
+  def readJsonAsMap(path: java.nio.file.Path): Option[JValue] =
+    if (java.nio.file.Files.exists(path))
+      Some(JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(path), "UTF-8")))
+    else None
+}

@@ -1,0 +1,99 @@
+package graft.imaging
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.PropSupport
+
+class CodecSpec extends AnyFunSuite with PropSupport {
+
+  private val byteArrays: Gen[Array[Byte]] = for {
+    n <- Gen.choose(0, 4096)
+    even = n - (n % 2)
+    bytes <- Gen.containerOfN[Array, Byte](even, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield bytes
+
+  // ---- Blosc/zstd framing (C1)
+
+  test("blosc roundtrip: decompress(compress(x)) == x") {
+    forAllN2(byteArrays, Gen.oneOf(true, false), 60) { (data, shuf) =>
+      val frame = BloscCodec.compress(data, 2, 3, shuf)
+      assert(BloscCodec.decompress(frame).sameElements(data))
+    }
+  }
+
+  test("blosc shuffle/unshuffle are inverses and shuffle groups byte planes") {
+    forAllN(byteArrays, 60) { data =>
+      assert(BloscCodec.unshuffle(BloscCodec.shuffle(data, 2), 2).sameElements(data))
+    }
+    val data = Array[Byte](1, 2, 3, 4, 5, 6) // 3 uint16 LE
+    assert(BloscCodec.shuffle(data, 2).sameElements(Array[Byte](1, 3, 5, 2, 4, 6)))
+  }
+
+  test("blosc header fields: version, flags, typesize, nbytes") {
+    val data = Array.tabulate[Byte](256)(i => (i % 7).toByte) // compressible
+    val frame = BloscCodec.compress(data, 2, 3, true)
+    assert(frame(0) == 2)                    // version
+    assert((frame(2) & 0x01) == 0x01)        // shuffle flag
+    assert(((frame(2) & 0xE0) >> 5) == 5)    // zstd compressor id
+    assert(frame(3) == 2)                    // typesize
+    val nbytes = java.nio.ByteBuffer.wrap(frame, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(nbytes == 256)
+    assert(frame.length < 256 + 20, "compressible data must actually compress")
+  }
+
+  test("blosc memcpy fallback for incompressible data") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill[Byte](512)(rnd.nextInt().toByte)
+    val frame = BloscCodec.compress(data, 2, 3, false)
+    assert(BloscCodec.decompress(frame).sameElements(data))
+    assert(frame.length <= 512 + 20)
+  }
+
+  // ---- 16-bit PNG codec (C2/S2)
+
+  test("png16 roundtrip is voxel-exact across the full uint16 range") {
+    val w = 64; val h = 32
+    val px = new Array[Byte](w * h * 2)
+    var i = 0
+    while (i < w * h) {
+      val v = (i * 977) % 65536 // hits values > 32767 (sign handling)
+      px(2 * i) = (v & 0xFF).toByte
+      px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val png = ImageCodec.encodePng16(w, h, px)
+    val dec = ImageCodec.decode(png)
+    assert(dec.width == w && dec.height == h)
+    assert(dec.data.sameElements(px))
+  }
+
+  test("windowedMean: 2x2x2 mean with floor (dtype-preserving)") {
+    // 2x2x2 block of values 0..7 → mean 3.5 → floor 3
+    val data = new Array[Byte](8 * 2)
+    (0 until 8).foreach { i => data(2 * i) = i.toByte }
+    val (oz, oy, ox, out) = SmartSpimPipeline.windowedMean(2, 2, 2, data, Seq(2, 2, 2))
+    assert((oz, oy, ox) == ((1, 1, 1)))
+    assert(out(0) == 3 && out(1) == 0)
+  }
+
+  test("windowedMean: partial windows average over present voxels") {
+    // 3x1x1 array [10, 20, 40] with factor 2 → [15, 40]
+    val data = Array[Byte](10, 0, 20, 0, 40, 0)
+    val (oz, oy, ox, out) = SmartSpimPipeline.windowedMean(3, 1, 1, data, Seq(2, 2, 2))
+    assert((oz, oy, ox) == ((2, 1, 1)))
+    assert(out(0) == 15 && out(2) == 40)
+  }
+
+  test("windowedMean handles values above Short.MaxValue (unsigned)") {
+    // all voxels = 65000 → mean 65000 must survive the unsigned range
+    val data = new Array[Byte](8 * 2)
+    (0 until 8).foreach { i =>
+      data(2 * i) = (65000 & 0xFF).toByte
+      data(2 * i + 1) = ((65000 >> 8) & 0xFF).toByte
+    }
+    val (_, _, _, out) = SmartSpimPipeline.windowedMean(2, 2, 2, data, Seq(2, 2, 2))
+    val v = ((out(1) & 0xFF) << 8) | (out(0) & 0xFF)
+    assert(v == 65000)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.imaging
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import graft.SparkSessionTestWrapper
+import graft.core.JobSettings
+
+/** Job-level semantics (reference tests/test_smartspim_job.py):
+  * discovery order, sharding, voxel-resolution parse, error paths. */
+class SmartSpimJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+
+  private val acquisitionJson =
+    """{
+      |  "tiles": [
+      |    {
+      |      "file_name": "Ex_445_Em_469/440000/440000_460000",
+      |      "coordinate_transformations": [
+      |        {"type": "translation", "translation": ["0", "0", "0"]},
+      |        {"type": "scale", "scale": ["1.8", "1.8", "2.0"]}
+      |      ]
+      |    }
+      |  ]
+      |}""".stripMargin
+
+  private def mkFixture(channels: Seq[String], stacksPerChannel: Int): Path = {
+    val root = Files.createTempDirectory("graft-job")
+    Files.writeString(root.resolve("acquisition.json"), acquisitionJson)
+    for (ch <- channels; i <- 0 until stacksPerChannel) {
+      val stack = root.resolve(s"SmartSPIM/$ch/${440000 + i}/${440000 + i}_460000")
+      Files.createDirectories(stack)
+      for (z <- 0 until 2) {
+        val px = Array.tabulate(16 * 16 * 2)(k => ((k + z) % 251).toByte)
+        Files.write(stack.resolve(f"$z%06d.png"), ImageCodec.encodePng16(16, 16, px))
+      }
+    }
+    root
+  }
+
+  test("discoverStacks walks 3 levels and sorts deterministically") {
+    val root = mkFixture(Seq("Ex_488_Em_525", "Ex_445_Em_469"), 2)
+    val stacks = SmartSpimJob.discoverStacks(root.toString)
+    assert(stacks.size == 4)
+    assert(stacks.map(_.toString) == stacks.map(_.toString).sorted)
+    assert(stacks.head.toString.contains("Ex_445_Em_469"))
+  }
+
+  test("voxelResolution parses acquisition.json ZYX-ordered (fixture 2.0,1.8,1.8)") {
+    val root = mkFixture(Seq("Ex_445_Em_469"), 1)
+    val v = SmartSpimJob.voxelResolution(root.resolve("acquisition.json"))
+    assert(v == Seq(2.0, 1.8, 1.8))
+  }
+
+  test("voxelResolution: missing file raises (smartspim_job.py:67-71)") {
+    intercept[java.io.FileNotFoundException] {
+      SmartSpimJob.voxelResolution(Files.createTempDirectory("x").resolve("nope.json"))
+    }
+  }
+
+  test("readJsonAsMap tolerates missing files (io/utils.py:111-135)") {
+    assert(ZarrMeta.readJsonAsMap(
+      Files.createTempDirectory("x").resolve("nope.json")).isEmpty)
+  }
+
+  test("emissionWavelength / wavelengthToHex parity with the reference table") {
+    assert(SmartSpimJob.emissionWavelength("Ex_445_Em_469") == 469)
+    assert(SmartSpimJob.emissionWavelength("Ex_445_Em_469.zarr") == 469)
+    assert(SmartSpimJob.wavelengthToHex(469) == 0x3F2EFE)
+    assert(SmartSpimJob.wavelengthToHex(300) == 0x690AFE)
+    assert(SmartSpimJob.wavelengthToHex(619) == 0xF0121E)
+    assert(SmartSpimJob.wavelengthToHex(750) == 0xF00050)  // falls through
+    assert(SmartSpimJob.wavelengthToHex(9000) == 0xF00050) // >= 750 → pink
+  }
+
+  test("runJob converts only this shard's stacks (round-robin parity)") {
+    val root = mkFixture(Seq("Ex_445_Em_469", "Ex_488_Em_525"), 2)
+    val out = root.resolve("out")
+    val n = SmartSpimJob.runJob(spark, JobSettings(
+      inputSource = root.toString, outputDirectory = out.toString,
+      numOfPartitions = 4, partitionToProcess = 0,
+      chunkSize = Seq(16, 16, 16), downsampleLevels = 1))
+    assert(n == 1) // 4 stacks over 4 partitions → 1 each
+    // partition 0 gets the first sorted stack: Ex_445_Em_469/440000
+    assert(Files.exists(out.resolve("Ex_445_Em_469/440000_460000.ome.zarr/0/0/0/0/0/0")))
+  }
+
+  test("invalid extension rejected (smartspim_job.py:138-154)") {
+    val root = mkFixture(Seq("Ex_445_Em_469"), 1)
+    val stack = SmartSpimJob.discoverStacks(root.toString).head
+    // rewrite the stack with a bogus file type
+    Files.list(stack).forEach(p => Files.delete(p))
+    Files.writeString(stack.resolve("000000.bmp"), "junk")
+    intercept[IllegalArgumentException] {
+      SmartSpimJob.convertStack(spark, stack, JobSettings(
+        inputSource = root.toString,
+        outputDirectory = root.resolve("out").toString), Seq(2.0, 1.8, 1.8))
+    }
+  }
+}
