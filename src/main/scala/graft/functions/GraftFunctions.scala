@@ -49,17 +49,13 @@ object GraftFunctions {
         transform(sequence(lit(0), size(toks) - lit(n)),
           i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
 
-  /** Cosine similarity of two float-array columns, computed in double.
-    * zip_with + aggregate keeps it inside whole-stage codegen; at 100 TB
-    * this is the brute-force baseline — the LSH/IVF paths bound the
-    * candidate set before this runs.
+  /** Cosine similarity of two float-array columns, computed in double
+    * with index-order accumulation. Delegates to the native
+    * [[CosineSim]] Catalyst expression (tight codegen'd loop) — the
+    * brute-force baseline; the LSH/IVF paths bound the candidate set
+    * before this runs at scale.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosineFast(a, b)
 
   /** Squared L2 norm of a float-array column (double). */
   def normSq(a: Column): Column =

@@ -55,7 +55,8 @@ object Dedup {
     * pairs are only those sharing ≥1 shingle. */
   val qDedupNgramJaccard: Q = (s, d) => {
     val sh = Tables.documents(s, d).where(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -89,10 +90,14 @@ object Dedup {
       min((col("h") * permA(j) + permB(j)) % P).as(s"mh$j")
     }
     val sig = unigramHashes(s, d).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val bands = (0 until NPERM / 2).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band_id"),
+    // one generator pass, not an 8-way union (which would recompute
+    // the signature aggregation once per band per join side)
+    val bandStructs = array((0 until NPERM / 2).map { b =>
+      struct(lit(b).as("band_id"),
         concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))
-    }.reduce(_ union _)
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -32,9 +32,10 @@ object Multimodal {
     * image decode UDF produces (width, height, stats), with the codec
     * stubbed by byte-value semantics. */
   val qMmPixels: Q = (s, d) => {
-    val px = transform(sequence(lit(1), lit(32)),
-      i => ascii(col("text").substr(i, lit(1))))
+    val px = col("px")
     Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .withColumn("px", transform(sequence(lit(1), lit(32)),
+        i => ascii(col("text").substr(i, lit(1)))))
       .select(col("doc_id"),
         col("n_chars").as("width"),
         lit(1).as("height"),

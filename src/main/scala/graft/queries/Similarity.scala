@@ -39,18 +39,22 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1]:
-    * plane(j, dim) = (md5-hash28(j ++ "_" ++ dim) mod 2001 - 1000)/1000. */
-  private def planeComponent(j: Column, dim: Column): Column =
-    (hash28(concat_ws("_", j, dim)) % 2001 - 1000).cast("double") / 1000.0
+    * plane(j, dim) = (md5-hash28(j ++ "_" ++ dim) mod 2001 - 1000)/1000.
+    * Precomputed once at the driver (the planes are data-independent)
+    * and shipped as literals — the DuckDB oracle re-derives the same
+    * values from md5, but the Spark side never hashes per row.
+    */
+  private lazy val planes: Array[Array[Double]] = Array.tabulate(8, 64) { (j, d) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 7)
+    ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toDouble / 1000.0
+  }
 
   /** Signed dot product of an embedding with plane j (double). */
-  private def planeBit(emb: Column, j: Int): Column = {
-    val dot = aggregate(
-      zip_with(emb, sequence(lit(0), lit(63)),
-        (x, i) => x.cast("double") * planeComponent(lit(j), i)),
-      lit(0.0), (acc, v) => acc + v)
-    when(dot > 0, lit(1 << j)).otherwise(0)
-  }
+  private def planeBit(emb: Column, j: Int): Column =
+    when(graft.functions.VectorExpressions.dot(emb, typedLit(planes(j).toSeq)) > 0,
+      lit(1 << j)).otherwise(0)
 
   /** LSH bucket histogram: 8 hyperplanes → 256 buckets. The bucket id is
     * the shuffle key at scale; here we validate the bucketing itself. */

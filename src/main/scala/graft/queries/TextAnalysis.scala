@@ -32,17 +32,20 @@ object TextAnalysis {
   }
 
   /** Per-document quality signals: token count, mean token length,
-    * stopword ratio, alpha-character ratio. */
+    * stopword ratio, alpha-character ratio. The token array is
+    * materialized once per row (`withColumn`) so the split/filter isn't
+    * re-evaluated per derived metric. */
   val qTextQuality: Q = (s, d) => {
-    val toks = tokens(col("text"))
     val stops = Seq("the", "a", "of", "and")
+    val w = col("w")
     Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .withColumn("w", tokens(col("text")))
       .select(col("doc_id"),
-        size(toks).as("n_tok"),
-        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-          / size(toks), 6).as("avg_tok_len"),
-        round(size(filter(toks, t => t.isin(stops.map(lit): _*))).cast("double")
-          / size(toks), 6).as("stop_ratio"),
+        size(w).as("n_tok"),
+        round(aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(w), 6).as("avg_tok_len"),
+        round(size(filter(w, t => t.isin(stops.map(lit): _*))).cast("double")
+          / size(w), 6).as("stop_ratio"),
         round(length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
           / length(col("text")), 6).as("alpha_ratio"))
       .orderBy("doc_id")
@@ -52,10 +55,10 @@ object TextAnalysis {
     * language by marker-token hits, predict the argmax (ties broken by
     * fixed language order), report the confusion counts. */
   val qTextLangid: Q = (s, d) => {
-    val toks = tokens(col("text"))
     def hits(markers: Seq[String]): Column =
-      size(filter(toks, t => t.isin(markers.map(lit): _*)))
+      size(filter(col("w"), t => t.isin(markers.map(lit): _*)))
     Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
       .withColumn("s_en", hits(Seq("the", "a", "of")))
       .withColumn("s_de", hits(Seq("der", "und", "die")))
       .withColumn("s_fr", hits(Seq("le", "la", "et")))
@@ -80,13 +83,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Corpus-level top-20 word bigrams (frequency, not distinct). */
+  /** Corpus-level top-20 word bigrams (frequency, not distinct).
+    * Tokens are materialized before the bigram transform — inlining
+    * the split expression would re-tokenize per bigram. */
   val qTextNgrams: Q = (s, d) => {
-    val toks = tokens(col("text"))
-    val bigrams = when(size(toks) < 2, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+    val w = col("w")
+    val bigrams = when(size(w) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", slice(w, i + 1, lit(2)))))
     Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
       .select(explode(bigrams).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(
