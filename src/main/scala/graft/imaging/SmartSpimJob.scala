@@ -123,8 +123,8 @@ object SmartSpimJob {
     val em = emissionWavelength(channelName)
     val color = wavelengthToHex(em)
     val shapeT = Seq(1L, 1L, shapes.head(0).toLong, shapes.head(1).toLong, shapes.head(2).toLong)
-    write(Paths.get(store, ".zgroup"), ZarrMeta.render(ZarrMeta.zgroup))
-    write(Paths.get(settings.outputDirectory, channelName, ".zgroup"),
+    write(s"$store/.zgroup", ZarrMeta.render(ZarrMeta.zgroup))
+    write(s"${settings.outputDirectory}/$channelName/.zgroup",
       ZarrMeta.render(ZarrMeta.zgroup))
     val attrs = JObject(
       ZarrMeta.multiscales(stackName, settings.downsampleLevels,
@@ -133,23 +133,26 @@ object SmartSpimJob {
         stackName, shapeT, Seq(s"Channel:$channelName:0"), Seq(color),
         minMax = Seq((0.0, 65535.0)),       // uint16 dtype bounds (A2)
         startEnd = Seq((0.0, 350.0)))).obj) // hard-coded window (A3, :623-627)
-    write(Paths.get(store, ".zattrs"), ZarrMeta.render(attrs))
+    write(s"$store/.zattrs", ZarrMeta.render(attrs))
   }
 
   private def writeZarray(store: String, level: Int, shape: Seq[Int],
       chunk: Seq[Int], settings: JobSettings, compressed: Boolean): Unit = {
     val shapeT = Seq(1L, 1L, shape(0).toLong, shape(1).toLong, shape(2).toLong)
     val chunksT = Seq(1, 1, chunk(0), chunk(1), chunk(2))
-    val dir = Paths.get(store, level.toString)
-    Files.createDirectories(dir)
-    write(dir.resolve(".zarray"), ZarrMeta.render(
+    write(s"$store/$level/.zarray", ZarrMeta.render(
       ZarrMeta.zarray(shapeT, chunksT, settings.compressorLevel,
         settings.byteShuffle, compressed)))
   }
 
-  private def write(p: Path, content: String): Unit = {
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, content)
+  /** Metadata write through the Hadoop FileSystem API, so the store
+    * may live on file://, hdfs:// or s3a:// alike (replaces the
+    * reference's aws-CLI staging, S9-S11). */
+  private def write(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
   /** Full job: discover → shard → convert every stack in this shard

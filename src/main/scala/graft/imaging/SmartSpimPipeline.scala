@@ -3,7 +3,8 @@ package graft.imaging
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{Path => HPath}
+import java.nio.file.{Files, Paths}
 
 /** The SmartSPIM image dataflow, Spark-first (SURVEY.md §3.2):
   *
@@ -55,10 +56,16 @@ object SmartSpimPipeline {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*.$ext")
       .load(dir)
+    // stack dir = parent of the slice file; ranking is per stack so the
+    // window shuffle stays partitioned even when many stacks are read
+    // through one glob (no single-partition global sort at 100 TB).
+    val stackOf = regexp_replace(col("path"), "/[^/]+$", "")
     val zmap = spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*.$ext").load(dir)
-      .select(col("path"))
-      .withColumn("z", row_number().over(Window.orderBy("path")) - 1)
+      .select(col("path"), stackOf.as("stack_dir"))
+      .withColumn("z", row_number().over(
+        Window.partitionBy("stack_dir").orderBy("path")) - 1)
+      .drop("stack_dir")
     files.join(broadcast(zmap), "path")
       .select(col("path"), col("z"), col("content"))
       .as[(String, Int, Array[Byte])]
@@ -241,13 +248,17 @@ object SmartSpimPipeline {
         val payload =
           if (compressed) BloscCodec.compress(full, 2, clevel, byteShuffle)
           else full
-        val dir = Paths.get(store, level.toString, "0", "0",
-          c.zc.toString, c.yc.toString)
-        Files.createDirectories(dir)
-        val tmp = dir.resolve(s".${c.xc}.tmp-${java.util.UUID.randomUUID}")
-        Files.write(tmp, payload)
-        Files.move(tmp, dir.resolve(c.xc.toString),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        val dir = new HPath(store,
+          s"$level/0/0/${c.zc}/${c.yc}")
+        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(dir)
+        val target = new HPath(dir, c.xc.toString)
+        val tmp = new HPath(dir, s".${c.xc}.tmp-${java.util.UUID.randomUUID}")
+        val out = fs.create(tmp, true)
+        try out.write(payload) finally out.close()
+        if (!fs.rename(tmp, target)) { // e.g. concurrent retry won the race
+          fs.delete(target, false); fs.rename(tmp, target)
+        }
       }
     }
   }
