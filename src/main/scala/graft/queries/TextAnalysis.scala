@@ -103,13 +103,18 @@ object TextAnalysis {
   }
 
   /** TF-IDF: highest-scoring term per sampled document.
-    * idf = ln(N / df) with df over the full corpus. */
+    * idf = ln(N / df) with df over the full corpus. df dedups terms
+    * within each document map-side (`array_distinct` before the
+    * explode) so the only shuffle is the partial-aggregated
+    * `groupBy(term)` — no corpus-wide (doc_id, term) distinct. */
   val qTextTfidf: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val df = docs
+      .select(explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_total"))
-    val tf = terms.where(col("doc_id") % 20 === 0)
+    val tf = docs.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
     tf.join(broadcast(df), "term").crossJoin(broadcast(n))
