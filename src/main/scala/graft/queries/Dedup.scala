@@ -54,9 +54,13 @@ object Dedup {
     * shingle equi-join computes intersections directly — candidate
     * pairs are only those sharing ≥1 shingle. */
   val qDedupNgramJaccard: Q = (s, d) => {
+    // cached: referenced three times (both join sides + per-doc counts);
+    // without it the tokenize/shingle pass runs 3×. Shingle rows are
+    // ~|corpus| — at 100 TB persist to MEMORY_AND_DISK across executors.
     val sh = Tables.documents(s, d).where(col("doc_id") % 5 === 0)
       .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
+      .cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -96,8 +100,12 @@ object Dedup {
       struct(lit(b).as("band_id"),
         concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))
     }: _*)
+    // cached: the signature aggregation would otherwise run once per
+    // self-join side. Band rows are 8 small strings per doc — tiny
+    // next to the corpus, so this persists fine at scale.
     val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
+      .cache()
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -112,10 +120,13 @@ object Dedup {
     val bitCols = (0 until 32).map { i =>
       sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)).as(s"w$i")
     }
+    // cached: one 64-bit signature per doc; avoids computing the
+    // 32-column bit aggregation once per self-join side.
     val sim = unigramHashes(s, d).groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         (0 until 32).map(i => when(col(s"w$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
+      .cache()
     sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .groupBy("hamming").agg(count(lit(1)).as("n"))
