@@ -71,69 +71,100 @@ object SmartSpimJob {
     Seq(scale(2), scale(1), scale(0)) // file is XYZ; job wants ZYX
   }
 
+  /** Store path for a stack dir, by convention:
+    * `<out>/<channel>/<stack>.ome.zarr`. Pure (serializable closures
+    * capture only the output dir string). */
+  def storeFor(outputDirectory: String, stackDir: String): String = {
+    val p = stackDir.stripSuffix("/")
+    val parts = p.split('/')
+    val stackName = parts.last
+    val channelName = parts(parts.length - 3)
+    s"$outputDirectory/$channelName/$stackName.ome.zarr"
+  }
+
   /** Convert one stack directory to `<out>/<channel>/<stack>.ome.zarr`. */
   def convertStack(spark: SparkSession, stack: Path, settings: JobSettings,
-      voxelZyx: Seq[Double]): Unit = {
-    val channelName = stack.getParent.getParent.getFileName.toString
-    val stackName = stack.getFileName.toString
-    val files = Files.list(stack).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-    if (files.isEmpty) throw new java.io.FileNotFoundException(s"No images found in $stack")
-    val extension = {
-      val n = files.head.getFileName.toString
-      n.substring(n.lastIndexOf('.') + 1).toLowerCase
-    }
-    if (!Seq("png", "tif", "tiff").contains(extension))
-      throw new IllegalArgumentException(
-        s"Extension $extension is not valid! Only PNGs and Tiff.")
+      voxelZyx: Seq[Double]): Unit =
+    convertStacks(spark, Seq(stack), settings, voxelZyx)
 
-    val store = Paths.get(settings.outputDirectory, channelName,
-      s"$stackName.ome.zarr").toString
+  /** Pooled conversion: every stack in the shard flows through ONE
+    * pipeline — one scan, one rechunk shuffle and one write job per
+    * pyramid level, keyed by stack. A driver loop of per-stack jobs
+    * would serialize scheduling at 10k stacks; this shape keeps a
+    * large cluster busy end-to-end. Per-stack metadata stays on the
+    * driver (tiny JSON).
+    */
+  def convertStacks(spark: SparkSession, stacks: Seq[Path], settings: JobSettings,
+      voxelZyx: Seq[Double]): Unit = {
+    if (stacks.isEmpty) return
     val compressed = settings.compressorName == "blosc"
     val chunk = settings.chunkSize
+    val outDir = settings.outputDirectory
 
-    // level 0: scan → decode → rechunk shuffle
-    val level0 = SmartSpimPipeline.rechunk(
-      SmartSpimPipeline.slices(spark, stack.toString, extension), chunk)
+    // per-stack validation + full-res shape probe (reference S4: pims
+    // metadata read of the first file; F2 extension check)
+    case class StackInfo(dir: Path, extension: String, shape0: Seq[Int])
+    val infos = stacks.map { stack =>
+      val files = Files.list(stack).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      if (files.isEmpty) throw new java.io.FileNotFoundException(s"No images found in $stack")
+      val n = files.head.getFileName.toString
+      val extension = n.substring(n.lastIndexOf('.') + 1).toLowerCase
+      if (!Seq("png", "tif", "tiff").contains(extension))
+        throw new IllegalArgumentException(
+          s"Extension $extension is not valid! Only PNGs and Tiff.")
+      val probe = ImageCodec.decode(Files.readAllBytes(files.minBy(_.toString)))
+      StackInfo(stack, extension, Seq(files.size, probe.height, probe.width))
+    }
 
-    // full-res shape (driver probe ≡ reference S4 pims metadata read)
-    val nz = files.size
-    val probe = ImageCodec.decode(Files.readAllBytes(files.minBy(_.toString)))
-    var shape = Seq(nz, probe.height, probe.width)
-
-    var current = level0
-    val shapes = scala.collection.mutable.ArrayBuffer(shape)
-    for (level <- 0 until settings.downsampleLevels) {
-      // persist: written level feeds the next one (reference S6
-      // write-then-readback becomes persist-then-downsample)
-      if (level < settings.downsampleLevels - 1)
-        current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      SmartSpimPipeline.writeLevel(current, store, level, chunk,
-        settings.compressorLevel, settings.byteShuffle, compressed)
-      writeZarray(store, level, shape, chunk, settings, compressed)
-      if (level < settings.downsampleLevels - 1) {
-        val next = SmartSpimPipeline.downsampleLevel(current, chunk, settings.scaleFactor)
-        current.unpersist(blocking = false)
-        current = next
-        shape = shape.zip(settings.scaleFactor).map { case (s, f) => (s + f - 1) / f }
-        shapes += shape
+    // one pooled pipeline per extension group (usually exactly one)
+    infos.groupBy(_.extension).foreach { case (extension, group) =>
+      val level0 = SmartSpimPipeline.rechunk(
+        SmartSpimPipeline.slices(spark, group.map(_.dir.toString), extension), chunk)
+      var shapes: Map[String, Seq[Int]] =
+        group.map(i => i.dir.toString -> i.shape0).toMap
+      var current = level0
+      for (level <- 0 until settings.downsampleLevels) {
+        // persist: written level feeds the next one (reference S6
+        // write-then-readback becomes persist-then-downsample)
+        if (level < settings.downsampleLevels - 1)
+          current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        SmartSpimPipeline.writeLevelBy(current, storeFor(outDir, _), level, chunk,
+          settings.compressorLevel, settings.byteShuffle, compressed)
+        shapes.foreach { case (stackDir, shape) =>
+          writeZarray(storeFor(outDir, stackDir), level, shape, chunk, settings,
+            compressed)
+        }
+        if (level < settings.downsampleLevels - 1) {
+          val next = SmartSpimPipeline.downsampleLevel(current, chunk, settings.scaleFactor)
+          current.unpersist(blocking = false)
+          current = next
+          shapes = shapes.view.mapValues(_.zip(settings.scaleFactor)
+            .map { case (s, f) => (s + f - 1) / f }).toMap
+        }
       }
     }
 
-    // group + OME-NGFF metadata (driver-side, X7)
-    val em = emissionWavelength(channelName)
-    val color = wavelengthToHex(em)
-    val shapeT = Seq(1L, 1L, shapes.head(0).toLong, shapes.head(1).toLong, shapes.head(2).toLong)
-    write(s"$store/.zgroup", ZarrMeta.render(ZarrMeta.zgroup))
-    write(s"${settings.outputDirectory}/$channelName/.zgroup",
-      ZarrMeta.render(ZarrMeta.zgroup))
-    val attrs = JObject(
-      ZarrMeta.multiscales(stackName, settings.downsampleLevels,
-        settings.scaleFactor, voxelZyx).obj ++
-      JObject("omero" -> ZarrMeta.omero(
-        stackName, shapeT, Seq(s"Channel:$channelName:0"), Seq(color),
-        minMax = Seq((0.0, 65535.0)),       // uint16 dtype bounds (A2)
-        startEnd = Seq((0.0, 350.0)))).obj) // hard-coded window (A3, :623-627)
-    write(s"$store/.zattrs", ZarrMeta.render(attrs))
+    // group + OME-NGFF metadata per stack (driver-side, X7)
+    infos.foreach { info =>
+      val stackDir = info.dir.toString
+      val store = storeFor(outDir, stackDir)
+      val channelName = info.dir.getParent.getParent.getFileName.toString
+      val stackName = info.dir.getFileName.toString
+      val em = emissionWavelength(channelName)
+      val color = wavelengthToHex(em)
+      val shapeT = Seq(1L, 1L, info.shape0(0).toLong, info.shape0(1).toLong,
+        info.shape0(2).toLong)
+      write(s"$store/.zgroup", ZarrMeta.render(ZarrMeta.zgroup))
+      write(s"$outDir/$channelName/.zgroup", ZarrMeta.render(ZarrMeta.zgroup))
+      val attrs = JObject(
+        ZarrMeta.multiscales(stackName, settings.downsampleLevels,
+          settings.scaleFactor, voxelZyx).obj ++
+        JObject("omero" -> ZarrMeta.omero(
+          stackName, shapeT, Seq(s"Channel:$channelName:0"), Seq(color),
+          minMax = Seq((0.0, 65535.0)),       // uint16 dtype bounds (A2)
+          startEnd = Seq((0.0, 350.0)))).obj) // hard-coded window (A3, :623-627)
+      write(s"$store/.zattrs", ZarrMeta.render(attrs))
+    }
   }
 
   private def writeZarray(store: String, level: Int, shape: Seq[Int],
@@ -162,7 +193,7 @@ object SmartSpimJob {
     val shard = JobSettings.partitionList(stacks, settings.numOfPartitions)(
       settings.partitionToProcess)
     val voxel = voxelResolution(Paths.get(settings.inputSource, "acquisition.json"))
-    shard.foreach(stack => convertStack(spark, stack, settings, voxel))
+    convertStacks(spark, shard, settings, voxel)
     shard.size
   }
 }

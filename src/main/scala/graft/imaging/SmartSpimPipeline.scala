@@ -51,17 +51,24 @@ object SmartSpimPipeline {
     * `content`), broadcast, and joined map-side — image bytes are never
     * shuffled for indexing.
     */
-  def slices(spark: SparkSession, dir: String, ext: String): Dataset[SliceRow] = {
+  def slices(spark: SparkSession, dir: String, ext: String): Dataset[SliceRow] =
+    slices(spark, Seq(dir), ext)
+
+  /** Multi-stack variant: one scan over every stack dir in the shard,
+    * so the whole shard becomes ONE pipeline (one rechunk shuffle, one
+    * write job per level) instead of a driver loop of per-stack jobs —
+    * the shape that keeps 1000 executors busy on 10k stacks. */
+  def slices(spark: SparkSession, dirs: Seq[String], ext: String): Dataset[SliceRow] = {
     import spark.implicits._
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*.$ext")
-      .load(dir)
+      .load(dirs: _*)
     // stack dir = parent of the slice file; ranking is per stack so the
     // window shuffle stays partitioned even when many stacks are read
     // through one glob (no single-partition global sort at 100 TB).
     val stackOf = regexp_replace(col("path"), "/[^/]+$", "")
     val zmap = spark.read.format("binaryFile")
-      .option("pathGlobFilter", s"*.$ext").load(dir)
+      .option("pathGlobFilter", s"*.$ext").load(dirs: _*)
       .select(col("path"), stackOf.as("stack_dir"))
       .withColumn("z", row_number().over(
         Window.partitionBy("stack_dir").orderBy("path")) - 1)
@@ -225,6 +232,15 @@ object SmartSpimPipeline {
     */
   def writeLevel(chunks: Dataset[ChunkRow], store: String, level: Int,
       chunk: Seq[Int], clevel: Int, byteShuffle: Boolean,
+      compressed: Boolean): Unit =
+    writeLevelBy(chunks, _ => store, level, chunk, clevel, byteShuffle, compressed)
+
+  /** Multi-store variant: `storeOf` maps a chunk row's stack key to its
+    * OME-Zarr store path, so one write job covers every stack in the
+    * shard (the pooled pipeline). The closure must be serializable —
+    * derive the store from the stack path, don't capture a session. */
+  def writeLevelBy(chunks: Dataset[ChunkRow], storeOf: String => String,
+      level: Int, chunk: Seq[Int], clevel: Int, byteShuffle: Boolean,
       compressed: Boolean): Unit = {
     val Seq(cz, cy, cx) = chunk
     chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
@@ -248,7 +264,7 @@ object SmartSpimPipeline {
         val payload =
           if (compressed) BloscCodec.compress(full, 2, clevel, byteShuffle)
           else full
-        val dir = new HPath(store,
+        val dir = new HPath(storeOf(c.stack),
           s"$level/0/0/${c.zc}/${c.yc}")
         val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
         fs.mkdirs(dir)

@@ -90,6 +90,48 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(store, ".zgroup")))
   }
 
+  test("pooled multi-stack conversion matches per-stack conversion byte-for-byte") {
+    def writeStack(root: java.nio.file.Path, channel: String, col: String,
+        row: String, seed: Int): java.nio.file.Path = {
+      val stack = root.resolve(s"SmartSPIM/$channel/$col/${col}_$row")
+      Files.createDirectories(stack)
+      for (z <- 0 until NZ) {
+        val px = new Array[Byte](NY * NX * 2)
+        for (y <- 0 until NY; x <- 0 until NX) {
+          val v = (voxel(z, y, x) + seed * 977) % 65536; val i = y * NX + x
+          px(2 * i) = (v & 0xFF).toByte
+          px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        }
+        Files.write(stack.resolve(f"$z%06d.png"), ImageCodec.encodePng16(NX, NY, px))
+      }
+      stack
+    }
+    val root = Files.createTempDirectory("graft-e2e-pooled")
+    val stacks = Seq(
+      writeStack(root, "Ex_445_Em_469", "440000", "460000", 1),
+      writeStack(root, "Ex_445_Em_469", "440000", "480000", 2),
+      writeStack(root, "Ex_561_Em_600", "440000", "460000", 3))
+    val outPooled = root.resolve("pooled"); val outSingle = root.resolve("single")
+    def settingsFor(out: java.nio.file.Path) = JobSettings(
+      inputSource = root.toString, outputDirectory = out.toString,
+      chunkSize = CHUNK, downsampleLevels = 2)
+    SmartSpimJob.convertStacks(spark, stacks, settingsFor(outPooled), Seq(2.0, 1.8, 1.8))
+    stacks.foreach(s =>
+      SmartSpimJob.convertStack(spark, s, settingsFor(outSingle), Seq(2.0, 1.8, 1.8)))
+    // every file in the single-stack output exists identically in pooled
+    import scala.jdk.CollectionConverters._
+    val files = Files.walk(outSingle).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rel = outSingle.relativize(f)
+      val g = outPooled.resolve(rel)
+      assert(Files.exists(g), s"pooled output missing $rel")
+      assert(java.util.Arrays.equals(Files.readAllBytes(f), Files.readAllBytes(g)),
+        s"pooled output differs at $rel")
+    }
+  }
+
   test("uncompressed store (compressor none) also round-trips") {
     val root = Files.createTempDirectory("graft-e2e-raw")
     val stack = writeFixture(root)
