@@ -21,6 +21,10 @@ object MediaColumns {
   final case class ImageFeatures(id: Long, width: Int, height: Int,
       meanIntensity: Double, maxIntensity: Int, nBytes: Int)
   final case class AudioFeatures(id: Long, nSamples: Int, rms: Double)
+  /** Resized image: raw uint16 little-endian pixels. */
+  final case class ImageRow(id: Long, width: Int, height: Int, bytes: Array[Byte])
+  /** One sampled frame; `frameIdx` is the index in the source clip. */
+  final case class FrameRow(id: Long, frameIdx: Int, bytes: Array[Byte])
 
   /** Decode a binary image column to typed features, one partition at
     * a time. */
@@ -55,6 +59,69 @@ object MediaColumns {
         m.bytes.foreach { b => val v = (b & 0xFF) - 128; sumSq += v.toDouble * v }
         AudioFeatures(m.id, m.bytes.length,
           if (m.bytes.isEmpty) 0.0 else math.sqrt(sumSq / m.bytes.length))
+      }
+    }
+  }
+
+  /** REAL box-mean downscale by an integer factor on decoded 16-bit
+    * images (PNG/TIFF in, raw uint16 LE out). Mean is floor-truncated,
+    * matching the pyramid's dtype-preserving windowed mean; partial
+    * edge windows average over the pixels present. Per-partition batch
+    * transform like decodeImages. */
+  def resizeImages(media: Dataset[MediaRow], factor: Int): Dataset[ImageRow] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val d = ImageCodec.decode(m.bytes)
+        val ow = (d.width + factor - 1) / factor
+        val oh = (d.height + factor - 1) / factor
+        val out = new Array[Byte](ow * oh * 2)
+        var y = 0
+        while (y < oh) {
+          val y1 = math.min((y + 1) * factor, d.height)
+          var x = 0
+          while (x < ow) {
+            val x1 = math.min((x + 1) * factor, d.width)
+            var sum = 0L; var n = 0
+            var iy = y * factor
+            while (iy < y1) {
+              var ix = x * factor
+              while (ix < x1) {
+                val off = (iy * d.width + ix) * 2
+                sum += ((d.data(off + 1) & 0xFF) << 8) | (d.data(off) & 0xFF)
+                n += 1; ix += 1
+              }
+              iy += 1
+            }
+            val v = (sum / n).toInt
+            val off = (y * ow + x) * 2
+            out(off) = (v & 0xFF).toByte
+            out(off + 1) = ((v >> 8) & 0xFF).toByte
+            x += 1
+          }
+          y += 1
+        }
+        ImageRow(m.id, ow, oh, out)
+      }
+    }
+  }
+
+  /** STUB video frame sampler: the payload is treated as a container of
+    * fixed-size frames laid end to end (no codec ships here — the
+    * plumbing, batching and output schema are the production ones).
+    * Emits every `everyN`th complete frame with its source index. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
+      everyN: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0 && everyN > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val nFrames = m.bytes.length / frameBytes
+      (0 until nFrames by everyN).map { i =>
+        FrameRow(m.id, i,
+          java.util.Arrays.copyOfRange(m.bytes, i * frameBytes, (i + 1) * frameBytes))
       }
     }
   }

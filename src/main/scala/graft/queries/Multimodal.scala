@@ -46,9 +46,64 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Real image resize, end to end: build an 8×6 uint16 PNG per part
+    * row from a deterministic pixel formula, run the REAL
+    * encode → decode → box-mean-resize path (graft.multimodal /
+    * graft.imaging codecs), explode the 4×3 result to pixel rows. The
+    * oracle recomputes the window means straight from the formula, so
+    * a single wrong byte anywhere in the codec path fails the hash. */
+  val qMmResize: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    import graft.imaging.ImageCodec
+    val W = 8; val H = 6
+    val keys = Tables.part(s, d).where(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey")).as[Long]
+    val media = keys.mapPartitions { it =>
+      it.map { pk =>
+        val px = new Array[Byte](W * H * 2)
+        for (y <- 0 until H; x <- 0 until W) {
+          val v = ((pk * 31 + y * 17 + x * 7) % 65536).toInt
+          val i = y * W + x
+          px(2 * i) = (v & 0xFF).toByte
+          px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        }
+        MediaColumns.MediaRow(pk, "image/png", ImageCodec.encodePng16(W, H, px))
+      }
+    }
+    MediaColumns.resizeImages(media, 2)
+      .flatMap { r =>
+        for (y <- 0 until r.height; x <- 0 until r.width) yield {
+          val off = (y * r.width + x) * 2
+          (r.id, y, x, ((r.bytes(off + 1) & 0xFF) << 8) | (r.bytes(off) & 0xFF))
+        }
+      }
+      .toDF("p_partkey", "y", "x", "v")
+      .orderBy("p_partkey", "y", "x")
+  }
+
+  /** Frame sampling over a binary payload (every 2nd 8-byte frame),
+    * reporting per-frame byte energy. Exercises the stub video
+    * container path with a char-arithmetic oracle (corpus is ASCII,
+    * so bytes ≡ chars). */
+  val qMmFrames: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    val docs = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(col("doc_id").cast("long").as[Long],
+        col("text").cast("binary").as[Array[Byte]])
+      .map { case (id, bytes) => MediaColumns.MediaRow(id, "video/fake", bytes) }
+    MediaColumns.sampleFrames(docs, frameBytes = 8, everyN = 2)
+      .map(f => (f.id, f.frameIdx, f.bytes.map(b => (b & 0xFF).toLong).sum))
+      .toDF("doc_id", "frame_idx", "energy")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_mm_meta" -> qMmMeta,
-    "q_mm_pixels" -> qMmPixels
+    "q_mm_pixels" -> qMmPixels,
+    "q_mm_resize" -> qMmResize,
+    "q_mm_frames" -> qMmFrames
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -63,6 +118,25 @@ object Multimodal {
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS width, 1 AS height,
         |  round(CAST(list_sum(p) AS DOUBLE) / 32.0, 6) AS mean_px,
         |  CAST(list_max(p) AS INT) AS max_px, CAST(list_min(p) AS INT) AS min_px
-        |FROM px ORDER BY doc_id""".stripMargin
+        |FROM px ORDER BY doc_id""".stripMargin,
+    "q_mm_resize" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 50 = 0),
+        |grid AS (SELECT p_partkey, CAST(y AS INT) AS y, CAST(x AS INT) AS x
+        |         FROM p, unnest(range(0, 3)) t(y), unnest(range(0, 4)) u(x))
+        |SELECT p_partkey, y, x, CAST((
+        |    (p_partkey * 31 + (2*y) * 17 + (2*x) * 7) % 65536
+        |  + (p_partkey * 31 + (2*y) * 17 + (2*x+1) * 7) % 65536
+        |  + (p_partkey * 31 + (2*y+1) * 17 + (2*x) * 7) % 65536
+        |  + (p_partkey * 31 + (2*y+1) * 17 + (2*x+1) * 7) % 65536) // 4 AS INT) AS v
+        |FROM grid ORDER BY p_partkey, y, x""".stripMargin,
+    "q_mm_frames" ->
+      """WITH d AS (SELECT doc_id, text, length(text) // 8 AS nf
+        |           FROM documents WHERE doc_id % 20 = 0),
+        |f AS (SELECT doc_id, text, CAST(i AS INT) AS frame_idx
+        |      FROM d, unnest(range(0, nf)) t(i) WHERE i % 2 = 0)
+        |SELECT doc_id, frame_idx,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    j -> ascii(substr(text, CAST(frame_idx * 8 + j AS INT), 1)))) AS BIGINT) AS energy
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

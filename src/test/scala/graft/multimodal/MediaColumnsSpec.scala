@@ -42,4 +42,32 @@ class MediaColumnsSpec extends AnyFunSuite {
     assert(out.getAs[String]("media_digest") == "900150983cd24fb0d6963f7d28e17f72")
     assert(out.getAs[Int]("media_bytes") == 3)
   }
+
+  test("resizeImages box-means with floor, clamping partial edge windows") {
+    import spark.implicits._
+    // 5×3 image, factor 2 → 3×2; value = y*10 + x
+    val media = Seq(MediaRow(7, "image/png", png(5, 3, (x, y) => y * 10 + x))).toDS()
+    val r = resizeImages(media, 2).collect().head
+    assert(r.width == 3 && r.height == 2)
+    def px(i: Int) = ((r.bytes(2 * i + 1) & 0xFF) << 8) | (r.bytes(2 * i) & 0xFF)
+    // full window (0,0): mean(0,1,10,11) = 5 (floor of 5.5 → 22/4 = 5)
+    assert(px(0) == (0 + 1 + 10 + 11) / 4)
+    // right edge (x=2): mean(4,14) = 9
+    assert(px(2) == (4 + 14) / 2)
+    // bottom edge (y=1,x=0): mean(20,21) = 20
+    assert(px(3) == (20 + 21) / 2)
+    // corner (y=1,x=2): single pixel 24
+    assert(px(5) == 24)
+  }
+
+  test("sampleFrames emits every Nth complete frame with source index") {
+    import spark.implicits._
+    val bytes = (0 until 26).map(_.toByte).toArray // 3 complete 8-byte frames
+    val media = Seq(MediaRow(3, "video/fake", bytes)).toDS()
+    val frames = sampleFrames(media, frameBytes = 8, everyN = 2)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2))
+    assert(frames(0).bytes.toSeq == (0 until 8).map(_.toByte))
+    assert(frames(1).bytes.toSeq == (16 until 24).map(_.toByte))
+  }
 }
