@@ -72,9 +72,11 @@ object Dedup {
       .withColumn("uni", col("ca") + col("cb") - col("inter"))
       .withColumn("jac", round(col("inter") / col("uni"), 4))
     import org.apache.spark.sql.expressions.Window
-    j.withColumn("rn", row_number().over(
+    // top-k via orderBy+limit (distributed TakeOrderedAndProject), then
+    // rank only the 20 survivors — no global single-partition window
+    j.orderBy(col("jac").desc, col("da").asc, col("db").asc).limit(20)
+      .withColumn("rn", row_number().over(
         Window.orderBy(col("jac").desc, col("da").asc, col("db").asc)))
-      .where(col("rn") <= 20)
       .select("rn", "da", "db", "inter", "uni", "jac")
       .orderBy("rn")
   }

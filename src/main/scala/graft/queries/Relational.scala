@@ -502,12 +502,17 @@ object Relational {
       .orderBy("wl")
   }
 
-  /** P1: deterministic round-robin partitioning law (i mod n). */
+  /** P1: deterministic round-robin partitioning law (i mod n). Global
+    * enumeration uses RDD sortBy (range-partitioned distributed sort) +
+    * zipWithIndex rather than a single-partition Window.orderBy — the
+    * one case where the RDD API is the scalable primitive. */
   val qPartitionRoundRobin: Q = (s, d) => {
-    val w = Window.orderBy("o_orderkey")
+    import s.implicits._
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w) - 1)
-      .withColumn("pid", col("rn") % 8)
+      .select(col("o_orderkey")).as[Long]
+      .rdd.sortBy(identity).zipWithIndex()
+      .map { case (_, rn) => rn % 8 -> rn }
+      .toDF("pid", "rn")
       .groupBy("pid")
       .agg(count(lit(1)).as("n"), min("rn").as("min_rn"), max("rn").as("max_rn"))
       .orderBy("pid")

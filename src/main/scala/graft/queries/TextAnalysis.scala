@@ -95,9 +95,12 @@ object TextAnalysis {
       .withColumn("w", tokens(col("text")))
       .select(explode(bigrams).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
+      // top-k first (TakeOrderedAndProject — distributed partial top-k
+      // per partition, no single-partition global window sort), then
+      // rank the surviving 20 rows
+      .orderBy(col("n").desc, col("bigram").asc).limit(20)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("n").desc, col("bigram").asc)))
-      .where(col("rn") <= 20)
       .select("rn", "bigram", "n")
       .orderBy("rn")
   }
