@@ -289,17 +289,34 @@ class ZarrWriteBuilder(store: String, info: LogicalWriteInfo)
 }
 
 class ZarrBatchWrite(store: String, info: LogicalWriteInfo) extends BatchWrite {
-  override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
-    val opts = info.options()
-    val chunk = Option(opts.get("chunk")).map(_.split(",").map(_.trim.toInt).toSeq)
-      .getOrElse(Seq(128, 128, 128))
-    val clevel = Option(opts.get("clevel")).map(_.toInt).getOrElse(3)
-    val shuffle = Option(opts.get("shuffle")).forall(_.toBoolean)
-    val compressed = Option(opts.get("compressed")).forall(_.toBoolean)
+  private def opts = info.options()
+  private def chunk = Option(opts.get("chunk"))
+    .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(128, 128, 128))
+  private def clevel = Option(opts.get("clevel")).map(_.toInt).getOrElse(3)
+  private def shuffle = Option(opts.get("shuffle")).forall(_.toBoolean)
+  private def compressed = Option(opts.get("compressed")).forall(_.toBoolean)
+
+  override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
     ZarrWriterFactory(store, info.schema().fieldNames, chunk, clevel, shuffle,
       compressed)
+
+  /** Driver-side finalize: when the caller provides the level's logical
+    * shape (`shape` = "Z,Y,X", `level` default 0), commit writes the
+    * `.zarray` metadata, making the store self-describing for the read
+    * path without a separate metadata step. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    Option(opts.get("shape")).foreach { s =>
+      val Seq(nz, ny, nx) = s.split(",").map(_.trim.toLong).toSeq
+      val level = Option(opts.get("level")).map(_.toInt).getOrElse(0)
+      val p = new HPath(store, s"$level/.zarray")
+      val fs = p.getFileSystem(new Configuration())
+      val out = fs.create(p, true)
+      try out.write(graft.imaging.ZarrMeta.render(graft.imaging.ZarrMeta.zarray(
+        Seq(1L, 1L, nz, ny, nx), Seq(1, 1, chunk(0), chunk(1), chunk(2)),
+        clevel, shuffle, compressed)).getBytes("UTF-8"))
+      finally out.close()
+    }
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 

@@ -57,12 +57,14 @@ class ZarrSourceSpec extends AnyFunSuite {
 
   private def makeStore(compressed: Boolean): Path = {
     val store = Files.createTempDirectory("zarr-src-spec")
-    writeZarrayMeta(store, 0, compressed)
+    // self-describing write: shape option makes commit() emit .zarray
     chunkRows(0).toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "data")
       .write.format("zarr").mode("append")
       .option("chunk", Chunk.mkString(","))
+      .option("shape", Shape.mkString(","))
       .option("compressed", compressed.toString)
       .save(store.toString)
+    assert(Files.exists(store.resolve("0/.zarray")), "commit should write .zarray")
     store
   }
 
