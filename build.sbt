@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // local mode = one JVM; heap is the only memory knob. Measured at
+  // sf0.1: 8g is the sweet spot — 48g consistently ran ~60% slower
+  // (bigger G1 regions + fresh-page faults beat any GC saving).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
