@@ -23,15 +23,45 @@ import graft.functions.GraftFunctions._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Best-first ordering on (cos desc, id asc) — the global tie-break. */
+  private val better: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (cos, id) => (-cos, id) }
+
+  /** Per-partition bounded top-k per query: each input partition keeps
+    * at most k candidates per qid (a bounded heap), so the only shuffle
+    * the final ranking sees is |partitions| × k × |queries| rows — not
+    * the full |corpus| × |queries| score stream. The union of
+    * per-partition top-ks contains the global top-k, so the final
+    * window is exact. */
+  private def partialTopK[T](it: Iterator[T], k: Int, qidOf: T => Long,
+      keyOf: T => (Double, Long)): Iterator[T] = {
+    import scala.collection.mutable
+    // PriorityQueue surfaces the MAX under its ordering; under `better`
+    // (smaller = better) the max IS the worst retained candidate, so a
+    // better arrival evicts it in O(log k).
+    val worstFirst = Ordering.by[T, (Double, Long)](keyOf)(better)
+    val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[T]]
+    it.foreach { t =>
+      val h = heaps.getOrElseUpdate(qidOf(t), mutable.PriorityQueue.empty(worstFirst))
+      if (h.size < k) h.enqueue(t)
+      else if (better.lt(keyOf(t), keyOf(h.head))) { h.dequeue(); h.enqueue(t) }
+    }
+    heaps.valuesIterator.flatMap(_.iterator)
+  }
+
   /** Brute-force cosine top-5 for a small broadcast query set. */
   val qAnnBrute: Q = (s, d) => {
+    import s.implicits._
     val corpus = Tables.embeddings(s, d)
     val queries = corpus.where(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
+      .select(col("qid").cast("long"), col("vec_id").cast("long"),
         round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+      .as[(Long, Long, Double)]
+      .mapPartitions(partialTopK[(Long, Long, Double)](_, 5, _._1, t => (t._3, t._2)))
+      .toDF("qid", "vec_id", "cos")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 5)
       .select("qid", "rn", "vec_id", "cos")
@@ -66,16 +96,22 @@ object Similarity {
   }
 
   /** IVF-style search: prune to the query's coarse cell (label), then
-    * exact cosine top-3 within the cell. */
+    * exact cosine top-3 within the cell (same bounded partial top-k as
+    * the brute-force pass). */
   val qAnnIvfLabel: Q = (s, d) => {
+    import s.implicits._
     val corpus = Tables.embeddings(s, d)
     val queries = corpus.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("label").as("qlabel"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     corpus.join(broadcast(queries),
         col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("label"),
+      .select(col("qid").cast("long"), col("vec_id").cast("long"),
+        col("label").cast("long"),
         round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions(partialTopK[(Long, Long, Long, Double)](_, 3, _._1, t => (t._4, t._2)))
+      .toDF("qid", "vec_id", "label", "cos")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 3)
       .select("qid", "rn", "vec_id", "label", "cos")
