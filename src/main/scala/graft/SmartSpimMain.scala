@@ -20,11 +20,22 @@ object SmartSpimMain {
 
   private def parseArgs(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case Array(k, v) if k.startsWith("-") => k.dropWhile(_ == '-') -> v
     }.toMap
 
+  /** Three-way settings resolution, highest priority first — exactly
+    * the reference's job_entrypoint (smartspim_job.py:242-252):
+    * `--job-settings <json>` → `--config-file <path>` → flags/env. */
   def settingsFrom(args: Array[String], env: Map[String, String]): JobSettings = {
     val cli = parseArgs(args)
+    cli.get("job-settings").orElse(cli.get("j")).foreach { json =>
+      return JobSettings.fromJson(json)
+    }
+    cli.get("config-file").foreach { path =>
+      return JobSettings.fromJson(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8"))
+    }
     def get(flag: String, envKey: String): Option[String] =
       cli.get(flag).orElse(env.get(s"TRANSFORMATION_JOB_$envKey"))
     def ints(s: String): Seq[Int] = s.split(",").map(_.trim.toInt).toSeq

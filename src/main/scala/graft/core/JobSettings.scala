@@ -45,4 +45,39 @@ object JobSettings {
     (0 until numOfPartitions).map(p =>
       lst.zipWithIndex.collect { case (x, i) if i % numOfPartitions == p => x })
   }
+
+  /** Parse the reference's snake_case settings JSON (the `-j` /
+    * `--config-file` payload a pydantic `SmartspimJobSettings` accepts,
+    * models.py:23-79): unknown keys ignored, missing keys defaulted,
+    * `compressor_kwargs.clevel` mapped to the zstd level. */
+  def fromJson(text: String): JobSettings = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(text)
+    def str(k: String): Option[String] = (j \ k) match {
+      case JString(s) => Some(s); case _ => None
+    }
+    def int(k: String): Option[Int] = (j \ k) match {
+      case JInt(i) => Some(i.toInt); case _ => None
+    }
+    def ints(k: String): Option[Seq[Int]] = (j \ k) match {
+      case JArray(vs) => Some(vs.collect { case JInt(i) => i.toInt }); case _ => None
+    }
+    val clevel = (j \ "compressor_kwargs" \ "clevel") match {
+      case JInt(i) => Some(i.toInt); case _ => None
+    }
+    JobSettings(
+      inputSource = str("input_source").getOrElse(
+        throw new IllegalArgumentException("input_source required")),
+      outputDirectory = str("output_directory").getOrElse(
+        throw new IllegalArgumentException("output_directory required")),
+      s3Location = str("s3_location"),
+      numOfPartitions = int("num_of_partitions").getOrElse(1),
+      partitionToProcess = int("partition_to_process").getOrElse(0),
+      compressorName = str("compressor_name").getOrElse("blosc"),
+      compressorLevel = clevel.getOrElse(3),
+      chunkSize = ints("chunk_size").getOrElse(Seq(128, 128, 128)),
+      scaleFactor = ints("scale_factor").getOrElse(Seq(2, 2, 2)),
+      downsampleLevels = int("downsample_levels").getOrElse(4))
+  }
 }
