@@ -186,12 +186,31 @@ object SmartSpimJob {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Derivatives passthrough (S12, smartspim_job.py:197-215): copy
+    * `<input>/derivatives/` verbatim into the output store, gated on
+    * shard 0 exactly like the reference (one copy per run, not per
+    * shard); errors if the directory is missing. Hadoop FileUtil so the
+    * destination may be file:// or s3a:// alike. */
+  def uploadDerivatives(settings: JobSettings): Unit = {
+    val src = Paths.get(settings.inputSource, "derivatives")
+    if (!Files.isDirectory(src))
+      throw new java.io.FileNotFoundException(
+        s"Derivatives folder not found at: $src")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val from = new org.apache.hadoop.fs.Path(src.toString)
+    val to = new org.apache.hadoop.fs.Path(
+      settings.s3Location.getOrElse(settings.outputDirectory), "derivatives")
+    org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(conf), from,
+      to.getFileSystem(conf), to, false, true, conf)
+  }
+
   /** Full job: discover → shard → convert every stack in this shard
     * (smartspim_job.py:221-230). */
   def runJob(spark: SparkSession, settings: JobSettings): Int = {
     val stacks = discoverStacks(settings.inputSource)
     val shard = JobSettings.partitionList(stacks, settings.numOfPartitions)(
       settings.partitionToProcess)
+    if (settings.partitionToProcess == 0) uploadDerivatives(settings)
     val voxel = voxelResolution(Paths.get(settings.inputSource, "acquisition.json"))
     convertStacks(spark, shard, settings, voxel)
     shard.size

@@ -26,6 +26,8 @@ class SmartSpimJobSpec extends AnyFunSuite {
   private def mkFixture(channels: Seq[String], stacksPerChannel: Int): Path = {
     val root = Files.createTempDirectory("graft-job")
     Files.writeString(root.resolve("acquisition.json"), acquisitionJson)
+    Files.createDirectories(root.resolve("derivatives"))
+    Files.writeString(root.resolve("derivatives/metadata.json"), """{"session": 1}""")
     for (ch <- channels; i <- 0 until stacksPerChannel) {
       val stack = root.resolve(s"SmartSPIM/$ch/${440000 + i}/${440000 + i}_460000")
       Files.createDirectories(stack)
@@ -82,6 +84,29 @@ class SmartSpimJobSpec extends AnyFunSuite {
     assert(n == 1) // 4 stacks over 4 partitions → 1 each
     // partition 0 gets the first sorted stack: Ex_445_Em_469/440000
     assert(Files.exists(out.resolve("Ex_445_Em_469/440000_460000.ome.zarr/0/0/0/0/0/0")))
+    // derivatives copied verbatim, only from partition 0 (S12)
+    assert(Files.readString(out.resolve("derivatives/metadata.json"))
+      .contains("\"session\""))
+  }
+
+  test("derivatives: partition >0 skips the copy; missing dir errors on 0") {
+    val root = mkFixture(Seq("Ex_445_Em_469", "Ex_488_Em_525"), 2)
+    val out = root.resolve("out2")
+    SmartSpimJob.runJob(spark, JobSettings(
+      inputSource = root.toString, outputDirectory = out.toString,
+      numOfPartitions = 4, partitionToProcess = 1,
+      chunkSize = Seq(16, 16, 16), downsampleLevels = 1))
+    assert(!Files.exists(out.resolve("derivatives")))
+    val bare = mkFixture(Seq("Ex_445_Em_469"), 1)
+    import scala.jdk.CollectionConverters._
+    Files.walk(bare.resolve("derivatives")).iterator().asScala.toSeq.reverse
+      .foreach(Files.delete)
+    intercept[java.io.FileNotFoundException] {
+      SmartSpimJob.runJob(spark, JobSettings(
+        inputSource = bare.toString,
+        outputDirectory = bare.resolve("out").toString,
+        chunkSize = Seq(16, 16, 16), downsampleLevels = 1))
+    }
   }
 
   test("invalid extension rejected (smartspim_job.py:138-154)") {
