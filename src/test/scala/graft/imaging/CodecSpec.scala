@@ -68,6 +68,25 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     assert(dec.data.sameElements(px))
   }
 
+  test("16-bit grayscale TIFF decodes voxel-exact (JDK ImageIO plugin)") {
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val expect = new Array[Byte](w * h * 2)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 1789 + y * 63) % 65536
+      img.getRaster.setSample(x, y, 0, v)
+      val i = y * w + x
+      expect(2 * i) = (v & 0xFF).toByte
+      expect(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "TIFF", bos), "no TIFF writer")
+    val dec = ImageCodec.decode(bos.toByteArray)
+    assert(dec.width == w && dec.height == h)
+    assert(dec.data.sameElements(expect))
+  }
+
   test("windowedMean: 2x2x2 mean with floor (dtype-preserving)") {
     // 2x2x2 block of values 0..7 → mean 3.5 → floor 3
     val data = new Array[Byte](8 * 2)
