@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression guards: the scale-critical physical-plan properties
+  * (scan pushdown, column pruning, broadcast join selection, partial
+  * aggregation, distributed top-k) asserted as strings over the
+  * pre-execution plan, so a future query edit can't silently regress
+  * them. sf0.001 — planning only, nothing is executed.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+  private val SF = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SF).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q_scan_project pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_discount"),
+      "filter should reach the scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"),
+      "scan should read only the 5 referenced columns")
+  }
+
+  test("q_join_bcast uses broadcast hash joins, never a shuffle join") {
+    val p = plan("q_join_bcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q1_agg aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final HashAggregate pair")
+    assert(p.contains("partial_"), "first aggregate should be partial")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_topk_global").contains("TakeOrderedAndProject"))
+    assert(plan("q_text_ngrams").contains("TakeOrderedAndProject"),
+      "bigram top-20 must use distributed top-k before ranking")
+    assert(plan("q_dedup_ngram_jaccard").contains("TakeOrderedAndProject"),
+      "jaccard top-20 must use distributed top-k before ranking")
+  }
+
+  test("q_ann_brute broadcasts the query side (no corpus shuffle before top-k)") {
+    val p = plan("q_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"), "corpus must not shuffle into a cartesian")
+  }
+
+  test("q_dedup_minhash joins band buckets with an equi-join, not all-pairs") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "band match must be an equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "LSH candidate generation must never be all-pairs")
+  }
+
+  test("windowed queries partition their window (no empty partitionBy sorts)") {
+    // q_win_rank / q_zorder_rank / q_win_lag windows all carry a
+    // partitioning key; a global window would show a single Sort with
+    // no hash partitioning beneath it.
+    for (q <- Seq("q_win_rank", "q_zorder_rank", "q_win_lag")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning"), s"$q window should hash-partition")
+    }
+  }
+}
