@@ -54,8 +54,34 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Watermarked append-mode variant (SURVEY.md §2.10): only windows
+    * the 10-minute watermark has finalized are emitted — late data
+    * beyond the watermark would be dropped, exactly the at-scale
+    * contract. The final no-data micro-batch advances the watermark to
+    * max(ts) - 10 min, so every window ending at or before that point
+    * flushes; the oracle applies the same cutoff. */
+  val qStreamHourlyWm: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
+        col("n"))
+      .orderBy("hour_ms", "event_type")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_stream_hourly" -> qStreamHourly,
+    "q_stream_hourly_wm" -> qStreamHourlyWm,
     "q_sessionize" -> qSessionize
   )
 
@@ -64,6 +90,13 @@ object Streaming {
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM events GROUP BY hour_ms, event_type
+        |ORDER BY hour_ms, event_type""".stripMargin,
+    "q_stream_hourly_wm" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS cut FROM events)
+        |SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n
+        |FROM events GROUP BY hour_ms, event_type
+        |HAVING epoch_ms(date_trunc('hour', ts)) + 3600000 <= (SELECT epoch_ms(cut) FROM wm)
         |ORDER BY hour_ms, event_type""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events
