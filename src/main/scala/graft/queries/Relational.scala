@@ -85,6 +85,33 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Skew-salted shuffle join: the fact side's join key is collapsed to
+    * 10 hot values (every key holds ~10% of the table — the classic
+    * skew that stalls one reducer). The fact side adds a random-free
+    * deterministic salt; the dim side explodes to every salt value, so
+    * the shuffle spreads each hot key over SALT reducers. Results are
+    * identical to the unsalted join — the oracle checks that. */
+  val qJoinSalted: Q = (s, d) => {
+    val SALT = 8
+    val fact = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 10).as("hot_key"), col("l_quantity"),
+        pmod(col("l_linenumber") + col("l_partkey"), lit(SALT)).as("salt"))
+    val dim = Tables.nation(s, d).where(col("n_nationkey") < 10)
+      .select(col("n_nationkey").as("hot_key"), col("n_name"))
+      .crossJoin(saltRange(SALT))
+    fact.join(dim.hint("shuffle_hash"), Seq("hot_key", "salt"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("n_name")
+  }
+
+  private def saltRange(n: Int) = {
+    import org.apache.spark.sql.functions.{explode, sequence, lit}
+    org.apache.spark.sql.SparkSession.active.range(1)
+      .select(explode(sequence(lit(0), lit(n - 1))).as("salt"))
+  }
+
   private def bigOrders(s: SparkSession, d: String) =
     Tables.orders(s, d).where(col("o_totalprice") > 300000.0)
 
@@ -536,6 +563,7 @@ object Relational {
     "q_filter_pred" -> qFilterPred,
     "q_join_bcast" -> qJoinBcast,
     "q_join_shuffle" -> qJoinShuffle,
+    "q_join_salted" -> qJoinSalted,
     "q_join_left" -> qJoinLeft,
     "q_join_right" -> qJoinRight,
     "q_join_full" -> qJoinFull,
@@ -609,6 +637,11 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_salted" ->
+      """SELECT n_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN nation
+        |  ON l_orderkey % 10 = n_nationkey AND n_nationkey < 10
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_join_left" ->
       """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_matched
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
