@@ -388,6 +388,36 @@ object Relational {
       .orderBy("side", "nationkey")
   }
 
+  /** unionByName: columns matched by NAME across differently-ordered
+    * schemas (positional union would silently mis-zip them). */
+  val qSetUnionByName: Q = (s, d) => {
+    val a = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nationkey"), lit("cust").as("side"))
+    val b = Tables.supplier(s, d) // deliberately reversed column order
+      .select(lit("supp").as("side"), col("s_nationkey").as("nationkey"))
+    a.unionByName(b)
+      .groupBy("side").agg(count(lit(1)).as("n"),
+        countDistinct("nationkey").as("nd"))
+      .orderBy("side")
+  }
+
+  /** Pivot: order priorities to columns, one row per market segment. */
+  val qAggPivot: Q = (s, d) => {
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("1-URGENT", "urgent")
+      .withColumnRenamed("2-HIGH", "high")
+      .withColumnRenamed("3-MEDIUM", "medium")
+      .withColumnRenamed("4-NOT SPECIFIED", "unspec")
+      .withColumnRenamed("5-LOW", "low")
+      .orderBy("c_mktsegment")
+  }
+
   // ---------------------------------------------------------- sort / topk
 
   /** Global top-k (TakeOrderedAndProject, not a full sort). */
@@ -590,6 +620,8 @@ object Relational {
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept,
     "q_set_unionall" -> qSetUnionAll,
+    "q_set_union_byname" -> qSetUnionByName,
+    "q_agg_pivot" -> qAggPivot,
     "q_topk_global" -> qTopkGlobal,
     "q_str_funcs" -> qStrFuncs,
     "q_date_funcs" -> qDateFuncs,
@@ -800,6 +832,21 @@ object Relational {
         |  UNION ALL
         |  SELECT s_nationkey, 'supp' FROM supplier WHERE s_nationkey >= 5) t
         |GROUP BY side, nationkey ORDER BY side, nationkey""".stripMargin,
+    "q_set_union_byname" ->
+      """SELECT side, count(*) AS n, count(DISTINCT nationkey) AS nd FROM (
+        |  SELECT c_nationkey AS nationkey, 'cust' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey, 'supp' FROM supplier) t
+        |GROUP BY side ORDER BY side""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT c_mktsegment,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS unspec,
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
