@@ -418,6 +418,18 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Typed Aggregator UDAF (floor-truncating mean — the pyramid's
+    * dtype-preserving semantics as a reusable aggregate). Partial
+    * (sum, count) buffers combine map-side like any built-in agg. */
+  val qAggUdaf: Q = (s, d) => {
+    val fm = udaf(graft.functions.FloorMean)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(fm(col("q")).as("fmean"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------------- sort / topk
 
   /** Global top-k (TakeOrderedAndProject, not a full sort). */
@@ -622,6 +634,7 @@ object Relational {
     "q_set_unionall" -> qSetUnionAll,
     "q_set_union_byname" -> qSetUnionByName,
     "q_agg_pivot" -> qAggPivot,
+    "q_agg_udaf" -> qAggUdaf,
     "q_topk_global" -> qTopkGlobal,
     "q_str_funcs" -> qStrFuncs,
     "q_date_funcs" -> qDateFuncs,
@@ -847,6 +860,11 @@ object Relational {
         |  count(*) FILTER (o_orderpriority = '5-LOW') AS low
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_udaf" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) // count(*) AS BIGINT) AS fmean,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
