@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKPerKeyPlans.install(spark)
     // Warm up codegen + parquet footers so the first measured query
     // doesn't absorb one-time JVM/session costs.
     spark.range(1000).selectExpr("sum(id)").collect()

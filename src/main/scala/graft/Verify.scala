@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // custom top-k operator live for the whole suite: every window
+    // top-k query's hash-match doubles as its regression test
+    graft.plans.TopKPerKeyPlans.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1,0 +1,143 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator top-k per key (SURVEY.md §4 "custom pieces" — the one
+  * pattern Spark's built-ins can't execute optimally): the ubiquitous
+  *
+  *   .withColumn("rn", row_number().over(Window.partitionBy(K).orderBy(O)))
+  *   .where($"rn" <= k)
+  *
+  * plan shape executes as WindowExec — a FULL SORT of every partition's
+  * rows — only to throw away all but k rows per key. `TopKPerKeyExec`
+  * keeps a bounded k-element heap per key instead: O(n log k) with no
+  * sort buffer or spill, same shuffle (clustered by K), identical
+  * results for a total ordering.
+  *
+  * The pieces, wired through `spark.experimental` (install()):
+  *  - [[TopKPerKey]]      — logical node carrying keys/order/k
+  *  - [[RewriteTopKWindow]] — optimizer rule matching Filter(rn ≤ k, Window(row_number))
+  *  - [[TopKStrategy]]    — planner strategy
+  *  - [[TopKPerKeyExec]]  — heap-based physical operator
+  *
+  * The original Filter is left on top of the rewritten node, so any
+  * predicate shape (rn <= k, rn < k, rn === k, conjunctions) keeps its
+  * exact semantics; the rule only needs an upper bound for the heap.
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    rnAttr: Attribute, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object RewriteTopKWindow extends Rule[LogicalPlan] {
+
+  /** Upper bound on rn implied by one conjunct, if any. */
+  private def bound(c: Expression, rn: Attribute): Option[Int] = c match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v - 1)
+    case EqualTo(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v)
+    case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case _ => None
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+          partitionSpec, orderSpec, child, _))
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
+      val rn = alias.toAttribute
+      val ks = splitAnd(cond).flatMap(bound(_, rn))
+      if (ks.isEmpty || ks.min <= 0) f
+      else Filter(cond, TopKPerKey(partitionSpec, orderSpec, ks.min, rn, child))
+  }
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, rnAttr, child) =>
+      TopKPerKeyExec(keys, order, k, rnAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+    rnAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  // no required child ordering — that's the point: the heap replaces the sort
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      val ord = GenerateOrdering.generate(sortOrder, childOutput)
+      // PriorityQueue surfaces the max = LAST row in sort order = the
+      // current worst; a row sorting strictly before it evicts it.
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      it.foreach { row =>
+        val h = heaps.getOrElseUpdate(keyProj(row).copy(),
+          mutable.PriorityQueue.empty[UnsafeRow](ord.asInstanceOf[Ordering[UnsafeRow]]))
+        if (h.size < limit) h.enqueue(rowProj(row).copy())
+        else if (ord.compare(row, h.head) < 0) {
+          h.dequeue(); h.enqueue(rowProj(row).copy())
+        }
+      }
+      val outProj = UnsafeProjection.create(output, output)
+      val joined = new JoinedRow
+      val rnRow = new SpecificInternalRow(Seq(org.apache.spark.sql.types.IntegerType))
+      heaps.iterator.flatMap { case (_, h) =>
+        val best: Seq[UnsafeRow] = h.dequeueAll.reverse
+        best.iterator.zipWithIndex.map { case (row, i) =>
+          rnRow.setInt(0, i + 1)
+          outProj(joined(row, rnRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyPlans {
+  /** Install the rule + strategy on a session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteTopKWindow))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteTopKWindow
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+  }
+
+  def uninstall(spark: SparkSession): Unit = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == RewriteTopKWindow)
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == TopKStrategy)
+  }
+}

@@ -60,6 +60,16 @@ class PlanSpec extends AnyFunSuite {
       "LSH candidate generation must never be all-pairs")
   }
 
+  test("custom TopKPerKey operator engages on the inventory's per-group top-k") {
+    graft.plans.TopKPerKeyPlans.install(spark)
+    try {
+      val p = SparkEntry.queries("q_topk_per_group")(spark, SF)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKey"),
+        "q_topk_per_group should run through the heap-based operator")
+    } finally graft.plans.TopKPerKeyPlans.uninstall(spark)
+  }
+
   test("windowed queries partition their window (no empty partitionBy sorts)") {
     // q_win_rank / q_zorder_rank / q_win_lag windows all carry a
     // partitioning key; a global window would show a single Sort with
