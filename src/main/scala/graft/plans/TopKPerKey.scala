@@ -24,6 +24,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * sort buffer or spill, same shuffle (clustered by K), identical
   * results for a total ordering.
   *
+  * Measured (BASELINE.md micro-bench): 1.1–1.2× faster than WindowExec
+  * when rows/key ≫ k; ~13% slower at rows/key ≈ k (hash-map overhead).
+  * The at-scale advantage is bounded memory — at most k·|keys| rows
+  * buffered where WindowExec sorts and spills whole partitions.
+  *
   * The pieces, wired through `spark.experimental` (install()):
   *  - [[TopKPerKey]]      — logical node carrying keys/order/k
   *  - [[RewriteTopKWindow]] — optimizer rule matching Filter(rn ≤ k, Window(row_number))
