@@ -42,6 +42,75 @@ object MicroBench {
         topk()
         val heap = (1 to 3).map(_ => time(() => topk())).min
         println(f"""{"bench":"topk","rows":$rows,"keys":$keys,"window_sec":$window%.3f,"heap_sec":$heap%.3f,"speedup":${window / heap}%.2f}""")
+      case "imaging" =>
+        // end-to-end stack → OME-Zarr pyramid on a synthesized fixture:
+        // nz slices of ny×nx uint16 (default 32×2048×2048 = 256 MiB raw)
+        val nz = args.lift(1).map(_.toInt).getOrElse(32)
+        val ny = args.lift(2).map(_.toInt).getOrElse(2048)
+        val nx = args.lift(3).map(_.toInt).getOrElse(2048)
+        import java.nio.file.Files
+        val root = Files.createTempDirectory("graft-imaging-bench")
+        val stack = root.resolve("SmartSPIM/Ex_445_Em_469/440000/440000_460000")
+        Files.createDirectories(stack)
+        for (z <- 0 until nz) {
+          val px = new Array[Byte](ny * nx * 2)
+          var i = 0
+          while (i < ny * nx) {
+            val v = (z * 10007 + i * 13) % 65536
+            px(2 * i) = (v & 0xFF).toByte; px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          Files.write(stack.resolve(f"$z%06d.png"),
+            graft.imaging.ImageCodec.encodePng16(nx, ny, px))
+        }
+        val settings = graft.core.JobSettings(
+          inputSource = root.toString,
+          outputDirectory = root.resolve("out").toString,
+          downsampleLevels = 3)
+        val t0 = System.nanoTime()
+        graft.imaging.SmartSpimJob.convertStack(spark,
+          stack, settings, Seq(2.0, 1.8, 1.8))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rawMb = nz.toLong * ny * nx * 2 / (1024.0 * 1024.0)
+        println(f"""{"bench":"imaging","nz":$nz,"ny":$ny,"nx":$nx,"raw_mib":$rawMb%.0f,"sec":$sec%.2f,"mib_per_sec":${rawMb / sec}%.1f}""")
+      case "imaging-phases" =>
+        // phase timings over the same fixture as `imaging`
+        val nz = args.lift(1).map(_.toInt).getOrElse(32)
+        val ny = args.lift(2).map(_.toInt).getOrElse(2048)
+        val nx = args.lift(3).map(_.toInt).getOrElse(2048)
+        import java.nio.file.Files
+        val root = Files.createTempDirectory("graft-imaging-phases")
+        val stack = root.resolve("s")
+        Files.createDirectories(stack)
+        for (z <- 0 until nz) {
+          val px = new Array[Byte](ny * nx * 2)
+          var i = 0
+          while (i < ny * nx) {
+            val v = (z * 10007 + i * 13) % 65536
+            px(2 * i) = (v & 0xFF).toByte; px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          Files.write(stack.resolve(f"$z%06d.png"),
+            graft.imaging.ImageCodec.encodePng16(nx, ny, px))
+        }
+        import graft.imaging.SmartSpimPipeline
+        import spark.implicits._
+        def t(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val chunk = Seq(128, 128, 128)
+        val sl = SmartSpimPipeline.slices(spark, stack.toString, "png")
+        val decode = t { sl.map(_.data.length.toLong).reduce(_ + _) }
+        val rc = SmartSpimPipeline.rechunk(sl, chunk)
+        val rechunkT = t { rc.map(_.data.length.toLong).reduce(_ + _) }
+        rc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rc.count()
+        val writeT = t { SmartSpimPipeline.writeLevel(rc,
+          root.resolve("out").toString, 0, chunk, 3, byteShuffle = true,
+          compressed = true) }
+        val downT = t { SmartSpimPipeline.downsampleLevel(rc, chunk, Seq(2, 2, 2))
+          .map(_.data.length.toLong).reduce(_ + _) }
+        println(f"""{"bench":"imaging-phases","decode_sec":$decode%.2f,"decode_rechunk_sec":$rechunkT%.2f,"write_sec":$writeT%.2f,"downsample_sec":$downT%.2f}""")
       case other =>
         System.err.println(s"unknown micro-bench: $other")
     }
