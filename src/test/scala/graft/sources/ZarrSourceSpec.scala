@@ -148,6 +148,52 @@ class ZarrSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("random shapes/chunks round-trip through the v2 source (property)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 6) {
+      val shape = Seq(rnd.nextInt(7) + 1, rnd.nextInt(9) + 1, rnd.nextInt(9) + 1)
+      val chunk = Seq(rnd.nextInt(4) + 1, rnd.nextInt(5) + 1, rnd.nextInt(5) + 1)
+      val compressed = rnd.nextBoolean()
+      val Seq(nz, ny, nx) = shape
+      val Seq(cz, cy, cx) = chunk
+      def voxelOf(z: Int, y: Int, x: Int): Int = ((z * 131 + y * 17 + x * 7) * 523) % 65536
+      val rows = for {
+        zc <- 0 until (nz + cz - 1) / cz
+        yc <- 0 until (ny + cy - 1) / cy
+        xc <- 0 until (nx + cx - 1) / cx
+      } yield {
+        val dz = math.min(cz, nz - zc * cz)
+        val dy = math.min(cy, ny - yc * cy)
+        val dx = math.min(cx, nx - xc * cx)
+        val data = new Array[Byte](dz * dy * dx * 2)
+        for (z <- 0 until dz; y <- 0 until dy; x <- 0 until dx) {
+          val v = voxelOf(zc * cz + z, yc * cy + y, xc * cx + x)
+          val off = ((z * dy + y) * dx + x) * 2
+          data(off) = (v & 0xFF).toByte; data(off + 1) = ((v >> 8) & 0xFF).toByte
+        }
+        (0, zc, yc, xc, dz, dy, dx, data)
+      }
+      val store = Files.createTempDirectory(s"zarr-prop")
+      rows.toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "data")
+        .write.format("zarr").mode("append")
+        .option("chunk", chunk.mkString(","))
+        .option("shape", shape.mkString(","))
+        .option("compressed", compressed.toString).save(store.toString)
+      val back = spark.read.format("zarr").load(store.toString)
+        .select("zc", "yc", "xc", "dz", "dy", "dx", "data")
+        .as[(Int, Int, Int, Int, Int, Int, Array[Byte])].collect()
+      assert(back.length == rows.length, s"shape=$shape chunk=$chunk")
+      back.foreach { case (zc, yc, xc, dz, dy, dx, data) =>
+        for (z <- 0 until dz; y <- 0 until dy; x <- 0 until dx) {
+          val off = ((z * dy + y) * dx + x) * 2
+          val got = ((data(off + 1) & 0xFF) << 8) | (data(off) & 0xFF)
+          assert(got == voxelOf(cz * zc + z, cy * yc + y, cx * xc + x),
+            s"shape=$shape chunk=$chunk compressed=$compressed chunk($zc,$yc,$xc) local($z,$y,$x)")
+        }
+      }
+    }
+  }
+
   test("GraftExtensions injects dot_product and cosine_sim into the registry") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
