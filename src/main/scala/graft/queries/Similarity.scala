@@ -118,10 +118,37 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** int8-quantized cosine (the storage path for billion-vector ANN:
+    * 4× smaller vectors, integer dot products). Per-vector symmetric
+    * quantization q = floor(x / max|x| · 127); similarity computed
+    * entirely in integers, so the oracle matches bit-for-bit — only
+    * the final normalized ratio is rounded. */
+  val qAnnQuantized: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).where(col("vec_id") % 7 === 0)
+      .withColumn("maxabs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .where(col("maxabs") > 0)
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") / col("maxabs") * lit(127.0)).cast("long")))
+      .withColumn("qnorm", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .select(col("vec_id"), col("q"), col("qnorm"))
+      .cache() // quantized vectors are 4× smaller; reused by both join sides
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(
+          aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).cast("double")
+          / (sqrt(col("a.qnorm").cast("double")) * sqrt(col("b.qnorm").cast("double"))),
+          4).as("qcos"))
+      .where(col("qcos") >= 0.3)
+      .orderBy("va", "vb")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
-    "q_ann_ivf_label" -> qAnnIvfLabel
+    "q_ann_ivf_label" -> qAnnIvfLabel,
+    "q_ann_quantized" -> qAnnQuantized
   )
 
   private val cosSql =
@@ -150,6 +177,25 @@ object Similarity {
         |  FROM embeddings)
         |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n FROM b
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_ann_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+        |    embedding
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor((CAST(x AS DOUBLE) / maxabs) * 127.0) AS BIGINT)) AS q
+        |  FROM e WHERE maxabs > 0),
+        |n AS (SELECT vec_id, q,
+        |        list_sum(list_transform(q, x -> x * x)) AS qnorm FROM q),
+        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |        round(CAST(list_sum(list_transform(range(1, 65),
+        |            i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |          / (sqrt(CAST(a.qnorm AS DOUBLE)) * sqrt(CAST(b.qnorm AS DOUBLE))), 4) AS qcos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT va, vb, qcos FROM p WHERE qcos >= 0.3 ORDER BY va, vb""".stripMargin,
     "q_ann_ivf_label" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, c.label AS label, $cosSql AS cos
