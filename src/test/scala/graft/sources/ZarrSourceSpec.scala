@@ -194,6 +194,25 @@ class ZarrSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("re-writing the same chunks is idempotent (task-retry semantics)") {
+    val store = makeStore(compressed = true)
+    val before = Files.readAllBytes(store.resolve("0/0/0/0/0/0"))
+    // a task retry re-executes the same deterministic writes
+    chunkRows(0).toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "data")
+      .write.format("zarr").mode("append")
+      .option("chunk", Chunk.mkString(","))
+      .option("shape", Shape.mkString(","))
+      .option("compressed", "true")
+      .save(store.toString)
+    val after = Files.readAllBytes(store.resolve("0/0/0/0/0/0"))
+    assert(after.sameElements(before), "retry must leave identical bytes")
+    // no stray temp files left behind
+    import scala.jdk.CollectionConverters._
+    val temps = Files.walk(store).iterator().asScala
+      .filter(p => p.getFileName.toString.contains(".tmp-")).toSeq
+    assert(temps.isEmpty, s"leftover temp files: $temps")
+  }
+
   test("GraftExtensions injects dot_product and cosine_sim into the registry") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
