@@ -279,6 +279,32 @@ object SmartSpimPipeline {
     }
   }
 
+  /** Wave-bounded write (reference P5/P6, BlockedArrayWriter.store,
+    * zarr_writer.py:188-213): split the chunk grid into voxel blocks of
+    * ~`targetSizeMb` (ChunkPlanner.getBlockShape, "cycle" growth) and
+    * write one wave per block as its own Spark job. Under Spark this is
+    * OPTIONAL — the DAG scheduler handles millions of tasks — but it
+    * bounds in-flight shuffle/write volume against a slow object store
+    * at 100 TB, exactly the reference's stated motivation ("reduce the
+    * scheduling burden for massive (terabyte-scale) arrays").
+    * `chunks` should be persisted by the caller: each wave filters the
+    * same Dataset. */
+  def writeLevelInWaves(chunks: Dataset[ChunkRow], storeOf: String => String,
+      level: Int, chunk: Seq[Int], clevel: Int, byteShuffle: Boolean,
+      compressed: Boolean, shape: Seq[Int], targetSizeMb: Long): Unit = {
+    val block = ChunkPlanner.getBlockShape(shape, chunk, itemSize = 2, targetSizeMb)
+    ChunkPlanner.genSlices(shape, block).foreach { box =>
+      // voxel box → inclusive chunk-coordinate ranges
+      val lo = box.lo.zip(chunk).map { case (v, c) => v / c }
+      val hi = box.hi.zip(chunk).map { case (v, c) => (v - 1) / c }
+      val wave = chunks.filter(c =>
+        c.zc >= lo(0) && c.zc <= hi(0) &&
+        c.yc >= lo(1) && c.yc <= hi(1) &&
+        c.xc >= lo(2) && c.xc <= hi(2))
+      writeLevelBy(wave, storeOf, level, chunk, clevel, byteShuffle, compressed)
+    }
+  }
+
   // -------------------------------------------------- read-back (S6/test)
 
   /** Driver-side level reader for verification: assembles the full

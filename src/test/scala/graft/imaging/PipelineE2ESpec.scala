@@ -132,6 +132,34 @@ class PipelineE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("wave-bounded write produces the same store as the single-job write") {
+    import graft.SparkSessionTestWrapper.spark.implicits._
+    val root = Files.createTempDirectory("graft-e2e-waves")
+    val stack = writeFixture(root)
+    val chunks = SmartSpimPipeline.rechunk(
+      SmartSpimPipeline.slices(spark, stack.toString, "png"), CHUNK)
+      .persist()
+    val single = root.resolve("single").toString
+    val waves = root.resolve("waves").toString
+    SmartSpimPipeline.writeLevel(chunks, single, 0, CHUNK, 3,
+      byteShuffle = true, compressed = true)
+    // tiny target → multiple waves even on the small fixture
+    SmartSpimPipeline.writeLevelInWaves(chunks, _ => waves, 0, CHUNK, 3,
+      byteShuffle = true, compressed = true, Seq(NZ, NY, NX), targetSizeMb = 1)
+    chunks.unpersist()
+    import scala.jdk.CollectionConverters._
+    val files = Files.walk(Paths.get(single)).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val rel = Paths.get(single).relativize(f)
+      val g = Paths.get(waves).resolve(rel)
+      assert(Files.exists(g), s"wave write missing $rel")
+      assert(java.util.Arrays.equals(Files.readAllBytes(f), Files.readAllBytes(g)),
+        s"wave write differs at $rel")
+    }
+  }
+
   test("uncompressed store (compressor none) also round-trips") {
     val root = Files.createTempDirectory("graft-e2e-raw")
     val stack = writeFixture(root)
