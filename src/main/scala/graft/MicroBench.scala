@@ -111,6 +111,46 @@ object MicroBench {
         val downT = t { SmartSpimPipeline.downsampleLevel(rc, chunk, Seq(2, 2, 2))
           .map(_.data.length.toLong).reduce(_ + _) }
         println(f"""{"bench":"imaging-phases","decode_sec":$decode%.2f,"decode_rechunk_sec":$rechunkT%.2f,"write_sec":$writeT%.2f,"downsample_sec":$downT%.2f}""")
+      case "annrecall" =>
+        // recall of the pruned ANN tiers vs brute force at the bench SF
+        val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val kTop = args.lift(1).map(_.toInt).getOrElse(10)
+        val nq = args.lift(2).map(_.toInt).getOrElse(50)
+        import graft.functions.GraftFunctions.cosine
+        import graft.queries.Similarity.lshBucket
+        val e = spark.read.parquet(s"$sf/embeddings.parquet")
+          .withColumn("bucket", lshBucket(col("embedding")))
+        val q = e.where(col("vec_id") < nq).select(
+          col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("bucket").as("qbucket"), col("label").as("qlabel"))
+        def topk(extra: org.apache.spark.sql.Column): Map[Long, Set[Long]] = {
+          val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+          e.join(broadcast(q), col("vec_id") =!= col("qid") && extra)
+            .select(col("qid"), col("vec_id"),
+              round(cosine(col("qv"), col("embedding")), 6).as("cos"))
+            .withColumn("rn", row_number().over(w)).where(col("rn") <= kTop)
+            .select("qid", "vec_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        }
+        val truth = topk(lit(true))
+        def recall(got: Map[Long, Set[Long]]): Double = {
+          val rs = truth.map { case (qid, t) =>
+            got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+          }
+          rs.sum / rs.size
+        }
+        val total = e.count()
+        def hamming(r: Int) =
+          expr(s"bit_count(bucket ^ qbucket) <= $r")
+        val lsh = topk(col("bucket") === col("qbucket"))
+        val probe1 = topk(hamming(1))
+        val probe2 = topk(hamming(2))
+        val lshFrac = e.groupBy("bucket").count().agg(sum(col("count") * col("count")))
+          .first().getLong(0).toDouble / (total * total)
+        val ivf = topk(col("label") === col("qlabel"))
+        val ivfFrac = e.groupBy("label").count().agg(sum(col("count") * col("count")))
+          .first().getLong(0).toDouble / (total * total)
+        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f}""")
       case other =>
         System.err.println(s"unknown micro-bench: $other")
     }

@@ -86,11 +86,15 @@ object Similarity {
     when(graft.functions.VectorExpressions.dot(emb, typedLit(planes(j).toSeq)) > 0,
       lit(1 << j)).otherwise(0)
 
+  /** 8-plane LSH bucket id (0..255) for an embedding column. */
+  def lshBucket(emb: Column): Column =
+    (0 until 8).map(j => planeBit(emb, j)).reduce(_ + _)
+
   /** LSH bucket histogram: 8 hyperplanes → 256 buckets. The bucket id is
     * the shuffle key at scale; here we validate the bucketing itself. */
   val qAnnLshBuckets: Q = (s, d) => {
     Tables.embeddings(s, d)
-      .withColumn("bucket", (0 until 8).map(j => planeBit(col("embedding"), j)).reduce(_ + _))
+      .withColumn("bucket", lshBucket(col("embedding")))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .orderBy("bucket")
   }
