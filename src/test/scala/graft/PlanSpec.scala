@@ -60,6 +60,20 @@ class PlanSpec extends AnyFunSuite {
       "LSH candidate generation must never be all-pairs")
   }
 
+  test("multi-probe LSH candidates come from an equi-join on the probe bucket") {
+    val p = plan("q_ann_lsh_probe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "probe match must be an equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "multi-probe candidate generation must never be all-pairs")
+  }
+
+  test("salted join shuffles on (key, salt) — no broadcast collapse") {
+    val p = plan("q_join_salted")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "salted join must stay a shuffle join for the skew demo")
+  }
+
   test("custom TopKPerKey operator engages on the inventory's per-group top-k") {
     graft.plans.TopKPerKeyPlans.install(spark)
     try {
