@@ -16,6 +16,10 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, SF).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
 
+  test("driver entry point returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q_scan_project pushes filters and prunes columns at the parquet scan") {
     val p = plan("q_scan_project")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_discount"),
