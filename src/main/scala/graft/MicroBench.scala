@@ -151,6 +151,31 @@ object MicroBench {
         val ivfFrac = e.groupBy("label").count().agg(sum(col("count") * col("count")))
           .first().getLong(0).toDouble / (total * total)
         println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f}""")
+      case "decode" =>
+        // single-threaded PNG decode: fast path vs ImageIO, same bytes
+        val w = 2048; val h = 2048; val reps = args.lift(1).map(_.toInt).getOrElse(20)
+        val px = new Array[Byte](w * h * 2)
+        var i = 0
+        while (i < w * h) {
+          val v = (i * 13) % 65536
+          px(2 * i) = (v & 0xFF).toByte; px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val png = graft.imaging.ImageCodec.encodePng16(w, h, px)
+        def time(f: () => Unit): Double = {
+          f() // warm
+          val t0 = System.nanoTime()
+          (0 until reps).foreach(_ => f())
+          (System.nanoTime() - t0) / 1e9 / reps
+        }
+        val fast = time(() => graft.imaging.ImageCodec.decode(png))
+        val imageio = time(() => {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          img.getRaster.getDataBuffer // force materialization
+          ()
+        })
+        val mib = w * h * 2 / (1024.0 * 1024.0)
+        println(f"""{"bench":"decode","mib":$mib%.0f,"fast_sec":$fast%.4f,"imageio_sec":$imageio%.4f,"fast_mib_s":${mib / fast}%.0f,"imageio_mib_s":${mib / imageio}%.0f,"speedup":${imageio / fast}%.2f}""")
       case other =>
         System.err.println(s"unknown micro-bench: $other")
     }

@@ -16,8 +16,115 @@ object ImageCodec {
 
   final case class Decoded(width: Int, height: Int, data: Array[Byte])
 
-  /** Decode PNG/TIFF bytes to LE uint16. 8-bit inputs are widened. */
+  /** Decode PNG/TIFF bytes to LE uint16. 8-bit inputs are widened.
+    * 16-bit grayscale non-interlaced PNG (the SmartSPIM slice format,
+    * colortype 0 / bitdepth 16) takes a direct inflate + unfilter +
+    * byteswap path — several times faster than ImageIO's sample-by-
+    * sample conversion; everything else falls back to ImageIO. */
   def decode(content: Array[Byte]): Decoded = {
+    val fast = decodePng16Fast(content)
+    if (fast != null) return fast
+    decodeViaImageIO(content)
+  }
+
+  private val PNG_SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  /** Fast path for 16-bit grayscale non-interlaced PNG; returns null if
+    * the payload is anything else (wrong signature, bit depth, color
+    * type, or interlacing). Implements all five PNG scanline filters. */
+  private[imaging] def decodePng16Fast(c: Array[Byte]): Decoded = {
+    if (c.length < 33 || !java.util.Arrays.equals(
+        java.util.Arrays.copyOf(c, 8), PNG_SIG)) return null
+    def be32(o: Int): Int =
+      ((c(o) & 0xFF) << 24) | ((c(o + 1) & 0xFF) << 16) |
+      ((c(o + 2) & 0xFF) << 8) | (c(o + 3) & 0xFF)
+    // IHDR is always the first chunk
+    if (be32(8) != 13 || c(12) != 'I' || c(13) != 'H' || c(14) != 'D' || c(15) != 'R')
+      return null
+    val w = be32(16); val h = be32(20)
+    val bitDepth = c(24); val colorType = c(25); val interlace = c(28)
+    if (bitDepth != 16 || colorType != 0 || interlace != 0) return null
+    // concatenate IDAT payloads
+    val idat = new ByteArrayOutputStream(c.length)
+    var off = 33
+    var ok = true
+    while (ok && off + 8 <= c.length) {
+      val len = be32(off)
+      val typ = new String(c, off + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(c, off + 8, len)
+      if (typ == "IEND") ok = false
+      off += 8 + len + 4
+    }
+    val stride = w * 2
+    val raw = new Array[Byte](h * (stride + 1))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var filled = 0
+    while (filled < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, filled, raw.length - filled)
+      if (n == 0 && inf.needsInput()) return null // truncated stream
+      filled += n
+    }
+    inf.end()
+    if (filled != raw.length) return null
+    // unfilter scanlines in place into the output (bpp = 2)
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1))
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      val prv = dst - stride
+      f match {
+        case 0 => System.arraycopy(raw, src, out, dst, stride)
+        case 1 => // Sub: left neighbor (2 bytes back)
+          out(dst) = raw(src); out(dst + 1) = raw(src + 1)
+          var x = 2
+          while (x < stride) {
+            out(dst + x) = (raw(src + x) + out(dst + x - 2)).toByte
+            x += 1
+          }
+        case 2 => // Up
+          var x = 0
+          if (y == 0) System.arraycopy(raw, src, out, dst, stride)
+          else while (x < stride) {
+            out(dst + x) = (raw(src + x) + out(prv + x)).toByte
+            x += 1
+          }
+        case 3 => // Average
+          var x = 0
+          while (x < stride) {
+            val left = if (x >= 2) out(dst + x - 2) & 0xFF else 0
+            val up = if (y > 0) out(prv + x) & 0xFF else 0
+            out(dst + x) = (raw(src + x) + ((left + up) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          var x = 0
+          while (x < stride) {
+            val a = if (x >= 2) out(dst + x - 2) & 0xFF else 0
+            val b = if (y > 0) out(prv + x) & 0xFF else 0
+            val cc = if (x >= 2 && y > 0) out(prv + x - 2) & 0xFF else 0
+            val p = a + b - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - cc)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+            out(dst + x) = (raw(src + x) + pred).toByte
+            x += 1
+          }
+        case _ => return null
+      }
+      y += 1
+    }
+    // big-endian samples → little-endian payload
+    var i = 0
+    while (i < out.length) {
+      val t = out(i); out(i) = out(i + 1); out(i + 1) = t
+      i += 2
+    }
+    Decoded(w, h, out)
+  }
+
+  private def decodeViaImageIO(content: Array[Byte]): Decoded = {
     val img = ImageIO.read(new ByteArrayInputStream(content))
     require(img != null, "undecodable image payload")
     val w = img.getWidth; val h = img.getHeight

@@ -68,6 +68,81 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     assert(dec.data.sameElements(px))
   }
 
+  test("fast PNG path handles all five scanline filters, matching ImageIO") {
+    val w = 9; val h = 7 // odd sizes to hit edge columns
+    val px = Array.tabulate(w * h)(i => (i * 4099 + 17) % 65536)
+    // big-endian sample bytes per scanline
+    def rowBytes(y: Int): Array[Byte] = {
+      val r = new Array[Byte](w * 2)
+      for (x <- 0 until w) {
+        val v = px(y * w + x)
+        r(2 * x) = ((v >> 8) & 0xFF).toByte; r(2 * x + 1) = (v & 0xFF).toByte
+      }
+      r
+    }
+    def filtered(ftype: Int): Array[Byte] = {
+      val stride = w * 2
+      val out = new java.io.ByteArrayOutputStream()
+      var prev = new Array[Byte](stride)
+      for (y <- 0 until h) {
+        val cur = rowBytes(y)
+        val f = new Array[Byte](stride)
+        for (x <- 0 until stride) {
+          val a = if (x >= 2) cur(x - 2) & 0xFF else 0
+          val b = prev(x) & 0xFF
+          val c0 = if (x >= 2) prev(x - 2) & 0xFF else 0
+          val raw = cur(x) & 0xFF
+          f(x) = (ftype match {
+            case 0 => raw
+            case 1 => raw - a
+            case 2 => raw - b
+            case 3 => raw - ((a + b) >> 1)
+            case 4 =>
+              val p = a + b - c0
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c0)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c0
+              raw - pred
+          }).toByte
+        }
+        out.write(ftype); out.write(f)
+        prev = cur
+      }
+      // wrap in a minimal PNG
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+        bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        bb.putInt(crc.getValue.toInt)
+        bb.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(16.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(out.toByteArray); deflater.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+        chunk("IEND", Array.empty)
+    }
+    for (f <- 0 to 4) {
+      val png = filtered(f)
+      val dec = ImageCodec.decode(png)
+      assert(dec.width == w && dec.height == h, s"filter $f")
+      for (i <- 0 until w * h) {
+        val got = ((dec.data(2 * i + 1) & 0xFF) << 8) | (dec.data(2 * i) & 0xFF)
+        assert(got == px(i), s"filter $f pixel $i")
+      }
+      // and ImageIO agrees on the same bytes
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getRaster.getSample(w - 1, h - 1, 0) == px(w * h - 1),
+        s"filter $f ImageIO cross-check")
+    }
+  }
+
   test("16-bit grayscale TIFF decodes voxel-exact (JDK ImageIO plugin)") {
     val w = 40; val h = 24
     val img = new java.awt.image.BufferedImage(w, h,
