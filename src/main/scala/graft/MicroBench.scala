@@ -174,8 +174,22 @@ object MicroBench {
           img.getRaster.getDataBuffer // force materialization
           ()
         })
+        // TIFF comparison (ImageIO write + read of the same pixels)
+        val timg = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+        val tpx = timg.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferUShort].getData
+        i = 0
+        while (i < w * h) {
+          tpx(i) = (((px(2 * i + 1) & 0xFF) << 8) | (px(2 * i) & 0xFF)).toShort
+          i += 1
+        }
+        val tbos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(timg, "TIFF", tbos)
+        val tiff = tbos.toByteArray
+        val tiffSec = time(() => graft.imaging.ImageCodec.decode(tiff))
         val mib = w * h * 2 / (1024.0 * 1024.0)
-        println(f"""{"bench":"decode","mib":$mib%.0f,"fast_sec":$fast%.4f,"imageio_sec":$imageio%.4f,"fast_mib_s":${mib / fast}%.0f,"imageio_mib_s":${mib / imageio}%.0f,"speedup":${imageio / fast}%.2f}""")
+        println(f"""{"bench":"decode","mib":$mib%.0f,"fast_sec":$fast%.4f,"imageio_sec":$imageio%.4f,"fast_mib_s":${mib / fast}%.0f,"imageio_mib_s":${mib / imageio}%.0f,"speedup":${imageio / fast}%.2f,"tiff_imageio_sec":$tiffSec%.4f,"tiff_mib_s":${mib / tiffSec}%.0f}""")
       case other =>
         System.err.println(s"unknown micro-bench: $other")
     }
