@@ -359,6 +359,17 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** percent_rank / cume_dist relative-position analytics. */
+  val qWinPctRank: Q = (s, d) => {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d).where(col("c_custkey") % 40 === 0)
+      .select(col("c_nationkey"), col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   // --------------------------------------------------------------- setops
 
   private def custNations(s: SparkSession, d: String) =
@@ -628,6 +639,7 @@ object Relational {
     "q_win_running" -> qWinRunning,
     "q_win_range" -> qWinRange,
     "q_win_firstlast" -> qWinFirstLast,
+    "q_win_pctrank" -> qWinPctRank,
     "q_set_union" -> qSetUnion,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept,
@@ -865,6 +877,14 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) // count(*) AS BIGINT) AS fmean,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_win_pctrank" ->
+      """SELECT c_nationkey, c_custkey,
+        |  round(percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cume
+        |FROM customer WHERE c_custkey % 40 = 0
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "q_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
