@@ -79,9 +79,34 @@ object Streaming {
       .orderBy("hour_ms", "event_type")
   }
 
+  /** Streaming exact dedup: the event stream unioned with itself (every
+    * event duplicated) flows through watermarked dropDuplicates on
+    * event_id — the streaming form of the training-pipeline dedup
+    * stage. State is one key per event inside the watermark horizon.
+    * The oracle is the plain batch profile: dedup must exactly undo the
+    * self-union. */
+  val qStreamDedup: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = src.union(src)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("event_id").as("nd"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_stream_hourly" -> qStreamHourly,
     "q_stream_hourly_wm" -> qStreamHourlyWm,
+    "q_stream_dedup" -> qStreamDedup,
     "q_sessionize" -> qSessionize
   )
 
@@ -98,6 +123,9 @@ object Streaming {
         |FROM events GROUP BY hour_ms, event_type
         |HAVING epoch_ms(date_trunc('hour', ts)) + 3600000 <= (SELECT epoch_ms(cut) FROM wm)
         |ORDER BY hour_ms, event_type""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events
         |            WHERE user_id % 25 = 0),

@@ -128,7 +128,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Zipf rank-frequency profile: top-30 tokens by corpus frequency
+    * with their rank·freq product (≈ constant under Zipf's law).
+    * Distributed top-k first, ranking only the 30 survivors. */
+  val qTextZipf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(30)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok").asc)))
+      .select(col("rank"), col("tok"), col("freq"),
+        (col("rank") * col("freq")).as("rank_freq"))
+      .orderBy("rank")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_text_zipf" -> qTextZipf,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangid,
@@ -141,6 +158,15 @@ object TextAnalysis {
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_zipf" ->
+      s"""WITH f AS (
+         |  SELECT tok, count(*) AS freq FROM (
+         |    SELECT unnest($toksAll) AS tok FROM documents) t
+         |  GROUP BY tok ORDER BY freq DESC, tok ASC LIMIT 30)
+         |SELECT rank, tok, freq, rank * freq AS rank_freq FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS INT) AS rank
+         |  FROM f) r
+         |ORDER BY rank""".stripMargin,
     "q_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  round(avg(len($toksAll)), 4) AS avg_tok,
