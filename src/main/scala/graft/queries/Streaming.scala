@@ -103,10 +103,46 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** Stream-stream interval join: purchases matched to every click by
+    * the same user in the preceding hour, both sides watermarked (the
+    * range condition is what lets Spark bound join state). Inner join
+    * emission doesn't wait on the watermark, so the drained result is
+    * exactly the batch join — which is the oracle. */
+  val qStreamJoin: Q = (s, d) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .where(col("user_id") % 10 === 0)
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("purchase_id").as("n_purch"),
+        countDistinct("click_id").as("n_clicks"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_stream_hourly" -> qStreamHourly,
     "q_stream_hourly_wm" -> qStreamHourlyWm,
     "q_stream_dedup" -> qStreamDedup,
+    "q_stream_join" -> qStreamJoin,
     "q_sessionize" -> qSessionize
   )
 
@@ -126,6 +162,17 @@ object Streaming {
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
+        |           WHERE user_id % 10 = 0 AND event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+        |      WHERE user_id % 10 = 0 AND event_type = 'purchase')
+        |SELECT c.user_id AS user_id, count(*) AS n_pairs,
+        |  count(DISTINCT purchase_id) AS n_purch,
+        |  count(DISTINCT click_id) AS n_clicks
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |GROUP BY c.user_id ORDER BY user_id""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events
         |            WHERE user_id % 25 = 0),
