@@ -13,10 +13,21 @@ import graft.Tables
 object Streaming {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The state store creates `shuffle.partitions` state partitions per
+    * stateful operator; at demo volumes 32 partitions are pure
+    * overhead. Scope the setting down for the streaming query, restore
+    * after — the returned DataFrame is a batch read of the memory sink,
+    * unaffected by the restore. */
+  private def withStreamShufflePartitions[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Event-time tumbling-window counts, executed as a real streaming
     * query (file source → complete-mode memory sink, drained with
     * processAllAvailable). */
-  val qStreamHourly: Q = (s, d) => {
+  val qStreamHourly: Q = (s, d) => withStreamShufflePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -60,7 +71,7 @@ object Streaming {
     * contract. The final no-data micro-batch advances the watermark to
     * max(ts) - 10 min, so every window ending at or before that point
     * flushes; the oracle applies the same cutoff. */
-  val qStreamHourlyWm: Q = (s, d) => {
+  val qStreamHourlyWm: Q = (s, d) => withStreamShufflePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -85,7 +96,7 @@ object Streaming {
     * stage. State is one key per event inside the watermark horizon.
     * The oracle is the plain batch profile: dedup must exactly undo the
     * self-union. */
-  val qStreamDedup: Q = (s, d) => {
+  val qStreamDedup: Q = (s, d) => withStreamShufflePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -108,7 +119,7 @@ object Streaming {
     * range condition is what lets Spark bound join state). Inner join
     * emission doesn't wait on the watermark, so the drained result is
     * exactly the batch join — which is the oracle. */
-  val qStreamJoin: Q = (s, d) => {
+  val qStreamJoin: Q = (s, d) => withStreamShufflePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
