@@ -359,6 +359,18 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Collection aggregates: per-nation distinct market segments as a
+    * deterministic sorted list (collect_set → sort_array → join, so the
+    * oracle's string_agg compares byte-for-byte). */
+  val qAggCollect: Q = (s, d) => {
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
+        size(collect_set(col("c_mktsegment"))).as("n_seg"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+  }
+
   /** percent_rank / cume_dist relative-position analytics. */
   val qWinPctRank: Q = (s, d) => {
     val w = Window.partitionBy("c_nationkey")
@@ -640,6 +652,7 @@ object Relational {
     "q_win_range" -> qWinRange,
     "q_win_firstlast" -> qWinFirstLast,
     "q_win_pctrank" -> qWinPctRank,
+    "q_agg_collect" -> qAggCollect,
     "q_set_union" -> qSetUnion,
     "q_set_intersect" -> qSetIntersect,
     "q_set_except" -> qSetExcept,
@@ -877,6 +890,12 @@ object Relational {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) // count(*) AS BIGINT) AS fmean,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |  CAST(count(DISTINCT c_mktsegment) AS INT) AS n_seg,
+        |  count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_win_pctrank" ->
       """SELECT c_nationkey, c_custkey,
         |  round(percent_rank() OVER (PARTITION BY c_nationkey
