@@ -44,12 +44,19 @@ object ImageCodec {
     val w = be32(16); val h = be32(20)
     val bitDepth = c(24); val colorType = c(25); val interlace = c(28)
     if (bitDepth != 16 || colorType != 0 || interlace != 0) return null
-    // concatenate IDAT payloads
+    // sane-dimension guard: w*h*2 and h*(2w+1) must fit an Int with
+    // headroom (adversarial headers would otherwise overflow the
+    // allocation arithmetic below)
+    if (w <= 0 || h <= 0 || w.toLong * h.toLong * 2L > Int.MaxValue - 16 ||
+        h.toLong * (w.toLong * 2L + 1L) > Int.MaxValue - 16) return null
+    // concatenate IDAT payloads; every chunk must lie fully inside the
+    // buffer (truncated/corrupt files fall back to ImageIO, not throw)
     val idat = new ByteArrayOutputStream(c.length)
     var off = 33
     var ok = true
     while (ok && off + 8 <= c.length) {
       val len = be32(off)
+      if (len < 0 || off + 8 + len.toLong + 4 > c.length) return null
       val typ = new String(c, off + 4, 4, "US-ASCII")
       if (typ == "IDAT") idat.write(c, off + 8, len)
       if (typ == "IEND") ok = false
@@ -58,14 +65,17 @@ object ImageCodec {
     val stride = w * 2
     val raw = new Array[Byte](h * (stride + 1))
     val inf = new java.util.zip.Inflater()
-    inf.setInput(idat.toByteArray)
     var filled = 0
-    while (filled < raw.length && !inf.finished()) {
-      val n = inf.inflate(raw, filled, raw.length - filled)
-      if (n == 0 && inf.needsInput()) return null // truncated stream
-      filled += n
-    }
-    inf.end()
+    try {
+      inf.setInput(idat.toByteArray)
+      while (filled < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, filled, raw.length - filled)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        filled += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end() // release native memory on every exit path
     if (filled != raw.length) return null
     // unfilter scanlines in place into the output (bpp = 2)
     val out = new Array[Byte](h * stride)

@@ -123,6 +123,11 @@ object SmartSpimJob {
       var shapes: Map[String, Seq[Int]] =
         group.map(i => i.dir.toString -> i.shape0).toMap
       var current = level0
+      // previous level, still persisted: it may only be unpersisted
+      // AFTER the level derived from it has been materialized by an
+      // action, or the derived level's lineage recomputes the whole
+      // pipeline from the source scan once per pyramid level.
+      var prev: Option[org.apache.spark.sql.Dataset[SmartSpimPipeline.ChunkRow]] = None
       for (level <- 0 until settings.downsampleLevels) {
         // persist: written level feeds the next one (reference S6
         // write-then-readback becomes persist-then-downsample)
@@ -130,18 +135,23 @@ object SmartSpimJob {
           current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SmartSpimPipeline.writeLevelBy(current, storeFor(outDir, _), level, chunk,
           settings.compressorLevel, settings.byteShuffle, compressed)
+        // `current` is now materialized in the cache (the write was an
+        // action), so the level it was derived from can be released.
+        prev.foreach(_.unpersist(blocking = false))
+        prev = None
         shapes.foreach { case (stackDir, shape) =>
           writeZarray(storeFor(outDir, stackDir), level, shape, chunk, settings,
             compressed)
         }
         if (level < settings.downsampleLevels - 1) {
           val next = SmartSpimPipeline.downsampleLevel(current, chunk, settings.scaleFactor)
-          current.unpersist(blocking = false)
+          prev = Some(current)
           current = next
           shapes = shapes.view.mapValues(_.zip(settings.scaleFactor)
             .map { case (s, f) => (s + f - 1) / f }).toMap
         }
       }
+      prev.foreach(_.unpersist(blocking = false))
     }
 
     // group + OME-NGFF metadata per stack (driver-side, X7)

@@ -18,9 +18,9 @@ import java.nio.file.{Files, Paths}
   * a driver collect. The only full-data shuffle is the level-0 rechunk
   * (inherent — the reference's dask `rechunk` does the same,
   * png_to_zarr.py:592-593); each pyramid level then shuffles 8× less
-  * data. Slice z-indices come from a paths-only pass that is
-  * broadcast back, so image bytes stay on their input partitions
-  * until the rechunk.
+  * data. Slice z-indices are parsed from the `<z>.<ext>` filename
+  * whenever a paths-only pass proves that safe, so image bytes stay on
+  * their input partitions until the rechunk — no z-map join at all.
   */
 object SmartSpimPipeline {
 
@@ -47,9 +47,15 @@ object SmartSpimPipeline {
 
   /** Lazy stack reader (S2): one row per slice, z = rank of the file
     * path within its stack (glob-alphabetical Z order, readers.py:145).
-    * The rank is computed on a paths-only projection (binaryFile prunes
-    * `content`), broadcast, and joined map-side — image bytes are never
-    * shuffled for indexing.
+    *
+    * Fast path: the reference layout names slices `<z>.<ext>` with
+    * zero-padded z (so alphabetical order IS numeric order). When a
+    * cheap paths-only pass proves every stack's filenames are numeric,
+    * fixed-width and contiguous from 0, z is parsed straight from the
+    * filename — zero shuffles, zero joins, zero broadcasts on the image
+    * bytes, at any scale. Otherwise fall back to a per-stack window
+    * rank joined back on path (a plain equi-join; no broadcast — at
+    * ~12.5M slices per 100 TB a broadcast z-map would be multi-GB).
     */
   def slices(spark: SparkSession, dir: String, ext: String): Dataset[SliceRow] =
     slices(spark, Seq(dir), ext)
@@ -63,18 +69,46 @@ object SmartSpimPipeline {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*.$ext")
       .load(dirs: _*)
-    // stack dir = parent of the slice file; ranking is per stack so the
-    // window shuffle stays partitioned even when many stacks are read
-    // through one glob (no single-partition global sort at 100 TB).
+    // stack dir = parent of the slice file
     val stackOf = regexp_replace(col("path"), "/[^/]+$", "")
-    val zmap = spark.read.format("binaryFile")
-      .option("pathGlobFilter", s"*.$ext").load(dirs: _*)
-      .select(col("path"), stackOf.as("stack_dir"))
-      .withColumn("z", row_number().over(
-        Window.partitionBy("stack_dir").orderBy("path")) - 1)
-      .drop("stack_dir")
-    files.join(broadcast(zmap), "path")
-      .select(col("path"), col("z"), col("content"))
+    val stemOf = regexp_extract(col("path"), "/(\\d+)\\.[^./]+$", 1)
+    // paths-only validation (binaryFile prunes `content`: this reads
+    // the listing, not the bytes): per stack, filenames must be all
+    // numeric, one width (alphabetical == numeric), distinct, 0..n-1.
+    val chk = files
+      .select(stackOf.as("stack_dir"), stemOf.as("zs"))
+      .groupBy("stack_dir")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("zs") === "", 1).otherwise(0)).as("non_numeric"),
+        min(when(col("zs") =!= "", col("zs").cast("long"))).as("zmin"),
+        max(when(col("zs") =!= "", col("zs").cast("long"))).as("zmax"),
+        countDistinct(when(col("zs") =!= "", col("zs").cast("long"))).as("nd"),
+        countDistinct(when(col("zs") =!= "", length(col("zs")))).as("nw"))
+      .collect() // one tiny row per stack
+    val filenameIsZ = chk.nonEmpty && chk.forall { r =>
+      r.getAs[Long]("non_numeric") == 0L &&
+        r.getAs[Long]("nw") == 1L &&
+        r.getAs[Long]("zmin") == 0L &&
+        r.getAs[Long]("zmax") == r.getAs[Long]("n") - 1 &&
+        r.getAs[Long]("nd") == r.getAs[Long]("n")
+    }
+    val indexed =
+      if (filenameIsZ)
+        files.select(col("path"), stemOf.cast("int").as("z"), col("content"))
+      else {
+        // ranking is per stack so the window shuffle stays partitioned
+        // even when many stacks share one glob; join back on path with
+        // NO broadcast hint (the z-map grows with the input).
+        val zmap = spark.read.format("binaryFile")
+          .option("pathGlobFilter", s"*.$ext").load(dirs: _*)
+          .select(col("path"), stackOf.as("stack_dir"))
+          .withColumn("z", row_number().over(
+            Window.partitionBy("stack_dir").orderBy("path")) - 1)
+          .drop("stack_dir")
+        files.join(zmap, "path")
+          .select(col("path"), col("z"), col("content"))
+      }
+    indexed
       .as[(String, Int, Array[Byte])]
       .map { case (path, z, content) =>
         val dec = ImageCodec.decode(content)

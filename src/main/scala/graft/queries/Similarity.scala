@@ -90,6 +90,16 @@ object Similarity {
   def lshBucket(emb: Column): Column =
     (0 until 8).map(j => planeBit(emb, j)).reduce(_ + _)
 
+  /** DuckDB twin of [[lshBucket]] (re-derives the md5-seeded planes), so
+    * oracles can reproduce the bucketing bit-for-bit. */
+  val lshBucketSql: String =
+    """list_sum(list_transform(range(0, 8), j -> CASE WHEN
+      |    list_sum(list_transform(range(0, 64), d ->
+      |      CAST(embedding[d + 1] AS DOUBLE) *
+      |      ((CAST(concat('0x', substr(md5(concat(j, '_', d)), 1, 7)) AS BIGINT) % 2001 - 1000)
+      |        / 1000.0))) > 0
+      |    THEN (1 << j) ELSE 0 END))""".stripMargin
+
   /** LSH bucket histogram: 8 hyperplanes → 256 buckets. The bucket id is
     * the shuffle key at scale; here we validate the bucketing itself. */
   val qAnnLshBuckets: Q = (s, d) => {
@@ -126,8 +136,16 @@ object Similarity {
     * 4× smaller vectors, integer dot products). Per-vector symmetric
     * quantization q = floor(x / max|x| · 127); similarity computed
     * entirely in integers, so the oracle matches bit-for-bit — only
-    * the final normalized ratio is rounded. */
+    * the final normalized ratio is rounded.
+    *
+    * Pair generation is NOT all-pairs: candidates come from the same
+    * 8-plane LSH bucket with multi-probe radius 3 (93 probe masks,
+    * expressed as an equi-join of exploded probe buckets against the
+    * true bucket — each qualifying pair matches exactly one mask). The
+    * probe side is (vec_id, probe) only; quantized vectors are fetched
+    * back by key. The oracle applies the identical candidate rule. */
   val qAnnQuantized: Q = (s, d) => {
+    val masks = (0 until 256).filter(Integer.bitCount(_) <= 3)
     val e = Tables.embeddings(s, d).where(col("vec_id") % 7 === 0)
       .withColumn("maxabs",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
@@ -135,14 +153,22 @@ object Similarity {
       .withColumn("q", transform(col("embedding"),
         x => floor(x.cast("double") / col("maxabs") * lit(127.0)).cast("long")))
       .withColumn("qnorm", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
-      .select(col("vec_id"), col("q"), col("qnorm"))
-      .cache() // quantized vectors are 4× smaller; reused by both join sides
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+      .withColumn("bucket", lshBucket(col("embedding")))
+      .select(col("vec_id"), col("q"), col("qnorm"), col("bucket"))
+      .cache() // quantized vectors are 4× smaller; reused by all three roles
+    val probes = e.select(col("vec_id").as("va"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+    probes.join(
+        e.select(col("vec_id").as("vb"), col("bucket"),
+          col("q").as("qb"), col("qnorm").as("nb")),
+        col("probe") === col("bucket") && col("va") < col("vb"))
+      .select(col("va"), col("vb"), col("qb"), col("nb"))
+      .join(e.select(col("vec_id").as("va"), col("q").as("qa"), col("qnorm").as("na")), "va")
+      .select(col("va"), col("vb"),
         round(
-          aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
+          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
             lit(0L), (acc, x) => acc + x).cast("double")
-          / (sqrt(col("a.qnorm").cast("double")) * sqrt(col("b.qnorm").cast("double"))),
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
           4).as("qcos"))
       .where(col("qcos") >= 0.3)
       .orderBy("va", "vb")
@@ -229,25 +255,28 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
          |  FROM scored) t
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // candidate rule (bucket hamming <= 3) mirrored from qAnnQuantized
     "q_ann_quantized" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
-        |    embedding
-        |  FROM embeddings WHERE vec_id % 7 = 0),
-        |q AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor((CAST(x AS DOUBLE) / maxabs) * 127.0) AS BIGINT)) AS q
-        |  FROM e WHERE maxabs > 0),
-        |n AS (SELECT vec_id, q,
-        |        list_sum(list_transform(q, x -> x * x)) AS qnorm FROM q),
-        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-        |        round(CAST(list_sum(list_transform(range(1, 65),
-        |            i -> a.q[i] * b.q[i])) AS DOUBLE)
-        |          / (sqrt(CAST(a.qnorm AS DOUBLE)) * sqrt(CAST(b.qnorm AS DOUBLE))), 4) AS qcos
-        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT va, vb, qcos FROM p WHERE qcos >= 0.3 ORDER BY va, vb""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
+         |    $lshBucketSql AS bucket,
+         |    embedding
+         |  FROM embeddings WHERE vec_id % 7 = 0),
+         |q AS (
+         |  SELECT vec_id, bucket,
+         |    list_transform(embedding,
+         |      x -> CAST(floor((CAST(x AS DOUBLE) / maxabs) * 127.0) AS BIGINT)) AS q
+         |  FROM e WHERE maxabs > 0),
+         |n AS (SELECT vec_id, bucket, q,
+         |        list_sum(list_transform(q, x -> x * x)) AS qnorm FROM q),
+         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |        round(CAST(list_sum(list_transform(range(1, 65),
+         |            i -> a.q[i] * b.q[i])) AS DOUBLE)
+         |          / (sqrt(CAST(a.qnorm AS DOUBLE)) * sqrt(CAST(b.qnorm AS DOUBLE))), 4) AS qcos
+         |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |        AND bit_count(xor(a.bucket, b.bucket)) <= 3)
+         |SELECT va, vb, qcos FROM p WHERE qcos >= 0.3 ORDER BY va, vb""".stripMargin,
     "q_ann_ivf_label" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, c.label AS label, $cosSql AS cos

@@ -91,11 +91,15 @@ object Streaming {
   }
 
   /** Streaming exact dedup: the event stream unioned with itself (every
-    * event duplicated) flows through watermarked dropDuplicates on
+    * event duplicated) flows through dropDuplicatesWithinWatermark on
     * event_id — the streaming form of the training-pipeline dedup
-    * stage. State is one key per event inside the watermark horizon.
-    * The oracle is the plain batch profile: dedup must exactly undo the
-    * self-union. */
+    * stage. Unlike plain dropDuplicates (whose state never expires when
+    * the event-time column isn't a dedup key), WithinWatermark evicts
+    * each key once the watermark passes its event time, so state is
+    * bounded by the watermark horizon at any scale. The oracle is the
+    * plain batch profile: dedup must exactly undo the self-union (the
+    * duplicate arrives in the same micro-batch, well inside the
+    * horizon). */
   val qStreamDedup: Q = (s, d) => withStreamShufflePartitions(s) {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
@@ -105,7 +109,7 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = src.union(src)
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     s.table(name)

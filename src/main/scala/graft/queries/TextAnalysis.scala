@@ -120,7 +120,13 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    // shuffle-join on term: the distinct-term (df) table grows with the
+    // corpus — billions of rows at 100 TB — so it must never be
+    // broadcast. The shuffle_hash hint pins that at-scale shape even at
+    // toy scale, where size estimates would otherwise auto-broadcast;
+    // both sides are keyed by term, so it's one co-partitioned shuffle.
+    // n is a single row; broadcasting it is free at any scale.
+    tf.join(df.hint("shuffle_hash"), "term").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * log(col("n_total") / col("df")), 6))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)

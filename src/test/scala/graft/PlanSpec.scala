@@ -72,6 +72,24 @@ class PlanSpec extends AnyFunSuite {
       "multi-probe candidate generation must never be all-pairs")
   }
 
+  test("near-dup candidate generation is bucketed equi-joins, never all-pairs") {
+    for (q <- Seq("q_dedup_simhash", "q_dedup_embcos", "q_ann_quantized")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q must not contain an all-pairs join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+        s"$q candidates must come from an equi-join")
+    }
+  }
+
+  test("q_text_tfidf shuffle-joins the document-frequency table (no broadcast)") {
+    val p = plan("q_text_tfidf")
+    // the df table grows with the corpus: broadcasting it OOMs at scale
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "tf ⋈ df must be a shuffle join on term")
+  }
+
   test("salted join shuffles on (key, salt) — no broadcast collapse") {
     val p = plan("q_join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),

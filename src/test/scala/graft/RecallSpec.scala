@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.queries.{Dedup, Similarity}
+
+/** Brute-vs-bucketed laws for the LSH-candidate near-dup queries
+  * (VERDICT r1 item 1): each bucketed plan must return EXACTLY the
+  * pairs a brute all-pairs pass restricted to the same candidate rule
+  * returns — i.e. the bucketing is a pure candidate generator, the
+  * exact verify pass loses nothing. For simhash the candidate rule is
+  * provably lossless at the threshold (4 bands, hamming ≤ 3,
+  * pigeonhole), so the law strengthens to equality with the
+  * UNRESTRICTED brute pass.
+  */
+class RecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+  private val SF = "/root/testdata/sf0.001"
+
+  test("banded simhash pairs == unrestricted brute-force pairs at hamming <= 3") {
+    val sim = Dedup.simhashSignatures(spark, SF)
+    val brute = sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = SparkEntry.queries("q_dedup_simhash")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, "pigeonhole: banding must lose no pair at hamming <= 3")
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("embcos bucketed pairs == brute pairs restricted to the candidate rule") {
+    val e = graft.Tables.embeddings(spark, SF).where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.lshBucket(col("embedding")).as("bucket"))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        expr("bit_count(a.bucket ^ b.bucket)").as("bh"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .where(col("cos") >= 0.35)
+    val all = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val restricted = brute.where(col("bh") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = SparkEntry.queries("q_dedup_embcos")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == restricted,
+      "multi-probe equi-join must find exactly the hamming <= 3 candidate pairs")
+    assert(bucketed.subsetOf(all), "no false positives vs the exact threshold")
+  }
+
+  test("quantized-cosine bucketed pairs == brute pairs restricted to the candidate rule") {
+    val e = graft.Tables.embeddings(spark, SF).where(col("vec_id") % 7 === 0)
+      .withColumn("maxabs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .where(col("maxabs") > 0)
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") / col("maxabs") * lit(127.0)).cast("long")))
+      .withColumn("qnorm", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("bucket", Similarity.lshBucket(col("embedding")))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        expr("bit_count(a.bucket ^ b.bucket)").as("bh"),
+        round(
+          aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).cast("double")
+          / (sqrt(col("a.qnorm").cast("double")) * sqrt(col("b.qnorm").cast("double"))),
+          4).as("qcos"))
+      .where(col("qcos") >= 0.3)
+    val restricted = brute.where(col("bh") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = SparkEntry.queries("q_ann_quantized")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == restricted,
+      "multi-probe equi-join must find exactly the hamming <= 3 candidate pairs")
+  }
+}

@@ -160,6 +160,38 @@ class PipelineE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("slices: numeric zero-padded names use the filename-z fast path (no join)") {
+    val root = Files.createTempDirectory("graft-zfast")
+    val stack = writeFixture(root) // %06d.png names, 0-based contiguous
+    val ds = SmartSpimPipeline.slices(spark, stack.toString, "png")
+    // plan must contain no join at all: z comes from the filename
+    val p = ds.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), "fast path must not join a z-map")
+    // and z must still equal the alphabetical rank
+    val zs = ds.collect().map(s => s.z -> s.data(0)).toMap
+    assert(zs.keySet == (0 until NZ).toSet)
+  }
+
+  test("slices: non-numeric / mixed-width names fall back to alphabetical rank") {
+    // mixed widths: "0.png".."10.png" — alphabetical order is
+    // 0,1,10,2,..,9, which IS the reference's glob order; numeric parse
+    // would disagree, so the checker must reject the fast path.
+    val root = Files.createTempDirectory("graft-zslow")
+    val stack = root.resolve("s")
+    Files.createDirectories(stack)
+    val n = 11
+    for (z <- 0 until n) {
+      val px = new Array[Byte](4 * 4 * 2)
+      px(0) = z.toByte // marker voxel identifies the source file
+      Files.write(stack.resolve(s"$z.png"), ImageCodec.encodePng16(4, 4, px))
+    }
+    val ds = SmartSpimPipeline.slices(spark, stack.toString, "png")
+    val byZ = ds.collect().map(s => s.z -> (s.data(0) & 0xFF)).toMap
+    val expected = (0 until n).map(_.toString).sorted // alphabetical file order
+      .zipWithIndex.map { case (name, rank) => rank -> name.toInt }.toMap
+    assert(byZ == expected, "fallback z must be the alphabetical rank")
+  }
+
   test("uncompressed store (compressor none) also round-trips") {
     val root = Files.createTempDirectory("graft-e2e-raw")
     val stack = writeFixture(root)
