@@ -3,57 +3,88 @@ package graft.imaging
 import com.github.luben.zstd.Zstd
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Blosc1-framed zstd chunk codec (reference default compressor:
-  * blosc cname=zstd clevel=3 shuffle=SHUFFLE, models.py:55-59; applied
-  * per zarr chunk at png_to_zarr.py:691-699).
+/** Blosc1-framed chunk codec (reference default compressor: blosc
+  * cname=zstd clevel=3 shuffle=SHUFFLE, models.py:55-59; applied per
+  * zarr chunk at png_to_zarr.py:691-699).
   *
-  * Layout written (single-block blosc1 container):
-  *   bytes 0..15  header: version, versionlz, flags, typesize,
-  *                nbytes, blocksize, cbytes (LE int32s)
-  *   bytes 16..19 bstart[0] = 20 (offset of the only block)
-  *   bytes 20..   zstd frame of the (optionally byte-shuffled) payload
+  * Implements the public c-blosc 1.x frame layout (c-blosc
+  * README_HEADER.rst + blosc.c), so chunks written here are readable by
+  * numcodecs/zarr-python and vice versa:
   *
-  * flags bit0 = byte-shuffle, bits 5-7 = compressor id (zstd = 5).
-  * The byte-shuffle filter transposes bytes across elements
-  * (all low bytes, then all high bytes for typesize 2), which is what
-  * makes zstd effective on smooth 16-bit imagery.
+  *   bytes 0..15   header: version(2), versionlz(1), flags, typesize,
+  *                 nbytes, blocksize, cbytes (LE int32s)
+  *   bytes 16..    unless memcpy'ed: bstarts table, one LE int32 frame
+  *                 offset per block (nblocks = ceil(nbytes/blocksize))
+  *   per block     one or more streams, each [LE int32 csize][payload];
+  *                 csize == stream length ⇒ payload stored raw
   *
-  * `decompress` round-trips our own frames (property-tested); zstd is
-  * the pure-Java com.github.luben.zstd that ships with Spark.
+  * flags: bit 0 byte-shuffle, bit 1 memcpy'ed (raw original buffer at
+  * offset 16, shuffle NOT applied), bit 2 bit-shuffle (unsupported
+  * here), bit 4 block-not-split, bits 5-7 compressor FORMAT id —
+  * blosclz=0, lz4/lz4hc=1, snappy=2, zlib=3, zstd=4 (blosc.h
+  * BLOSC_*_FORMAT = BLOSC_*_LIB; note zstd is 4, its compressor *code*
+  * 5 is a different enum that never appears in frames).
+  *
+  * The shuffle filter is applied PER BLOCK (byte-plane transposition of
+  * whole elements; trailing bytes of a non-multiple block stay raw —
+  * shuffle.c semantics). A block splits into `typesize` streams only
+  * when bit 4 is clear, typesize ≤ 16, blocksize/typesize ≥ 128 and the
+  * block is not the leftover block (blosc.c blosc_d); encoders since
+  * c-blosc 1.14 always set bit 4 for zstd, as does this one.
+  *
+  * Encoding is always zstd (the reference's cname); decoding also
+  * accepts lz4 and snappy formats — both raw-block codecs shipped in
+  * Spark's own jars — which covers numcodecs' default cname='lz4'.
   */
 object BloscCodec {
   private val VERSION: Byte = 2
   private val VERSION_LZ: Byte = 1
   private val FLAG_SHUFFLE = 0x01
   private val FLAG_MEMCPY = 0x02
-  private val ZSTD_ID = 5 // << 5 in flags
+  private val FLAG_BITSHUFFLE = 0x04
+  private val FLAG_NOSPLIT = 0x10
+  private val FORMAT_LZ4 = 1
+  private val FORMAT_SNAPPY = 2
+  private val FORMAT_ZSTD = 4
   private val HEADER = 16
-  private val BSTART = 4
+  private val MAX_SPLITS = 16 // blosc.c MAX_SPLITS
+  private val MIN_BUFFERSIZE = 128 // blosc.c MIN_BUFFERSIZE
+  /** Encoder block size (bytes). Any value round-trips — the header
+    * carries it — 256 KiB matches c-blosc's order of magnitude at
+    * clevel 3 and keeps per-block shuffle cache-resident. */
+  private val BLOCKSIZE = 256 * 1024
 
   /** Byte-transpose across elements: out groups byte-plane j of every
-    * element together. Identity for typesize 1. */
-  def shuffle(data: Array[Byte], typesize: Int): Array[Byte] = {
-    if (typesize <= 1 || data.length % typesize != 0) return data
-    val n = data.length / typesize
-    val out = new Array[Byte](data.length)
+    * whole element together; trailing bytes (len % typesize) are copied
+    * through unshuffled, exactly like c-blosc's shuffle.c. */
+  def shuffle(data: Array[Byte], typesize: Int): Array[Byte] =
+    shuffleRange(data, 0, data.length, typesize)
+
+  private def shuffleRange(data: Array[Byte], off: Int, len: Int,
+      typesize: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    if (typesize <= 1) { System.arraycopy(data, off, out, 0, len); return out }
+    val n = len / typesize
     var j = 0
     while (j < typesize) {
       var i = 0
       val base = j * n
       while (i < n) {
-        out(base + i) = data(i * typesize + j)
+        out(base + i) = data(off + i * typesize + j)
         i += 1
       }
       j += 1
     }
+    System.arraycopy(data, off + n * typesize, out, n * typesize, len - n * typesize)
     out
   }
 
-  /** Inverse of [[shuffle]]. */
+  /** Inverse of [[shuffle]] (same whole-element + raw-tail semantics). */
   def unshuffle(data: Array[Byte], typesize: Int): Array[Byte] = {
-    if (typesize <= 1 || data.length % typesize != 0) return data
-    val n = data.length / typesize
-    val out = new Array[Byte](data.length)
+    val len = data.length
+    if (typesize <= 1) return data
+    val n = len / typesize
+    val out = new Array[Byte](len)
     var j = 0
     while (j < typesize) {
       var i = 0
@@ -64,30 +95,93 @@ object BloscCodec {
       }
       j += 1
     }
+    System.arraycopy(data, n * typesize, out, n * typesize, len - n * typesize)
     out
   }
 
   def compress(data: Array[Byte], typesize: Int, clevel: Int,
       byteShuffle: Boolean): Array[Byte] = {
-    val payload = if (byteShuffle) shuffle(data, typesize) else data
-    val compressed = Zstd.compress(payload, clevel)
-    // blosc semantics: fall back to memcpy when compression doesn't help
-    val useRaw = compressed.length >= data.length
-    val body = if (useRaw) payload else compressed
-    val bstartLen = if (useRaw) 0 else BSTART
-    val out = ByteBuffer.allocate(HEADER + bstartLen + body.length)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    var flags = ZSTD_ID << 5
-    if (byteShuffle) flags |= FLAG_SHUFFLE
-    if (useRaw) flags |= FLAG_MEMCPY
-    out.put(VERSION).put(VERSION_LZ).put(flags.toByte)
-      .put((typesize & 0xFF).toByte)
-      .putInt(data.length)      // nbytes
-      .putInt(data.length)      // blocksize (single block)
-      .putInt(HEADER + bstartLen + body.length) // cbytes
-    if (!useRaw) out.putInt(HEADER + BSTART)    // bstart[0]
-    out.put(body)
+    val ts = math.max(1, typesize)
+    val nbytes = data.length
+    val doShuffle = byteShuffle && ts > 1
+    val baseFlags = (FORMAT_ZSTD << 5) | FLAG_NOSPLIT |
+      (if (doShuffle) FLAG_SHUFFLE else 0)
+
+    def memcpyFrame(): Array[Byte] = {
+      val out = ByteBuffer.allocate(HEADER + nbytes).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(VERSION).put(VERSION_LZ)
+        .put((baseFlags | FLAG_MEMCPY).toByte)
+        .put((ts & 0xFF).toByte)
+        .putInt(nbytes).putInt(math.max(nbytes, 1)).putInt(HEADER + nbytes)
+      out.put(data) // memcpy'ed frames carry the ORIGINAL, unshuffled bytes
+      out.array()
+    }
+    if (nbytes == 0) return memcpyFrame()
+
+    val blocksize = {
+      val b = math.min(nbytes, BLOCKSIZE)
+      math.max(b - b % ts, ts) // multiple of typesize, like c-blosc
+    }
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    // each block: shuffle, compress, raw-store if compression loses
+    // (stream token == stream length ⇒ raw, blosc_d contract)
+    val streams = new Array[Array[Byte]](nblocks)
+    val rawLens = new Array[Int](nblocks)
+    var bodyLen = 0L
+    var i = 0
+    while (i < nblocks) {
+      val off = i * blocksize
+      val neblock = math.min(blocksize, nbytes - off)
+      val tmp =
+        if (doShuffle) shuffleRange(data, off, neblock, ts)
+        else java.util.Arrays.copyOfRange(data, off, off + neblock)
+      val comp = Zstd.compress(tmp, clevel)
+      streams(i) = if (comp.length >= neblock) tmp else comp
+      rawLens(i) = neblock
+      bodyLen += 4L + streams(i).length
+      i += 1
+    }
+    val total = HEADER + 4L * nblocks + bodyLen
+    if (total >= HEADER + nbytes) return memcpyFrame()
+
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(VERSION).put(VERSION_LZ).put(baseFlags.toByte)
+      .put((ts & 0xFF).toByte)
+      .putInt(nbytes).putInt(blocksize).putInt(total.toInt)
+    var bstart = HEADER + 4 * nblocks
+    i = 0
+    while (i < nblocks) { // bstarts table
+      out.putInt(bstart)
+      bstart += 4 + streams(i).length
+      i += 1
+    }
+    i = 0
+    while (i < nblocks) {
+      out.putInt(if (streams(i).length == rawLens(i)) rawLens(i) else streams(i).length)
+      out.put(streams(i))
+      i += 1
+    }
     out.array()
+  }
+
+  private lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+
+  /** Decompress one stored stream of known decompressed size. */
+  private def decodeStream(frame: Array[Byte], pos: Int, csize: Int,
+      outLen: Int, format: Int): Array[Byte] = {
+    if (csize == outLen) // stored raw
+      return java.util.Arrays.copyOfRange(frame, pos, pos + outLen)
+    val block = java.util.Arrays.copyOfRange(frame, pos, pos + csize)
+    format match {
+      case FORMAT_ZSTD => Zstd.decompress(block, outLen)
+      case FORMAT_LZ4 =>
+        val out = new Array[Byte](outLen)
+        lz4.decompress(block, 0, out, 0, outLen)
+        out
+      case FORMAT_SNAPPY => org.xerial.snappy.Snappy.uncompress(block)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported blosc format id $other")
+    }
   }
 
   def decompress(frame: Array[Byte]): Array[Byte] = {
@@ -95,17 +189,54 @@ object BloscCodec {
     val version = buf.get(); val versionLz = buf.get()
     require(version >= 1 && versionLz >= 1, "bad blosc header")
     val flags = buf.get() & 0xFF
-    val typesize = buf.get() & 0xFF
-    val nbytes = buf.getInt(); val _blocksize = buf.getInt(); val cbytes = buf.getInt()
+    val typesize = math.max(buf.get() & 0xFF, 1)
+    val nbytes = buf.getInt(); val blocksize = buf.getInt(); val cbytes = buf.getInt()
     require(cbytes == frame.length, s"cbytes $cbytes != frame ${frame.length}")
-    val memcpy = (flags & FLAG_MEMCPY) != 0
-    val payload =
-      if (memcpy) java.util.Arrays.copyOfRange(frame, HEADER, HEADER + nbytes)
-      else {
-        val bstart = buf.getInt()
-        val block = java.util.Arrays.copyOfRange(frame, bstart, frame.length)
-        Zstd.decompress(block, nbytes)
+    require((flags & FLAG_BITSHUFFLE) == 0, "bit-shuffle frames not supported")
+    if ((flags & FLAG_MEMCPY) != 0) // raw original buffer, never shuffled
+      return java.util.Arrays.copyOfRange(frame, HEADER, HEADER + nbytes)
+    if (nbytes == 0) return Array.emptyByteArray
+
+    val format = (flags >> 5) & 0x07
+    val dontSplit = (flags & FLAG_NOSPLIT) != 0
+    val doShuffle = (flags & FLAG_SHUFFLE) != 0
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    val bstarts = new Array[Int](nblocks)
+    var i = 0
+    while (i < nblocks) { bstarts(i) = buf.getInt(); i += 1 }
+
+    val out = new Array[Byte](nbytes)
+    i = 0
+    while (i < nblocks) {
+      val off = i * blocksize
+      val neblock = math.min(blocksize, nbytes - off)
+      val leftover = neblock != blocksize
+      // split-stream rule from blosc.c blosc_d
+      val nstreams =
+        if (!dontSplit && typesize <= MAX_SPLITS &&
+            blocksize / typesize >= MIN_BUFFERSIZE && !leftover) typesize
+        else 1
+      val streamLen = neblock / nstreams
+      val tmp = if (nstreams == 1) null else new Array[Byte](neblock)
+      var pos = bstarts(i)
+      var s = 0
+      while (s < nstreams) {
+        val csize = ByteBuffer.wrap(frame, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+        pos += 4
+        val dec = decodeStream(frame, pos, csize, streamLen, format)
+        if (nstreams == 1) {
+          val block = if (doShuffle) unshuffle(dec, typesize) else dec
+          System.arraycopy(block, 0, out, off, neblock)
+        } else System.arraycopy(dec, 0, tmp, s * streamLen, streamLen)
+        pos += csize
+        s += 1
       }
-    if ((flags & FLAG_SHUFFLE) != 0) unshuffle(payload, typesize) else payload
+      if (nstreams > 1) {
+        val block = if (doShuffle) unshuffle(tmp, typesize) else tmp
+        System.arraycopy(block, 0, out, off, neblock)
+      }
+      i += 1
+    }
+    out
   }
 }

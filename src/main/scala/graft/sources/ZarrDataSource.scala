@@ -45,7 +45,13 @@ import graft.imaging.BloscCodec
   *
   * Store layout is zarr v2 with "/" dimension separator exactly as the
   * reference writes it: `<store>/<level>/0/0/<zc>/<yc>/<xc>` plus a
-  * `.zarray` JSON per level; pixels are uint16 little-endian.
+  * `.zarray` JSON per level; pixels are uint16 little-endian. Chunk
+  * payloads use the c-blosc1 frame layout (BloscCodec): this source
+  * reads zstd-, lz4- and snappy-format blosc frames, including
+  * multi-block and split-stream variants, and writes zstd frames any
+  * c-blosc consumer can read (CodecSpec decodes independently
+  * constructed foreign frames; in-sandbox cross-validation against
+  * python-blosc itself is not possible — no such package here).
   */
 class ZarrDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zarr"

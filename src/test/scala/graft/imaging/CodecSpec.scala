@@ -29,16 +29,24 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     assert(BloscCodec.shuffle(data, 2).sameElements(Array[Byte](1, 3, 5, 2, 4, 6)))
   }
 
-  test("blosc header fields: version, flags, typesize, nbytes") {
+  test("blosc header fields match the c-blosc1 spec (README_HEADER.rst)") {
     val data = Array.tabulate[Byte](256)(i => (i % 7).toByte) // compressible
     val frame = BloscCodec.compress(data, 2, 3, true)
+    def le32(o: Int): Int = java.nio.ByteBuffer.wrap(frame, o, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
     assert(frame(0) == 2)                    // version
     assert((frame(2) & 0x01) == 0x01)        // shuffle flag
-    assert(((frame(2) & 0xE0) >> 5) == 5)    // zstd compressor id
+    // zstd FORMAT id is 4 (BLOSC_ZSTD_FORMAT = BLOSC_ZSTD_LIB), NOT the
+    // compressor code 5 — real consumers dispatch on this field
+    assert(((frame(2) & 0xE0) >> 5) == 4)
+    assert((frame(2) & 0x10) == 0x10)        // zstd frames never split
     assert(frame(3) == 2)                    // typesize
-    val nbytes = java.nio.ByteBuffer.wrap(frame, 4, 4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-    assert(nbytes == 256)
+    assert(le32(4) == 256)                   // nbytes
+    assert(le32(12) == frame.length)         // cbytes spans the frame
+    // single block: bstarts = [20]; stream token precedes the payload
+    assert(le32(16) == 20)
+    val csize = le32(20)
+    assert(24 + csize == frame.length, "stream token must size the payload")
     assert(frame.length < 256 + 20, "compressible data must actually compress")
   }
 
@@ -48,6 +56,107 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     val frame = BloscCodec.compress(data, 2, 3, false)
     assert(BloscCodec.decompress(frame).sameElements(data))
     assert(frame.length <= 512 + 20)
+    assert((frame(2) & 0x02) == 0x02, "memcpy flag set")
+  }
+
+  test("blosc memcpy frames carry the ORIGINAL bytes even when shuffle was requested") {
+    val rnd = new scala.util.Random(11)
+    val data = Array.fill[Byte](512)(rnd.nextInt().toByte)
+    val frame = BloscCodec.compress(data, 2, 3, true) // incompressible + shuffle
+    assert((frame(2) & 0x02) == 0x02, "memcpy flag set")
+    // c-blosc stores the unshuffled source in memcpy mode; a decoder
+    // that unshuffles here corrupts every real-world incompressible chunk
+    assert(java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(frame, 16, 16 + 512), data))
+    assert(BloscCodec.decompress(frame).sameElements(data))
+  }
+
+  test("blosc multi-block roundtrip (> blocksize input, leftover block)") {
+    // 600,002 bytes: 3 blocks of 256 KiB + a leftover, odd element tail
+    val data = Array.tabulate[Byte](600002)(i => ((i * 31 + i / 997) % 251).toByte)
+    for (shuf <- Seq(true, false)) {
+      val frame = BloscCodec.compress(data, 2, 3, shuf)
+      val nblocks = (600002 + 256 * 1024 - 1) / (256 * 1024)
+      assert(nblocks == 3)
+      assert(BloscCodec.decompress(frame).sameElements(data))
+    }
+  }
+
+  /** Independently constructed c-blosc1 frame (NOT via BloscCodec
+    * .compress): per-block shuffle, per-stream tokens, bstarts table —
+    * the layout a foreign writer (numcodecs/zarr-python) produces. */
+  private def foreignFrame(data: Array[Byte], typesize: Int, blocksize: Int,
+      formatId: Int, split: Boolean, shuffle: Boolean,
+      encode: Array[Byte] => Array[Byte]): Array[Byte] = {
+    val nblocks = (data.length + blocksize - 1) / blocksize
+    val body = new java.io.ByteArrayOutputStream()
+    val bstarts = new Array[Int](nblocks)
+    var pos = 16 + 4 * nblocks
+    for (i <- 0 until nblocks) {
+      bstarts(i) = pos
+      val off = i * blocksize
+      val neblock = math.min(blocksize, data.length - off)
+      val leftover = neblock != blocksize
+      val block0 = java.util.Arrays.copyOfRange(data, off, off + neblock)
+      val tmp = if (shuffle) BloscCodec.shuffle(block0, typesize) else block0
+      val nstreams =
+        if (split && typesize <= 16 && blocksize / typesize >= 128 && !leftover)
+          typesize
+        else 1
+      val streamLen = neblock / nstreams
+      for (s <- 0 until nstreams) {
+        val stream = java.util.Arrays.copyOfRange(tmp, s * streamLen, (s + 1) * streamLen)
+        val comp = encode(stream)
+        val store = if (comp.length >= streamLen) stream else comp
+        val tok = java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(store.length).array()
+        body.write(tok); body.write(store)
+        pos += 4 + store.length
+      }
+    }
+    val bodyBytes = body.toByteArray
+    val out = java.nio.ByteBuffer.allocate(16 + 4 * nblocks + bodyBytes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var flags = (formatId << 5) | (if (shuffle) 0x01 else 0) | (if (split) 0 else 0x10)
+    out.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
+      .putInt(data.length).putInt(blocksize)
+      .putInt(16 + 4 * nblocks + bodyBytes.length)
+    bstarts.foreach(out.putInt)
+    out.put(bodyBytes)
+    out.array()
+  }
+
+  test("decode a foreign multi-block zstd frame (per-block shuffle, leftover)") {
+    val data = Array.tabulate[Byte](3000)(i => ((i / 3) % 200).toByte)
+    val frame = foreignFrame(data, 2, 1024, formatId = 4, split = false,
+      shuffle = true, b => com.github.luben.zstd.Zstd.compress(b, 3))
+    assert(BloscCodec.decompress(frame).sameElements(data))
+  }
+
+  test("decode a foreign SPLIT lz4 frame (numcodecs default cname)") {
+    // lz4 frames from c-blosc < 1.14-style writers split each full block
+    // into `typesize` byte-plane streams
+    val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val data = Array.tabulate[Byte](2048)(i => ((i / 2) % 100).toByte)
+    val frame = foreignFrame(data, 2, 512, formatId = 1, split = true,
+      shuffle = true, b => {
+        val out = comp.compress(b)
+        out
+      })
+    assert(BloscCodec.decompress(frame).sameElements(data))
+  }
+
+  test("decode a foreign snappy frame") {
+    val data = Array.tabulate[Byte](1500)(i => (i % 50).toByte)
+    val frame = foreignFrame(data, 2, 1500, formatId = 2, split = false,
+      shuffle = false, b => org.xerial.snappy.Snappy.compress(b))
+    assert(BloscCodec.decompress(frame).sameElements(data))
+  }
+
+  test("blosc rejects bit-shuffled and unknown-format frames loudly") {
+    val ok = BloscCodec.compress(Array.tabulate[Byte](64)(_.toByte), 2, 3, false)
+    val bitshuf = ok.clone(); bitshuf(2) = (bitshuf(2) | 0x04).toByte
+    intercept[IllegalArgumentException](BloscCodec.decompress(bitshuf))
   }
 
   // ---- 16-bit PNG codec (C2/S2)
