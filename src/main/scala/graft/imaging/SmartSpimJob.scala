@@ -173,6 +173,9 @@ object SmartSpimJob {
           stackName, shapeT, Seq(s"Channel:$channelName:0"), Seq(color),
           minMax = Seq((0.0, 65535.0)),       // uint16 dtype bounds (A2)
           startEnd = Seq((0.0, 350.0)))).obj) // hard-coded window (A3, :623-627)
+      // write-time schema validation, mirroring the reference's
+      // fmt.validate (png_to_zarr.py:293-295)
+      ZarrMeta.validateNgff(attrs)
       write(s"$store/.zattrs", ZarrMeta.render(attrs))
     }
   }

@@ -100,6 +100,55 @@ object ZarrMeta {
 
   def zgroup: JObject = "zarr_format" -> 2
 
+  /** Structural NGFF 0.4 validation of a channel-group `.zattrs`,
+    * mirroring the reference's write-time `fmt.validate` call
+    * (png_to_zarr.py:293-295 via the ome-zarr library): version, the
+    * exact 5-axis TCZYX layout, datasets with contiguous paths 0..n-1,
+    * and a 5-entry scale transform per level. Throws
+    * IllegalArgumentException with the first violation. */
+  def validateNgff(attrs: JValue): Unit = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(s"NGFF: $msg")
+    val multiscales = (attrs \ "multiscales") match {
+      case JArray(ms) if ms.nonEmpty => ms
+      case _ => fail("multiscales must be a non-empty array")
+    }
+    multiscales.foreach { m =>
+      if ((m \ "version") != JString("0.4")) fail("multiscales version must be 0.4")
+      val axes = (m \ "axes") match {
+        case JArray(a) => a
+        case _ => fail("axes must be an array")
+      }
+      val names = axes.map(a => (a \ "name") match {
+        case JString(n) => n
+        case _ => fail("axis missing name")
+      })
+      if (names != List("t", "c", "z", "y", "x"))
+        fail(s"axes must be t,c,z,y,x in order, got $names")
+      val types = axes.map(a => a \ "type")
+      val want = List("time", "channel", "space", "space", "space").map(JString(_))
+      if (types != want) fail("axis types must be time,channel,space,space,space")
+      val datasets = (m \ "datasets") match {
+        case JArray(ds) if ds.nonEmpty => ds
+        case _ => fail("datasets must be a non-empty array")
+      }
+      datasets.zipWithIndex.foreach { case (ds, i) =>
+        if ((ds \ "path") != JString(i.toString))
+          fail(s"dataset paths must be contiguous from 0, index $i is ${ds \ "path"}")
+        val scales = (ds \ "coordinateTransformations") match {
+          case JArray(ts) => ts.filter(t => (t \ "type") == JString("scale"))
+          case _ => fail(s"dataset $i missing coordinateTransformations")
+        }
+        scales match {
+          case List(s0) => (s0 \ "scale") match {
+            case JArray(vs) if vs.length == 5 => ()
+            case _ => fail(s"dataset $i scale must have 5 entries")
+          }
+          case _ => fail(s"dataset $i must have exactly one scale transform")
+        }
+      }
+    }
+  }
+
   def render(j: JValue): String = JsonMethods.pretty(JsonMethods.render(j))
 
   /** Tolerant JSON read: missing file → None (reference

@@ -54,17 +54,30 @@ object Dedup {
       .orderBy("lang")
   }
 
+  /** Document-frequency cap for Jaccard shingles: shingles present in
+    * more than this many documents are dropped before the self-join.
+    * Irrelevant at oracle scale (max observed df is 4) but essential at
+    * 100 TB, where one stopword shingle shared by 10^6 docs would
+    * contribute 10^12 join rows. */
+  private val SHINGLE_DF_CAP = 20
+
   /** Word-3-gram Jaccard near-dup: top-20 most similar pairs. The
     * shingle equi-join computes intersections directly — candidate
-    * pairs are only those sharing ≥1 shingle. */
+    * pairs are only those sharing ≥1 (rare) shingle; hot shingles are
+    * removed by the df cap, the standard guard against stopword-shingle
+    * skew blowing up the equi-join. */
   val qDedupNgramJaccard: Q = (s, d) => {
-    // cached: referenced three times (both join sides + per-doc counts);
-    // without it the tokenize/shingle pass runs 3×. Shingle rows are
-    // ~|corpus| — at 100 TB persist to MEMORY_AND_DISK across executors.
-    val sh = Tables.documents(s, d).where(col("doc_id") % 5 === 0)
+    // cached: referenced four times (df cap, both join sides, per-doc
+    // counts); without it the tokenize/shingle pass runs per use.
+    // Shingle rows are ~|corpus| — at 100 TB persist MEMORY_AND_DISK.
+    val shAll = Tables.documents(s, d).where(col("doc_id") % 5 === 0)
       .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
       .cache()
+    val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= SHINGLE_DF_CAP)
+      .select("s")
+    val sh = shAll.join(rare, Seq("s"), "left_semi").cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -227,8 +240,11 @@ object Dedup {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH toks AS ($toksSql),
-         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |sh_all AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
          |       FROM toks, unnest(range(1, len(w) - 1)) t(i)),
+         |dfc AS (SELECT s, count(*) AS df FROM sh_all GROUP BY s),
+         |sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all
+         |       JOIN dfc ON sh_all.s = dfc.s WHERE dfc.df <= $SHINGLE_DF_CAP),
          |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
          |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -109,6 +109,68 @@ class SmartSpimJobSpec extends AnyFunSuite {
     }
   }
 
+  test("full job writes through a second FileSystem scheme (s3a:// contract, S9/S10)") {
+    // mock:// is RawLocalFileSystem under a foreign scheme
+    // (src/test/resources/core-site.xml). Every output path — chunk
+    // sink, .zarray/.zattrs/.zgroup metadata, derivatives copy — must
+    // route through Hadoop FileSystem, or this job fails the way an
+    // s3a:// run would.
+    val root = mkFixture(Seq("Ex_445_Em_469"), 1)
+    val outLocal = Files.createTempDirectory("graft-mockfs")
+    val outUri = s"mock://$outLocal/out"
+    val before = graft.testfs.MockFileSystem.created.get()
+    SmartSpimJob.runJob(spark, JobSettings(
+      inputSource = root.toString, outputDirectory = outUri,
+      chunkSize = Seq(16, 16, 16), downsampleLevels = 2))
+    val created = graft.testfs.MockFileSystem.created.get() - before
+    assert(created > 0, "no file went through the mock:// scheme")
+    // chunks + metadata + derivatives all landed (local view of mock://)
+    val store = outLocal.resolve("out/Ex_445_Em_469/440000_460000.ome.zarr")
+    assert(Files.exists(store.resolve("0/0/0/0/0/0")), "level-0 chunk missing")
+    assert(Files.exists(store.resolve("1/.zarray")), "level-1 .zarray missing")
+    assert(Files.exists(store.resolve(".zattrs")), ".zattrs missing")
+    assert(Files.readString(outLocal.resolve("out/derivatives/metadata.json"))
+      .contains("\"session\""))
+    // and the store decodes voxel-exact through the local alias
+    val lvl0 = SmartSpimPipeline.readLevel(store.toString, 0, Seq(2, 16, 16),
+      Seq(16, 16, 16), compressed = true)
+    val expect0 = Array.tabulate(16 * 16 * 2)(k => (k % 251).toByte)
+    for (i <- 0 until 16 * 16) {
+      val v = ((lvl0(i) & 0xFFFF))
+      val e = ((expect0(2 * i + 1) & 0xFF) << 8) | (expect0(2 * i) & 0xFF)
+      assert(v == e, s"voxel $i through mock:// differs")
+    }
+  }
+
+  test("validateNgff accepts the job's .zattrs and rejects mutations") {
+    import org.json4s._
+    val good = ZarrMeta.multiscales("stack", 3, Seq(2, 2, 2), Seq(2.0, 1.8, 1.8))
+    ZarrMeta.validateNgff(good) // must not throw
+    // wrong version
+    val badVersion = good.transformField {
+      case ("version", JString("0.4")) => ("version", JString("0.3"))
+    }
+    intercept[IllegalArgumentException](ZarrMeta.validateNgff(badVersion))
+    // axis order broken
+    val badAxes = good.transformField {
+      case ("name", JString("z")) => ("name", JString("q"))
+    }
+    intercept[IllegalArgumentException](ZarrMeta.validateNgff(badAxes))
+    // dataset paths not contiguous
+    val badPath = good.transformField {
+      case ("path", JString("1")) => ("path", JString("7"))
+    }
+    intercept[IllegalArgumentException](ZarrMeta.validateNgff(badPath))
+    // scale arity broken
+    val badScale = good.transformField {
+      case ("scale", JArray(vs)) => ("scale", JArray(vs.tail))
+    }
+    intercept[IllegalArgumentException](ZarrMeta.validateNgff(badScale))
+    // empty multiscales
+    intercept[IllegalArgumentException](
+      ZarrMeta.validateNgff(JObject("multiscales" -> JArray(Nil))))
+  }
+
   test("invalid extension rejected (smartspim_job.py:138-154)") {
     val root = mkFixture(Seq("Ex_445_Em_469"), 1)
     val stack = SmartSpimJob.discoverStacks(root.toString).head
