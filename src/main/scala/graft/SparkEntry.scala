@@ -20,6 +20,7 @@ object SparkEntry {
       (q.Dedup.queries, q.Dedup.oracleSql),
       (q.Similarity.queries, q.Similarity.oracleSql),
       (q.TextAnalysis.queries, q.TextAnalysis.oracleSql),
+      (q.Pipeline.queries, q.Pipeline.oracleSql),
       (q.Multimodal.queries, q.Multimodal.oracleSql),
       (q.Streaming.queries, q.Streaming.oracleSql)
     )

@@ -90,6 +90,17 @@ class PlanSpec extends AnyFunSuite {
       "tf ⋈ df must be a shuffle join on term")
   }
 
+  test("pipeline ops: packing window partitions; decontamination stays equi-join") {
+    val p1 = plan("q_pack_sequences")
+    assert(p1.contains("hashpartitioning"),
+      "packing window must partition by (lang, shard), never sort globally")
+    val p2 = plan("q_decontaminate")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      "contamination check must join on the shingle key")
+    val p3 = plan("q_sample_stratified")
+    assert(!p3.contains("Join"), "stratified sampling is map-side + one aggregation")
+  }
+
   test("salted join shuffles on (key, salt) — no broadcast collapse") {
     val p = plan("q_join_salted")
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
