@@ -104,33 +104,90 @@ object Dedup {
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", hash28(col("tok")))
 
-  /** MinHash + LSH banding over unigram sets: 16 affine permutations of
-    * a 28-bit md5-derived hash, 8 bands × 2 rows; candidate pairs =
-    * distinct band-key matches. This is the join that stays O(candidates)
-    * at 100 TB instead of O(n²). */
-  val qDedupMinhash: Q = (s, d) => {
+  /** 16-permutation MinHash signatures per sampled doc (cached:
+    * reused by the band join sides, the cluster verifier and tests). */
+  private[graft] def minhashSignatures16(s: SparkSession, d: String): DataFrame = {
     val mhCols = (0 until NPERM).map { j =>
       min((col("h") * permA(j) + permB(j)) % P).as(s"mh$j")
     }
-    val sig = unigramHashes(s, d).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    unigramHashes(s, d).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).cache()
+  }
+
+  /** Distinct LSH band-collision candidate pairs (da < db) from a
+    * signature DataFrame — the equi-join that stays O(candidates) at
+    * 100 TB instead of O(n²). */
+  private[graft] def minhashBandCandidates(sig: DataFrame): DataFrame = {
     // one generator pass, not an 8-way union (which would recompute
     // the signature aggregation once per band per join side)
     val bandStructs = array((0 until NPERM / 2).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))
     }: _*)
-    // cached: the signature aggregation would otherwise run once per
-    // self-join side. Band rows are 8 small strings per doc — tiny
-    // next to the corpus, so this persists fine at scale.
     val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
-      .cache()
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-      .orderBy("da", "db")
+  }
+
+  /** MinHash + LSH banding over unigram sets: 16 affine permutations of
+    * a 28-bit md5-derived hash, 8 bands × 2 rows; candidate pairs =
+    * distinct band-key matches. */
+  val qDedupMinhash: Q = (s, d) =>
+    minhashBandCandidates(minhashSignatures16(s, d)).orderBy("da", "db")
+
+  /** Minimum signature agreement (of 16) for a verified near-dup edge:
+    * estimated Jaccard ≥ 12/16 = 0.75. */
+  private val CLUSTER_MIN_AGREE = 12
+  private val CLUSTER_MAX_ITERS = 30
+
+  /** Near-dup CLUSTERING + canonical keeper — the step that turns
+    * candidate pairs into dedup decisions. Verified edges (band
+    * candidates whose signatures agree on ≥ 12/16 permutations) form a
+    * graph; connected components are computed by iterative min-label
+    * propagation to a fixpoint (driver loop of join + min-aggregate,
+    * O(diameter) rounds — near-dup clusters are near-cliques, so a
+    * handful in practice; each round is one shuffle over |edges|).
+    * The component root (min doc_id) IS the kept canonical doc.
+    * Output: one row per cluster (root, size). */
+  val qDedupCluster: Q = (s, d) => {
+    val sig = minhashSignatures16(s, d)
+    val cand = minhashBandCandidates(sig)
+    val agree = (0 until NPERM)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pairs = cand
+      .join(sig.as("a"), col("da") === col("a.doc_id"))
+      .join(sig.as("b"), col("db") === col("b.doc_id"))
+      .where(agree >= CLUSTER_MIN_AGREE)
+      .select("da", "db")
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .cache()
+    var labels = sig.select(col("doc_id").as("id"), col("doc_id").as("lbl")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < CLUSTER_MAX_ITERS) {
+      val prop = edges.join(labels, col("da") === col("id"))
+        .select(col("db").as("id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    require(converged, s"label propagation did not converge in $CLUSTER_MAX_ITERS rounds")
+    edges.unpersist(blocking = false)
+    labels.groupBy("lbl").agg(count(lit(1)).as("n_docs"))
+      .select(col("lbl").as("cluster_root"), col("n_docs"))
+      .orderBy("cluster_root")
   }
 
   /** 32-bit SimHash near-dup pairs (hamming ≤ 3) via 4×8-bit banding.
@@ -210,7 +267,8 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
-    "q_dedup_embcos" -> qDedupEmbCos
+    "q_dedup_embcos" -> qDedupEmbCos,
+    "q_dedup_cluster" -> qDedupCluster
   )
 
   private val toksSql =
@@ -263,6 +321,31 @@ object Dedup {
          |FROM bands a JOIN bands b
          |  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY da, db""".stripMargin,
+    // Connected components via a recursive CTE: min reachable label ==
+    // the fixpoint of the engine's min-label propagation.
+    "q_dedup_cluster" -> {
+      val agreeSql = (0 until NPERM)
+        .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""${unigramSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id, $mhCols FROM uh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT da, db FROM cand
+         |          JOIN sig sa ON cand.da = sa.doc_id
+         |          JOIN sig sb ON cand.db = sb.doc_id
+         |          WHERE ($agreeSql) >= $CLUSTER_MIN_AGREE),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM sig
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lbl) AS root FROM reach GROUP BY id)
+         |SELECT root AS cluster_root, count(*) AS n_docs
+         |FROM comp GROUP BY root ORDER BY cluster_root""".stripMargin
+    },
     // The oracle may brute-force (reference-scale DuckDB); the banding
     // is provably lossless at hamming <= 3, so the row sets coincide.
     "q_dedup_simhash" ->

@@ -84,9 +84,11 @@ object Pipeline {
     * bloom is what keeps join input proportional to candidate shingles,
     * not the corpus. */
   val qDecontaminate: Q = (s, d) => {
+    // cached: the eval and train splits both read this shingle pass
     val sh = Tables.documents(s, d)
       .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), col("lang"), explode(shingles(col("w"), 3)).as("s"))
+      .cache()
     val bench = sh.where(col("doc_id") % DECON_MOD === 0).select("s").distinct().cache()
     val train = sh.where(col("doc_id") % DECON_MOD =!= 0)
     val bf = bench.stat.bloomFilter("s", 200000, 0.01)
