@@ -214,10 +214,42 @@ object Relational {
   }
 
   /** HLL sketch distinct — no oracle (algorithm-dependent), rows-only. */
+  /** HyperLogLog implemented as COMPOSED relational ops with a
+    * cross-engine-deterministic md5-derived hash: 256 registers from
+    * the low 8 hash bits, rho from the remaining 20. Unlike
+    * `approx_count_distinct` (engine-private sketch bytes — round 1
+    * scored it rows-only), every step here is reproducible in DuckDB,
+    * so the ESTIMATE itself is oracle-hash-checked. Register
+    * contributions are dyadic rationals (2^-rho via integer shift, no
+    * libm pow) bounded well inside double's 53 bits, so the aggregate
+    * sum is EXACT regardless of partition order — the property that
+    * makes a floating aggregate hash-comparable at all. Exact distinct
+    * and relative error ride along so accuracy is honest (~2-6% at m =
+    * 256). Shuffle profile: partial-agg groupBy(flag, bucket) — at
+    * most 256 rows per group out of the map side — then a tiny final
+    * reduce; the exact side is the usual distinct aggregate. */
   val qAggHll: Q = (s, d) => {
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    val m = 256
+    import graft.functions.GraftFunctions.hash28
+    val regs = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), hash28(col("l_partkey").cast("string")).as("h"))
+      .withColumn("bucket", col("h") % m)
+      .withColumn("w", floor(col("h") / m).cast("long"))
+      .withColumn("rho", when(col("w") === 0, lit(21))
+        .otherwise(lit(21) - length(bin(col("w")))))
+      .groupBy("l_returnflag", "bucket").agg(max("rho").as("mj"))
+    val est = regs.groupBy("l_returnflag")
+      .agg(sum(lit(1.0) / expr("shiftleft(1, mj)")).as("present_sum"),
+        count(lit(1)).as("n_present"))
+      .withColumn("hll_estimate",
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m)) * lit(65536.0)
+          / (col("present_sum") + (lit(m) - col("n_present"))), 4))
+    val exact = Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact_nd"))
+    est.join(exact, "l_returnflag")
+      .withColumn("rel_err",
+        round(abs(col("hll_estimate") - col("exact_nd")) / col("exact_nd"), 4))
+      .select("l_returnflag", "hll_estimate", "exact_nd", "rel_err")
       .orderBy("l_returnflag")
   }
 
@@ -771,6 +803,32 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // deterministic HLL: every arithmetic step mirrored from qAggHll;
+    // 2^-rho via integer shift (exact dyadic), literals cast to DOUBLE
+    // (DuckDB decimal literals would otherwise use DECIMAL division)
+    "q_agg_hll" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h % 256 AS bucket,
+        |        CAST(floor(h / 256) AS BIGINT) AS w FROM h),
+        |rho AS (SELECT l_returnflag, bucket,
+        |        CASE WHEN w = 0 THEN 21 ELSE 21 - length(bin(w)) END AS rho FROM r),
+        |regs AS (SELECT l_returnflag, bucket, max(rho) AS mj FROM rho GROUP BY 1, 2),
+        |est AS (SELECT l_returnflag,
+        |          sum(CAST(1.0 AS DOUBLE) / (1 << mj)) AS present_sum,
+        |          count(*) AS n_present
+        |        FROM regs GROUP BY 1),
+        |e2 AS (SELECT l_returnflag,
+        |         round(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 256)
+        |           * CAST(65536.0 AS DOUBLE) / (present_sum + (256 - n_present)), 4) AS hll_estimate
+        |       FROM est),
+        |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd
+        |       FROM lineitem GROUP BY 1)
+        |SELECT e2.l_returnflag AS l_returnflag, hll_estimate, exact_nd,
+        |  round(abs(hll_estimate - exact_nd) / exact_nd, 4) AS rel_err
+        |FROM e2 JOIN ex ON e2.l_returnflag = ex.l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
