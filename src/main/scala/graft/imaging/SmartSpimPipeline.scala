@@ -83,11 +83,14 @@ object SmartSpimPipeline {
         min(when(col("zs") =!= "", col("zs").cast("long"))).as("zmin"),
         max(when(col("zs") =!= "", col("zs").cast("long"))).as("zmax"),
         countDistinct(when(col("zs") =!= "", col("zs").cast("long"))).as("nd"),
-        countDistinct(when(col("zs") =!= "", length(col("zs")))).as("nw"))
+        // single-width check via min/max, not a second countDistinct
+        // (each distinct agg multiplies the pre-shuffle rows)
+        min(when(col("zs") =!= "", length(col("zs")))).as("wmin"),
+        max(when(col("zs") =!= "", length(col("zs")))).as("wmax"))
       .collect() // one tiny row per stack
     val filenameIsZ = chk.nonEmpty && chk.forall { r =>
       r.getAs[Long]("non_numeric") == 0L &&
-        r.getAs[Long]("nw") == 1L &&
+        r.getAs[Int]("wmin") == r.getAs[Int]("wmax") &&
         r.getAs[Long]("zmin") == 0L &&
         r.getAs[Long]("zmax") == r.getAs[Long]("n") - 1 &&
         r.getAs[Long]("nd") == r.getAs[Long]("n")

@@ -72,12 +72,15 @@ class CodecSpec extends AnyFunSuite with PropSupport {
   }
 
   test("blosc multi-block roundtrip (> blocksize input, leftover block)") {
-    // 600,002 bytes: 3 blocks of 256 KiB + a leftover, odd element tail
-    val data = Array.tabulate[Byte](600002)(i => ((i * 31 + i / 997) % 251).toByte)
+    // 2 full 4 MiB blocks + a leftover with an odd element tail
+    val n = 2 * 4 * 1024 * 1024 + 600_001
+    val data = Array.tabulate[Byte](n)(i => ((i * 31 + i / 997) % 251).toByte)
     for (shuf <- Seq(true, false)) {
       val frame = BloscCodec.compress(data, 2, 3, shuf)
-      val nblocks = (600002 + 256 * 1024 - 1) / (256 * 1024)
-      assert(nblocks == 3)
+      // header blocksize × declared block count must cover nbytes
+      val bs = java.nio.ByteBuffer.wrap(frame, 8, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      assert((n + bs - 1) / bs == 3, "expected a 3-block frame")
       assert(BloscCodec.decompress(frame).sameElements(data))
     }
   }
