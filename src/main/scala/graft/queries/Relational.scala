@@ -174,6 +174,33 @@ object Relational {
       .orderBy("p_type")
   }
 
+  /** PURE interval join (no equi key at all — the plan Spark would
+    * otherwise run as an O(n·m) BroadcastNestedLoopJoin): each sampled
+    * order's 30-day window matched to every lineitem shipped inside it.
+    * Expressed as a BINNED range join — the standard at-scale rewrite:
+    * bin width = interval length, so each interval explodes to ≤ 2
+    * bucket rows and each item to exactly 1; the join is then a plain
+    * equi-join on the bucket with the exact range as a residual filter,
+    * and each qualifying pair matches in exactly one bucket (no dedup
+    * needed). Cost is O(pairs-in-bucket), partitioned by time. */
+  val qJoinInterval: Q = (s, d) => {
+    val W = 30 // days per bucket == interval length
+    val orders = Tables.orders(s, d).where(col("o_orderkey") % 501 === 0)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("lo"))
+      .withColumn("hi", date_add(col("lo"), W))
+      .withColumn("bucket",
+        explode(sequence(floor(unix_date(col("lo")) / W),
+          floor(unix_date(col("hi")) / W))))
+    val items = Tables.lineitem(s, d)
+      .select(to_date(col("l_shipdate")).as("ship"), col("l_quantity"))
+      .withColumn("bucket", floor(unix_date(col("ship")) / W))
+    orders.join(items, Seq("bucket"))
+      .where(col("ship") >= col("lo") && col("ship") <= col("hi"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** As-of join: for each purchase, the latest click at-or-before it by
     * the same user. Composed from union + window `last(ignoreNulls)` —
     * a single shuffle on user_id, no join at all (SURVEY §2.4).
@@ -672,6 +699,7 @@ object Relational {
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_range" -> qJoinRange,
+    "q_join_interval" -> qJoinInterval,
     "q_join_asof" -> qJoinAsof,
     "q_join_cross" -> qJoinCross,
     "q_agg_distinct" -> qAggDistinct,
@@ -783,6 +811,16 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_extendedprice > p_retailprice * 20.0
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // the oracle states the PLAIN interval semantics; the engine's
+    // binning is an execution strategy, invisible in the result
+    "q_join_interval" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS lo,
+        |             CAST(o_orderdate AS DATE) + 30 AS hi
+        |           FROM orders WHERE o_orderkey % 501 = 0)
+        |SELECT o_orderkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM o JOIN lineitem
+        |  ON CAST(l_shipdate AS DATE) >= lo AND CAST(l_shipdate AS DATE) <= hi
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q_join_asof" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id,

@@ -90,6 +90,14 @@ class PlanSpec extends AnyFunSuite {
       "tf ⋈ df must be a shuffle join on term")
   }
 
+  test("binned interval join is an equi-join on the bucket, never a nested loop") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "a pure range condition must not plan as a nested loop after binning")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"))
+  }
+
   test("pipeline ops: packing window partitions; decontamination stays equi-join") {
     val p1 = plan("q_pack_sequences")
     assert(p1.contains("hashpartitioning"),
