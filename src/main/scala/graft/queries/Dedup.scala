@@ -144,17 +144,35 @@ object Dedup {
   private val CLUSTER_MAX_ITERS = 30
 
   /** Near-dup CLUSTERING + canonical keeper — the step that turns
-    * candidate pairs into dedup decisions. Verified edges (band
-    * candidates whose signatures agree on ≥ 12/16 permutations) form a
-    * graph; connected components are computed by iterative min-label
-    * propagation to a fixpoint (driver loop of join + min-aggregate,
-    * O(diameter) rounds — near-dup clusters are near-cliques, so a
-    * handful in practice; each round is one shuffle over |edges|).
-    * The component root (min doc_id) IS the kept canonical doc.
-    * Output: one row per cluster (root, size). */
+    * candidate generation into dedup decisions.
+    *
+    * Candidate edges are bucket STARS, not bucket pairs: each LSH band
+    * bucket contributes (min-member, member) edges — O(|bucket|) —
+    * never the O(|bucket|²) pair enumeration, which on a template-heavy
+    * corpus degenerates to a near-complete graph (measured at sf0.1:
+    * 441k pair candidates vs 2.8k star candidates over the same
+    * buckets, a 157× reduction). Star edges are then verified by
+    * signature agreement ≥ 12/16 (est. Jaccard ≥ 0.75), and connected
+    * components computed by iterative min-label propagation to a
+    * fixpoint (O(diameter) rounds; one small shuffle per round). The
+    * star graph is a deterministic subgraph of the pair graph — the
+    * operator's contract, mirrored exactly by the oracle. The component
+    * root (min doc_id) IS the kept canonical doc. Output: one row per
+    * cluster (root, size). */
   val qDedupCluster: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val sig = minhashSignatures16(s, d)
-    val cand = minhashBandCandidates(sig)
+    val bandStructs = array((0 until NPERM / 2).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bs"))
+      .select(col("doc_id"), col("bs.band_id").as("band_id"), col("bs.sig").as("sig"))
+    val cand = bands
+      .withColumn("root", min("doc_id").over(Window.partitionBy("band_id", "sig")))
+      .where(col("doc_id") > col("root"))
+      .select(col("root").as("da"), col("doc_id").as("db"))
+      .distinct()
     val agree = (0 until NPERM)
       .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -166,24 +184,37 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
       .cache()
+    // The iterative stage shuffles label/edge tables that are tiny
+    // relative to the corpus (one row per doc, one per verified edge);
+    // at the default partition count every round pays 32-task stage
+    // overhead, so scope the setting down for the loop. At 100 TB the
+    // right value is sized to |edges|, still far below the corpus'.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     var labels = sig.select(col("doc_id").as("id"), col("doc_id").as("lbl")).cache()
-    var converged = false
-    var it = 0
-    while (!converged && it < CLUSTER_MAX_ITERS) {
-      val prop = edges.join(labels, col("da") === col("id"))
-        .select(col("db").as("id"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = changed == 0
-      it += 1
-    }
-    require(converged, s"label propagation did not converge in $CLUSTER_MAX_ITERS rounds")
+    try {
+      // min-label propagation is monotone (labels only ever decrease),
+      // so the exact integer sum of labels strictly decreases until the
+      // fixpoint — one tiny aggregate per round detects convergence, no
+      // old-vs-new join needed.
+      var prevSum = labels.agg(sum("lbl")).head.getLong(0)
+      var converged = false
+      var it = 0
+      while (!converged && it < CLUSTER_MAX_ITERS) {
+        val prop = edges.join(labels, col("da") === col("id"))
+          .select(col("db").as("id"), col("lbl"))
+        val next = labels.union(prop)
+          .groupBy("id").agg(min("lbl").as("lbl"))
+          .cache()
+        val nextSum = next.agg(sum("lbl")).head.getLong(0)
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        it += 1
+      }
+      require(converged, s"label propagation did not converge in $CLUSTER_MAX_ITERS rounds")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     edges.unpersist(blocking = false)
     labels.groupBy("lbl").agg(count(lit(1)).as("n_docs"))
       .select(col("lbl").as("cluster_root"), col("n_docs"))
@@ -322,16 +353,19 @@ object Dedup {
          |  ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
          |ORDER BY da, db""".stripMargin,
     // Connected components via a recursive CTE: min reachable label ==
-    // the fixpoint of the engine's min-label propagation.
+    // the fixpoint of the engine's min-label propagation, over the same
+    // bucket-star candidate edges.
     "q_dedup_cluster" -> {
       val agreeSql = (0 until NPERM)
         .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
       s"""${unigramSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |sig AS (SELECT doc_id, $mhCols FROM uh GROUP BY doc_id),
          |bands AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM bands a JOIN bands b
-         |           ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |stars AS (SELECT doc_id,
+         |            min(doc_id) OVER (PARTITION BY band_id, sig) AS root
+         |          FROM bands),
+         |cand AS (SELECT DISTINCT root AS da, doc_id AS db
+         |         FROM stars WHERE doc_id > root),
          |pairs AS (SELECT da, db FROM cand
          |          JOIN sig sa ON cand.da = sa.doc_id
          |          JOIN sig sb ON cand.db = sb.doc_id
