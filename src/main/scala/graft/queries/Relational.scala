@@ -201,6 +201,22 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Wide→long unpivot (melt): per-measure rows from the lineitem
+    * measure columns. Pure map-side row expansion — the inverse surface
+    * of `q_agg_pivot`. */
+  val qUnpivot: Q = (s, d) => {
+    Tables.lineitem(s, d).where(col("l_orderkey") % 5000 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"),
+        col("l_tax").cast("double").as("tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+
   /** As-of join: for each purchase, the latest click at-or-before it by
     * the same user. Composed from union + window `last(ignoreNulls)` —
     * a single shuffle on user_id, no join at all (SURVEY §2.4).
@@ -700,6 +716,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti,
     "q_join_range" -> qJoinRange,
     "q_join_interval" -> qJoinInterval,
+    "q_unpivot" -> qUnpivot,
     "q_join_asof" -> qJoinAsof,
     "q_join_cross" -> qJoinCross,
     "q_agg_distinct" -> qAggDistinct,
@@ -811,6 +828,16 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_extendedprice > p_retailprice * 20.0
         |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q_unpivot" ->
+      """WITH w AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS DOUBLE) AS quantity,
+        |  CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+        |  CAST(l_discount AS DOUBLE) AS discount,
+        |  CAST(l_tax AS DOUBLE) AS tax
+        |  FROM lineitem WHERE l_orderkey % 5000 = 0)
+        |SELECT l_orderkey, l_linenumber, metric, value
+        |FROM w UNPIVOT (value FOR metric IN (quantity, extendedprice, discount, tax))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     // the oracle states the PLAIN interval semantics; the engine's
     // binning is an execution strategy, invisible in the result
     "q_join_interval" ->
