@@ -191,7 +191,14 @@ object Dedup {
     // right value is sized to |edges|, still far below the corpus'.
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    var labels = sig.select(col("doc_id").as("id"), col("doc_id").as("lbl")).cache()
+    // localCheckpoint (NOT cache) each round: iteration i's plan embeds
+    // iteration i-1's TWICE (union + join), so without lineage
+    // truncation the logical tree — and per-round analysis time — grows
+    // as 2^i. Checkpointing pins each round to its materialized RDD and
+    // keeps every round's plan constant-size; this is the difference
+    // between O(rounds) and O(2^rounds) on any iterative dataflow.
+    var labels = sig.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
     try {
       // min-label propagation is monotone (labels only ever decrease),
       // so the exact integer sum of labels strictly decreases until the
@@ -205,9 +212,8 @@ object Dedup {
           .select(col("db").as("id"), col("lbl"))
         val next = labels.union(prop)
           .groupBy("id").agg(min("lbl").as("lbl"))
-          .cache()
+          .localCheckpoint(true)
         val nextSum = next.agg(sum("lbl")).head.getLong(0)
-        labels.unpersist(blocking = false)
         labels = next
         converged = nextSum == prevSum
         prevSum = nextSum
