@@ -255,6 +255,41 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  test("corrupt/truncated PNGs fail cleanly, never with a bounds error") {
+    val px = new Array[Byte](16 * 16 * 2)
+    val good = ImageCodec.encodePng16(16, 16, px)
+    // truncations at every region: header, IHDR, mid-IDAT, tail. The
+    // contract: decode returns an image (ImageIO tolerates some
+    // truncation) or fails cleanly — never a bounds/allocation error
+    // from the fast path.
+    for (cut <- Seq(4, 20, 40, good.length / 2, good.length - 3)) {
+      val bad = java.util.Arrays.copyOf(good, cut)
+      try ImageCodec.decode(bad)
+      catch {
+        case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException) =>
+          fail(s"cut=$cut escaped as ${e.getClass.getSimpleName}")
+        case _: Exception => () // clean failure
+      }
+    }
+    // bit-flipped IDAT payload: either decodes (bad pixels) or fails
+    // cleanly — never IndexOutOfBounds/NegativeArraySize
+    val flipped = good.clone()
+    flipped(good.length / 2) = (flipped(good.length / 2) ^ 0x55).toByte
+    try ImageCodec.decode(flipped)
+    catch {
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException =>
+        fail("corrupt PNG must not escape as a bounds error")
+      case _: Exception => () // clean failure is fine
+    }
+    // adversarial IHDR: absurd dimensions must be rejected before allocation
+    val evil = good.clone()
+    // w and h fields at offsets 16/20 (big-endian)
+    for (o <- Seq(16, 20); i <- 0 until 4) evil(o + i) = 0x7F.toByte
+    try ImageCodec.decode(evil)
+    catch { case _: OutOfMemoryError => fail("adversarial header caused allocation")
+            case _: Exception => () }
+  }
+
   test("16-bit grayscale TIFF decodes voxel-exact (JDK ImageIO plugin)") {
     val w = 40; val h = 24
     val img = new java.awt.image.BufferedImage(w, h,

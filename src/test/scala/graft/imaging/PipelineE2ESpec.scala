@@ -192,6 +192,31 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(byZ == expected, "fallback z must be the alphabetical rank")
   }
 
+  test("TIFF stack converts end-to-end voxel-exact (F2/S2 tif path)") {
+    val root = Files.createTempDirectory("graft-e2e-tiff")
+    val stack = root.resolve("SmartSPIM/Ex_445_Em_469/440000/440000_460000")
+    Files.createDirectories(stack)
+    val (nz, ny, nx) = (3, 40, 48)
+    for (z <- 0 until nz) {
+      val img = new java.awt.image.BufferedImage(nx, ny,
+        java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+      for (y <- 0 until ny; x <- 0 until nx)
+        img.getRaster.setSample(x, y, 0, voxel(z, y, x))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "TIFF", bos))
+      Files.write(stack.resolve(f"$z%06d.tif"), bos.toByteArray)
+    }
+    val out = root.resolve("out")
+    SmartSpimJob.convertStack(spark, stack, JobSettings(
+      inputSource = root.toString, outputDirectory = out.toString,
+      chunkSize = CHUNK, downsampleLevels = 1), Seq(2.0, 1.8, 1.8))
+    val store = out.resolve("Ex_445_Em_469/440000_460000.ome.zarr").toString
+    val lvl0 = SmartSpimPipeline.readLevel(store, 0, Seq(nz, ny, nx), CHUNK, compressed = true)
+    for (z <- 0 until nz; y <- 0 until ny; x <- 0 until nx)
+      assert((lvl0((z * ny + y) * nx + x) & 0xFFFF) == voxel(z, y, x),
+        s"tiff voxel mismatch at ($z,$y,$x)")
+  }
+
   test("uncompressed store (compressor none) also round-trips") {
     val root = Files.createTempDirectory("graft-e2e-raw")
     val stack = writeFixture(root)
