@@ -90,6 +90,15 @@ class PlanSpec extends AnyFunSuite {
       "tf ⋈ df must be a shuffle join on term")
   }
 
+  test("new operators prune their scans to the referenced columns") {
+    assert(plan("q_sample_stratified")
+      .contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "sampling must not read text")
+    assert(plan("q_agg_hll")
+      .contains("ReadSchema: struct<l_partkey:bigint,l_returnflag:string>"),
+      "hll must read only the hashed key and the group")
+  }
+
   test("binned interval join is an equi-join on the bucket, never a nested loop") {
     val p = plan("q_join_interval")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
