@@ -150,7 +150,39 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Count-Min sketch heavy hitters — like q_agg_hll, a sketch built
+    * from COMPOSED relational ops with cross-engine-deterministic
+    * md5-derived hashes, so the ESTIMATES are oracle-hash-checked:
+    * 4 rows × 256 counters; CMS[j][b] = Σ counts of tokens hashing to
+    * b under row-hash j (built from the partial-aggregated per-token
+    * counts — legitimate map-side combine, the sums are associative);
+    * a token's estimate is the min over its 4 counters, ≥ exact by
+    * construction. Output: the exact top-10 tokens with exact count,
+    * estimate, and overcount — honest accuracy reporting. At 100 TB
+    * the sketch is 4×256 longs per partition merged once; the exact
+    * side here exists only to score it. */
+  val qTextHeavyHitters: Q = (s, d) => {
+    val D = 4; val W = 256
+    val tokCounts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .cache() // feeds the sketch build, the top-k pick and the scoring join
+    def jb(j: Int): Column = struct(lit(j).as("j"),
+      (hash28(concat(lit(j.toString), lit("_"), col("tok"))) % W).as("b"))
+    val sketch = tokCounts
+      .select(col("c"), explode(array((0 until D).map(jb): _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b")).agg(sum("c").as("s"))
+    val top = tokCounts.orderBy(col("c").desc, col("tok").asc).limit(10)
+    top.select(col("tok"), col("c"), explode(array((0 until D).map(jb): _*)).as("jb"))
+      .join(sketch, col("jb.j") === col("j") && col("jb.b") === col("b"))
+      .groupBy("tok", "c").agg(min("s").as("est"))
+      .select(col("tok"), col("c").as("exact"), col("est"),
+        (col("est") - col("c")).as("overcount"))
+      .orderBy(col("exact").desc, col("tok").asc)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_text_heavyhitters" -> qTextHeavyHitters,
     "q_text_zipf" -> qTextZipf,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
@@ -164,6 +196,20 @@ object TextAnalysis {
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_heavyhitters" ->
+      s"""WITH tc AS (SELECT tok, count(*) AS c FROM (
+         |    SELECT unnest($toksAll) AS tok FROM documents) t GROUP BY tok),
+         |jb AS (SELECT tok, c, j,
+         |         CAST(concat('0x', substr(md5(concat(j, '_', tok)), 1, 7)) AS BIGINT) % 256 AS b
+         |       FROM tc, unnest(range(0, 4)) u(j)),
+         |sketch AS (SELECT j, b, CAST(sum(c) AS BIGINT) AS s FROM jb GROUP BY j, b),
+         |top AS (SELECT tok, c FROM tc ORDER BY c DESC, tok ASC LIMIT 10),
+         |est AS (SELECT top.tok, top.c, min(s) AS est
+         |        FROM top JOIN jb ON top.tok = jb.tok
+         |        JOIN sketch ON jb.j = sketch.j AND jb.b = sketch.b
+         |        GROUP BY top.tok, top.c)
+         |SELECT tok, c AS exact, est, est - c AS overcount FROM est
+         |ORDER BY exact DESC, tok ASC""".stripMargin,
     "q_text_zipf" ->
       s"""WITH f AS (
          |  SELECT tok, count(*) AS freq FROM (
