@@ -29,6 +29,19 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     assert(BloscCodec.shuffle(data, 2).sameElements(Array[Byte](1, 3, 5, 2, 4, 6)))
   }
 
+  test("blosc roundtrip holds for any typesize, length and tail remainder") {
+    forAllN2(Gen.choose(0, 50000), Gen.choose(1, 9), 40) { (n, ts) =>
+      // deterministic mildly-compressible payload; lengths NOT aligned
+      // to the typesize exercise the raw-tail shuffle path
+      val data = Array.tabulate[Byte](n)(i => ((i * 7 + i / 31) % 113).toByte)
+      for (shuf <- Seq(true, false)) {
+        val frame = BloscCodec.compress(data, ts, 3, shuf)
+        assert(BloscCodec.decompress(frame).sameElements(data),
+          s"n=$n ts=$ts shuffle=$shuf")
+      }
+    }
+  }
+
   test("blosc header fields match the c-blosc1 spec (README_HEADER.rst)") {
     val data = Array.tabulate[Byte](256)(i => (i % 7).toByte) // compressible
     val frame = BloscCodec.compress(data, 2, 3, true)
