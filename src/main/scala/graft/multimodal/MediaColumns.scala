@@ -10,10 +10,12 @@ import graft.imaging.ImageCodec
   * mapInPandas stage: the executor amortizes codec setup across a
   * partition and never materializes more than one batch.
   *
-  * Image decode is REAL (16-bit PNG/TIFF via graft.imaging.ImageCodec);
-  * audio/video feature extraction is a deterministic stub (`fakeAudio`)
-  * because no codec library ships in this environment — the schema,
-  * partitioning and batch shape are the production ones.
+  * Image decode is REAL (16-bit PNG/TIFF via graft.imaging.ImageCodec),
+  * and so is audio for RIFF/WAVE PCM16 (`decodeWavFeatures` — WAV needs
+  * no codec library, just the RIFF chunk walk). Compressed audio and
+  * video remain deterministic stubs (`fakeAudioFeatures`,
+  * `sampleFrames`) because no codec library ships in this environment —
+  * their schema, partitioning and batch shape are the production ones.
   */
 object MediaColumns {
 
@@ -59,6 +61,75 @@ object MediaColumns {
         m.bytes.foreach { b => val v = (b & 0xFF) - 128; sumSq += v.toDouble * v }
         AudioFeatures(m.id, m.bytes.length,
           if (m.bytes.isEmpty) 0.0 else math.sqrt(sumSq / m.bytes.length))
+      }
+    }
+  }
+
+  final case class WavFeatures(id: Long, sampleRate: Int, channels: Int,
+      nSamples: Int, durationMs: Double, rms: Double)
+
+  /** Minimal canonical RIFF/WAVE PCM16 mono encoder (44-byte header) —
+    * fixture/test side of the real decoder below. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL audio decode for RIFF/WAVE PCM16: walks the chunk list
+    * (fmt / data; unknown chunks skipped with RIFF even-padding),
+    * validates PCM 16-bit, and extracts rate/duration/RMS — per
+    * partition, like every decoder here. */
+  def decodeWavFeatures(media: Dataset[MediaRow]): Dataset[WavFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val b = m.bytes
+        def le32(o: Int): Int =
+          (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+          ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+        def le16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+        def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+        require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+          "not a RIFF/WAVE payload")
+        var off = 12
+        var rate = -1; var channels = -1; var bits = -1
+        var dataOff = -1; var dataLen = -1
+        while (off + 8 <= b.length) {
+          val id = tag(off); val len = le32(off + 4)
+          require(len >= 0 && off + 8 + len <= b.length, s"truncated $id chunk")
+          id match {
+            case "fmt " =>
+              require(le16(off + 8) == 1, "only PCM wav supported")
+              channels = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+            case "data" => dataOff = off + 8; dataLen = len
+            case _ => () // LIST/INFO/etc: skip
+          }
+          off += 8 + len + (len & 1) // chunks are even-padded
+        }
+        require(rate > 0 && channels > 0 && dataOff >= 0, "missing fmt /data chunk")
+        require(bits == 16, s"only 16-bit PCM supported, got $bits")
+        val n = dataLen / (2 * channels)
+        var sumSq = 0.0
+        var i = 0
+        while (i < n * channels) {
+          val v = ((b(dataOff + 2 * i + 1) << 8) | (b(dataOff + 2 * i) & 0xFF))
+            .toShort.toDouble
+          sumSq += v * v
+          i += 1
+        }
+        WavFeatures(m.id, rate, channels, n, n * 1000.0 / rate,
+          if (n == 0) 0.0 else math.sqrt(sumSq / (n * channels)))
       }
     }
   }

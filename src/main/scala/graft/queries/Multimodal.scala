@@ -99,7 +99,38 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Real audio, end to end: synthesize a PCM16 WAV per embedding row
+    * (samples = clamped floor(x·1000)), run the REAL RIFF encode →
+    * chunk-walk decode → feature extraction, and let the oracle
+    * recompute rate/duration/RMS straight from the floats — one wrong
+    * byte anywhere in the WAV path fails the hash (same pattern as
+    * q_mm_resize for images). */
+  val qMmWav: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    val e = Tables.embeddings(s, d).where(col("vec_id") < 40)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val media = e.mapPartitions { it =>
+      it.map { case (id, emb) =>
+        val samples = emb.map { x =>
+          math.max(-32768L,
+            math.min(32767L, math.floor(x.toDouble * 1000).toLong)).toShort
+        }
+        MediaColumns.MediaRow(id, "audio/wav",
+          MediaColumns.encodeWavPcm16(8000, samples))
+      }
+    }
+    MediaColumns.decodeWavFeatures(media).toDF()
+      .select(col("id").as("vec_id"), col("sampleRate").as("sample_rate"),
+        col("channels"), col("nSamples").as("n_samples"),
+        round(col("durationMs"), 4).as("duration_ms"),
+        round(col("rms"), 4).as("rms"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_mm_wav" -> qMmWav,
     "q_mm_meta" -> qMmMeta,
     "q_mm_pixels" -> qMmPixels,
     "q_mm_resize" -> qMmResize,
@@ -107,6 +138,17 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_mm_wav" ->
+      """WITH s AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(greatest(-32768, least(32767,
+        |        CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 40)
+        |SELECT vec_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(len(v) AS INT) AS n_samples,
+        |  round(CAST(len(v) AS DOUBLE) * 1000 / 8000, 4) AS duration_ms,
+        |  round(sqrt(list_sum(list_transform(v, x -> x * x)) / len(v)), 4) AS rms
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS digest, substr(md5(text), 1, 8) AS digest8

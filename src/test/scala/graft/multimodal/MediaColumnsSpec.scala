@@ -35,6 +35,44 @@ class MediaColumnsSpec extends AnyFunSuite {
     assert(f.nSamples == 4 && f.rms == 128.0)
   }
 
+  test("WAV PCM16 round-trips through the real RIFF encoder/decoder") {
+    import spark.implicits._
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5)
+    val media = Seq(MediaRow(7, "audio/wav", encodeWavPcm16(8000, samples))).toDS()
+    val f = decodeWavFeatures(media).collect().head
+    assert(f.sampleRate == 8000 && f.channels == 1 && f.nSamples == 6)
+    assert(f.durationMs == 6 * 1000.0 / 8000)
+    val expectRms = math.sqrt(samples.map(s => s.toDouble * s).sum / 6)
+    assert(math.abs(f.rms - expectRms) < 1e-9)
+  }
+
+  test("WAV decoder skips unknown chunks and rejects non-RIFF / non-PCM16") {
+    import spark.implicits._
+    val good = encodeWavPcm16(8000, Array[Short](3, 4))
+    // splice a LIST chunk (odd length → even padding) between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = good.take(fmtEnd) ++ list ++ good.drop(fmtEnd)
+    // patch the RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val f = decodeWavFeatures(Seq(MediaRow(1, "audio/wav", spliced)).toDS())
+      .collect().head
+    assert(f.nSamples == 2 && f.sampleRate == 8000)
+    // non-RIFF payload rejected
+    intercept[Exception] {
+      decodeWavFeatures(Seq(MediaRow(2, "audio/wav", "nope".getBytes)).toDS()).collect()
+    }
+    // 8-bit wav rejected (bits field patched)
+    val bad8 = good.clone()
+    java.nio.ByteBuffer.wrap(bad8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(34, 8)
+    intercept[Exception] {
+      decodeWavFeatures(Seq(MediaRow(3, "audio/wav", bad8)).toDS()).collect()
+    }
+  }
+
   test("withMediaMeta adds digest and length columns") {
     import spark.implicits._
     val df = Seq((1L, "abc".getBytes("UTF-8"))).toDF("id", "payload")
