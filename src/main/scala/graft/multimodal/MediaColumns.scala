@@ -179,10 +179,95 @@ object MediaColumns {
     }
   }
 
+  final case class AviFrame(id: Long, frameIdx: Int, width: Int, height: Int,
+      bytes: Array[Byte])
+
+  /** Minimal RIFF/AVI encoder for uncompressed ('00db') frames:
+    * hdrl LIST with a 56-byte avih header, movi LIST with one even-
+    * padded chunk per frame — the fixture/test side of the real
+    * container walker below. */
+  def encodeAvi(width: Int, height: Int, frames: Seq[Array[Byte]],
+      microSecPerFrame: Int = 40000): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + payload.length)
+        .put(listType.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(microSecPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height)
+      .array() // 4 reserved ints stay zero
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00db", f)))
+    val body = hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+
+  /** REAL video-container frame sampler for RIFF/AVI: walks the chunk
+    * tree (hdrl → avih for dimensions, movi → '00db'/'00dc' frame
+    * chunks, unknown chunks/lists skipped with even-padding) and emits
+    * every `everyN`th frame with its source index — no codec required
+    * for uncompressed frames, which is exactly what a feature-extract
+    * stage consumes. Per-partition batch transform. */
+  def sampleFramesAvi(media: Dataset[MediaRow], everyN: Int): Dataset[AviFrame] = {
+    require(everyN > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val b = m.bytes
+      def le32(o: Int): Int =
+        (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+      require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+        "not a RIFF/AVI payload")
+      var width = -1; var height = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, to: Int, inMovi: Boolean, inHdrl: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = tag(off); val len = le32(off + 4)
+          require(len >= 0 && off + 8 + len <= to, s"truncated $id chunk")
+          id match {
+            case "LIST" =>
+              val lt = tag(off + 8)
+              walk(off + 12, off + 8 + len, lt == "movi", lt == "hdrl")
+            case "avih" if inHdrl =>
+              width = le32(off + 8 + 32); height = le32(off + 8 + 36)
+            case "00db" | "00dc" if inMovi =>
+              frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
+            case _ => () // idx1, strl, JUNK, ...
+          }
+          off += 8 + len + (len & 1)
+        }
+      }
+      walk(12, b.length, inMovi = false, inHdrl = false)
+      require(width >= 0, "missing avih header")
+      (0 until frames.length by everyN)
+        .map(i => AviFrame(m.id, i, width, height, frames(i)))
+    }
+  }
+
   /** STUB video frame sampler: the payload is treated as a container of
-    * fixed-size frames laid end to end (no codec ships here — the
-    * plumbing, batching and output schema are the production ones).
-    * Emits every `everyN`th complete frame with its source index. */
+    * fixed-size frames laid end to end (retained for codec-bearing
+    * formats this environment cannot decode — the real container path
+    * is [[sampleFramesAvi]]). Emits every `everyN`th complete frame
+    * with its source index. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
       everyN: Int): Dataset[FrameRow] = {
     require(frameBytes > 0 && everyN > 0)

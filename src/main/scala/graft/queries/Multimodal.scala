@@ -129,7 +129,35 @@ object Multimodal {
       .orderBy("vec_id")
   }
 
+  /** Real video container, end to end: synthesize a 6-frame
+    * uncompressed AVI per sampled part row (frame bytes from a
+    * deterministic formula), run the REAL RIFF/AVI chunk walker
+    * (hdrl/avih dims + movi '00db' frames), sample every 2nd frame and
+    * report its byte energy. The oracle recomputes energies straight
+    * from the formula, so any container-layout error fails the hash. */
+  val qMmAvi: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    val FW = 4; val FH = 4; val NF = 6
+    val keys = Tables.part(s, d).where(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey")).as[Long]
+    val media = keys.mapPartitions { it =>
+      it.map { pk =>
+        val frames = (0 until NF).map { i =>
+          Array.tabulate[Byte](FW * FH)(j => ((pk * 7 + i * 13 + j) % 251).toByte)
+        }
+        MediaColumns.MediaRow(pk, "video/avi", MediaColumns.encodeAvi(FW, FH, frames))
+      }
+    }
+    MediaColumns.sampleFramesAvi(media, everyN = 2)
+      .map(f => (f.id, f.frameIdx, f.width, f.height,
+        f.bytes.map(b => (b & 0xFF).toLong).sum))
+      .toDF("p_partkey", "frame_idx", "width", "height", "energy")
+      .orderBy("p_partkey", "frame_idx")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_mm_avi" -> qMmAvi,
     "q_mm_wav" -> qMmWav,
     "q_mm_meta" -> qMmMeta,
     "q_mm_pixels" -> qMmPixels,
@@ -138,6 +166,14 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_mm_avi" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 100 = 0),
+        |f AS (SELECT p_partkey, CAST(i AS INT) AS frame_idx
+        |      FROM p, unnest(range(0, 6)) t(i) WHERE i % 2 = 0)
+        |SELECT p_partkey, frame_idx, 4 AS width, 4 AS height,
+        |  CAST(list_sum(list_transform(range(0, 16),
+        |    j -> (p_partkey * 7 + frame_idx * 13 + j) % 251)) AS BIGINT) AS energy
+        |FROM f ORDER BY p_partkey, frame_idx""".stripMargin,
     "q_mm_wav" ->
       """WITH s AS (SELECT vec_id,
         |    list_transform(embedding, x ->

@@ -73,6 +73,22 @@ class MediaColumnsSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI round-trips through the real RIFF container walker") {
+    import spark.implicits._
+    val frames = (0 until 5).map(i => Array.tabulate[Byte](9)(j => (i * 10 + j).toByte))
+    val avi = encodeAvi(3, 3, frames)
+    val out = sampleFramesAvi(Seq(MediaRow(9, "video/avi", avi)).toDS(), everyN = 2)
+      .collect().sortBy(_.frameIdx)
+    assert(out.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    assert(out.forall(f => f.width == 3 && f.height == 3))
+    assert(out(1).bytes.sameElements(frames(2)))
+    // odd frame length exercised the even-padding path above; non-AVI rejected
+    intercept[Exception] {
+      sampleFramesAvi(Seq(MediaRow(1, "video/avi", "RIFFxxxxWAVE".getBytes)).toDS(), 1)
+        .collect()
+    }
+  }
+
   test("withMediaMeta adds digest and length columns") {
     import spark.implicits._
     val df = Seq((1L, "abc".getBytes("UTF-8"))).toDF("id", "payload")
