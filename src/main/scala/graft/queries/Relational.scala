@@ -390,6 +390,20 @@ object Relational {
       .orderBy("nt")
   }
 
+  /** cume_dist + nth_value — the remaining analytic window functions
+    * (ranking/lag/first-last/percent_rank live in their own queries).
+    * Unique ordering (price, key) keeps both deterministic. */
+  val qWinCume: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).where(col("o_orderkey") % 200 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** lag / lead analytics over event time. */
   val qWinLag: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -730,6 +744,7 @@ object Relational {
     "q_win_rank" -> qWinRank,
     "q_win_ntile" -> qWinNtile,
     "q_win_lag" -> qWinLag,
+    "q_win_cume" -> qWinCume,
     "q_win_running" -> qWinRunning,
     "q_win_range" -> qWinRange,
     "q_win_firstlast" -> qWinFirstLast,
@@ -951,6 +966,13 @@ object Relational {
         |FROM events WHERE user_id % 50 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "q_win_cume" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders WHERE o_orderkey % 200 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_win_running" ->
       """SELECT o_custkey, o_orderkey,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
