@@ -73,6 +73,52 @@ object MicroBench {
         val sec = (System.nanoTime() - t0) / 1e9
         val rawMb = nz.toLong * ny * nx * 2 / (1024.0 * 1024.0)
         println(f"""{"bench":"imaging","nz":$nz,"ny":$ny,"nx":$nx,"raw_mib":$rawMb%.0f,"sec":$sec%.2f,"mib_per_sec":${rawMb / sec}%.1f}""")
+      case "imaging-pooled" =>
+        // pooled convertStacks (one pipeline for the whole shard) vs a
+        // driver loop of per-stack conversions — the SCALE.md claim
+        // that pooling keeps the cluster busy instead of serializing
+        // job scheduling per stack. Default: 4 stacks × 16 slices of
+        // 2048×2048 uint16 (64 MiB each, 256 MiB total).
+        val nStacks = args.lift(1).map(_.toInt).getOrElse(4)
+        val nz = args.lift(2).map(_.toInt).getOrElse(16)
+        import java.nio.file.Files
+        val root = Files.createTempDirectory("graft-imaging-pooled")
+        val stacks = (0 until nStacks).map { si =>
+          val stack = root.resolve(
+            f"SmartSPIM/Ex_445_Em_469/${440000 + si}%06d/${440000 + si}%06d_460000")
+          Files.createDirectories(stack)
+          for (z <- 0 until nz) {
+            val px = new Array[Byte](2048 * 2048 * 2)
+            var i = 0
+            while (i < 2048 * 2048) {
+              val v = (si * 131 + z * 10007 + i * 13) % 65536
+              px(2 * i) = (v & 0xFF).toByte; px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+              i += 1
+            }
+            Files.write(stack.resolve(f"$z%06d.png"),
+              graft.imaging.ImageCodec.encodePng16(2048, 2048, px))
+          }
+          stack
+        }
+        def settingsFor(out: String) = graft.core.JobSettings(
+          inputSource = root.toString, outputDirectory = out,
+          downsampleLevels = 3)
+        def time(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        // warm one small conversion so codegen/JIT doesn't bias run 1
+        graft.imaging.SmartSpimJob.convertStack(spark, stacks.head,
+          settingsFor(root.resolve("warm").toString), Seq(2.0, 1.8, 1.8))
+        val pooled = time {
+          graft.imaging.SmartSpimJob.convertStacks(spark, stacks,
+            settingsFor(root.resolve("pooled").toString), Seq(2.0, 1.8, 1.8))
+        }
+        val sequential = time {
+          stacks.foreach(st => graft.imaging.SmartSpimJob.convertStack(spark, st,
+            settingsFor(root.resolve("seq").toString), Seq(2.0, 1.8, 1.8)))
+        }
+        val mb = nStacks.toLong * nz * 2048 * 2048 * 2 / (1024.0 * 1024.0)
+        println(f"""{"bench":"imaging-pooled","stacks":$nStacks,"raw_mib":$mb%.0f,"pooled_sec":$pooled%.2f,"sequential_sec":$sequential%.2f,"speedup":${sequential / pooled}%.2f}""")
       case "imaging-phases" =>
         // phase timings over the same fixture as `imaging`
         val nz = args.lift(1).map(_.toInt).getOrElse(32)
