@@ -213,6 +213,39 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(temps.isEmpty, s"leftover temp files: $temps")
   }
 
+  test("the v2 source reads a store written by the FULL job pipeline") {
+    // job-side writer (convertStack: .zarray from ZarrMeta, chunk sink,
+    // blosc) → DSv2 reader (readLevelMeta + chunk scan): the two write
+    // paths and one read path must agree end to end.
+    val root = Files.createTempDirectory("graft-zarr-cross")
+    val stack = root.resolve("SmartSPIM/Ex_445_Em_469/440000/440000_460000")
+    Files.createDirectories(stack)
+    val (nz, ny, nx) = (2, 16, 16)
+    for (z <- 0 until nz) {
+      val px = new Array[Byte](ny * nx * 2)
+      for (i <- 0 until ny * nx) {
+        val v = (z * 4099 + i * 17) % 65536
+        px(2 * i) = (v & 0xFF).toByte; px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      Files.write(stack.resolve(f"$z%06d.png"),
+        graft.imaging.ImageCodec.encodePng16(nx, ny, px))
+    }
+    graft.imaging.SmartSpimJob.convertStack(spark, stack,
+      graft.core.JobSettings(inputSource = root.toString,
+        outputDirectory = root.resolve("out").toString,
+        chunkSize = Seq(16, 16, 16), downsampleLevels = 1), Seq(2.0, 1.8, 1.8))
+    val store = root.resolve("out/Ex_445_Em_469/440000_460000.ome.zarr").toString
+    val rows = spark.read.format("zarr").load(store)
+      .where(col("level") === 0).collect()
+    // shape (2,16,16) with 16^3 chunks → exactly one chunk (0,0,0)
+    assert(rows.length == 1 && rows.head.getAs[Int]("zc") == 0)
+    val data = rows.head.getAs[Array[Byte]]("data")
+    // voxel (z=1, y=3, x=5) through the job write + v2 read
+    val off = ((1 * 16 + 3) * 16 + 5) * 2
+    val got = ((data(off + 1) & 0xFF) << 8) | (data(off) & 0xFF)
+    assert(got == (1 * 4099 + (3 * 16 + 5) * 17) % 65536)
+  }
+
   test("GraftExtensions injects dot_product and cosine_sim into the registry") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
