@@ -73,6 +73,25 @@ object MicroBench {
         val sec = (System.nanoTime() - t0) / 1e9
         val rawMb = nz.toLong * ny * nx * 2 / (1024.0 * 1024.0)
         println(f"""{"bench":"imaging","nz":$nz,"ny":$ny,"nx":$nx,"raw_mib":$rawMb%.0f,"sec":$sec%.2f,"mib_per_sec":${rawMb / sec}%.1f}""")
+      case "tokenize" =>
+        // native Tokenize expression vs the composed
+        // filter(split(lower)) built-in pipeline it replaced
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("text").cache()
+        docs.count()
+        def time3(f: => Long): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        import graft.functions.GraftFunctions
+        // warm codegen for both shapes
+        docs.select(explode(GraftFunctions.tokensRegex(col("text")))).count()
+        docs.select(explode(GraftFunctions.tokens(col("text")))).count()
+        val composed = time3(docs.select(
+          explode(GraftFunctions.tokensRegex(col("text")))).count())
+        val native = time3(docs.select(
+          explode(GraftFunctions.tokens(col("text")))).count())
+        println(f"""{"bench":"tokenize","composed_sec":$composed%.3f,"native_sec":$native%.3f,"speedup":${composed / native}%.2f}""")
       case "imaging-pooled" =>
         // pooled convertStacks (one pipeline for the whole shard) vs a
         // driver loop of per-stack conversions — the SCALE.md claim
