@@ -92,6 +92,29 @@ object MicroBench {
         val native = time3(docs.select(
           explode(GraftFunctions.tokens(col("text")))).count())
         println(f"""{"bench":"tokenize","composed_sec":$composed%.3f,"native_sec":$native%.3f,"speedup":${composed / native}%.2f}""")
+      case "blosc" =>
+        // codec throughput on a realistic 4 MiB uint16 chunk (smooth
+        // imagery — the shuffle filter's target case)
+        val n = 128 * 128 * 128 * 2
+        val data = new Array[Byte](n)
+        var i = 0
+        while (i < n / 2) { // smooth 16-bit ramp with mild noise
+          val v = (i / 64 + (i * 2654435761L % 7).toInt) & 0xFFFF
+          data(2 * i) = (v & 0xFF).toByte; data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        import graft.imaging.BloscCodec
+        def mbps(reps: Int)(f: => Unit): Double = {
+          val t0 = System.nanoTime(); (1 to reps).foreach(_ => f)
+          n.toDouble * reps / ((System.nanoTime() - t0) / 1e9) / (1024 * 1024)
+        }
+        val frame = BloscCodec.compress(data, 2, 3, true)
+        mbps(20)(BloscCodec.compress(data, 2, 3, true)) // warm
+        val enc = mbps(50)(BloscCodec.compress(data, 2, 3, true))
+        mbps(20)(BloscCodec.decompress(frame))
+        val dec = mbps(50)(BloscCodec.decompress(frame))
+        val ratio = data.length.toDouble / frame.length
+        println(f"""{"bench":"blosc","chunk_mib":4,"encode_mibps":$enc%.0f,"decode_mibps":$dec%.0f,"ratio":$ratio%.2f}""")
       case "imaging-pooled" =>
         // pooled convertStacks (one pipeline for the whole shard) vs a
         // driver loop of per-stack conversions — the SCALE.md claim
