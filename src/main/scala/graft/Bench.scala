@@ -26,16 +26,30 @@ object Bench {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => () }
       }
-    val results = names.map { name =>
+    // Contention robustness: a single timed pass is hostage to host noise
+    // (one busy neighbor can inflate a 0.2 s query 5x). Time N passes per
+    // query and record the min — the min of repeated runs estimates the
+    // uncontended cost, which is the number that means anything for
+    // capacity planning at scale. All passes are kept in the artifact so
+    // the spread (contention) is visible, not hidden.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    val timed: Seq[(String, Seq[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      val ts = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> ts
+    }
+    val results = timed.map { case (k, ts) => k -> ts.min }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val allPasses = timed.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$allPasses,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: stdout gets tail-truncated by
     // harnesses, which loses the leading per-query timings.

@@ -67,35 +67,37 @@ object Dedup {
     * removed by the df cap, the standard guard against stopword-shingle
     * skew blowing up the equi-join. */
   val qDedupNgramJaccard: Q = (s, d) => {
-    // cached: referenced four times (df cap, both join sides, per-doc
-    // counts); without it the tokenize/shingle pass runs per use.
-    // Shingle rows are ~|corpus| — at 100 TB persist MEMORY_AND_DISK.
+    // cached (scoped): referenced four times (df cap, both join sides,
+    // per-doc counts); without it the tokenize/shingle pass runs per
+    // use. Shingle rows are ~|corpus| — at 100 TB persist
+    // MEMORY_AND_DISK.
     val shAll = Tables.documents(s, d).where(col("doc_id") % 5 === 0)
       .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), explode(shingles(col("w"), 3)).as("s"))
-      .cache()
     val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") <= SHINGLE_DF_CAP)
       .select("s")
-    val sh = shAll.join(rare, Seq("s"), "left_semi").cache()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    val j = pairs
-      .join(cnt.select(col("doc_id").as("da"), col("c").as("ca")), "da")
-      .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), "db")
-      .withColumn("uni", col("ca") + col("cb") - col("inter"))
-      .withColumn("jac", round(col("inter") / col("uni"), 4))
-    import org.apache.spark.sql.expressions.Window
-    // top-k via orderBy+limit (distributed TakeOrderedAndProject), then
-    // rank only the 20 survivors — no global single-partition window
-    j.orderBy(col("jac").desc, col("da").asc, col("db").asc).limit(20)
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("jac").desc, col("da").asc, col("db").asc)))
-      .select("rn", "da", "db", "inter", "uni", "jac")
-      .orderBy("rn")
+    val sh = shAll.join(rare, Seq("s"), "left_semi")
+    Scoped.withCached(shAll, sh) {
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      val j = pairs
+        .join(cnt.select(col("doc_id").as("da"), col("c").as("ca")), "da")
+        .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), "db")
+        .withColumn("uni", col("ca") + col("cb") - col("inter"))
+        .withColumn("jac", round(col("inter") / col("uni"), 4))
+      import org.apache.spark.sql.expressions.Window
+      // top-k via orderBy+limit (distributed TakeOrderedAndProject), then
+      // rank only the 20 survivors — no global single-partition window
+      j.orderBy(col("jac").desc, col("da").asc, col("db").asc).limit(20)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("jac").desc, col("da").asc, col("db").asc)))
+        .select("rn", "da", "db", "inter", "uni", "jac")
+        .orderBy("rn")
+    }
   }
 
   private def unigramHashes(s: SparkSession, d: String): DataFrame =
@@ -104,13 +106,14 @@ object Dedup {
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", hash28(col("tok")))
 
-  /** 16-permutation MinHash signatures per sampled doc (cached:
-    * reused by the band join sides, the cluster verifier and tests). */
+  /** 16-permutation MinHash signatures per sampled doc. Uncached here —
+    * each query caches it for its own scope (Scoped.withCached) so the
+    * entry doesn't outlive the invocation. */
   private[graft] def minhashSignatures16(s: SparkSession, d: String): DataFrame = {
     val mhCols = (0 until NPERM).map { j =>
       min((col("h") * permA(j) + permB(j)) % P).as(s"mh$j")
     }
-    unigramHashes(s, d).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).cache()
+    unigramHashes(s, d).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
 
   /** Distinct LSH band-collision candidate pairs (da < db) from a
@@ -135,8 +138,10 @@ object Dedup {
   /** MinHash + LSH banding over unigram sets: 16 affine permutations of
     * a 28-bit md5-derived hash, 8 bands × 2 rows; candidate pairs =
     * distinct band-key matches. */
-  val qDedupMinhash: Q = (s, d) =>
-    minhashBandCandidates(minhashSignatures16(s, d)).orderBy("da", "db")
+  val qDedupMinhash: Q = (s, d) => {
+    val sig = minhashSignatures16(s, d)
+    Scoped.withCached(sig)(minhashBandCandidates(sig).orderBy("da", "db"))
+  }
 
   /** Minimum signature agreement (of 16) for a verified near-dup edge:
     * estimated Jaccard ≥ 12/16 = 0.75. */
@@ -159,9 +164,23 @@ object Dedup {
     * operator's contract, mirrored exactly by the oracle. The component
     * root (min doc_id) IS the kept canonical doc. Output: one row per
     * cluster (root, size). */
-  val qDedupCluster: Q = (s, d) => {
+  val qDedupCluster: Q = (s, d) =>
+    clusterLabels(s, d).groupBy("lbl").agg(count(lit(1)).as("n_docs"))
+      .select(col("lbl").as("cluster_root"), col("n_docs"))
+      .orderBy("cluster_root")
+
+  /** Converged connected-component labels (id, lbl) over the verified
+    * near-dup star graph — the shared core of q_dedup_cluster (cluster
+    * profile) and q_dedup_apply (keeper application). The returned
+    * DataFrame is localCheckpoint-materialized: self-contained, all
+    * scoped caches already released. */
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sig = minhashSignatures16(s, d)
+    // cached for the scope of this invocation (released in the finally):
+    // referenced by the band explode, both verify-join sides and the
+    // label init. The returned plan reads only checkpointed labels, so
+    // the unpersist cannot affect the result.
+    val sig = minhashSignatures16(s, d).cache()
     val bandStructs = array((0 until NPERM / 2).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))
@@ -220,11 +239,30 @@ object Dedup {
         it += 1
       }
       require(converged, s"label propagation did not converge in $CLUSTER_MAX_ITERS rounds")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    edges.unpersist(blocking = false)
-    labels.groupBy("lbl").agg(count(lit(1)).as("n_docs"))
-      .select(col("lbl").as("cluster_root"), col("n_docs"))
-      .orderBy("cluster_root")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      sig.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
+    labels
+  }
+
+  /** Keeper APPLICATION — the query a pipeline actually consumes: apply
+    * the cluster decisions to the corpus (keep a doc iff it is its
+    * component's root, i.e. lbl == id — roots and singletons) and
+    * profile kept/dropped per (lang, source). At 100 TB the same plan
+    * emits the kept rows via the identical equi-join on doc_id (labels
+    * are one slim row per doc — a co-partitioned shuffle join, never
+    * broadcast); the profile aggregate here makes it oracle-checkable. */
+  val qDedupApply: Q = (s, d) => {
+    val labels = clusterLabels(s, d)
+    Tables.documents(s, d).where(col("doc_id") % 5 === 0)
+      .join(labels, col("doc_id") === col("id"))
+      .groupBy("lang", "source")
+      .agg(
+        sum(when(col("lbl") === col("id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("lbl") =!= col("id"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy("lang", "source")
   }
 
   /** 32-bit SimHash near-dup pairs (hamming ≤ 3) via 4×8-bit banding.
@@ -234,8 +272,8 @@ object Dedup {
     * equi-join, never all-pairs, with recall 1.0 (RecallSpec asserts
     * equality against a brute pass). At 100 TB the band key bit-width
     * grows with the corpus, the plan shape does not. */
-  /** One 32-bit SimHash signature per sampled doc (cached: referenced
-    * by both self-join sides; also reused by RecallSpec's brute pass). */
+  /** One 32-bit SimHash signature per sampled doc (uncached — callers
+    * scope their own cache; also reused by RecallSpec's brute pass). */
   private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val bitCols = (0 until 32).map { i =>
       sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)).as(s"w$i")
@@ -244,11 +282,11 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 32).map(i => when(col(s"w$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-      .cache()
   }
 
   val qDedupSimhash: Q = (s, d) => {
     val sim = simhashSignatures(s, d)
+    Scoped.withCached(sim) {
     val bands = sim.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
           shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bs"))
@@ -262,6 +300,7 @@ object Dedup {
       .where(col("hamming") <= 3)
       .distinct() // a pair may agree on more than one band
       .orderBy("da", "db")
+    }
   }
 
   /** Probe masks within hamming `r` of 0 over an 8-bit bucket id. */
@@ -283,19 +322,20 @@ object Dedup {
     val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding"),
         Similarity.lshBucket(col("embedding")).as("bucket"))
-      .cache()
-    val probes = e.select(col("vec_id").as("va"),
-      explode(array(probeMasks(3).map(m =>
-        col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
-    probes.join(
-        e.select(col("vec_id").as("vb"), col("bucket"), col("embedding").as("eb")),
-        col("probe") === col("bucket") && col("va") < col("vb"))
-      .select(col("va"), col("vb"), col("eb"))
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
-      .select(col("va"), col("vb"),
-        round(cosine(col("ea"), col("eb")), 4).as("cos"))
-      .where(col("cos") >= 0.35)
-      .orderBy("va", "vb")
+    Scoped.withCached(e) {
+      val probes = e.select(col("vec_id").as("va"),
+        explode(array(probeMasks(3).map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+      probes.join(
+          e.select(col("vec_id").as("vb"), col("bucket"), col("embedding").as("eb")),
+          col("probe") === col("bucket") && col("va") < col("vb"))
+        .select(col("va"), col("vb"), col("eb"))
+        .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+        .select(col("va"), col("vb"),
+          round(cosine(col("ea"), col("eb")), 4).as("cos"))
+        .where(col("cos") >= 0.35)
+        .orderBy("va", "vb")
+    }
   }
 
   def queries: Map[String, Q] = Map(
@@ -305,7 +345,8 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embcos" -> qDedupEmbCos,
-    "q_dedup_cluster" -> qDedupCluster
+    "q_dedup_cluster" -> qDedupCluster,
+    "q_dedup_apply" -> qDedupApply
   )
 
   private val toksSql =
@@ -324,6 +365,33 @@ object Dedup {
   private val bandSelects = (0 until NPERM / 2)
     .map(b => s"SELECT doc_id, $b AS band_id, concat_ws(',', mh${2 * b}, mh${2 * b + 1}) AS sig FROM sig")
     .mkString(" UNION ALL ")
+
+  /** Shared recursive-CTE prefix: verified star-graph connected
+    * components `comp(id, root)` — DuckDB's replay of the engine's
+    * min-label propagation fixpoint. */
+  private val componentsSql: String = {
+    val agreeSql = (0 until NPERM)
+      .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""${unigramSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sig AS (SELECT doc_id, $mhCols FROM uh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |stars AS (SELECT doc_id,
+       |            min(doc_id) OVER (PARTITION BY band_id, sig) AS root
+       |          FROM bands),
+       |cand AS (SELECT DISTINCT root AS da, doc_id AS db
+       |         FROM stars WHERE doc_id > root),
+       |pairs AS (SELECT da, db FROM cand
+       |          JOIN sig sa ON cand.da = sa.doc_id
+       |          JOIN sig sb ON cand.db = sb.doc_id
+       |          WHERE ($agreeSql) >= $CLUSTER_MIN_AGREE),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM sig
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(lbl) AS root FROM reach GROUP BY id)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -361,31 +429,18 @@ object Dedup {
     // Connected components via a recursive CTE: min reachable label ==
     // the fixpoint of the engine's min-label propagation, over the same
     // bucket-star candidate edges.
-    "q_dedup_cluster" -> {
-      val agreeSql = (0 until NPERM)
-        .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""${unigramSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |sig AS (SELECT doc_id, $mhCols FROM uh GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |stars AS (SELECT doc_id,
-         |            min(doc_id) OVER (PARTITION BY band_id, sig) AS root
-         |          FROM bands),
-         |cand AS (SELECT DISTINCT root AS da, doc_id AS db
-         |         FROM stars WHERE doc_id > root),
-         |pairs AS (SELECT da, db FROM cand
-         |          JOIN sig sa ON cand.da = sa.doc_id
-         |          JOIN sig sb ON cand.db = sb.doc_id
-         |          WHERE ($agreeSql) >= $CLUSTER_MIN_AGREE),
-         |edges AS (SELECT da AS src, db AS dst FROM pairs
-         |          UNION ALL SELECT db, da FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS lbl FROM sig
-         |  UNION
-         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-         |comp AS (SELECT id, min(lbl) AS root FROM reach GROUP BY id)
+    "q_dedup_cluster" ->
+      s"""$componentsSql
          |SELECT root AS cluster_root, count(*) AS n_docs
-         |FROM comp GROUP BY root ORDER BY cluster_root""".stripMargin
-    },
+         |FROM comp GROUP BY root ORDER BY cluster_root""".stripMargin,
+    // Keeper application over the same components: kept iff root = id.
+    "q_dedup_apply" ->
+      s"""$componentsSql
+         |SELECT lang, source,
+         |  CAST(sum(CASE WHEN root = id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN root != id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM comp JOIN documents ON comp.id = documents.doc_id
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // The oracle may brute-force (reference-scale DuckDB); the banding
     // is provably lossless at hamming <= 3, so the row sets coincide.
     "q_dedup_simhash" ->

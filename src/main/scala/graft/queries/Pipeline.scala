@@ -84,22 +84,29 @@ object Pipeline {
     * bloom is what keeps join input proportional to candidate shingles,
     * not the corpus. */
   val qDecontaminate: Q = (s, d) => {
-    // cached: the eval and train splits both read this shingle pass
+    // scoped cache: the eval and train splits both read this shingle
+    // pass; bench additionally feeds count, bloom build and confirm join
     val sh = Tables.documents(s, d)
       .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), col("lang"), explode(shingles(col("w"), 3)).as("s"))
-      .cache()
-    val bench = sh.where(col("doc_id") % DECON_MOD === 0).select("s").distinct().cache()
-    val train = sh.where(col("doc_id") % DECON_MOD =!= 0)
-    val bf = bench.stat.bloomFilter("s", 200000, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((x: String) => bfB.value.mightContainString(x))
-    train.where(mightContain(col("s")))
-      .join(bench, Seq("s"), "left_semi") // exact confirm
-      .groupBy("doc_id", "lang").agg(count(lit(1)).as("n_over"))
-      .where(col("n_over") >= DECON_MIN_OVERLAP)
-      .select("doc_id", "lang", "n_over")
-      .orderBy("doc_id")
+    val bench = sh.where(col("doc_id") % DECON_MOD === 0).select("s").distinct()
+    Scoped.withCached(sh, bench) {
+      val train = sh.where(col("doc_id") % DECON_MOD =!= 0)
+      // Size the bloom from the data, not a constant: an undersized
+      // filter silently degrades its fpp, which weakens the map-side
+      // prune — the whole point of the bloom at 100 TB. The count is one
+      // extra action on the (tiny, cached) eval side.
+      val nBench = bench.count().max(1L)
+      val bf = bench.stat.bloomFilter("s", nBench, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((x: String) => bfB.value.mightContainString(x))
+      train.where(mightContain(col("s")))
+        .join(bench, Seq("s"), "left_semi") // exact confirm
+        .groupBy("doc_id", "lang").agg(count(lit(1)).as("n_over"))
+        .where(col("n_over") >= DECON_MIN_OVERLAP)
+        .select("doc_id", "lang", "n_over")
+        .orderBy("doc_id")
+    }
   }
 
   def queries: Map[String, Q] = Map(

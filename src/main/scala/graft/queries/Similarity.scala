@@ -155,23 +155,26 @@ object Similarity {
       .withColumn("qnorm", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
       .withColumn("bucket", lshBucket(col("embedding")))
       .select(col("vec_id"), col("q"), col("qnorm"), col("bucket"))
-      .cache() // quantized vectors are 4× smaller; reused by all three roles
-    val probes = e.select(col("vec_id").as("va"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
-    probes.join(
-        e.select(col("vec_id").as("vb"), col("bucket"),
-          col("q").as("qb"), col("qnorm").as("nb")),
-        col("probe") === col("bucket") && col("va") < col("vb"))
-      .select(col("va"), col("vb"), col("qb"), col("nb"))
-      .join(e.select(col("vec_id").as("va"), col("q").as("qa"), col("qnorm").as("na")), "va")
-      .select(col("va"), col("vb"),
-        round(
-          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-            lit(0L), (acc, x) => acc + x).cast("double")
-          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
-          4).as("qcos"))
-      .where(col("qcos") >= 0.3)
-      .orderBy("va", "vb")
+    // scoped cache: quantized vectors are 4× smaller; reused by all
+    // three roles, released when the result is materialized
+    Scoped.withCached(e) {
+      val probes = e.select(col("vec_id").as("va"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
+      probes.join(
+          e.select(col("vec_id").as("vb"), col("bucket"),
+            col("q").as("qb"), col("qnorm").as("nb")),
+          col("probe") === col("bucket") && col("va") < col("vb"))
+        .select(col("va"), col("vb"), col("qb"), col("nb"))
+        .join(e.select(col("vec_id").as("va"), col("q").as("qa"), col("qnorm").as("na")), "va")
+        .select(col("va"), col("vb"),
+          round(
+            aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+              lit(0L), (acc, x) => acc + x).cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+            4).as("qcos"))
+        .where(col("qcos") >= 0.3)
+        .orderBy("va", "vb")
+    }
   }
 
   /** Multi-probe LSH search (recall path — BASELINE.md measures 5× the

@@ -166,7 +166,9 @@ object TextAnalysis {
     val tokCounts = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .cache() // feeds the sketch build, the top-k pick and the scoring join
+    // scoped cache: feeds the sketch build, the top-k pick and the
+    // scoring join; released once the result is materialized
+    Scoped.withCached(tokCounts) {
     def jb(j: Int): Column = struct(lit(j).as("j"),
       (hash28(concat(lit(j.toString), lit("_"), col("tok"))) % W).as("b"))
     val sketch = tokCounts
@@ -179,6 +181,7 @@ object TextAnalysis {
       .select(col("tok"), col("c").as("exact"), col("est"),
         (col("est") - col("c")).as("overcount"))
       .orderBy(col("exact").desc, col("tok").asc)
+    }
   }
 
   def queries: Map[String, Q] = Map(
