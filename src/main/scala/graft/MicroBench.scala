@@ -238,7 +238,24 @@ object MicroBench {
         val ivf = topk(col("label") === col("qlabel"))
         val ivfFrac = e.groupBy("label").count().agg(sum(col("count") * col("count")))
           .first().getLong(0).toDouble / (total * total)
-        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f}""")
+        // learned k-means cells (q_ann_ivf_kmeans): corpus assignment +
+        // nearest-2-cell probes; recall measured against the same truth
+        val (cells, probes) = graft.queries.Similarity.kmeansModel(spark, sf, nq)
+        val pcells = probes.groupBy("qid").agg(collect_set("pcell").as("pcells"))
+        val wK = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+        val km = e.join(cells, "vec_id")
+          .join(broadcast(q.join(pcells, "qid")),
+            col("vec_id") =!= col("qid") && array_contains(col("pcells"), col("cell")))
+          .select(col("qid"), col("vec_id"),
+            round(cosine(col("qv"), col("embedding")), 6).as("cos"))
+          .withColumn("rn", row_number().over(wK)).where(col("rn") <= kTop)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val cellSizes = cells.groupBy("cell").count()
+        val kmFrac = probes.join(cellSizes, col("pcell") === col("cell"))
+          .groupBy("qid").agg(sum("count").as("cand"))
+          .agg(avg("cand")).first().getDouble(0) / total
+        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f}""")
       case "decode" =>
         // single-threaded PNG decode: fast path vs ImageIO, same bytes
         val w = 2048; val h = 2048; val reps = args.lift(1).map(_.toInt).getOrElse(20)

@@ -177,6 +177,135 @@ object Similarity {
     }
   }
 
+  // ---- k-means IVF tier ------------------------------------------------
+  //
+  // Real learned coarse cells (vs q_ann_ivf_label's stand-in `label`
+  // column): a few Lloyd iterations expressed entirely as DataFrame ops.
+  // Cross-engine determinism is the design constraint — the DuckDB
+  // oracle must replay the fit bit-for-bit — so all centroid arithmetic
+  // is integer-exact and order-independent:
+  //  - vectors quantize once to q = floor(x·10³) (|x| < 1 → |q| ≤ 10³);
+  //  - centroids live at scale 10⁶: init c = q·10³, update
+  //    c = floor(Σq · 10³ / n) (the long sum is exact and
+  //    order-independent; the single double divide + floor is IEEE-
+  //    identical in both engines);
+  //  - assignment = argmin of the exact integer squared distance
+  //    Σ(q·10³ − c)² (≤ 64·(2·10⁶)² ≈ 2.6·10¹⁴ ≪ 2⁶³), ties → lower cid.
+  // Init picks the K md5-lowest vec_ids (deterministic, data-independent
+  // of insertion order). At 100 TB: centroids are K×64 longs (broadcast),
+  // each iteration is one map-side assign + one partial-agg shuffle —
+  // the textbook scalable k-means shape.
+
+  private val KMEANS_K = 8
+  private val KMEANS_ITERS = 2
+  private val KMEANS_PROBE = 2
+  private val DIMS = 64
+
+  /** Embeddings with the integer-quantized vector q = floor(x·10³). */
+  private[graft] def quantizedVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("q"))
+
+  /** Exact integer squared distance between q (scale 10³) and a
+    * centroid c (scale 10⁶). */
+  private def kmeansDist: Column =
+    aggregate(zip_with(col("q"), col("c"),
+        (x, y) => (x * lit(1000L) - y) * (x * lit(1000L) - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-centroid assignment (vec_id, cell); ties break to the
+    * lower cid via the struct ordering. Centroids broadcast — the
+    * corpus never shuffles. */
+  private def kmeansAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("dist", kmeansDist)
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
+
+  /** Fitted centroids (cid, c) after KMEANS_ITERS Lloyd rounds. */
+  private[graft] def kmeansFit(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = graft.functions.GraftFunctions.hash28(col("vec_id").cast("string"))
+    // init: the K md5-lowest vec_ids, centroid = q rescaled to 10⁶.
+    // The window ranks only the K surviving rows (orderBy+limit is a
+    // distributed TakeOrdered), so the single partition holds K rows.
+    var cent = vecs.select(col("vec_id"), col("q"), hk.as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(KMEANS_K)
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("hk"), col("vec_id"))) - 1).cast("long"))
+      .select(col("cid"), transform(col("q"), x => x * lit(1000L)).as("c"))
+    for (_ <- 1 to KMEANS_ITERS) {
+      val a = kmeansAssign(vecs, cent)
+      val sums = (0 until DIMS).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
+      cent = vecs.join(a, "vec_id")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cell").as("cid"),
+          array((0 until DIMS).map(i =>
+            floor(col(s"s$i") * lit(1000.0) / col("n")).cast("long")): _*).as("c"))
+    }
+    cent
+  }
+
+  /** Corpus cell assignment (vec_id, cell) and per-query probed cells
+    * (qid, pcell) — the fitted model's pieces, for the recall
+    * micro-bench (MicroBench annrecall). */
+  private[graft] def kmeansModel(s: SparkSession, d: String, nq: Int): (DataFrame, DataFrame) = {
+    val vecs = quantizedVecs(s, d)
+    val cent = kmeansFit(vecs).localCheckpoint(true)
+    val cells = kmeansAssign(vecs, cent)
+    val probes = vecs.where(col("vec_id") < nq)
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", kmeansDist)
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("dist"), col("cid"))))
+      .where(col("pr") <= KMEANS_PROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("pcell"))
+    (cells, probes)
+  }
+
+  /** IVF search over LEARNED k-means cells: fit → assign corpus → each
+    * query probes its KMEANS_PROBE nearest cells → exact cosine top-3
+    * within the probed cells (bounded partial top-k, corpus never
+    * shuffles). The oracle replays the entire fit as chained CTEs. */
+  val qAnnIvfKmeans: Q = (s, d) => {
+    import s.implicits._
+    val vecs = quantizedVecs(s, d)
+    // cent cached too: the fitted centroids are referenced by the final
+    // corpus assignment AND the query probes — without the cache the
+    // whole Lloyd fit would run once per reference.
+    val cent = kmeansFit(vecs)
+    Scoped.withCached(vecs, cent) {
+      val cells = kmeansAssign(vecs, cent)
+      val corpus = vecs.select(col("vec_id"), col("embedding")).join(cells, "vec_id")
+      val probes = vecs.where(col("vec_id") < 10)
+        .crossJoin(broadcast(cent))
+        .withColumn("dist", kmeansDist)
+        .withColumn("pr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+            .orderBy(col("dist"), col("cid"))))
+        .where(col("pr") <= KMEANS_PROBE)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("cid").as("pcell"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid").cast("long"), col("vec_id").cast("long"),
+          col("cell").cast("long"),
+          round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+        .as[(Long, Long, Long, Double)]
+        .mapPartitions(partialTopK[(Long, Long, Long, Double)](_, 3, _._1, t => (t._4, t._2)))
+        .toDF("qid", "vec_id", "cell", "cos")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("qid", "rn", "vec_id", "cell", "cos")
+        .orderBy("qid", "rn")
+    }
+  }
+
   /** Multi-probe LSH search (recall path — BASELINE.md measures 5× the
     * single-bucket recall at ~3.6% of candidates): each query probes
     * its own bucket plus every bucket one bit-flip away, expressed as
@@ -210,6 +339,7 @@ object Similarity {
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
     "q_ann_ivf_label" -> qAnnIvfLabel,
+    "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_quantized" -> qAnnQuantized
   )
 
@@ -219,7 +349,63 @@ object Similarity {
       |  / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
 
+  /** DuckDB replay of the k-means IVF search: the identical
+    * integer-exact Lloyd fit (see qAnnIvfKmeans) as chained CTEs —
+    * init from md5-lowest ids, KMEANS_ITERS assign/update rounds, final
+    * assignment, nearest-2-cell probes, exact cosine top-3. */
+  private val kmeansOracleSql: String = {
+    def dist(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${DIMS + 1}),
+         |        i -> (list_extract($v.q, i) * 1000 - list_extract($c.c, i))
+         |           * (list_extract($v.q, i) * 1000 - list_extract($c.c, i))))""".stripMargin
+    def assignCte(name: String, cent: String) =
+      s"""$name AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT v.vec_id, $cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${dist("v", cent)}, $cent.cid) AS rnk
+         |  FROM v, $cent) r WHERE rnk = 1)""".stripMargin
+    def updateCte(name: String, assign: String) =
+      s"""$name AS (
+         |  SELECT cid, list(cv ORDER BY i) AS c FROM (
+         |    SELECT $assign.cell AS cid, t.i AS i,
+         |      CAST(floor(sum(list_extract(v.q, t.i)) * 1000.0 / count(*)) AS BIGINT) AS cv
+         |    FROM v JOIN $assign USING (vec_id), range(1, ${DIMS + 1}) t(i)
+         |    GROUP BY $assign.cell, t.i) u
+         |  GROUP BY cid)""".stripMargin
+    val cos =
+      s"""round(list_sum(list_transform(range(1, ${DIMS + 1}),
+         |    i -> CAST(qs.qv[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(qs.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid,
+       |         list_transform(q, x -> x * 1000) AS c
+       |       FROM (SELECT vec_id, q,
+       |               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS hk
+       |             FROM v ORDER BY hk, vec_id LIMIT $KMEANS_K) s),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2")},
+       |${assignCte("cells", "c2")},
+       |qs AS (SELECT vec_id AS qid, qv, cid AS pcell FROM (
+       |  SELECT v.vec_id, v.embedding AS qv, c2.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dist("v", "c2")}, c2.cid) AS pr
+       |  FROM v, c2 WHERE v.vec_id < 10) p WHERE pr <= $KMEANS_PROBE),
+       |scored AS (SELECT qs.qid, v.vec_id, cells.cell AS cell, $cos AS cos
+       |  FROM v JOIN cells USING (vec_id)
+       |  JOIN qs ON cells.cell = qs.pcell AND v.vec_id != qs.qid)
+       |SELECT qid, rn, vec_id, cell, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM scored) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, $cosSql AS cos

@@ -17,7 +17,8 @@ class CacheSpec extends AnyFunSuite {
   test("scoped caches do not outlive their query invocation") {
     val cachedQueries = Seq("q_dedup_ngram_jaccard", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_embcos", "q_dedup_cluster",
-      "q_ann_quantized", "q_text_heavyhitters", "q_decontaminate")
+      "q_dedup_apply", "q_ann_quantized", "q_ann_ivf_kmeans",
+      "q_text_heavyhitters", "q_decontaminate")
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     cachedQueries.foreach { name =>
       SparkEntry.queries(name)(spark, SF).count()

@@ -88,6 +88,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means IVF: centroids broadcast, candidates from an equi-join on cell") {
+    val p = plan("q_ann_ivf_kmeans")
+    // the centroid cross-join is a broadcast of K rows by design; the
+    // candidate join must be a hash equi-join on the cell key and the
+    // corpus side must never feed a cartesian
+    assert(!p.contains("CartesianProduct"), "corpus must not cartesian-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe-cell candidates must come from a broadcast hash equi-join")
+  }
+
   test("q_text_tfidf shuffle-joins the document-frequency table (no broadcast)") {
     val p = plan("q_text_tfidf")
     // the df table grows with the corpus: broadcasting it OOMs at scale
