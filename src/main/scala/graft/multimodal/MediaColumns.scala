@@ -182,12 +182,104 @@ object MediaColumns {
   final case class AviFrame(id: Long, frameIdx: Int, width: Int, height: Int,
       bytes: Array[Byte])
 
-  /** Minimal RIFF/AVI encoder for uncompressed ('00db') frames:
-    * hdrl LIST with a 56-byte avih header, movi LIST with one even-
-    * padded chunk per frame — the fixture/test side of the real
-    * container walker below. */
+  /** BI_RLE8 compression id in a BITMAPINFOHEADER (public Windows
+    * bitmap spec); 0 = BI_RGB (uncompressed). */
+  val BI_RGB = 0
+  val BI_RLE8 = 1
+
+  /** BMP RLE8 encoder (public Windows bitmap spec — the first
+    * compressed frame format here that is codec-library-free): maximal
+    * pixel runs become encoded-mode pairs (count, value); stretches of
+    * short runs ≥ 3 literals become absolute mode (00, n, bytes,
+    * word-padded); rows are encoded bottom-up, each terminated by EOL
+    * (00 00) and the bitmap by EOB (00 01). Input is top-down
+    * row-major, as produced by every decoder in this file. */
+  def encodeRle8(width: Int, height: Int, topDown: Array[Byte]): Array[Byte] = {
+    require(topDown.length == width * height, "pixel buffer size mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    var row = height - 1 // bottom-up: last top-down row is encoded first
+    while (row >= 0) {
+      val base = row * width
+      // segment the row into maximal runs (value, length ≤ 255)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Byte, Int)]
+      var x = 0
+      while (x < width) {
+        val v = topDown(base + x)
+        var n = 1
+        while (x + n < width && topDown(base + x + n) == v && n < 255) n += 1
+        runs += ((v, n))
+        x += n
+      }
+      var i = 0
+      while (i < runs.length) {
+        if (runs(i)._2 >= 3) { out.write(runs(i)._2); out.write(runs(i)._1); i += 1 }
+        else {
+          // gather consecutive short runs into one literal stretch
+          var j = i; var lit = 0
+          while (j < runs.length && runs(j)._2 < 3 && lit + runs(j)._2 <= 255) {
+            lit += runs(j)._2; j += 1
+          }
+          if (lit >= 3) { // absolute mode, word-aligned
+            out.write(0); out.write(lit)
+            (i until j).foreach { k =>
+              (0 until runs(k)._2).foreach(_ => out.write(runs(k)._1))
+            }
+            if ((lit & 1) == 1) out.write(0)
+          } else { // too short for absolute mode: encoded pairs
+            (i until j).foreach { k => out.write(runs(k)._2); out.write(runs(k)._1) }
+          }
+          i = j
+        }
+      }
+      out.write(0); out.write(if (row == 0) 1 else 0) // EOL; EOB after the last row
+      row -= 1
+    }
+    out.toByteArray
+  }
+
+  /** BMP RLE8 decoder — the FULL escape set (EOL, EOB, delta dx/dy,
+    * absolute mode with word padding), not just what [[encodeRle8]]
+    * emits. Returns top-down row-major pixels; positions skipped by
+    * delta jumps stay 0, per the spec. */
+  def decodeRle8(width: Int, height: Int, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](width * height)
+    var x = 0; var y = 0 // y = 0 is the BOTTOM row (BMP convention)
+    var p = 0
+    var done = false
+    def put(v: Byte): Unit = {
+      require(x < width && y < height, "RLE8 output overflow")
+      out((height - 1 - y) * width + x) = v
+      x += 1
+    }
+    while (!done && p + 1 < data.length) {
+      val b0 = data(p) & 0xFF; val b1 = data(p + 1) & 0xFF
+      p += 2
+      if (b0 > 0) (0 until b0).foreach(_ => put(b1.toByte))
+      else b1 match {
+        case 0 => x = 0; y += 1 // end of line
+        case 1 => done = true // end of bitmap
+        case 2 => // delta: move right dx, up dy
+          require(p + 1 < data.length, "truncated RLE8 delta")
+          x += data(p) & 0xFF; y += data(p + 1) & 0xFF; p += 2
+        case n => // absolute mode: n literal bytes, word-padded
+          require(p + n <= data.length, "truncated RLE8 absolute run")
+          (0 until n).foreach(k => put(data(p + k)))
+          p += n + (n & 1)
+      }
+    }
+    require(done, "RLE8 stream missing end-of-bitmap")
+    out
+  }
+
+  /** Minimal RIFF/AVI encoder: hdrl LIST with a 56-byte avih header
+    * plus a strl LIST (strh 'vids' + strf BITMAPINFOHEADER declaring
+    * the compression, as real AVIs do), movi LIST with one even-padded
+    * chunk per frame — the fixture/test side of the real container
+    * walker below. With `compression = BI_RLE8` each frame (top-down
+    * raw pixels) is RLE8-compressed into a '00dc' chunk; with BI_RGB
+    * frames are stored raw as '00db'. */
   def encodeAvi(width: Int, height: Int, frames: Seq[Array[Byte]],
-      microSecPerFrame: Int = 40000): Array[Byte] = {
+      microSecPerFrame: Int = 40000, compression: Int = BI_RGB): Array[Byte] = {
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val pad = payload.length & 1
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
@@ -208,8 +300,26 @@ object MediaColumns {
       .putInt(frames.length).putInt(0).putInt(1).putInt(0)
       .putInt(width).putInt(height)
       .array() // 4 reserved ints stay zero
-    val hdrl = list("hdrl", chunk("avih", avih))
-    val movi = list("movi", frames.toArray.flatMap(f => chunk("00db", f)))
+    // strh: 'vids' stream header (56 bytes; only fccType matters to the
+    // walker, the rest is well-formed padding)
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes("US-ASCII")).putInt(0) // fccHandler
+      .array()
+    // strf: BITMAPINFOHEADER — biCompression at offset 16 is what the
+    // walker reads to pick the frame decode path
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(8) // planes, 8 bpp
+      .putInt(compression).putInt(width * height)
+      .array()
+    val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
+    val movi = list("movi", frames.toArray.flatMap { f =>
+      if (compression == BI_RLE8) chunk("00dc", encodeRle8(width, height, f))
+      else chunk("00db", f)
+    })
     val body = hdrl ++ movi
     val bb = java.nio.ByteBuffer.allocate(12 + body.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -219,11 +329,13 @@ object MediaColumns {
   }
 
   /** REAL video-container frame sampler for RIFF/AVI: walks the chunk
-    * tree (hdrl → avih for dimensions, movi → '00db'/'00dc' frame
-    * chunks, unknown chunks/lists skipped with even-padding) and emits
-    * every `everyN`th frame with its source index — no codec required
-    * for uncompressed frames, which is exactly what a feature-extract
-    * stage consumes. Per-partition batch transform. */
+    * tree (hdrl → avih for dimensions, strl → strf BITMAPINFOHEADER for
+    * the compression id, movi → '00db'/'00dc' frame chunks, unknown
+    * chunks/lists skipped with even-padding) and emits every `everyN`th
+    * frame with its source index. Uncompressed frames pass through;
+    * BI_RLE8 '00dc' frames are decoded to raw top-down pixels by the
+    * full-spec [[decodeRle8]] — the first compressed frame path with no
+    * codec library needed. Per-partition batch transform. */
   def sampleFramesAvi(media: Dataset[MediaRow], everyN: Int): Dataset[AviFrame] = {
     require(everyN > 0)
     val spark = media.sparkSession
@@ -237,7 +349,10 @@ object MediaColumns {
       require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
         "not a RIFF/AVI payload")
       var width = -1; var height = -1
-      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var compression = BI_RGB
+      // (wasCompressed, payload); decode deferred until the walk ends so
+      // chunk order (strf before/after movi) can't change the result
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Array[Byte])]
       def walk(from: Int, to: Int, inMovi: Boolean, inHdrl: Boolean): Unit = {
         var off = from
         while (off + 8 <= to) {
@@ -249,17 +364,27 @@ object MediaColumns {
               walk(off + 12, off + 8 + len, lt == "movi", lt == "hdrl")
             case "avih" if inHdrl =>
               width = le32(off + 8 + 32); height = le32(off + 8 + 36)
-            case "00db" | "00dc" if inMovi =>
-              frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)
-            case _ => () // idx1, strl, JUNK, ...
+            case "strf" if len >= 20 => // BITMAPINFOHEADER: biCompression at +16
+              compression = le32(off + 8 + 16)
+            case "00db" if inMovi =>
+              frames += ((false, java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)))
+            case "00dc" if inMovi =>
+              frames += ((true, java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)))
+            case _ => () // idx1, strh, JUNK, ...
           }
           off += 8 + len + (len & 1)
         }
       }
       walk(12, b.length, inMovi = false, inHdrl = false)
       require(width >= 0, "missing avih header")
-      (0 until frames.length by everyN)
-        .map(i => AviFrame(m.id, i, width, height, frames(i)))
+      (0 until frames.length by everyN).map { i =>
+        val (wasCompressed, payload) = frames(i)
+        val px =
+          if (wasCompressed && compression == BI_RLE8)
+            decodeRle8(width, height, payload)
+          else payload
+        AviFrame(m.id, i, width, height, px)
+      }
     }
   }
 

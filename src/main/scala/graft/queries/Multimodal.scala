@@ -156,8 +156,45 @@ object Multimodal {
       .orderBy("p_partkey", "frame_idx")
   }
 
+  /** Compressed video frames, end to end: synthesize 8×4 frames mixing
+    * constant 4-pixel blocks (RLE encoded-mode runs) with varying
+    * blocks (absolute-mode literals), RLE8-compress them into a real
+    * AVI whose strf BITMAPINFOHEADER declares BI_RLE8, then run the
+    * REAL container walk + full-spec RLE8 decode and report per-frame
+    * energy of the DECODED pixels. The oracle recomputes energies from
+    * the pixel formula, so one wrong byte anywhere in the RLE encoder,
+    * the stream-header plumbing or the decoder fails the hash. */
+  val qMmAviRle: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    val FW = 8; val FH = 4; val NF = 6
+    val keys = Tables.part(s, d).where(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey")).as[Long]
+    val media = keys.mapPartitions { it =>
+      it.map { pk =>
+        val frames = (0 until NF).map { i =>
+          Array.tabulate[Byte](FW * FH) { j =>
+            val b = j / 4
+            val v = if (b % 3 == 0) (pk * 11 + i * 17 + j) % 251
+                    else (pk * 7 + i * 13 + b * 5) % 251
+            v.toByte
+          }
+        }
+        MediaColumns.MediaRow(pk, "video/avi",
+          MediaColumns.encodeAvi(FW, FH, frames,
+            compression = MediaColumns.BI_RLE8))
+      }
+    }
+    MediaColumns.sampleFramesAvi(media, everyN = 2)
+      .map(f => (f.id, f.frameIdx, f.width, f.height,
+        f.bytes.map(b => (b & 0xFF).toLong).sum))
+      .toDF("p_partkey", "frame_idx", "width", "height", "energy")
+      .orderBy("p_partkey", "frame_idx")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_mm_avi" -> qMmAvi,
+    "q_mm_avi_rle" -> qMmAviRle,
     "q_mm_wav" -> qMmWav,
     "q_mm_meta" -> qMmMeta,
     "q_mm_pixels" -> qMmPixels,
@@ -166,6 +203,17 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_mm_avi_rle" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 100 = 0),
+        |f AS (SELECT p_partkey, CAST(i AS INT) AS frame_idx
+        |      FROM p, unnest(range(0, 6)) t(i) WHERE i % 2 = 0)
+        |SELECT p_partkey, frame_idx, 8 AS width, 4 AS height,
+        |  CAST(list_sum(list_transform(range(0, 32),
+        |    j -> CASE WHEN (j // 4) % 3 = 0
+        |              THEN (p_partkey * 11 + frame_idx * 17 + j) % 251
+        |              ELSE (p_partkey * 7 + frame_idx * 13 + (j // 4) * 5) % 251
+        |         END)) AS BIGINT) AS energy
+        |FROM f ORDER BY p_partkey, frame_idx""".stripMargin,
     "q_mm_avi" ->
       """WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 100 = 0),
         |f AS (SELECT p_partkey, CAST(i AS INT) AS frame_idx

@@ -89,6 +89,54 @@ class MediaColumnsSpec extends AnyFunSuite {
     }
   }
 
+  test("RLE8 round-trips arbitrary frames (runs, literals, all-equal, ramp)") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (8, 4, Array.tabulate[Byte](32)(j => if ((j / 4) % 3 == 0) j.toByte else 7)),
+      (5, 3, Array.fill[Byte](15)(0)), // all-equal: one run per row
+      (7, 2, Array.tabulate[Byte](14)(_.toByte)), // ramp: pure absolute mode
+      (1, 1, Array[Byte](99)), // single pixel: too short for absolute mode
+      (6, 5, Array.fill[Byte](30)(0).map(_ => (rnd.nextInt(4)).toByte)))
+    cases.foreach { case (w, h, px) =>
+      val enc = encodeRle8(w, h, px)
+      assert(decodeRle8(w, h, enc).sameElements(px), s"round-trip failed at ${w}x$h")
+    }
+  }
+
+  test("RLE8 decoder handles delta escapes and rejects truncated streams") {
+    // hand-built stream for a 4x2 bitmap (bottom-up): run of 2 'A',
+    // delta right 1 up 1, run of 1 'B', EOB. Skipped pixels stay 0.
+    val stream = Array[Byte](2, 'A', 0, 2, 1, 1, 1, 'B', 0, 1)
+    val px = decodeRle8(4, 2, stream)
+    // bottom row (y=0) = top-down row 1: A A . .   (delta skips x=2)
+    assert(px(4) == 'A' && px(5) == 'A' && px(6) == 0 && px(7) == 0)
+    // after delta: x=3, y=1 → top-down row 0, col 3 = B
+    assert(px(0) == 0 && px(1) == 0 && px(2) == 0 && px(3) == 'B')
+    // missing EOB
+    intercept[Exception] { decodeRle8(2, 2, Array[Byte](2, 'A', 0, 0)) }
+    // truncated absolute run
+    intercept[Exception] { decodeRle8(4, 1, Array[Byte](0, 4, 1, 2)) }
+    // overflow: more pixels than the row holds
+    intercept[Exception] { decodeRle8(2, 1, Array[Byte](3, 'A', 0, 1)) }
+  }
+
+  test("RLE8 AVI: strf declares BI_RLE8 and the walker decodes 00dc frames") {
+    import spark.implicits._
+    val frames = (0 until 4).map { i =>
+      Array.tabulate[Byte](12)(j => if (j < 6) (i * 3).toByte else (i * 3 + j).toByte)
+    }
+    val avi = encodeAvi(4, 3, frames, compression = BI_RLE8)
+    // container-level check: 00dc chunks present, 00db absent
+    val s = new String(avi, "ISO-8859-1")
+    assert(s.contains("00dc") && !s.contains("00db") && s.contains("strf"))
+    val out = sampleFramesAvi(Seq(MediaRow(5, "video/avi", avi)).toDS(), everyN = 1)
+      .collect().sortBy(_.frameIdx)
+    assert(out.length == 4)
+    out.zipWithIndex.foreach { case (f, i) =>
+      assert(f.bytes.sameElements(frames(i)), s"decoded frame $i mismatch")
+    }
+  }
+
   test("withMediaMeta adds digest and length columns") {
     import spark.implicits._
     val df = Seq((1L, "abc".getBytes("UTF-8"))).toDF("id", "payload")
