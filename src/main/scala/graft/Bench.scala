@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Runs every query in [[SparkEntry.queries]]
+  * against `SPARK_GRAFT_SF_DIR` and reports per-query seconds.
+  *
+  * Output contract: stdout carries ONE compact JSON line — and it must
+  * survive a harness that keeps only the LAST ~2000 characters of
+  * stdout (the observed driver behavior: BENCH_r01..r03 all recorded
+  * `parsed: null` because the full per-query line exceeded the tail
+  * buffer and lost its opening brace). So stdout gets a line fitted to
+  * a conservative budget (adaptive value precision, then slowest-first
+  * truncation with an explicit `queries_omitted` count), and the FULL
+  * artifact — every query, every pass, the aggregation mode — is
+  * written to `SPARK_GRAFT_BENCH_OUT` (default `bench_out.json`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,7 +34,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Steady-state methodology (BASELINE.md): one untimed warm-up pass
     // amortizes per-query codegen compilation and JIT — the cost that
-    // vanishes into noise at real scale — then one timed pass.
+    // vanishes into noise at real scale — then the timed passes.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()
@@ -30,9 +44,10 @@ object Bench {
     // (one busy neighbor can inflate a 0.2 s query 5x). Time N passes per
     // query and record the min — the min of repeated runs estimates the
     // uncontended cost, which is the number that means anything for
-    // capacity planning at scale. All passes are kept in the artifact so
-    // the spread (contention) is visible, not hidden.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // capacity planning at scale. All passes are kept in the full
+    // artifact so the spread (contention) is visible, not hidden.
+    val passes = scala.util.Try(sys.env.get("SPARK_GRAFT_PASSES").map(_.trim.toInt))
+      .toOption.flatten.getOrElse(2).max(1)
     val timed: Seq[(String, Seq[Double])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val ts = (1 to passes).map { _ =>
@@ -42,21 +57,55 @@ object Bench {
       }
       name -> ts
     }
-    val results = timed.map { case (k, ts) => k -> ts.min }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = timed.map { case (k, ts) => k -> ts.min }
+    val total = results.map(_._2).sum
+    val agg = s"min-of-$passes"
+
+    // Full artifact: every query's min, every raw pass, aggregation mode.
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val allPasses = timed.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$allPasses,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the line to a file: stdout gets tail-truncated by
-    // harnesses, which loses the leading per-query timings.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","queries":$qsFull,"passes":$allPasses,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+
+    // Compact stdout line: fit within `budget` chars so the whole line
+    // survives a 2000-char stdout tail (sbt appends ~80 chars of
+    // "[success] Total time" after us). Try decreasing per-query value
+    // precision; as a last resort keep the slowest queries and say how
+    // many were omitted.
+    val budget = 1600
+    def fmt(v: Double, dp: Int): String = BigDecimal(v)
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    def line(entries: Seq[(String, Double)], dp: Int, omitted: Int): String = {
+      val qs = entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","n_queries":${results.size},"queries":$qs$omit,"queries_full":"$outPath","sf":"$sfDir"}"""
+    }
+    val bySlowest = results.sortBy(-_._2)
+    val candidates =
+      Seq(3, 2, 1).iterator.map(dp => line(results, dp, 0)) ++
+      Iterator.from(1).map { drop =>
+        line(bySlowest.dropRight(drop).sortBy(_._1), 2, drop)
+      }.take(results.size)
+    val compact = candidates.find(_.length <= budget)
+      .getOrElse(line(Nil, 2, results.size))
+    println(compact)
     spark.stop()
+    // Belt and braces: also write the line straight to fd 1, bypassing
+    // sbt's in-process run logger, which decorates stdout with an
+    // "[info] " prefix — a tail parser doing a bare per-line json.loads
+    // would otherwise never see valid JSON. Printed last so it is the
+    // final stdout line before sbt's own "[success]" epilogue.
+    try {
+      val fd = new java.io.PrintStream(
+        new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+      fd.println(compact); fd.flush()
+    } catch { case _: Throwable => () }
   }
 }

@@ -251,9 +251,13 @@ object MicroBench {
           .withColumn("rn", row_number().over(wK)).where(col("rn") <= kTop)
           .select("qid", "vec_id").collect()
           .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-        val cellSizes = cells.groupBy("cell").count()
-        val kmFrac = probes.join(cellSizes, col("pcell") === col("cell"))
-          .groupBy("qid").agg(sum("count").as("cand"))
+        // Candidate fraction over the SAME candidate set recall saw:
+        // expand probed cells to member vectors and drop the query's own
+        // vector (recall's join excludes vec_id == qid), instead of
+        // summing raw cell sizes which over-counts by ~1 per query.
+        val kmFrac = probes.join(cells, col("pcell") === col("cell"))
+          .where(col("vec_id") =!= col("qid"))
+          .groupBy("qid").agg(count("*").as("cand"))
           .agg(avg("cand")).first().getDouble(0) / total
         println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f}""")
       case "decode" =>

@@ -279,7 +279,8 @@ object MediaColumns {
     * raw pixels) is RLE8-compressed into a '00dc' chunk; with BI_RGB
     * frames are stored raw as '00db'. */
   def encodeAvi(width: Int, height: Int, frames: Seq[Array[Byte]],
-      microSecPerFrame: Int = 40000, compression: Int = BI_RGB): Array[Byte] = {
+      microSecPerFrame: Int = 40000, compression: Int = BI_RGB,
+      withAudioStream: Boolean = false): Array[Byte] = {
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val pad = payload.length & 1
       val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
@@ -315,7 +316,25 @@ object MediaColumns {
       .putInt(compression).putInt(width * height)
       .array()
     val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
-    val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
+    // Optional second stream, as real muxed AVIs have: an 'auds' strl
+    // whose strf is a 40-byte WAVEFORMATEXTENSIBLE-sized blob. Bytes at
+    // offset 16 are deliberately NOT a bitmap compression id — a walker
+    // that reads biCompression from any strf would be poisoned by it.
+    val audioStrl = if (!withAudioStream) Array.emptyByteArray else {
+      val strhA = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("auds".getBytes("US-ASCII")).putInt(0)
+        .array()
+      val strfA = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putShort(0xFFFE.toShort).putShort(2) // wFormatTag, nChannels
+        .putInt(48000).putInt(192000) // sample rate, byte rate
+        .putShort(4).putShort(16) // block align, bits/sample
+        .putInt(0xDEADBEEF) // offset 16: garbage if read as biCompression
+        .array()
+      list("strl", chunk("strh", strhA) ++ chunk("strf", strfA))
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl ++ audioStrl)
     val movi = list("movi", frames.toArray.flatMap { f =>
       if (compression == BI_RLE8) chunk("00dc", encodeRle8(width, height, f))
       else chunk("00db", f)
@@ -350,10 +369,18 @@ object MediaColumns {
         "not a RIFF/AVI payload")
       var width = -1; var height = -1
       var compression = BI_RGB
+      var videoStrfSeen = false
+      // Stream type ('vids'/'auds'/...) of the strl list currently being
+      // walked, set by its strh. biCompression may only be read from the
+      // strf of the FIRST video stream: in a multi-stream AVI the audio
+      // strf (WAVEFORMATEX(TENSIBLE), often 40 bytes) would otherwise be
+      // parsed last and clobber `compression` with bytes from offset 16.
+      var curStreamType = ""
       // (wasCompressed, payload); decode deferred until the walk ends so
       // chunk order (strf before/after movi) can't change the result
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Array[Byte])]
-      def walk(from: Int, to: Int, inMovi: Boolean, inHdrl: Boolean): Unit = {
+      def walk(from: Int, to: Int, inMovi: Boolean, inHdrl: Boolean,
+          inStrl: Boolean): Unit = {
         var off = from
         while (off + 8 <= to) {
           val id = tag(off); val len = le32(off + 4)
@@ -361,21 +388,26 @@ object MediaColumns {
           id match {
             case "LIST" =>
               val lt = tag(off + 8)
-              walk(off + 12, off + 8 + len, lt == "movi", lt == "hdrl")
+              if (lt == "strl") curStreamType = "" // unknown until its strh
+              walk(off + 12, off + 8 + len, lt == "movi", lt == "hdrl",
+                lt == "strl")
             case "avih" if inHdrl =>
               width = le32(off + 8 + 32); height = le32(off + 8 + 36)
-            case "strf" if len >= 20 => // BITMAPINFOHEADER: biCompression at +16
-              compression = le32(off + 8 + 16)
+            case "strh" if inStrl && len >= 4 =>
+              curStreamType = tag(off + 8) // fccType
+            case "strf" if inStrl && curStreamType == "vids" && !videoStrfSeen &&
+                len >= 20 => // BITMAPINFOHEADER: biCompression at +16
+              compression = le32(off + 8 + 16); videoStrfSeen = true
             case "00db" if inMovi =>
               frames += ((false, java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)))
             case "00dc" if inMovi =>
               frames += ((true, java.util.Arrays.copyOfRange(b, off + 8, off + 8 + len)))
-            case _ => () // idx1, strh, JUNK, ...
+            case _ => () // idx1, JUNK, non-video strf, ...
           }
           off += 8 + len + (len & 1)
         }
       }
-      walk(12, b.length, inMovi = false, inHdrl = false)
+      walk(12, b.length, inMovi = false, inHdrl = false, inStrl = false)
       require(width >= 0, "missing avih header")
       (0 until frames.length by everyN).map { i =>
         val (wasCompressed, payload) = frames(i)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import scala.util.DynamicVariable
 
 /** Query-scoped caching.
   *
@@ -10,28 +11,47 @@ import org.apache.spark.sql.DataFrame
   * long-lived session serving the inventory repeatedly accumulates
   * cached shingle/signature tables forever. `withCached` scopes the
   * cache to the query: it caches the intermediates, MATERIALIZES the
-  * result while they are alive (`localCheckpoint(eager = true)`
-  * computes the result distributed — no driver collect — and truncates
-  * the lineage so the returned plan no longer references the caches),
-  * then unpersists in a `finally`. The checkpointed result RDD itself
-  * is released by Spark's ContextCleaner once the caller drops the
-  * returned DataFrame (reference-tracked, GC-driven) — CacheSpec pins
-  * that the persistent-RDD set returns to baseline after a full
-  * inventory pass.
+  * result while they are alive (eager checkpoint — computed
+  * distributed, no driver collect — truncates the lineage so the
+  * returned plan no longer references the caches), then unpersists in
+  * a `finally`. The checkpointed result RDD itself is released by
+  * Spark's ContextCleaner once the caller drops the returned DataFrame
+  * (reference-tracked, GC-driven) — CacheSpec pins that the
+  * persistent-RDD set returns to baseline after a full inventory pass.
+  *
+  * Materialization strategy by deployment:
+  *   - local master: `localCheckpoint(eager)` — blocks live in the one
+  *     JVM, executor loss is process death anyway.
+  *   - cluster master with a checkpoint dir: reliable
+  *     `checkpoint(eager)` — `localCheckpoint` would tie result blocks
+  *     to executor liveness, which dynamic allocation / preemption
+  *     breaks (Spark explicitly warns against it there).
+  *   - cluster master without a checkpoint dir: no scoped caching at
+  *     all — return the lazy plan untouched. The shared intermediates
+  *     recompute from lineage (slower, never wrong) and zero state is
+  *     retained.
   */
 object Scoped {
-  /** Plan-inspection hook (PlanSpec): when set, `withCached` returns the
-    * raw lazy plan — no cache, no checkpoint — so plan guards assert on
-    * the exact tree that executes inside the wrapper. Never set outside
-    * tests. */
-  @volatile var planOnly: Boolean = false
+  /** Plan-inspection hook (PlanSpec): inside `planOnly { ... }`,
+    * `withCached` returns the raw lazy plan — no cache, no checkpoint —
+    * so plan guards assert on the exact tree that executes inside the
+    * wrapper. Thread-local (`DynamicVariable`), so a PlanSpec explain
+    * on one suite thread cannot flip behavior for queries running
+    * concurrently on another. Never used outside tests. */
+  private val planOnlyFlag = new DynamicVariable[Boolean](false)
+  def planOnly[A](body: => A): A = planOnlyFlag.withValue(true)(body)
 
-  def withCached(cached: DataFrame*)(result: => DataFrame): DataFrame = {
-    if (planOnly) result
+  def withCached(cached: DataFrame*)(result: => DataFrame): DataFrame =
+    if (planOnlyFlag.value) result
     else {
-      cached.foreach(_.cache())
-      try result.localCheckpoint(true)
-      finally cached.foreach(_.unpersist(blocking = false))
+      val r = result // plan construction only; nothing executes yet
+      val sc = r.sparkSession.sparkContext
+      val reliableDir = sc.getCheckpointDir
+      if (!sc.isLocal && reliableDir.isEmpty) r
+      else {
+        cached.foreach(_.cache())
+        try if (sc.isLocal) r.localCheckpoint(true) else r.checkpoint(true)
+        finally cached.foreach(_.unpersist(blocking = false))
+      }
     }
-  }
 }

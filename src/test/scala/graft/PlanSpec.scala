@@ -12,14 +12,14 @@ class PlanSpec extends AnyFunSuite {
   private lazy val spark = SparkSessionTestWrapper.spark
   private val SF = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String = {
+  private def plan(name: String): String =
     // planOnly: scoped-cache queries otherwise materialize eagerly and
     // return a checkpoint scan — the guards must see the inner plan.
-    graft.queries.Scoped.planOnly = true
-    try SparkEntry.queries(name)(spark, SF).queryExecution
-      .explainString(org.apache.spark.sql.execution.FormattedMode)
-    finally graft.queries.Scoped.planOnly = false
-  }
+    // (Thread-local scope: can't flip behavior for concurrent suites.)
+    graft.queries.Scoped.planOnly {
+      SparkEntry.queries(name)(spark, SF).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+    }
 
   test("driver entry point returns rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0)

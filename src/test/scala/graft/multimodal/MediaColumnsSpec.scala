@@ -137,6 +137,26 @@ class MediaColumnsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-stream AVI: audio strf after the video stream cannot clobber biCompression") {
+    import spark.implicits._
+    val frames = (0 until 3).map { i =>
+      Array.tabulate[Byte](12)(j => if (j < 6) (i * 3).toByte else (i * 3 + j).toByte)
+    }
+    // video ('vids' strl, BI_RLE8) + trailing 'auds' strl whose 40-byte
+    // strf carries non-bitmap bytes at offset 16 — a walker that takes
+    // biCompression from any strf reads garbage and skips RLE8 decode.
+    val avi = encodeAvi(4, 3, frames, compression = BI_RLE8, withAudioStream = true)
+    val s = new String(avi, "ISO-8859-1")
+    assert(s.contains("auds") && s.contains("00dc"))
+    val out = sampleFramesAvi(Seq(MediaRow(6, "video/avi", avi)).toDS(), everyN = 1)
+      .collect().sortBy(_.frameIdx)
+    assert(out.length == 3)
+    out.zipWithIndex.foreach { case (f, i) =>
+      assert(f.bytes.sameElements(frames(i)),
+        s"frame $i not RLE8-decoded: audio strf clobbered the video compression id")
+    }
+  }
+
   test("withMediaMeta adds digest and length columns") {
     import spark.implicits._
     val df = Seq((1L, "abc".getBytes("UTF-8"))).toDF("id", "payload")
