@@ -100,21 +100,29 @@ object Dedup {
     }
   }
 
-  private def unigramHashes(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).where(col("doc_id") % 5 === 0)
-      .select(col("doc_id"),
+  /** Distinct-unigram 28-bit hashes of any (doc_id, text) DataFrame —
+    * the generic base of the MinHash machinery, so callers (e.g. the
+    * end-to-end pipeline) can cluster a filtered doc set. */
+  private[graft] def unigramHashesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tok"))
       .withColumn("h", hash28(col("tok")))
 
-  /** 16-permutation MinHash signatures per sampled doc. Uncached here —
-    * each query caches it for its own scope (Scoped.withCached) so the
-    * entry doesn't outlive the invocation. */
-  private[graft] def minhashSignatures16(s: SparkSession, d: String): DataFrame = {
+  private def unigramHashes(s: SparkSession, d: String): DataFrame =
+    unigramHashesOf(Tables.documents(s, d).where(col("doc_id") % 5 === 0))
+
+  /** 16-permutation MinHash signatures of any (doc_id, text) doc set.
+    * Uncached here — each query caches it for its own scope
+    * (Scoped.withCached) so the entry doesn't outlive the invocation. */
+  private[graft] def minhashSignatures16Of(docs: DataFrame): DataFrame = {
     val mhCols = (0 until NPERM).map { j =>
       min((col("h") * permA(j) + permB(j)) % P).as(s"mh$j")
     }
-    unigramHashes(s, d).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    unigramHashesOf(docs).groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
   }
+
+  private[graft] def minhashSignatures16(s: SparkSession, d: String): DataFrame =
+    minhashSignatures16Of(Tables.documents(s, d).where(col("doc_id") % 5 === 0))
 
   /** Distinct LSH band-collision candidate pairs (da < db) from a
     * signature DataFrame — the equi-join that stays O(candidates) at
@@ -174,13 +182,21 @@ object Dedup {
     * profile) and q_dedup_apply (keeper application). The returned
     * DataFrame is localCheckpoint-materialized: self-contained, all
     * scoped caches already released. */
-  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterLabelsOf(s,
+      Tables.documents(s, d).where(col("doc_id") % 5 === 0), CLUSTER_MIN_AGREE)
+
+  /** Same fixpoint over an arbitrary (doc_id, text) doc set and
+    * agreement threshold — the pipeline's dedup stage clusters only its
+    * quality survivors, at a stricter near-exact threshold. */
+  private[graft] def clusterLabelsOf(s: SparkSession, docs: DataFrame,
+      minAgree: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached for the scope of this invocation (released in the finally):
     // referenced by the band explode, both verify-join sides and the
     // label init. The returned plan reads only checkpointed labels, so
     // the unpersist cannot affect the result.
-    val sig = minhashSignatures16(s, d).cache()
+    val sig = minhashSignatures16Of(docs).cache()
     val bandStructs = array((0 until NPERM / 2).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))
@@ -198,7 +214,7 @@ object Dedup {
     val pairs = cand
       .join(sig.as("a"), col("da") === col("a.doc_id"))
       .join(sig.as("b"), col("db") === col("b.doc_id"))
-      .where(agree >= CLUSTER_MIN_AGREE)
+      .where(agree >= minAgree)
       .select("da", "db")
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
@@ -360,18 +376,23 @@ object Dedup {
 
   private val lshBucketSql = Similarity.lshBucketSql
 
-  private val mhCols = (0 until NPERM)
+  // SQL fragments shared with Pipeline's end-to-end oracle (which
+  // replays the same MinHash clustering over its quality survivors).
+  private[graft] val mhColsSql = (0 until NPERM)
     .map(j => s"min((h * ${permA(j)} + ${permB(j)}) % $P) AS mh$j").mkString(", ")
-  private val bandSelects = (0 until NPERM / 2)
+  private[graft] val bandSelectsSql = (0 until NPERM / 2)
     .map(b => s"SELECT doc_id, $b AS band_id, concat_ws(',', mh${2 * b}, mh${2 * b + 1}) AS sig FROM sig")
     .mkString(" UNION ALL ")
+  private[graft] val agreeSumSql = (0 until NPERM)
+    .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+  private val mhCols = mhColsSql
+  private val bandSelects = bandSelectsSql
 
   /** Shared recursive-CTE prefix: verified star-graph connected
     * components `comp(id, root)` — DuckDB's replay of the engine's
     * min-label propagation fixpoint. */
   private val componentsSql: String = {
-    val agreeSql = (0 until NPERM)
-      .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val agreeSql = agreeSumSql
     s"""${unigramSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |sig AS (SELECT doc_id, $mhCols FROM uh GROUP BY doc_id),
        |bands AS ($bandSelects),

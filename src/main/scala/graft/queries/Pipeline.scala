@@ -109,10 +109,92 @@ object Pipeline {
     }
   }
 
+  // ---- End-to-end corpus preparation -------------------------------
+  private val QUAL_MIN_TOK = 20      // quality gate: ≥ 20 tokens
+  private val QUAL_MIN_ALPHA = 0.81  // and ≥ 81% alphabetic characters
+  private val PIPE_MIN_AGREE = 14    // near-exact dedup: est. Jaccard ≥ 14/16
+  private val PIPE_SHINGLE_N = 4     // decon on 4-grams (3-grams hit template
+                                     // boilerplate: at sf0.1 they flag 100%)
+  private val PIPE_MIN_OVERLAP = 5
+
+  /** The full corpus-preparation pipeline as ONE composed plan — the
+    * query a training-data user actually runs, chaining the inventory's
+    * building blocks end-to-end:
+    *
+    *   1. quality gate (token count + alpha ratio, map-side);
+    *   2. near-dup cluster keeper over the survivors (MinHash
+    *      bucket-star candidates → signature-verified edges → min-label
+    *      components; keep roots) at a stricter near-exact threshold
+    *      than q_dedup_cluster;
+    *   3. benchmark decontamination vs the held-out eval split
+    *      (4-gram overlap ≥ 5, bloom-prefiltered + exact confirm);
+    *      eval docs themselves leave the corpus here too;
+    *   4. deterministic stratified sampling (per-lang rates);
+    *   5. sequence packing; output = per-lang corpus profile
+    *      (docs kept, packed sequences, total tokens).
+    *
+    * Every stage is the same shuffle-bounded shape as its standalone
+    * query, so the 100 TB arguments carry over unchanged; the oracle
+    * replays all five stages in one recursive-CTE SQL statement. The
+    * corpus universe is the doc_id % 5 sample, mirroring the dedup
+    * inventory (bounds the oracle's recursive CTE, not the plan). */
+  val qPipelineCorpus: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.where(col("doc_id") % 5 === 0)
+      .withColumn("w", tokens(col("text")))
+    val qual = base.where(size(col("w")) >= QUAL_MIN_TOK &&
+      length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+        / length(col("text")) >= QUAL_MIN_ALPHA)
+    val bench = docs.where(col("doc_id") % DECON_MOD === 0)
+      .select(explode(shingles(tokens(col("text")), PIPE_SHINGLE_N)).as("s"))
+      .distinct()
+    Scoped.withCached(qual, bench) {
+      // stage 2: labels are localCheckpoint-materialized inside, so the
+      // returned plan is self-contained (see Dedup.clusterLabelsOf)
+      val labels = Dedup.clusterLabelsOf(s, qual, PIPE_MIN_AGREE)
+      val kept = qual.join(
+        labels.where(col("lbl") === col("id")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // stage 3: bloom map-side prune + exact confirm (fpp-irrelevant)
+      val nBench = bench.count().max(1L)
+      val bf = bench.stat.bloomFilter("s", nBench, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((x: String) => bfB.value.mightContainString(x))
+      val contam = kept
+        .select(col("doc_id"), explode(shingles(col("w"), PIPE_SHINGLE_N)).as("s"))
+        .where(mightContain(col("s")))
+        .join(bench, Seq("s"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_over"))
+        .where(col("n_over") >= PIPE_MIN_OVERLAP)
+        .select("doc_id")
+      val clean = kept.where(col("doc_id") % DECON_MOD =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+      // stage 4: deterministic stratified sample
+      val rate = RATES.foldRight(lit(DEFAULT_RATE): Column) {
+        case ((lang, r), rest) => when(col("lang") === lang, lit(r)).otherwise(rest)
+      }
+      val samp = clean.where(pct(col("doc_id")) < rate)
+        .select(col("lang"), col("doc_id"), size(col("w")).as("n_tok"))
+      // stage 5: pack + per-lang profile
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      samp.withColumn("shard", (col("doc_id") % PACK_SHARDS).cast("int"))
+        .withColumn("running", sum("n_tok").over(w))
+        .withColumn("seq_id",
+          floor((col("running") - col("n_tok")) / lit(PACK_BUDGET.toDouble)).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("shard"), col("seq_id")).as("n_seq"),
+          sum("n_tok").cast("long").as("n_tok"))
+        .orderBy("lang")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
     "q_sample_stratified" -> qSampleStratified,
     "q_pack_sequences" -> qPackSequences,
-    "q_decontaminate" -> qDecontaminate
+    "q_decontaminate" -> qDecontaminate,
+    "q_pipeline_corpus" -> qPipelineCorpus
   )
 
   private val toksAll =
@@ -144,6 +226,56 @@ object Pipeline {
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok
          |FROM r GROUP BY lang, shard, seq_id
          |ORDER BY lang, shard, seq_id""".stripMargin,
+    "q_pipeline_corpus" -> {
+      val shingle4 = (0 until PIPE_SHINGLE_N)
+        .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id, lang, text, $toksAll AS w,
+         |    CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / len(text) AS alpha
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |qual AS (SELECT * FROM base
+         |         WHERE len(w) >= $QUAL_MIN_TOK AND alpha >= CAST($QUAL_MIN_ALPHA AS DOUBLE)),
+         |uh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(w) AS tok FROM qual) u),
+         |sig AS (SELECT doc_id, ${Dedup.mhColsSql} FROM uh GROUP BY doc_id),
+         |bands AS (${Dedup.bandSelectsSql}),
+         |stars AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band_id, sig) AS root FROM bands),
+         |cand AS (SELECT DISTINCT root AS da, doc_id AS db FROM stars WHERE doc_id > root),
+         |pairs AS (SELECT da, db FROM cand
+         |          JOIN sig sa ON cand.da = sa.doc_id
+         |          JOIN sig sb ON cand.db = sb.doc_id
+         |          WHERE (${Dedup.agreeSumSql}) >= $PIPE_MIN_AGREE),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM sig
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(lbl) AS root FROM reach GROUP BY id),
+         |kept AS (SELECT q.* FROM qual q JOIN comp ON q.doc_id = comp.id
+         |         WHERE comp.root = comp.id),
+         |sh AS (SELECT DISTINCT doc_id, $shingle4 AS s
+         |       FROM kept, unnest(range(1, len(w) + 2 - $PIPE_SHINGLE_N)) t(i)),
+         |all_toks AS (SELECT doc_id, $toksAll AS w FROM documents WHERE doc_id % $DECON_MOD = 0),
+         |bench AS (SELECT DISTINCT $shingle4 AS s
+         |          FROM all_toks, unnest(range(1, len(w) + 2 - $PIPE_SHINGLE_N)) t(i)),
+         |contam AS (SELECT doc_id FROM sh JOIN bench USING(s)
+         |           GROUP BY doc_id HAVING count(*) >= $PIPE_MIN_OVERLAP),
+         |clean AS (SELECT * FROM kept WHERE doc_id % $DECON_MOD != 0
+         |          AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |samp AS (SELECT lang, doc_id, len(w) AS n_tok FROM clean
+         |         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+         |           % 100 < ($ratesCase)),
+         |packed AS (SELECT lang, CAST(doc_id % $PACK_SHARDS AS INT) AS shard, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY lang, CAST(doc_id % $PACK_SHARDS AS INT) ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |  FROM samp)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(count(DISTINCT (shard, CAST(floor((running - n_tok) / ${PACK_BUDGET.toDouble}) AS BIGINT))) AS BIGINT) AS n_seq,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tok
+         |FROM packed GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s

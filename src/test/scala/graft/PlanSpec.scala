@@ -122,6 +122,18 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"))
   }
 
+  test("q_pipeline_corpus composes with zero all-pairs joins and a partitioned pack window") {
+    // The end-to-end plan (post-cluster stages; the cluster fixpoint
+    // itself materializes inside and is guarded via q_dedup_cluster):
+    // every join must stay an equi-join and packing must stay
+    // hash-partitioned — the stages inherit their standalone shapes.
+    val p = plan("q_pipeline_corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no stage of the composed pipeline may plan an all-pairs join")
+    assert(p.contains("hashpartitioning"),
+      "pack window must stay partitioned by (lang, shard)")
+  }
+
   test("pipeline ops: packing window partitions; decontamination stays equi-join") {
     val p1 = plan("q_pack_sequences")
     assert(p1.contains("hashpartitioning"),
