@@ -199,6 +199,49 @@ object MicroBench {
         val downT = t { SmartSpimPipeline.downsampleLevel(rc, chunk, Seq(2, 2, 2))
           .map(_.data.length.toLong).reduce(_ + _) }
         println(f"""{"bench":"imaging-phases","decode_sec":$decode%.2f,"decode_rechunk_sec":$rechunkT%.2f,"write_sec":$writeT%.2f,"downsample_sec":$downT%.2f}""")
+      case "pyramid-fused" =>
+        // Fused level-k downsample vs the iterated per-level path, both
+        // consuming ONLY level k (the fused path's use case). In-memory
+        // chunks so the comparison isolates compute + shuffle structure
+        // (the iterated path additionally pays k-1 intermediate
+        // assembleFragments shuffles; on disk it would also pay the
+        // write-then-readback the reference does per level).
+        val nz2 = args.lift(1).map(_.toInt).getOrElse(256)
+        val k = args.lift(2).map(_.toInt).getOrElse(3)
+        import graft.imaging.SmartSpimPipeline
+        import SmartSpimPipeline.SliceRow
+        import spark.implicits._
+        val ny2 = 1024; val nx2 = 1024
+        val chunk2 = Seq(128, 128, 128)
+        val slices = spark.range(nz2).map { z =>
+          val px = new Array[Byte](ny2 * nx2 * 2)
+          var i = 0
+          while (i < ny2 * nx2) {
+            val v = ((z * 10007 + i * 13) % 65536).toInt
+            px(2 * i) = (v & 0xFF).toByte; px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          SliceRow("s", z.toInt, ny2, nx2, px)
+        }
+        val l0 = SmartSpimPipeline.rechunk(slices, chunk2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        l0.count()
+        def tt(f: => Long): (Double, Long) = {
+          val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+        }
+        def iterated(): Long =
+          (1 to k).foldLeft(l0)((d, _) =>
+            SmartSpimPipeline.downsampleLevel(d, chunk2, Seq(2, 2, 2)))
+            .map(_.data.length.toLong).reduce(_ + _)
+        def fused(): Long =
+          SmartSpimPipeline.downsampleToLevel(l0, chunk2, Seq(2, 2, 2), k)
+            .map(_.data.length.toLong).reduce(_ + _)
+        iterated(); fused() // codegen warm-up
+        val (itT, itBytes) = Seq.fill(3)(tt(iterated())).minBy(_._1)
+        val (fuT, fuBytes) = Seq.fill(3)(tt(fused())).minBy(_._1)
+        require(itBytes == fuBytes, s"fused/iterated byte mismatch: $itBytes vs $fuBytes")
+        println(f"""{"bench":"pyramid-fused","slices":$nz2,"levels":$k,"iterated_sec":$itT%.2f,"fused_sec":$fuT%.2f,"speedup":${itT / fuT}%.2f,"out_bytes":$fuBytes}""")
+        l0.unpersist(blocking = false)
       case "annrecall" =>
         // recall of the pruned ANN tiers vs brute force at the bench SF
         val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

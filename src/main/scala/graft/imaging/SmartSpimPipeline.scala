@@ -258,6 +258,51 @@ object SmartSpimPipeline {
     assembleFragments(sub)
   }
 
+  /** Fused multi-level downsample: compute pyramid level `levels`
+    * DIRECTLY from level-0 chunks in one pass — the optional operator
+    * fusion SURVEY §4 sketches (`downsample(downsample(x))` → one
+    * stride-2^k pass).
+    *
+    * Semantics are the ITERATED ones, bit-for-bit: the kernel applies
+    * the dtype-truncating windowed mean `levels` times to each chunk's
+    * local array (floor-of-floor, clamped at array edges), so the
+    * result is identical to `downsampleLevel` applied `levels` times —
+    * NOT a single mean over the 2^k-wide window, which rounds
+    * differently. Locality holds because 2^k-aligned windows of extent
+    * 2^k never cross a chunk boundary when 2^k divides the chunk dim
+    * (edge chunks clamp at the array edge, which is their own edge).
+    *
+    * At scale this replaces k shuffles + k intermediate level
+    * materializations (the reference's write-then-readback per level,
+    * png_to_zarr.py:673-675) with ZERO intermediate state and ONE
+    * shuffle over 8^-k of the input bytes — the path to use when only
+    * a coarse level is consumed (thumbnailing, registration preview,
+    * QC stats), while the per-level loop remains the path that writes
+    * every level. */
+  def downsampleToLevel(chunks: Dataset[ChunkRow], chunk: Seq[Int],
+      factor: Seq[Int], levels: Int): Dataset[ChunkRow] = {
+    require(levels >= 1, "levels must be >= 1")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val Seq(cz, cy, cx) = chunk
+    val Seq(fz, fy, fx) = factor.map(f => math.pow(f, levels).toInt)
+    require(cz % fz == 0 && cy % fy == 0 && cx % fx == 0,
+      "chunk size must be divisible by factor^levels")
+    val sub = chunks.map { c =>
+      var dz = c.dz; var dy = c.dy; var dx = c.dx; var data = c.data
+      var i = 0
+      while (i < levels) {
+        val r = windowedMean(dz, dy, dx, data, factor)
+        dz = r._1; dy = r._2; dx = r._3; data = r._4
+        i += 1
+      }
+      SubBlock(c.stack, c.zc / fz, c.yc / fy, c.xc / fx,
+        (c.zc % fz) * (cz / fz), (c.yc % fy) * (cy / fy), (c.xc % fx) * (cx / fx),
+        dz, dy, dx, data)
+    }
+    assembleFragments(sub)
+  }
+
   // ------------------------------------------------------- zarr sink (S7)
 
   /** Write one level's chunks as zarr v2 chunk files under
