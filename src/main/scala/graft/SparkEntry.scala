@@ -21,6 +21,7 @@ object SparkEntry {
       (q.Similarity.queries, q.Similarity.oracleSql),
       (q.TextAnalysis.queries, q.TextAnalysis.oracleSql),
       (q.Pipeline.queries, q.Pipeline.oracleSql),
+      (q.Curation.queries, q.Curation.oracleSql),
       (q.Multimodal.queries, q.Multimodal.oracleSql),
       (q.Streaming.queries, q.Streaming.oracleSql)
     )

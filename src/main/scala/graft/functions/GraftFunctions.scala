@@ -68,4 +68,24 @@ object GraftFunctions {
   def normSq(a: Column): Column =
     aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Morton / Z-order interleave of two 8-bit coordinates into a
+    * 16-bit curve value: bit i of `x` lands at curve bit 2i, bit i of
+    * `y` at 2i+1. Composed from codegen'd bit built-ins (shift / AND /
+    * sum) — no UDF — so Catalyst folds it when inputs are literal and
+    * whole-stage codegen keeps it in-register per row. Rows sorted or
+    * range-bucketed by the curve value are spatially local in (x, y):
+    * the multi-dimensional clustering used for data layout (file
+    * skipping on two correlated dimensions) at 100 TB. */
+  def zorder8(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Reference Scala implementation of [[zorder8]] for property tests. */
+  private[graft] def zorder8Ref(x: Int, y: Int): Long =
+    (0 until 8).map { i =>
+      (((x >> i) & 1).toLong << (2 * i)) + (((y >> i) & 1).toLong << (2 * i + 1))
+    }.sum
 }

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Corpus-curation operators a training-data pipeline runs before the
+  * dedup/mixing stages already in the inventory:
+  *
+  *  - Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+  *    adapted to this corpus's ranges): token-count bounds, mean word
+  *    length band, stopword presence, distinct-token ratio — each rule
+  *    a map-side boolean, aggregated to per-language pass rates;
+  *  - repetition detection (the Gopher "repetitious text" signals):
+  *    duplicate-token ratio and top-bigram mass per document;
+  *  - PII detection/redaction: regex hit counts + masked text, the
+  *    scrubbing pass run before any corpus leaves the lake;
+  *  - Z-order (Morton) curve layout: multi-dimensional clustering for
+  *    file-skipping on two correlated dimensions at once.
+  *
+  * Quality and PII are pure map-side (zero shuffle — they scale by
+  * adding executors); repetition is one partial-aggregated shuffle on
+  * (doc_id, bigram); the Z-order profile is one shuffle on the bucket.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- Gopher-style quality rules (thresholds fit this corpus's
+  // observed ranges: n_tok p10/p50/p90 = 21/56/88, mean word length
+  // 3.7-5.3, distinct ratio 0.28-0.99, mean stopword hits 3.4) ----
+  private val QG_MIN_TOK = 25
+  private val QG_MAX_TOK = 90
+  private val QG_MIN_WLEN = 4.0
+  private val QG_MAX_WLEN = 5.0
+  private val QG_MIN_STOPS = 2
+  private val QG_MIN_DISTINCT = 0.35
+  private val STOPWORDS = Seq("the", "a", "of", "and")
+
+  /** Per-language quality funnel: how many documents pass each Gopher
+    * rule and all of them together. Every rule is a per-row boolean on
+    * the tokenized text — the whole profile is one map-side pass plus
+    * one partial-aggregated groupBy(lang); at 100 TB the same plan
+    * with `where(pass)` emits the filtered corpus instead. */
+  val qQualityGopher: Q = (s, d) => {
+    val w = col("w")
+    val rules = Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .select(col("lang"),
+        (size(w) >= QG_MIN_TOK && size(w) <= QG_MAX_TOK).cast("int").as("r_len"),
+        (aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(w))
+          .between(QG_MIN_WLEN, QG_MAX_WLEN).cast("int").as("r_wlen"),
+        (size(filter(w, t => t.isin(STOPWORDS.map(lit): _*))) >= QG_MIN_STOPS)
+          .cast("int").as("r_stop"),
+        (size(array_distinct(w)).cast("double") / size(w) >= QG_MIN_DISTINCT)
+          .cast("int").as("r_distinct"))
+      .withColumn("r_all",
+        (col("r_len") === 1 && col("r_wlen") === 1 &&
+          col("r_stop") === 1 && col("r_distinct") === 1).cast("int"))
+    rules.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("r_len").cast("long").as("pass_len"),
+        sum("r_wlen").cast("long").as("pass_wlen"),
+        sum("r_stop").cast("long").as("pass_stop"),
+        sum("r_distinct").cast("long").as("pass_distinct"),
+        sum("r_all").cast("long").as("pass_all"))
+      .withColumn("pass_rate", round(col("pass_all") / col("n_docs"), 4))
+      .orderBy("lang")
+  }
+
+  /** Word bigrams (frequency form, not distinct) of a token array. */
+  private def bigrams(w: Column): Column =
+    when(size(w) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", slice(w, i + 1, lit(2)))))
+
+  /** Per-document repetition signals on the sampled corpus: distinct
+    * token ratio and the mass of the single most frequent bigram
+    * (Gopher's "top 2-gram fraction"). The bigram mode needs a
+    * per-(doc, bigram) count — one partial-aggregated shuffle keyed by
+    * (doc_id, bigram), then a per-doc max; the doc-level join is
+    * co-partitioned on doc_id. Left join + coalesce keeps one-token
+    * documents (no bigrams) in the profile. */
+  val qTextRepetition: Q = (s, d) => {
+    val base = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .withColumn("w", tokens(col("text")))
+    Scoped.withCached(base) {
+      val stats = base.select(col("doc_id"),
+        size(col("w")).as("n_tok"), size(array_distinct(col("w"))).as("n_dist"))
+      val topBg = base
+        .select(col("doc_id"), explode(bigrams(col("w"))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max("n").as("top_bg"))
+      stats.join(topBg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          round(col("n_dist").cast("double") / col("n_tok"), 6).as("distinct_ratio"),
+          coalesce(col("top_bg"), lit(0L)).as("top_bg"),
+          round(lit(2.0) * coalesce(col("top_bg"), lit(0L)) / col("n_tok"), 6)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // ---- PII detection / redaction ----
+  // Patterns chosen to behave identically under Java regex (Spark) and
+  // RE2 (DuckDB): no backreferences, no lookaround.
+  private val RE_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val RE_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val RE_PHONE = "\\+1-555-\\d{4}"
+
+  /** Deterministically inject PII into a subset of docs (the synthetic
+    * corpus carries none), so detection counts vary 0/1 per kind. */
+  private def withPii(textCol: Column, id: Column): Column = concat(
+    textCol,
+    when(id % 3 === 0,
+      concat(lit(" contact doc"), id, lit("@mail.example.com"))).otherwise(lit("")),
+    when(id % 4 === 0,
+      concat(lit(" from 10."), id % 256, lit(".0."), id % 100)).otherwise(lit("")),
+    when(id % 5 === 0,
+      concat(lit(" call +1-555-"), lpad((id % 10000).cast("string"), 4, "0")))
+      .otherwise(lit("")))
+
+  /** PII scrub: per-document counts of detected emails / IPv4s / phone
+    * numbers plus an md5 fingerprint of the redacted text (masking
+    * applied email → ip → phone, fixed order). Pure map-side — no
+    * shuffle at any scale; the regexes are codegen'd built-ins. */
+  val qPiiRedact: Q = (s, d) => {
+    val pii = withPii(col("text"), col("doc_id"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(pii, RE_EMAIL, "[EMAIL]"),
+          RE_IP, "[IP]"),
+        RE_PHONE, "[PHONE]")
+    Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        size(regexp_extract_all(pii, lit(RE_EMAIL), lit(0))).as("n_email"),
+        size(regexp_extract_all(pii, lit(RE_IP), lit(0))).as("n_ip"),
+        size(regexp_extract_all(pii, lit(RE_PHONE), lit(0))).as("n_phone"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Z-order curve layout profile ----
+  private val Z_BUCKET_SHIFT = 10 // 16-bit curve -> 64 buckets of 1024
+
+  /** Z-order (Morton) layout profile over lineitem's (partkey, suppkey)
+    * plane: every row's 8-bit coordinates interleave into a 16-bit
+    * curve value; range-bucketing that value (top 6 bits) yields tiles
+    * whose per-bucket bounding boxes are ≤ 32×32 — the locality that
+    * makes one sort key prune scans on BOTH dimensions at 100 TB
+    * (min/max file statistics on the curve value). Map-side curve
+    * computation + one partial-aggregated shuffle on the bucket. */
+  val qZorderCurve: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .select(pmod(col("l_partkey"), lit(256)).as("x"),
+        pmod(col("l_suppkey"), lit(256)).as("y"))
+      .withColumn("z", zorder8(col("x"), col("y")))
+      .groupBy(shiftrightunsigned(col("z"), Z_BUCKET_SHIFT).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("bucket")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_quality_gopher" -> qQualityGopher,
+    "q_text_repetition" -> qTextRepetition,
+    "q_pii_redact" -> qPiiRedact,
+    "q_zorder_curve" -> qZorderCurve
+  )
+
+  private val toksAll =
+    """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
+
+  private val stopsIn = STOPWORDS.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** DuckDB-side PII synthesis mirroring [[withPii]]. */
+  private val piiSql =
+    """text
+      | || CASE WHEN doc_id % 3 = 0
+      |      THEN ' contact doc' || doc_id || '@mail.example.com' ELSE '' END
+      | || CASE WHEN doc_id % 4 = 0
+      |      THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0
+      |      THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  /** 16-term DuckDB bit-interleave mirroring [[GraftFunctions.zorder8]]. */
+  private val zorderSql: String =
+    (0 until 8).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_quality_gopher" ->
+      s"""WITH t AS (SELECT lang, $toksAll AS w FROM documents),
+         |r AS (SELECT lang,
+         |  CASE WHEN len(w) BETWEEN $QG_MIN_TOK AND $QG_MAX_TOK THEN 1 ELSE 0 END AS r_len,
+         |  CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+         |       BETWEEN $QG_MIN_WLEN AND $QG_MAX_WLEN THEN 1 ELSE 0 END AS r_wlen,
+         |  CASE WHEN len(list_filter(w, x -> x IN $stopsIn)) >= $QG_MIN_STOPS
+         |       THEN 1 ELSE 0 END AS r_stop,
+         |  CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= $QG_MIN_DISTINCT
+         |       THEN 1 ELSE 0 END AS r_distinct
+         |  FROM t),
+         |f AS (SELECT lang, r_len, r_wlen, r_stop, r_distinct,
+         |  CASE WHEN r_len + r_wlen + r_stop + r_distinct = 4 THEN 1 ELSE 0 END AS r_all
+         |  FROM r)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(r_len) AS BIGINT) AS pass_len,
+         |  CAST(sum(r_wlen) AS BIGINT) AS pass_wlen,
+         |  CAST(sum(r_stop) AS BIGINT) AS pass_stop,
+         |  CAST(sum(r_distinct) AS BIGINT) AS pass_distinct,
+         |  CAST(sum(r_all) AS BIGINT) AS pass_all,
+         |  round(CAST(sum(r_all) AS DOUBLE) / count(*), 4) AS pass_rate
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksAll AS w FROM documents WHERE doc_id % 20 = 0),
+         |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+         |       FROM t, unnest(range(1, len(w))) u(i)),
+         |m AS (SELECT doc_id, max(n) AS top_bg FROM (
+         |        SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg) c
+         |      GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tok,
+         |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS distinct_ratio,
+         |  CAST(coalesce(top_bg, 0) AS BIGINT) AS top_bg,
+         |  round(2.0 * coalesce(top_bg, 0) / len(w), 6) AS top_bigram_frac
+         |FROM t LEFT JOIN m ON t.doc_id = m.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $piiSql AS s
+         |           FROM documents WHERE doc_id % 20 = 0)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(s, '$RE_EMAIL')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(s, '$RE_IP')) AS INT) AS n_ip,
+         |  CAST(len(regexp_extract_all(s, '$RE_PHONE')) AS INT) AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+         |    '$RE_EMAIL', '[EMAIL]', 'g'),
+         |    '$RE_IP', '[IP]', 'g'),
+         |    '$RE_PHONE', '[PHONE]', 'g')) AS redacted_md5
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_zorder_curve" ->
+      s"""WITH c AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+         |z AS (SELECT x, y, $zorderSql AS z FROM c)
+         |SELECT CAST(z >> $Z_BUCKET_SHIFT AS INT) AS bucket, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}

@@ -201,6 +201,40 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Co-located join via bucketing: both sides are written
+    * `bucketBy(8)` on the join key (sorted within buckets), then
+    * sort-merge joined reading bucket files directly — ZERO Exchange on
+    * either join side (PlanSpec asserts it). At 100 TB this is how a
+    * fact table joins its dims repeatedly without re-shuffling per
+    * query: pay the layout shuffle once at ingest, join shuffle-free
+    * forever after. The bucketed write is part of the query so the
+    * layout cost is measured honestly; the `merge` hint pins SMJ where
+    * toy-scale size estimates would auto-broadcast (broadcast wouldn't
+    * exist at scale — the dim side here stands in for a large one). */
+  val qJoinBucketed: Q = (s, d) => {
+    bucketedJoin(s, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Writes the bucketed tables and returns the shuffle-free join
+    * (exposed for PlanSpec's zero-Exchange assertion). */
+  private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft_bucketed_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    Tables.orders(s, d).write.mode("overwrite")
+      .option("path", s"$dir/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("g_orders_bucketed")
+    Tables.customer(s, d).write.mode("overwrite")
+      .option("path", s"$dir/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("g_customer_bucketed")
+    s.table("g_orders_bucketed")
+      .join(s.table("g_customer_bucketed").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+  }
+
   /** Wide→long unpivot (melt): per-measure rows from the lineitem
     * measure columns. Pure map-side row expansion — the inverse surface
     * of `q_agg_pivot`. */
@@ -722,6 +756,7 @@ object Relational {
     "q_filter_pred" -> qFilterPred,
     "q_join_bcast" -> qJoinBcast,
     "q_join_shuffle" -> qJoinShuffle,
+    "q_join_bucketed" -> qJoinBucketed,
     "q_join_salted" -> qJoinSalted,
     "q_join_left" -> qJoinLeft,
     "q_join_right" -> qJoinRight,
@@ -804,6 +839,11 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_salted" ->
       """SELECT n_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN nation

@@ -114,6 +114,36 @@ class PlanSpec extends AnyFunSuite {
       "hll must read only the hashed key and the group")
   }
 
+  test("curation ops: quality/PII map-side and join-free; zorder prunes its scan") {
+    val pq = plan("q_quality_gopher")
+    assert(!pq.contains("Join"), "quality rules are per-row booleans + one groupBy")
+    assert(pq.contains("ReadSchema: struct<text:string,lang:string>"),
+      "quality must read only text and lang")
+    val pp = plan("q_pii_redact")
+    assert(!pp.contains("Join") && !pp.contains("hashpartitioning"),
+      "PII scrub is pure map-side — no join, no aggregation shuffle")
+    val pz = plan("q_zorder_curve")
+    assert(pz.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      "zorder must read only the two interleaved key columns")
+    assert("HashAggregate".r.findAllIn(pz).size >= 2 && pz.contains("partial_"),
+      "bucket profile must partial-aggregate map-side before the shuffle")
+    val pr = plan("q_text_repetition")
+    assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"),
+      "repetition join is co-partitioned on doc_id")
+  }
+
+  test("bucketed join reads bucket files with ZERO exchange on either side") {
+    // Executes the bucketed writes (tiny at sf0.001), then asserts the
+    // join itself — before any aggregation — plans with no shuffle:
+    // bucket outputs satisfy the join's distribution requirement.
+    val joined = graft.queries.Relational.bucketedJoin(spark, SF)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), "merge hint must pin a sort-merge join")
+    assert(!p.contains("Exchange"),
+      s"bucketBy(8, custkey) on both sides must eliminate every Exchange:\n$p")
+    assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
+  }
+
   test("binned interval join is an equi-join on the bucket, never a nested loop") {
     val p = plan("q_join_interval")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
