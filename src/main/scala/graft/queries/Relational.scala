@@ -222,17 +222,43 @@ object Relational {
     * (exposed for PlanSpec's zero-Exchange assertion). */
   private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val dir = "/tmp/graft_bucketed_" + d.replaceAll("[^0-9a-zA-Z]", "_")
-    Tables.orders(s, d).write.mode("overwrite")
+    // project to the joined/aggregated columns before bucketing — the
+    // layout write costs I/O proportional to what it keeps
+    Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      .write.mode("overwrite")
       .option("path", s"$dir/orders")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable("g_orders_bucketed")
-    Tables.customer(s, d).write.mode("overwrite")
+    Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite")
       .option("path", s"$dir/customer")
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
       .saveAsTable("g_customer_bucketed")
     s.table("g_orders_bucketed")
       .join(s.table("g_customer_bucketed").hint("merge"),
         col("o_custkey") === col("c_custkey"))
+  }
+
+  /** MERGE / upsert (CDC apply): a base table merged with an update
+    * batch — matched keys take the update, unmatched updates insert,
+    * untouched base rows keep. Expressed as ONE full-outer equi-join +
+    * coalesce (the engine-level form of SQL MERGE): a single
+    * co-partitioned shuffle on the key at any scale, and with the base
+    * laid out bucketed (q_join_bucketed) the base side needs no
+    * exchange at all. Updates here shift the price by a constant so
+    * the merged values are FP-exact across engines. */
+  val qMergeUpsert: Q = (s, d) => {
+    val base = Tables.orders(s, d).where(col("o_orderkey") % 4 =!= 0)
+      .select(col("o_orderkey").as("bk"), col("o_totalprice").as("bprice"))
+    val upd = Tables.orders(s, d).where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("uk"), (col("o_totalprice") + 1000.0).as("uprice"))
+    base.join(upd, col("bk") === col("uk"), "full_outer")
+      .select(coalesce(col("bk"), col("uk")).as("o_orderkey"),
+        when(col("bk").isNull, "insert")
+          .when(col("uk").isNull, "keep").otherwise("update").as("action"),
+        coalesce(col("uprice"), col("bprice")).as("price"))
+      .where(col("o_orderkey") % 500 === 0)
+      .orderBy("o_orderkey")
   }
 
   /** Wide→long unpivot (melt): per-measure rows from the lineitem
@@ -757,6 +783,7 @@ object Relational {
     "q_join_bcast" -> qJoinBcast,
     "q_join_shuffle" -> qJoinShuffle,
     "q_join_bucketed" -> qJoinBucketed,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_join_salted" -> qJoinSalted,
     "q_join_left" -> qJoinLeft,
     "q_join_right" -> qJoinRight,
@@ -844,6 +871,18 @@ object Relational {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS bk, o_totalprice AS bprice
+        |              FROM orders WHERE o_orderkey % 4 != 0),
+        |upd AS (SELECT o_orderkey AS uk, o_totalprice + 1000.0 AS uprice
+        |        FROM orders WHERE o_orderkey % 2 = 0),
+        |m AS (SELECT coalesce(bk, uk) AS o_orderkey,
+        |        CASE WHEN bk IS NULL THEN 'insert'
+        |             WHEN uk IS NULL THEN 'keep' ELSE 'update' END AS action,
+        |        coalesce(uprice, bprice) AS price
+        |      FROM base FULL JOIN upd ON bk = uk)
+        |SELECT o_orderkey, action, price FROM m
+        |WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin,
     "q_join_salted" ->
       """SELECT n_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN nation

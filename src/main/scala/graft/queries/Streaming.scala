@@ -153,7 +153,30 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment join: the event stream joins a STATIC
+    * dimension (customer) per micro-batch — stateless (no watermark
+    * needed; the static side is not a stream), the standard pattern for
+    * decorating a 100 TB/day event firehose with dimension attributes.
+    * The dim is broadcast: the stream side never shuffles for the
+    * join; the only stateful operator is the final rollup. */
+  val qStreamStaticJoin: Q = (s, d) => withStreamShufflePartitions(s) {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val name = "stream_static_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .where(col("event_type") === "purchase")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy("c_mktsegment")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_static_join" -> qStreamStaticJoin,
     "q_stream_hourly" -> qStreamHourly,
     "q_stream_hourly_wm" -> qStreamHourlyWm,
     "q_stream_dedup" -> qStreamDedup,
@@ -162,6 +185,11 @@ object Streaming {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_stream_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_v
