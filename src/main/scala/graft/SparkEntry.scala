@@ -22,6 +22,7 @@ object SparkEntry {
       (q.TextAnalysis.queries, q.TextAnalysis.oracleSql),
       (q.Pipeline.queries, q.Pipeline.oracleSql),
       (q.Curation.queries, q.Curation.oracleSql),
+      (q.Graph.queries, q.Graph.oracleSql),
       (q.Multimodal.queries, q.Multimodal.oracleSql),
       (q.Streaming.queries, q.Streaming.oracleSql)
     )
