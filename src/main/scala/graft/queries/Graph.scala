@@ -81,6 +81,7 @@ object Graph {
          |${iterCte("r1", "r0")},
          |${iterCte("r2", "r1")},
          |${iterCte("r3", "r2")}
-         |SELECT node, rank FROM r3 ORDER BY rank DESC, node ASC""".stripMargin)
+         |SELECT node, CAST(rank AS BIGINT) AS rank
+         |FROM r3 ORDER BY rank DESC, node ASC""".stripMargin)
   }
 }

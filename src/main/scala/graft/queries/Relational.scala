@@ -221,21 +221,26 @@ object Relational {
   /** Writes the bucketed tables and returns the shuffle-free join
     * (exposed for PlanSpec's zero-Exchange assertion). */
   private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val dir = "/tmp/graft_bucketed_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    // layout names derived from the dataset (like the path) so
+    // concurrent sessions / interleaved datasets can't clobber each
+    // other's bucketed tables
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val dir = s"/tmp/graft_bucketed_$tag"
+    val (ordersTbl, custTbl) = (s"g_orders_bucketed_$tag", s"g_customer_bucketed_$tag")
     // project to the joined/aggregated columns before bucketing — the
     // layout write costs I/O proportional to what it keeps
     Tables.orders(s, d).select("o_custkey", "o_totalprice")
       .write.mode("overwrite")
       .option("path", s"$dir/orders")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("g_orders_bucketed")
+      .saveAsTable(ordersTbl)
     Tables.customer(s, d).select("c_custkey", "c_mktsegment")
       .write.mode("overwrite")
       .option("path", s"$dir/customer")
       .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("g_customer_bucketed")
-    s.table("g_orders_bucketed")
-      .join(s.table("g_customer_bucketed").hint("merge"),
+      .saveAsTable(custTbl)
+    s.table(ordersTbl)
+      .join(s.table(custTbl).hint("merge"),
         col("o_custkey") === col("c_custkey"))
   }
 
@@ -257,7 +262,7 @@ object Relational {
         when(col("bk").isNull, "insert")
           .when(col("uk").isNull, "keep").otherwise("update").as("action"),
         coalesce(col("uprice"), col("bprice")).as("price"))
-      .where(col("o_orderkey") % 500 === 0)
+      .where(col("o_orderkey") % 125 === 0)
       .orderBy("o_orderkey")
   }
 
@@ -882,7 +887,7 @@ object Relational {
         |        coalesce(uprice, bprice) AS price
         |      FROM base FULL JOIN upd ON bk = uk)
         |SELECT o_orderkey, action, price FROM m
-        |WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin,
+        |WHERE o_orderkey % 125 = 0 ORDER BY o_orderkey""".stripMargin,
     "q_join_salted" ->
       """SELECT n_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN nation

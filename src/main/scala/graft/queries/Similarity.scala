@@ -337,12 +337,13 @@ object Similarity {
   // ---- Product quantization (PQ) tier ---------------------------------
   //
   // The billion-scale ANN compression: split the 64-dim vector into
-  // PQ_M = 8 subspaces of 8 dims, k-means each subspace to PQ_K = 16
-  // codewords, store each vector as 8 nibbles (4 bytes — a 64× memory
-  // reduction over float32). Search is ADC (asymmetric distance
-  // computation): the query builds an 8×16 distance table to every
-  // codeword ONCE, then every corpus vector's approximate distance is
-  // 8 table lookups summed — no per-pair arithmetic on raw floats.
+  // PQ_M = 8 subspaces of 8 dims, k-means each subspace to PQ_K = 64
+  // codewords, store each vector as 8 six-bit codes (6 bytes packed —
+  // a ~42× memory reduction over float32). Search is ADC (asymmetric
+  // distance computation): the query builds an 8×64 distance table to
+  // every codeword ONCE, then every corpus vector's approximate
+  // distance is 8 table lookups summed — no per-pair arithmetic on raw
+  // floats.
   //
   // Same cross-engine determinism scheme as the IVF fit (integer-exact
   // Lloyd at scales 10³/10⁶, md5-seeded init, ties → lower cid), and
@@ -414,7 +415,7 @@ object Similarity {
   }
 
   /** PQ/ADC search: fit the codebook, encode the corpus to 8 codes per
-    * vector, build each query's 8×16 integer distance table, and rank
+    * vector, build each query's 8×64 integer distance table, and rank
     * candidates by the summed table lookups. Everything after the fit
     * is one broadcast equi-join on (m, code) + a partial-aggregated
     * sum — the corpus side never shuffles its raw vectors. */

@@ -24,6 +24,18 @@ object Streaming {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Finish a drained memory-sink query, then DROP the sink's temp view
+    * so repeated invocations don't leak per-UUID tables (and their
+    * rows) into the shared session catalog. Memory-sink rows already
+    * live on the driver, so localizing the (small, post-aggregation)
+    * result before the drop costs nothing extra. */
+  private def finishAndDrop(s: SparkSession, name: String)(finish: DataFrame => DataFrame): DataFrame = {
+    val out = finish(s.table(name))
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    try s.createDataFrame(rows, out.schema)
+    finally s.catalog.dropTempView(name)
+  }
+
   /** Event-time tumbling-window counts, executed as a real streaming
     * query (file source → complete-mode memory sink, drained with
     * processAllAvailable). */
@@ -39,10 +51,10 @@ object Streaming {
     val q = stream.writeStream.outputMode("complete")
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    finishAndDrop(s, name)(_
       .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
         col("n"), col("sum_v"))
-      .orderBy("hour_ms", "event_type")
+      .orderBy("hour_ms", "event_type"))
   }
 
   /** Sessionization: a session breaks after 30 idle minutes. Batch
@@ -84,10 +96,10 @@ object Streaming {
     val q = stream.writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    finishAndDrop(s, name)(_
       .select(unix_millis(col("window.start")).as("hour_ms"), col("event_type"),
         col("n"))
-      .orderBy("hour_ms", "event_type")
+      .orderBy("hour_ms", "event_type"))
   }
 
   /** Streaming exact dedup: the event stream unioned with itself (every
@@ -112,10 +124,10 @@ object Streaming {
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    finishAndDrop(s, name)(_
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), countDistinct("event_id").as("nd"))
-      .orderBy("event_type")
+      .orderBy("event_type"))
   }
 
   /** Stream-stream interval join: purchases matched to every click by
@@ -145,12 +157,12 @@ object Streaming {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    finishAndDrop(s, name)(_
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct("purchase_id").as("n_purch"),
         countDistinct("click_id").as("n_clicks"))
-      .orderBy("user_id")
+      .orderBy("user_id"))
   }
 
   /** Stream-static enrichment join: the event stream joins a STATIC
@@ -172,7 +184,7 @@ object Streaming {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
       .writeStream.outputMode("complete").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name).orderBy("c_mktsegment")
+    finishAndDrop(s, name)(_.orderBy("c_mktsegment"))
   }
 
   def queries: Map[String, Q] = Map(
