@@ -31,7 +31,11 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // Optional comma-separated name filter (local iteration aid — the
+    // driver always benches the full inventory).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Steady-state methodology (BASELINE.md): one untimed warm-up pass
     // amortizes per-query codegen compilation and JIT — the cost that
     // vanishes into noise at real scale — then the timed passes.

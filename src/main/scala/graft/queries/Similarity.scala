@@ -208,43 +208,82 @@ object Similarity {
         x => floor(x.cast("double") * lit(1000.0)).cast("long")).as("q"))
 
   /** Exact integer squared distance between q (scale 10³) and a
-    * centroid c (scale 10⁶). */
+    * centroid c (scale 10⁶) — native codegen'd loop (the higher-order
+    * `aggregate(zip_with(...))` form is interpreted per element). */
   private def kmeansDist: Column =
-    aggregate(zip_with(col("q"), col("c"),
-        (x, y) => (x * lit(1000L) - y) * (x * lit(1000L) - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.CodebookExpressions.scaledSqDist(col("q"), col("c"), 1000L)
+
+  /** The collected centroid model as flat primitive arrays for the
+    * [[graft.functions.NearestCodeword]] expression: one pseudo-
+    * subspace, codewords ascending by cid (the expression's strict `<`
+    * scan then reproduces min(struct(dist, cid)) tie-breaking). */
+  private def centArrays(cent: DataFrame): (Array[Array[Long]], Array[Array[Long]]) = {
+    val rows = cent.select("cid", "c").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    (Array(rows.flatMap(_._2)), Array(rows.map(_._1)))
+  }
 
   /** Nearest-centroid assignment (vec_id, cell); ties break to the
-    * lower cid via the struct ordering. Centroids broadcast — the
-    * corpus never shuffles. */
-  private def kmeansAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cent))
-      .withColumn("dist", kmeansDist)
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
+    * lower cid. PURE MAP-SIDE: the tiny model rides inside a codegen'd
+    * expression (no |corpus|×K join intermediate, no argmin aggregate)
+    * — the corpus never shuffles. */
+  private def kmeansAssign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val (cents, cids) = centArrays(cent)
+    vecs.select(col("vec_id"),
+      graft.functions.CodebookExpressions
+        .nearestCodeword(col("q"), lit(0), cents, cids, 1000L).as("cell"))
+  }
 
-  /** Fitted centroids (cid, c) after KMEANS_ITERS Lloyd rounds. */
+  /** Collect a TINY fitted model (K centroids / M·K codewords — a few
+    * KiB at any corpus scale) to the driver and re-emit it as a local
+    * relation. This is the MLlib-KMeans iteration shape: each Lloyd
+    * round ends at the driver, so the next round's assignment
+    * broadcasts a LITERAL instead of re-executing the whole fit
+    * subtree, and the returned model's lineage is flat (no nested
+    * per-iteration plans to recompute once per downstream reference). */
+  private def localModel(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
+  /** Fitted centroids (cid, c) after KMEANS_ITERS Lloyd rounds.
+    * Returned as a driver-local relation (see [[localModel]]); each
+    * round is ONE distributed pass — broadcast-literal assign, argmin
+    * carrying q (no corpus re-join), partial-agg shuffle to K rows. */
   private[graft] def kmeansFit(vecs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hk = graft.functions.GraftFunctions.hash28(col("vec_id").cast("string"))
+    vecs.cache() // hot across the per-round driver actions; scoped below
+    try kmeansFitLoop(vecs, hk)
+    finally vecs.unpersist(blocking = false)
+  }
+
+  private def kmeansFitLoop(vecs: DataFrame, hk: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // init: the K md5-lowest vec_ids, centroid = q rescaled to 10⁶.
     // The window ranks only the K surviving rows (orderBy+limit is a
     // distributed TakeOrdered), so the single partition holds K rows.
-    var cent = vecs.select(col("vec_id"), col("q"), hk.as("hk"))
+    var cent = localModel(vecs.select(col("vec_id"), col("q"), hk.as("hk"))
       .orderBy(col("hk"), col("vec_id")).limit(KMEANS_K)
       .withColumn("cid", (row_number().over(
         Window.orderBy(col("hk"), col("vec_id"))) - 1).cast("long"))
-      .select(col("cid"), transform(col("q"), x => x * lit(1000L)).as("c"))
+      .select(col("cid"), transform(col("q"), x => x * lit(1000L)).as("c")))
     for (_ <- 1 to KMEANS_ITERS) {
-      val a = kmeansAssign(vecs, cent)
+      // assignment is a map-side codegen'd expression against the
+      // literal centroids; q stays in the row, so the centroid update
+      // is one partial-agg shuffle of K groups — nothing else
+      val (cents, cids) = centArrays(cent)
+      val a = vecs.select(
+        graft.functions.CodebookExpressions
+          .nearestCodeword(col("q"), lit(0), cents, cids, 1000L).as("cell"),
+        col("q"))
       val sums = (0 until DIMS).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
-      cent = vecs.join(a, "vec_id")
+      cent = localModel(a
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), sums: _*)
         .select(col("cell").as("cid"),
           array((0 until DIMS).map(i =>
-            floor(col(s"s$i") * lit(1000.0) / col("n")).cast("long")): _*).as("c"))
+            floor(col(s"s$i") * lit(1000.0) / col("n")).cast("long")): _*).as("c")))
     }
     cent
   }
@@ -254,7 +293,7 @@ object Similarity {
     * micro-bench (MicroBench annrecall). */
   private[graft] def kmeansModel(s: SparkSession, d: String, nq: Int): (DataFrame, DataFrame) = {
     val vecs = quantizedVecs(s, d)
-    val cent = kmeansFit(vecs).localCheckpoint(true)
+    val cent = kmeansFit(vecs) // driver-local relation already
     val cells = kmeansAssign(vecs, cent)
     val probes = vecs.where(col("vec_id") < nq)
       .crossJoin(broadcast(cent))
@@ -274,11 +313,11 @@ object Similarity {
   val qAnnIvfKmeans: Q = (s, d) => {
     import s.implicits._
     val vecs = quantizedVecs(s, d)
-    // cent cached too: the fitted centroids are referenced by the final
-    // corpus assignment AND the query probes — without the cache the
-    // whole Lloyd fit would run once per reference.
+    // cent is a driver-local relation (kmeansFit collects the tiny
+    // model per round), so the corpus assignment and the query probes
+    // each broadcast a literal — the fit never re-executes.
     val cent = kmeansFit(vecs)
-    Scoped.withCached(vecs, cent) {
+    Scoped.withCached(vecs) {
       val cells = kmeansAssign(vecs, cent)
       val corpus = vecs.select(col("vec_id"), col("embedding")).join(cells, "vec_id")
       val probes = vecs.where(col("vec_id") < 10)
@@ -370,48 +409,74 @@ object Similarity {
       .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
 
   /** Exact integer squared distance between sq (scale 10³) and a
-    * codeword c (scale 10⁶), both PQ_SUBDIM long. */
+    * codeword c (scale 10⁶), both PQ_SUBDIM long — native codegen'd
+    * loop (see [[kmeansDist]]). */
   private def pqDist: Column =
-    aggregate(zip_with(col("sq"), col("c"),
-        (x, y) => (x * lit(1000L) - y) * (x * lit(1000L) - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.CodebookExpressions.scaledSqDist(col("sq"), col("c"), 1000L)
 
   /** [[pqDist]] exposed for the recall micro-bench. */
   private[graft] def pqDistCol: Column = pqDist
 
+  /** The collected codebook as flat primitive arrays per subspace for
+    * the [[graft.functions.NearestCodeword]] expression (codewords
+    * ascending by cid within each m — strict `<` scan == the
+    * min(struct(dist, cid)) tie-break). */
+  private def pqCbArrays(cb: DataFrame): (Array[Array[Long]], Array[Array[Long]]) = {
+    val byM = cb.select("m", "cid", "c").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1)
+    val ms = (0 until PQ_M).toArray
+    (ms.map(m => byM(m).sortBy(_._2).flatMap(_._3)),
+      ms.map(m => byM(m).sortBy(_._2).map(_._2)))
+  }
+
   /** Per-subspace nearest-codeword assignment (vec_id, m, cell).
-    * Codebook broadcast; the equi-join on m keeps each sub-vector
-    * against only its own subspace's PQ_K codewords. */
-  private[graft] def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame =
-    sv.join(broadcast(cb), "m")
-      .withColumn("dist", pqDist)
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("dist"), col("cid"))).as("x"))
-      .select(col("vec_id"), col("m"), col("x.cid").as("cell"))
+    * PURE MAP-SIDE: each sub-vector scans only its own subspace's
+    * PQ_K codewords inside a codegen'd expression — no join, no
+    * argmin aggregate, the corpus never shuffles. */
+  private[graft] def pqAssign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val (cents, cids) = pqCbArrays(cb)
+    sv.select(col("vec_id"), col("m"),
+      graft.functions.CodebookExpressions
+        .nearestCodeword(col("sq"), col("m"), cents, cids, 1000L).as("cell"))
+  }
 
   /** Fitted codebook (m, cid, c) after PQ_ITERS Lloyd rounds per
     * subspace — all 8 subspaces fit in the SAME DataFrame pass, keyed
-    * by m. Init: the PQ_K md5-lowest vec_ids seed every subspace. */
+    * by m. Init: the PQ_K md5-lowest vec_ids seed every subspace.
+    * Returned as a driver-local relation (see [[localModel]]); each
+    * round is ONE distributed pass — broadcast-literal assign, argmin
+    * carrying sq (no corpus re-join), partial-agg shuffle to M·K rows. */
   private[graft] def pqFit(sv: DataFrame): DataFrame = {
     val hk = graft.functions.GraftFunctions.hash28(col("vec_id").cast("string"))
-    val seeds = sv.select(col("vec_id")).distinct()
-      .select(col("vec_id"), hk.as("hk"))
-      .orderBy(col("hk"), col("vec_id")).limit(PQ_K)
-      .withColumn("cid", (row_number().over(
-        Window.orderBy(col("hk"), col("vec_id"))) - 1).cast("long"))
-    var cb = sv.join(seeds, "vec_id")
-      .select(col("m"), col("cid"), transform(col("sq"), x => x * lit(1000L)).as("c"))
-    for (_ <- 1 to PQ_ITERS) {
-      val a = pqAssign(sv, cb)
-      val sums = (0 until PQ_SUBDIM).map(i => sum(element_at(col("sq"), i + 1)).as(s"s$i"))
-      cb = sv.join(a, Seq("vec_id", "m"))
-        .groupBy(col("m"), col("cell"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .select(col("m"), col("cell").as("cid"),
-          array((0 until PQ_SUBDIM).map(i =>
-            floor(col(s"s$i") * lit(1000.0) / col("n")).cast("long")): _*).as("c"))
-    }
-    cb
+    sv.cache() // hot across the per-round driver actions; scoped below
+    try {
+      val seeds = sv.select(col("vec_id")).distinct()
+        .select(col("vec_id"), hk.as("hk"))
+        .orderBy(col("hk"), col("vec_id")).limit(PQ_K)
+        .withColumn("cid", (row_number().over(
+          Window.orderBy(col("hk"), col("vec_id"))) - 1).cast("long"))
+      var cb = localModel(sv.join(broadcast(seeds), "vec_id")
+        .select(col("m"), col("cid"), transform(col("sq"), x => x * lit(1000L)).as("c")))
+      for (_ <- 1 to PQ_ITERS) {
+        // assignment is a map-side codegen'd expression against the
+        // literal codebook; sq stays in the row, so the codebook update
+        // is one partial-agg shuffle of M·K groups — nothing else
+        val (cents, cids) = pqCbArrays(cb)
+        val a = sv.select(col("m"),
+          graft.functions.CodebookExpressions
+            .nearestCodeword(col("sq"), col("m"), cents, cids, 1000L).as("cell"),
+          col("sq"))
+        val sums = (0 until PQ_SUBDIM).map(i => sum(element_at(col("sq"), i + 1)).as(s"s$i"))
+        cb = localModel(a
+          .groupBy(col("m"), col("cell"))
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .select(col("m"), col("cell").as("cid"),
+            array((0 until PQ_SUBDIM).map(i =>
+              floor(col(s"s$i") * lit(1000.0) / col("n")).cast("long")): _*).as("c")))
+      }
+      cb
+    } finally sv.unpersist(blocking = false)
   }
 
   /** PQ/ADC search: fit the codebook, encode the corpus to 8 codes per
@@ -422,8 +487,11 @@ object Similarity {
   val qAnnPqAdc: Q = (s, d) => {
     import s.implicits._
     val sv = pqSubvecs(s, d)
+    // cb is a driver-local relation (pqFit collects the tiny codebook
+    // per round): the corpus encode and the query distance tables each
+    // broadcast a literal — the fit never re-executes.
     val cb = pqFit(sv)
-    Scoped.withCached(sv, cb) {
+    Scoped.withCached(sv) {
       val codes = pqAssign(sv, cb)
       val dt = sv.where(col("vec_id") < PQ_NQ)
         .join(broadcast(cb), "m")
