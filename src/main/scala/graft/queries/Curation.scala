@@ -163,11 +163,59 @@ object Curation {
       .orderBy("bucket")
   }
 
+  // ---- per-source caps + adaptive quality threshold -------------------
+
+  private val CAP_PER_SOURCE = 10
+
+  /** Per-source document cap (the CommonCrawl-style domain cap): within
+    * each source keep the CAP best documents by a deterministic quality
+    * order (n_chars desc, doc_id asc), profile kept/dropped and the
+    * admission threshold per source. The rank is a per-key window — at
+    * 100 TB it hash-partitions by source and sorts only within each
+    * key's partition (and the custom TopKPerKey physical operator
+    * bounds the per-partition state to CAP rows). The same plan with
+    * `where(rn <= CAP)` on the doc rows emits the capped corpus. */
+  val qCapPerSource: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= CAP_PER_SOURCE, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("rn") <= CAP_PER_SOURCE, col("n_chars"))).as("admit_chars"))
+      .orderBy("source")
+  }
+
+  private val QQ_FRAC = 0.25
+
+  /** Adaptive per-language quality gate: keep documents at or above
+    * their OWN language's P25 of n_chars — the threshold adapts to the
+    * stratum instead of a global constant. Thresholds are one exact-
+    * percentile aggregate (K rows — broadcast back); the gate itself is
+    * map-side. Exact interpolated percentile matches DuckDB's
+    * quantile_cont bit-for-bit on these integer inputs. */
+  val qQualityQuantile: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val thr = docs.groupBy(col("lang").as("t_lang"))
+      .agg(percentile(col("n_chars"), lit(QQ_FRAC)).as("thr"))
+    docs.join(broadcast(thr), col("lang") === col("t_lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("n_chars") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        round(first("thr"), 4).as("p25_chars"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_quality_gopher" -> qQualityGopher,
     "q_text_repetition" -> qTextRepetition,
     "q_pii_redact" -> qPiiRedact,
-    "q_zorder_curve" -> qZorderCurve
+    "q_zorder_curve" -> qZorderCurve,
+    "q_cap_per_source" -> qCapPerSource,
+    "q_quality_quantile" -> qQualityQuantile
   )
 
   private val toksAll =
@@ -244,6 +292,24 @@ object Curation {
          |z AS (SELECT x, y, $zorderSql AS z FROM c)
          |SELECT CAST(z >> $Z_BUCKET_SHIFT AS INT) AS bucket, count(*) AS n,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
-         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_cap_per_source" ->
+      s"""WITH r AS (SELECT source, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY source
+         |                     ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM documents)
+         |SELECT source, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN rn <= $CAP_PER_SOURCE THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  min(CASE WHEN rn <= $CAP_PER_SOURCE THEN n_chars END) AS admit_chars
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_quality_quantile" ->
+      s"""WITH thr AS (SELECT lang AS t_lang,
+         |               quantile_cont(n_chars, $QQ_FRAC) AS thr
+         |             FROM documents GROUP BY lang)
+         |SELECT lang, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN n_chars >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  round(any_value(thr), 4) AS p25_chars
+         |FROM documents JOIN thr ON lang = t_lang
+         |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -50,6 +50,58 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Per-language selection weights for the priority sample. */
+  private val PRI_WEIGHTS = Seq("en" -> 4, "de" -> 2, "fr" -> 2)
+  private val PRI_DEFAULT_W = 1
+  private val PRI_K = 40
+
+  /** Deterministic weighted priority sample (the A-Res/priority-
+    * sampling shape, integer-exact): each doc draws priority
+    * hash28(doc_id) div weight — a higher weight shrinks the priority,
+    * so the global K LOWEST priorities are a weighted sample without
+    * replacement, reproducible across engines and runs. The global
+    * top-K is a distributed TakeOrdered (per-partition K-heaps, no full
+    * sort) at any scale. */
+  val qSamplePriority: Q = (s, d) => {
+    val w = PRI_WEIGHTS.foldRight(lit(PRI_DEFAULT_W): Column) {
+      case ((lang, wt), rest) => when(col("lang") === lang, lit(wt)).otherwise(rest)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        // hash28 < 2^28 and w > 0, so floor(h / w) is exact integer division
+        floor(hash28(col("doc_id").cast("string")) / w).cast("long").as("pri"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+      .limit(PRI_K)
+  }
+
+  /** Per-source token budgets for the mixing schedule. */
+  private val MIX_BUDGETS = Seq("src0" -> 600, "src1" -> 450)
+  private val MIX_DEFAULT_BUDGET = 300
+
+  /** Token-budget source mixing: take each source's documents in
+    * doc_id order until the source's token budget is exhausted — the
+    * step that turns per-source weights into an actual token-bounded
+    * mix. One window partitioned by source (no global sort at any
+    * scale: sources partition the work), then a partial-agg profile;
+    * at 100 TB the same plan emits the kept rows via `where(keep)`. */
+  val qMixBudget: Q = (s, d) => {
+    val budget = MIX_BUDGETS.foldRight(lit(MIX_DEFAULT_BUDGET): Column) {
+      case ((src, b), rest) => when(col("source") === src, lit(b)).otherwise(rest)
+    }
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      .withColumn("running", sum("n_tok").over(w))
+      .withColumn("keep", (col("running") <= budget).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum("keep").as("n_kept"),
+        sum(col("keep") * col("n_tok")).cast("long").as("tok_used"),
+        first(budget).cast("long").as("budget"))
+      .orderBy("source")
+  }
+
   private val PACK_BUDGET = 512 // tokens per packed sequence
   private val PACK_SHARDS = 8
 
@@ -192,6 +244,8 @@ object Pipeline {
 
   def queries: Map[String, Q] = Map(
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_priority" -> qSamplePriority,
+    "q_mix_budget" -> qMixBudget,
     "q_pack_sequences" -> qPackSequences,
     "q_decontaminate" -> qDecontaminate,
     "q_pipeline_corpus" -> qPipelineCorpus
@@ -204,7 +258,33 @@ object Pipeline {
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
     .mkString("CASE ", " ", s" ELSE $DEFAULT_RATE END")
 
+  private val priCase = PRI_WEIGHTS
+    .map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+    .mkString("CASE ", " ", s" ELSE $PRI_DEFAULT_W END")
+
+  private val mixCase = MIX_BUDGETS
+    .map { case (src, b) => s"WHEN source = '$src' THEN $b" }
+    .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT_BUDGET END")
+
   def oracleSql: Map[String, String] = Map(
+    "q_sample_priority" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+         |    // ($priCase) AS pri
+         |FROM documents ORDER BY pri ASC, doc_id ASC LIMIT $PRI_K""".stripMargin,
+    "q_mix_budget" ->
+      s"""WITH t AS (SELECT source, doc_id, len($toksAll) AS n_tok,
+         |             $mixCase AS budget FROM documents),
+         |r AS (SELECT source, n_tok, budget,
+         |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |      FROM t),
+         |k AS (SELECT source, n_tok, budget,
+         |        CASE WHEN running <= budget THEN 1 ELSE 0 END AS keep FROM r)
+         |SELECT source, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept,
+         |  CAST(sum(keep * n_tok) AS BIGINT) AS tok_used,
+         |  CAST(any_value(budget) AS BIGINT) AS budget
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH k AS (
          |  SELECT lang,

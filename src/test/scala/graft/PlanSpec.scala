@@ -200,4 +200,18 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning"), s"$q window should hash-partition")
     }
   }
+
+  test("curation caps/mixing: per-key windows partition, priority sample is a TakeOrdered") {
+    for (q <- Seq("q_cap_per_source", "q_mix_budget")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning"), s"$q window should hash-partition by source")
+      assert(!p.contains("Join"), s"$q is a single-table window + aggregate, no join")
+    }
+    val pri = plan("q_sample_priority")
+    assert(pri.contains("TakeOrderedAndProject"),
+      "global top-K sample must be a distributed TakeOrdered, not a full sort")
+    val qq = plan("q_quality_quantile")
+    assert(qq.contains("BroadcastHashJoin"),
+      "per-lang thresholds (K rows) must broadcast back onto the docs")
+  }
 }
