@@ -24,6 +24,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.LogHygiene.quietWindowWarnings()
     graft.plans.TopKPerKeyPlans.install(spark)
     // Warm up codegen + parquet footers so the first measured query
     // doesn't absorb one-time JVM/session costs.

@@ -21,6 +21,7 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.LogHygiene.quietWindowWarnings()
 
     what match {
       case "topk" =>

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.LogHygiene.quietWindowWarnings()
     // custom top-k operator live for the whole suite: every window
     // top-k query's hash-match doubles as its regression test
     graft.plans.TopKPerKeyPlans.install(spark)

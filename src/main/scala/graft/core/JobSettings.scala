@@ -66,6 +66,25 @@ object JobSettings {
     val clevel = (j \ "compressor_kwargs" \ "clevel") match {
       case JInt(i) => Some(i.toInt); case _ => None
     }
+    // cname: the reference default is zstd (models.py:55-59); this
+    // engine ENCODES zstd only (BloscCodec decodes lz4/snappy/memcpy),
+    // so any other requested output codec is rejected loudly rather
+    // than silently written as zstd.
+    (j \ "compressor_kwargs" \ "cname") match {
+      case JString(c) if c != "zstd" =>
+        throw new IllegalArgumentException(
+          s"unsupported compressor_kwargs.cname: $c (encode path is zstd-only)")
+      case _ => ()
+    }
+    // shuffle: c-blosc numeric flags (0 = none, 1 = byte shuffle — the
+    // reference default Blosc.SHUFFLE, 2 = bit shuffle, unsupported).
+    val shuffleFlag = (j \ "compressor_kwargs" \ "shuffle") match {
+      case JInt(i) if i == 0 => Some(false)
+      case JInt(i) if i == 1 => Some(true)
+      case JInt(i) => throw new IllegalArgumentException(
+        s"unsupported compressor_kwargs.shuffle: $i (0 = none, 1 = byte shuffle)")
+      case _ => None
+    }
     JobSettings(
       inputSource = str("input_source").getOrElse(
         throw new IllegalArgumentException("input_source required")),
@@ -76,6 +95,7 @@ object JobSettings {
       partitionToProcess = int("partition_to_process").getOrElse(0),
       compressorName = str("compressor_name").getOrElse("blosc"),
       compressorLevel = clevel.getOrElse(3),
+      byteShuffle = shuffleFlag.getOrElse(true),
       chunkSize = ints("chunk_size").getOrElse(Seq(128, 128, 128)),
       scaleFactor = ints("scale_factor").getOrElse(Seq(2, 2, 2)),
       downsampleLevels = int("downsample_levels").getOrElse(4))

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Native codebook math for the quantization tiers (k-means IVF and
   * product quantization).
@@ -38,13 +39,23 @@ case class NearestCodeword(
     scale: Long) extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // also null for an empty input vector (no dims → no nearest codeword)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ByteType | ShortType | IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"nearest_codeword requires (array<bigint>, integral subspace index), got ($l, $r)")
+    }
 
   override def nullSafeEval(v: Any, m: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val mi = m.asInstanceOf[Number].intValue()
     val c = cents(mi); val ids = cids(mi)
     val dims = arr.numElements()
+    if (dims == 0) return null
     val k = c.length / dims
     var best = Long.MaxValue; var bestCid = Long.MaxValue
     var j = 0
@@ -70,20 +81,24 @@ case class NearestCodeword(
       val acc = ctx.freshName("acc"); val dd = ctx.freshName("dd")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       s"""
-         |long[] $c = $centsRef[(int) $m];
-         |long[] $ids = $cidsRef[(int) $m];
          |int $dims = $v.numElements();
-         |int $k = $c.length / $dims;
-         |long $best = Long.MAX_VALUE; long $bestCid = Long.MAX_VALUE;
-         |for (int $j = 0; $j < $k; $j++) {
-         |  long $acc = 0L;
-         |  for (int $i = 0; $i < $dims; $i++) {
-         |    long $dd = $v.getLong($i) * ${scale}L - $c[$j * $dims + $i];
-         |    $acc += $dd * $dd;
+         |if ($dims == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $c = $centsRef[(int) $m];
+         |  long[] $ids = $cidsRef[(int) $m];
+         |  int $k = $c.length / $dims;
+         |  long $best = Long.MAX_VALUE; long $bestCid = Long.MAX_VALUE;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $acc = 0L;
+         |    for (int $i = 0; $i < $dims; $i++) {
+         |      long $dd = $v.getLong($i) * ${scale}L - $c[$j * $dims + $i];
+         |      $acc += $dd * $dd;
+         |    }
+         |    if ($acc < $best) { $best = $acc; $bestCid = $ids[$j]; }
          |  }
-         |  if ($acc < $best) { $best = $acc; $bestCid = $ids[$j]; }
+         |  ${ev.value} = $bestCid;
          |}
-         |${ev.value} = $bestCid;
        """.stripMargin
     })
   }
@@ -95,16 +110,30 @@ case class NearestCodeword(
 /** Exact integer squared distance Σ_i (a_i · scale − b_i)² between two
   * long arrays — the codegen'd form of the
   * `aggregate(zip_with(...))` higher-order pair (interpreted lambda
-  * dispatch per element) used for query-side distance tables. */
+  * dispatch per element) used for query-side distance tables.
+  * Length-mismatched inputs return null, matching the replaced form
+  * (`zip_with` null-pads the shorter array and the null propagates
+  * through `aggregate`), so the bit-identical-equivalence claim holds
+  * on ALL inputs, not just equal-length ones. */
 case class ScaledSqDist(left: Expression, right: Expression, scale: Long)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // also null on length mismatch (see class doc)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"scaled_sq_dist requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L; var i = 0
     while (i < n) {
       val dd = x.getLong(i) * scale - y.getLong(i)
@@ -118,13 +147,17 @@ case class ScaledSqDist(left: Expression, right: Expression, scale: Long)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val dd = ctx.freshName("dd")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $dd = $x.getLong($i) * ${scale}L - $y.getLong($i);
-         |  $acc += $dd * $dd;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $dd = $x.getLong($i) * ${scale}L - $y.getLong($i);
+         |    $acc += $dd * $dd;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Column-level building blocks shared by the query inventory and the
@@ -82,6 +83,18 @@ object GraftFunctions {
       shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+
+  /** Single-partition window over a BOUNDED (already limit-ed / K-row)
+    * input — the marker for every deliberate global re-rank in the
+    * engine. The constant partition key documents the intent in the
+    * plan source; Catalyst folds it away (measured on Spark 4.1), so
+    * the physical plan is the plain global window and WindowExec's "No
+    * Partition Defined" warning is instead silenced at the logger by
+    * [[graft.core.LogHygiene.quietWindowWarnings]] — the warning is
+    * pure noise on a ≤ k-row input and would bury real unbounded-
+    * window signals. */
+  def boundedWindow(order: Column*): WindowSpec =
+    Window.partitionBy(lit(0)).orderBy(order: _*)
 
   /** Reference Scala implementation of [[zorder8]] for property tests. */
   private[graft] def zorder8Ref(x: Int, y: Int): Long =

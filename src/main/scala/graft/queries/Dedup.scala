@@ -89,12 +89,11 @@ object Dedup {
         .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), "db")
         .withColumn("uni", col("ca") + col("cb") - col("inter"))
         .withColumn("jac", round(col("inter") / col("uni"), 4))
-      import org.apache.spark.sql.expressions.Window
       // top-k via orderBy+limit (distributed TakeOrderedAndProject), then
       // rank only the 20 survivors — no global single-partition window
       j.orderBy(col("jac").desc, col("da").asc, col("db").asc).limit(20)
         .withColumn("rn", row_number().over(
-          Window.orderBy(col("jac").desc, col("da").asc, col("db").asc)))
+          boundedWindow(col("jac").desc, col("da").asc, col("db").asc)))
         .select("rn", "da", "db", "inter", "uni", "jac")
         .orderBy("rn")
     }
@@ -216,16 +215,21 @@ object Dedup {
       .join(sig.as("b"), col("db") === col("b.doc_id"))
       .where(agree >= minAgree)
       .select("da", "db")
-    val edges = pairs
-      .union(pairs.select(col("db").as("da"), col("da").as("db")))
-      .cache()
     // The iterative stage shuffles label/edge tables that are tiny
     // relative to the corpus (one row per doc, one per verified edge);
     // at the default partition count every round pays 32-task stage
-    // overhead, so scope the setting down for the loop. At 100 TB the
+    // overhead, so the loop's tables are EXPLICITLY repartitioned to a
+    // small count keyed on the join/agg column — hash-partitioned
+    // inputs satisfy the join's and the aggregate's distribution, so
+    // Catalyst adds no further exchange and the session-global
+    // shuffle.partitions is never touched (a conf flip here would leak
+    // to concurrent queries on the shared session). At 100 TB the
     // right value is sized to |edges|, still far below the corpus'.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val loopParts = 4
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .repartition(loopParts, col("da"))
+      .cache()
     // localCheckpoint (NOT cache) each round: iteration i's plan embeds
     // iteration i-1's TWICE (union + join), so without lineage
     // truncation the logical tree — and per-round analysis time — grows
@@ -233,6 +237,7 @@ object Dedup {
     // keeps every round's plan constant-size; this is the difference
     // between O(rounds) and O(2^rounds) on any iterative dataflow.
     var labels = sig.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      .repartition(loopParts, col("id"))
       .localCheckpoint(true)
     try {
       // min-label propagation is monotone (labels only ever decrease),
@@ -246,6 +251,7 @@ object Dedup {
         val prop = edges.join(labels, col("da") === col("id"))
           .select(col("db").as("id"), col("lbl"))
         val next = labels.union(prop)
+          .repartition(loopParts, col("id"))
           .groupBy("id").agg(min("lbl").as("lbl"))
           .localCheckpoint(true)
         val nextSum = next.agg(sum("lbl")).head.getLong(0)
@@ -256,7 +262,6 @@ object Dedup {
       }
       require(converged, s"label propagation did not converge in $CLUSTER_MAX_ITERS rounds")
     } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       sig.unpersist(blocking = false)
       edges.unpersist(blocking = false)
     }

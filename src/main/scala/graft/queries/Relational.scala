@@ -212,21 +212,48 @@ object Relational {
     * toy-scale size estimates would auto-broadcast (broadcast wouldn't
     * exist at scale — the dim side here stands in for a large one). */
   val qJoinBucketed: Q = (s, d) => {
-    bucketedJoin(s, d)
+    val agg = bucketedJoin(s, d)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
       .orderBy("c_mktsegment")
+    // Materialize, then DROP the layout: the per-dataset table names
+    // fix cross-dataset clobbering, but without a drop the catalog
+    // entries and /tmp paths accumulate unboundedly across runs. In
+    // plan-only mode (or a cluster with no checkpoint dir) the lazy
+    // plan still reads the tables, so they must stay alive — skip.
+    val sc = s.sparkContext
+    if (Scoped.isPlanOnly || (!sc.isLocal && sc.getCheckpointDir.isEmpty)) agg
+    else {
+      val out = if (sc.isLocal) agg.localCheckpoint(true) else agg.checkpoint(true)
+      dropBucketedLayout(s, d)
+      out
+    }
+  }
+
+  /** Per-dataset bucketed-layout names: table names and path derived
+    * from the dataset (like the path) so concurrent sessions /
+    * interleaved datasets can't clobber each other's bucketed tables. */
+  private def bucketedNames(d: String): (String, String, String) = {
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    (s"/tmp/graft_bucketed_$tag", s"g_orders_bucketed_$tag", s"g_customer_bucketed_$tag")
+  }
+
+  /** Drops the bucketed tables and deletes their storage — the cleanup
+    * half of [[bucketedJoin]] (DROP TABLE on an external table leaves
+    * the path behind, so the filesystem delete is explicit). */
+  private[graft] def dropBucketedLayout(s: SparkSession, d: String): Unit = {
+    val (dir, ordersTbl, custTbl) = bucketedNames(d)
+    Seq(ordersTbl, custTbl).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   /** Writes the bucketed tables and returns the shuffle-free join
-    * (exposed for PlanSpec's zero-Exchange assertion). */
+    * (exposed for PlanSpec's zero-Exchange assertion; pair with
+    * [[dropBucketedLayout]]). */
   private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    // layout names derived from the dataset (like the path) so
-    // concurrent sessions / interleaved datasets can't clobber each
-    // other's bucketed tables
-    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-    val dir = s"/tmp/graft_bucketed_$tag"
-    val (ordersTbl, custTbl) = (s"g_orders_bucketed_$tag", s"g_customer_bucketed_$tag")
+    val (dir, ordersTbl, custTbl) = bucketedNames(d)
     // project to the joined/aggregated columns before bucketing — the
     // layout write costs I/O proportional to what it keeps
     Tables.orders(s, d).select("o_custkey", "o_totalprice")
@@ -445,7 +472,7 @@ object Relational {
     * map-side bucket assignment (no global sort); kept as-is because the
     * inventory pins exact ntile ties, which the approx form relaxes. */
   val qWinNtile: Q = (s, d) => {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val w = boundedWindow(col("o_totalprice").asc, col("o_orderkey").asc)
     Tables.orders(s, d).where(col("o_custkey") % 100 === 0)
       .withColumn("nt", ntile(4).over(w))
       .groupBy("nt")

@@ -40,6 +40,7 @@ object Scoped {
     * concurrently on another. Never used outside tests. */
   private val planOnlyFlag = new DynamicVariable[Boolean](false)
   def planOnly[A](body: => A): A = planOnlyFlag.withValue(true)(body)
+  private[queries] def isPlanOnly: Boolean = planOnlyFlag.value
 
   def withCached(cached: DataFrame*)(result: => DataFrame): DataFrame =
     if (planOnlyFlag.value) result
@@ -53,5 +54,27 @@ object Scoped {
         try if (sc.isLocal) r.localCheckpoint(true) else r.checkpoint(true)
         finally cached.foreach(_.unpersist(blocking = false))
       }
+    }
+
+  /** Variant for bodies that RUN driver actions against the cached
+    * inputs while constructing the result — e.g. the iterative model
+    * fits, which collect a tiny model once per Lloyd round. Caches
+    * BEFORE evaluating `result` so those per-round actions hit the
+    * cache, then materializes and releases exactly like [[withCached]].
+    * This puts the whole fit-plus-downstream lifetime under ONE owner:
+    * the fit itself never caches or unpersists, so it cannot evict a
+    * cache scope the caller established. */
+  def withCachedEager(cached: DataFrame*)(result: => DataFrame): DataFrame =
+    if (planOnlyFlag.value) result
+    else {
+      val sc = cached.head.sparkSession.sparkContext
+      val scoped = sc.isLocal || sc.getCheckpointDir.nonEmpty
+      if (scoped) cached.foreach(_.cache())
+      try {
+        val r = result
+        if (!scoped) r
+        else if (sc.isLocal) r.localCheckpoint(true)
+        else r.checkpoint(true)
+      } finally if (scoped) cached.foreach(_.unpersist(blocking = false))
     }
 }

@@ -249,24 +249,24 @@ object Similarity {
   /** Fitted centroids (cid, c) after KMEANS_ITERS Lloyd rounds.
     * Returned as a driver-local relation (see [[localModel]]); each
     * round is ONE distributed pass — broadcast-literal assign, argmin
-    * carrying q (no corpus re-join), partial-agg shuffle to K rows. */
+    * carrying q (no corpus re-join), partial-agg shuffle to K rows.
+    * CACHING IS THE CALLER'S: the per-round actions re-execute `vecs`
+    * unless the caller holds it cached (Scoped.withCachedEager wraps
+    * fit + downstream use in one scope), and the fit never unpersists —
+    * so it cannot evict a cache scope it does not own. */
   private[graft] def kmeansFit(vecs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hk = graft.functions.GraftFunctions.hash28(col("vec_id").cast("string"))
-    vecs.cache() // hot across the per-round driver actions; scoped below
-    try kmeansFitLoop(vecs, hk)
-    finally vecs.unpersist(blocking = false)
+    kmeansFitLoop(vecs, hk)
   }
 
   private def kmeansFitLoop(vecs: DataFrame, hk: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // init: the K md5-lowest vec_ids, centroid = q rescaled to 10⁶.
     // The window ranks only the K surviving rows (orderBy+limit is a
     // distributed TakeOrdered), so the single partition holds K rows.
     var cent = localModel(vecs.select(col("vec_id"), col("q"), hk.as("hk"))
       .orderBy(col("hk"), col("vec_id")).limit(KMEANS_K)
       .withColumn("cid", (row_number().over(
-        Window.orderBy(col("hk"), col("vec_id"))) - 1).cast("long"))
+        boundedWindow(col("hk"), col("vec_id"))) - 1).cast("long"))
       .select(col("cid"), transform(col("q"), x => x * lit(1000L)).as("c")))
     for (_ <- 1 to KMEANS_ITERS) {
       // assignment is a map-side codegen'd expression against the
@@ -292,7 +292,10 @@ object Similarity {
     * (qid, pcell) — the fitted model's pieces, for the recall
     * micro-bench (MicroBench annrecall). */
   private[graft] def kmeansModel(s: SparkSession, d: String, nq: Int): (DataFrame, DataFrame) = {
-    val vecs = quantizedVecs(s, d)
+    // localCheckpoint materializes the quantized vectors once for the
+    // fit's per-round actions + both returned plans; the blocks release
+    // via ContextCleaner when the caller drops the DataFrames
+    val vecs = quantizedVecs(s, d).localCheckpoint(true)
     val cent = kmeansFit(vecs) // driver-local relation already
     val cells = kmeansAssign(vecs, cent)
     val probes = vecs.where(col("vec_id") < nq)
@@ -313,11 +316,13 @@ object Similarity {
   val qAnnIvfKmeans: Q = (s, d) => {
     import s.implicits._
     val vecs = quantizedVecs(s, d)
+    // ONE cache scope owns both the fit's per-round driver actions and
+    // the downstream search (eager: cached before the fit collects).
     // cent is a driver-local relation (kmeansFit collects the tiny
     // model per round), so the corpus assignment and the query probes
     // each broadcast a literal — the fit never re-executes.
-    val cent = kmeansFit(vecs)
-    Scoped.withCached(vecs) {
+    Scoped.withCachedEager(vecs) {
+      val cent = kmeansFit(vecs)
       val cells = kmeansAssign(vecs, cent)
       val corpus = vecs.select(col("vec_id"), col("embedding")).join(cells, "vec_id")
       val probes = vecs.where(col("vec_id") < 10)
@@ -448,14 +453,14 @@ object Similarity {
     * round is ONE distributed pass — broadcast-literal assign, argmin
     * carrying sq (no corpus re-join), partial-agg shuffle to M·K rows. */
   private[graft] def pqFit(sv: DataFrame): DataFrame = {
+    // caching is the caller's (see kmeansFit): wrap fit + downstream in
+    // one Scoped.withCachedEager scope
     val hk = graft.functions.GraftFunctions.hash28(col("vec_id").cast("string"))
-    sv.cache() // hot across the per-round driver actions; scoped below
-    try {
-      val seeds = sv.select(col("vec_id")).distinct()
+    val seeds = sv.select(col("vec_id")).distinct()
         .select(col("vec_id"), hk.as("hk"))
         .orderBy(col("hk"), col("vec_id")).limit(PQ_K)
         .withColumn("cid", (row_number().over(
-          Window.orderBy(col("hk"), col("vec_id"))) - 1).cast("long"))
+          boundedWindow(col("hk"), col("vec_id"))) - 1).cast("long"))
       var cb = localModel(sv.join(broadcast(seeds), "vec_id")
         .select(col("m"), col("cid"), transform(col("sq"), x => x * lit(1000L)).as("c")))
       for (_ <- 1 to PQ_ITERS) {
@@ -476,7 +481,6 @@ object Similarity {
               floor(col(s"s$i") * lit(1000.0) / col("n")).cast("long")): _*).as("c")))
       }
       cb
-    } finally sv.unpersist(blocking = false)
   }
 
   /** PQ/ADC search: fit the codebook, encode the corpus to 8 codes per
@@ -487,11 +491,13 @@ object Similarity {
   val qAnnPqAdc: Q = (s, d) => {
     import s.implicits._
     val sv = pqSubvecs(s, d)
+    // ONE cache scope owns both the fit's per-round driver actions and
+    // the downstream search (eager: cached before the fit collects).
     // cb is a driver-local relation (pqFit collects the tiny codebook
     // per round): the corpus encode and the query distance tables each
     // broadcast a literal — the fit never re-executes.
-    val cb = pqFit(sv)
-    Scoped.withCached(sv) {
+    Scoped.withCachedEager(sv) {
+      val cb = pqFit(sv)
       val codes = pqAssign(sv, cb)
       val dt = sv.where(col("vec_id") < PQ_NQ)
         .join(broadcast(cb), "m")

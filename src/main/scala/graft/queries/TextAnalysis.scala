@@ -100,7 +100,7 @@ object TextAnalysis {
       // rank the surviving 20 rows
       .orderBy(col("n").desc, col("bigram").asc).limit(20)
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("n").desc, col("bigram").asc)))
+        boundedWindow(col("n").desc, col("bigram").asc)))
       .select("rn", "bigram", "n")
       .orderBy("rn")
   }
@@ -144,7 +144,7 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok").asc).limit(30)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("freq").desc, col("tok").asc)))
+        boundedWindow(col("freq").desc, col("tok").asc)))
       .select(col("rank"), col("tok"), col("freq"),
         (col("rank") * col("freq")).as("rank_freq"))
       .orderBy("rank")

@@ -137,11 +137,13 @@ class PlanSpec extends AnyFunSuite {
     // join itself — before any aggregation — plans with no shuffle:
     // bucket outputs satisfy the join's distribution requirement.
     val joined = graft.queries.Relational.bucketedJoin(spark, SF)
-    val p = joined.queryExecution.executedPlan.toString
-    assert(p.contains("SortMergeJoin"), "merge hint must pin a sort-merge join")
-    assert(!p.contains("Exchange"),
-      s"bucketBy(8, custkey) on both sides must eliminate every Exchange:\n$p")
-    assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
+    try {
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "merge hint must pin a sort-merge join")
+      assert(!p.contains("Exchange"),
+        s"bucketBy(8, custkey) on both sides must eliminate every Exchange:\n$p")
+      assert(p.contains("SelectedBucketsCount"), "scan must be bucket-aware")
+    } finally graft.queries.Relational.dropBucketedLayout(spark, SF)
   }
 
   test("binned interval join is an equi-join on the bucket, never a nested loop") {

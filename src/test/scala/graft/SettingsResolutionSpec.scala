@@ -60,4 +60,22 @@ class SettingsResolutionSpec extends AnyFunSuite {
   test("fromJson rejects missing required fields") {
     intercept[IllegalArgumentException](JobSettings.fromJson("""{"input_source": "/in"}"""))
   }
+
+  private def minimal(kwargs: String) =
+    s"""{"input_source": "/in", "output_directory": "/out",
+       |"compressor_kwargs": $kwargs}""".stripMargin
+
+  test("compressor_kwargs.shuffle maps 0/1 to byteShuffle; 2 (bitshuffle) rejected") {
+    assert(!JobSettings.fromJson(minimal("""{"shuffle": 0}""")).byteShuffle)
+    assert(JobSettings.fromJson(minimal("""{"shuffle": 1}""")).byteShuffle)
+    assert(JobSettings.fromJson(minimal("{}")).byteShuffle) // reference default
+    intercept[IllegalArgumentException](JobSettings.fromJson(minimal("""{"shuffle": 2}""")))
+  }
+
+  test("compressor_kwargs.cname accepts zstd, rejects other output codecs loudly") {
+    assert(JobSettings.fromJson(minimal("""{"cname": "zstd"}""")).compressorName == "blosc")
+    val e = intercept[IllegalArgumentException](
+      JobSettings.fromJson(minimal("""{"cname": "lz4"}""")))
+    assert(e.getMessage.contains("lz4"))
+  }
 }

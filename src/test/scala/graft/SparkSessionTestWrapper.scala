@@ -13,6 +13,7 @@ object SparkSessionTestWrapper {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.core.LogHygiene.quietWindowWarnings()
     s
   }
 }

@@ -68,6 +68,27 @@ class CodebookExpressionsSpec extends AnyFunSuite with PropSupport {
     assert(r == 0L, "tie must resolve to the lower cid")
   }
 
+  test("ScaledSqDist nulls on length mismatch — matching zip_with null-pad propagation") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L), Array(1000L, 2000L))).toDF("x", "y")
+    val r = df.select(
+      CodebookExpressions.scaledSqDist(col("x"), col("y"), 1000L).as("fast"),
+      aggregate(zip_with(col("x"), col("y"),
+          (p, q) => (p * lit(1000L) - q) * (p * lit(1000L) - q)),
+        lit(0L), (acc, v) => acc + v).as("hof")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1), "both forms must null on mismatched lengths")
+  }
+
+  test("NearestCodeword nulls on an empty input vector (no divide-by-zero)") {
+    import spark.implicits._
+    val cents = Array(Array(1000L, 1000L))
+    val cids = Array(Array(0L))
+    val r = Seq(Tuple1(Array.empty[Long])).toDF("q")
+      .select(CodebookExpressions.nearestCodeword(col("q"), lit(0), cents, cids, 1000L))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("per-subspace dispatch selects the right sub-codebook") {
     import spark.implicits._
     // m=0's codebook only matches [1,1]; m=1's only [9,9]
