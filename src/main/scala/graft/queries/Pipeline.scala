@@ -151,8 +151,8 @@ object Pipeline {
       val nBench = bench.count().max(1L)
       val bf = bench.stat.bloomFilter("s", nBench, 0.01)
       val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((x: String) => bfB.value.mightContainString(x))
-      train.where(mightContain(col("s")))
+      // native codegen'd probe — no udf on the widest stage
+      train.where(graft.functions.BloomExpressions.mightContain(col("s"), bfB))
         .join(bench, Seq("s"), "left_semi") // exact confirm
         .groupBy("doc_id", "lang").agg(count(lit(1)).as("n_over"))
         .where(col("n_over") >= DECON_MIN_OVERLAP)
@@ -211,10 +211,10 @@ object Pipeline {
       val nBench = bench.count().max(1L)
       val bf = bench.stat.bloomFilter("s", nBench, 0.01)
       val bfB = s.sparkContext.broadcast(bf)
-      val mightContain = udf((x: String) => bfB.value.mightContainString(x))
       val contam = kept
         .select(col("doc_id"), explode(shingles(col("w"), PIPE_SHINGLE_N)).as("s"))
-        .where(mightContain(col("s")))
+        // native codegen'd probe — no udf on the widest stage
+        .where(graft.functions.BloomExpressions.mightContain(col("s"), bfB))
         .join(bench, Seq("s"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_over"))
         .where(col("n_over") >= PIPE_MIN_OVERLAP)
