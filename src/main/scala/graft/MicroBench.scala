@@ -307,7 +307,9 @@ object MicroBench {
         // summed codebook-lookup distance; recall measures how much
         // ranking fidelity the 64×-compressed codes preserve (PQ is a
         // compression tier, not a pruning tier — candidate frac is 1).
-        val sv = graft.queries.Similarity.pqSubvecs(spark, sf)
+        // localCheckpoint: the fit's per-round actions and the encode
+        // below all re-read sv (the fit no longer caches internally)
+        val sv = graft.queries.Similarity.pqSubvecs(spark, sf).localCheckpoint(true)
         val cb = graft.queries.Similarity.pqFit(sv).localCheckpoint(true)
         val codes = graft.queries.Similarity.pqAssign(sv, cb)
         val dtq = sv.where(col("vec_id") < nq)
@@ -322,7 +324,24 @@ object MicroBench {
           .withColumn("rn", row_number().over(wP)).where(col("rn") <= kTop)
           .select("qid", "vec_id").collect()
           .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f,"pq_adc_recall":${recall(pq)}%.3f}""")
+        // IVF × PQ (q_ann_ivf_pq): coarse-cell PRUNE then ADC rank —
+        // the pruned-ADC point on the recall/cost curve (candidate
+        // fraction = the k-means prune's, fidelity = the codes')
+        val candIP = cells.withColumnRenamed("cell", "ccell")
+          .join(broadcast(probes), col("ccell") === col("pcell") &&
+            col("vec_id") =!= col("qid"))
+          .select(col("qid").as("cqid"), col("vec_id"))
+        val ivfpq = codes.join(candIP, "vec_id")
+          .join(broadcast(dtq
+              .withColumnRenamed("qid", "dqid").withColumnRenamed("m", "dm")),
+            col("m") === col("dm") && col("cell") === col("cid") &&
+              col("cqid") === col("dqid"))
+          .groupBy("cqid", "vec_id").agg(sum("dt").as("adist"))
+          .select(col("cqid").as("qid"), col("vec_id"), col("adist"))
+          .withColumn("rn", row_number().over(wP)).where(col("rn") <= kTop)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f,"pq_adc_recall":${recall(pq)}%.3f,"ivf_pq_recall":${recall(ivfpq)}%.3f,"ivf_pq_candidate_frac":$kmFrac%.4f}""")
       case "decode" =>
         // single-threaded PNG decode: fast path vs ImageIO, same bytes
         val w = 2048; val h = 2048; val reps = args.lift(1).map(_.toInt).getOrElse(20)

@@ -522,6 +522,66 @@ object Similarity {
     }
   }
 
+  /** IVF × PQ composition — the billion-scale ANN layout both tiers
+    * exist for (BASELINE.md: "in practice PQ composes with IVF: prune
+    * cells, then ADC-rank"): the coarse k-means cells PRUNE — each
+    * query touches only its KMEANS_PROBE nearest cells' members — and
+    * the PQ codes COMPRESS — the surviving candidates are ranked by
+    * summed 8×64 integer distance-table lookups, never by raw vectors.
+    * At 100 TB the corpus stores (cell, 8 codes) per vector; a query
+    * broadcasts its probed cells + distance table against the code
+    * table: map-side prune, ADC sum, bounded partial top-k. Both fits
+    * and the ADC sums are integer-exact (see the tier docs above), so
+    * the DuckDB oracle replays the ENTIRE composition as chained CTEs. */
+  val qAnnIvfPq: Q = (s, d) => {
+    import s.implicits._
+    val vecs = quantizedVecs(s, d)
+    val sv = pqSubvecs(s, d)
+    Scoped.withCachedEager(vecs, sv) {
+      val cent = kmeansFit(vecs)
+      val cb = pqFit(sv)
+      val cells = kmeansAssign(vecs, cent)
+        .select(col("vec_id"), col("cell").as("ccell"))
+      val codes = pqAssign(sv, cb)
+      val probes = vecs.where(col("vec_id") < PQ_NQ)
+        .crossJoin(broadcast(cent))
+        .withColumn("dist", kmeansDist)
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))))
+        .where(col("pr") <= KMEANS_PROBE)
+        .select(col("vec_id").as("qid"), col("cid").as("pcell"))
+      val dt = sv.where(col("vec_id") < PQ_NQ)
+        .join(broadcast(cb), "m")
+        .select(col("vec_id").as("dqid"), col("m").as("dm"),
+          col("cid").as("dcid"), pqDist.as("dt"))
+      // IVF prune: a (qid, vec_id) candidate iff the vector's coarse
+      // cell is among the query's probed cells (probed cells are
+      // distinct per query, so no candidate dedup shuffle is needed)
+      val cand = cells.join(broadcast(probes),
+          col("ccell") === col("pcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+      codes.join(cand, "vec_id")
+        .join(broadcast(dt),
+          col("m") === col("dm") && col("cell") === col("dcid") &&
+            col("qid") === col("dqid"))
+        .groupBy("qid", "vec_id")
+        .agg(sum("dt").as("adist"))
+        .select(col("qid").cast("long"), col("vec_id").cast("long"),
+          col("adist").cast("long"))
+        .as[(Long, Long, Long)]
+        // partialTopK keeps the LARGEST keys; ADC distance is
+        // smaller-is-better, so negate it for the heap
+        .mapPartitions(partialTopK[(Long, Long, Long)](_, 3, _._1,
+          t => (-t._3.toDouble, t._2)))
+        .toDF("qid", "vec_id", "adist")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)))
+        .where(col("rn") <= 3)
+        .select("qid", "rn", "vec_id", "adist")
+        .orderBy("qid", "rn")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
@@ -529,6 +589,7 @@ object Similarity {
     "q_ann_ivf_label" -> qAnnIvfLabel,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_pq_adc" -> qAnnPqAdc,
+    "q_ann_ivf_pq" -> qAnnIvfPq,
     "q_ann_quantized" -> qAnnQuantized
   )
 
@@ -643,9 +704,97 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB replay of the IVF × PQ composition: BOTH integer-exact
+    * Lloyd fits as chained CTEs (coarse cells under k-prefixed names,
+    * PQ codebook under p-prefixed names), then cell-pruned candidates
+    * ranked by the summed ADC lookups. */
+  private val ivfPqOracleSql: String = {
+    val sub = PQ_SUBDIM
+    def kdist(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${DIMS + 1}),
+         |        i -> (list_extract($v.q, i) * 1000 - list_extract($c.c, i))
+         |           * (list_extract($v.q, i) * 1000 - list_extract($c.c, i))))""".stripMargin
+    def kAssignCte(name: String, cent: String) =
+      s"""$name AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT v.vec_id, $cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${kdist("v", cent)}, $cent.cid) AS rnk
+         |  FROM v, $cent) r WHERE rnk = 1)""".stripMargin
+    def kUpdateCte(name: String, assign: String) =
+      s"""$name AS (
+         |  SELECT cid, list(cv ORDER BY i) AS c FROM (
+         |    SELECT $assign.cell AS cid, t.i AS i,
+         |      CAST(floor(sum(list_extract(v.q, t.i)) * 1000.0 / count(*)) AS BIGINT) AS cv
+         |    FROM v JOIN $assign USING (vec_id), range(1, ${DIMS + 1}) t(i)
+         |    GROUP BY $assign.cell, t.i) u
+         |  GROUP BY cid)""".stripMargin
+    def pdist(svA: String, cbA: String) =
+      s"""list_sum(list_transform(range(1, ${sub + 1}),
+         |        i -> ($svA.sq[i] * 1000 - $cbA.c[i]) * ($svA.sq[i] * 1000 - $cbA.c[i])))""".stripMargin
+    def pAssignCte(name: String, cb: String) =
+      s"""$name AS (SELECT vec_id, m, cid AS cell FROM (
+         |  SELECT sv.vec_id, sv.m, $cb.cid,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.m
+         |      ORDER BY ${pdist("sv", cb)}, $cb.cid) AS rnk
+         |  FROM sv JOIN $cb ON sv.m = $cb.m) r WHERE rnk = 1)""".stripMargin
+    def pUpdateCte(name: String, assign: String) =
+      s"""$name AS (SELECT m, cid, list(cv ORDER BY i) AS c FROM (
+         |    SELECT $assign.m AS m, $assign.cell AS cid, t.i AS i,
+         |      CAST(floor(sum(sv.sq[t.i]) * 1000.0 / count(*)) AS BIGINT) AS cv
+         |    FROM sv JOIN $assign ON sv.vec_id = $assign.vec_id AND sv.m = $assign.m,
+         |         range(1, ${sub + 1}) t(i)
+         |    GROUP BY $assign.m, $assign.cell, t.i) u
+         |  GROUP BY m, cid)""".stripMargin
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid,
+       |         list_transform(q, x -> x * 1000) AS c
+       |       FROM (SELECT vec_id, q,
+       |               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS hk
+       |             FROM v ORDER BY hk, vec_id LIMIT $KMEANS_K) s),
+       |${kAssignCte("ka1", "kc0")},
+       |${kUpdateCte("kc1", "ka1")},
+       |${kAssignCte("ka2", "kc1")},
+       |${kUpdateCte("kc2", "ka2")},
+       |${kAssignCte("cells", "kc2")},
+       |qprobe AS (SELECT vec_id AS qid, cid AS pcell FROM (
+       |  SELECT v.vec_id, kc2.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${kdist("v", "kc2")}, kc2.cid) AS pr
+       |  FROM v, kc2 WHERE v.vec_id < $PQ_NQ) p WHERE pr <= $KMEANS_PROBE),
+       |sv AS (SELECT vec_id, m, list_transform(range(1, ${sub + 1}), i -> q[m * $sub + i]) AS sq
+       |       FROM v, range(0, $PQ_M) t(m)),
+       |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid
+       |         FROM (SELECT vec_id,
+       |                 CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS hk
+       |               FROM v ORDER BY hk, vec_id LIMIT $PQ_K) s),
+       |cb0 AS (SELECT sv.m, seed.cid, list_transform(sv.sq, x -> x * 1000) AS c
+       |        FROM sv JOIN seed ON sv.vec_id = seed.vec_id),
+       |${pAssignCte("pa1", "cb0")},
+       |${pUpdateCte("cb1", "pa1")},
+       |${pAssignCte("pa2", "cb1")},
+       |${pUpdateCte("cb2", "pa2")},
+       |${pAssignCte("codes", "cb2")},
+       |dt AS (SELECT sv.vec_id AS qid, sv.m AS m, cb2.cid AS cid, ${pdist("sv", "cb2")} AS dt
+       |       FROM sv JOIN cb2 ON sv.m = cb2.m WHERE sv.vec_id < $PQ_NQ),
+       |adc AS (SELECT dt.qid, codes.vec_id, CAST(sum(dt.dt) AS BIGINT) AS adist
+       |        FROM codes
+       |        JOIN cells ON codes.vec_id = cells.vec_id
+       |        JOIN qprobe ON cells.cell = qprobe.pcell
+       |        JOIN dt ON codes.m = dt.m AND codes.cell = dt.cid
+       |          AND dt.qid = qprobe.qid AND codes.vec_id != dt.qid
+       |        GROUP BY dt.qid, codes.vec_id)
+       |SELECT qid, rn, vec_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adist ASC, vec_id ASC) AS rn FROM adc) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_pq_adc" -> pqOracleSql,
+    "q_ann_ivf_pq" -> ivfPqOracleSql,
     "q_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, $cosSql AS cos
