@@ -24,7 +24,8 @@ object SparkEntry {
       (q.Curation.queries, q.Curation.oracleSql),
       (q.Graph.queries, q.Graph.oracleSql),
       (q.Multimodal.queries, q.Multimodal.oracleSql),
-      (q.Streaming.queries, q.Streaming.oracleSql)
+      (q.Streaming.queries, q.Streaming.oracleSql),
+      (q.Imaging.queries, q.Imaging.oracleSql)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
