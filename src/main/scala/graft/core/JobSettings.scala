@@ -19,6 +19,7 @@ final case class JobSettings(
     partitionToProcess: Int = 0,
     compressorName: String = "blosc", // only "blosc" or "none" (models.py:17-20)
     compressorLevel: Int = 3,          // zstd clevel (models.py:55-59)
+    compressorCname: String = "zstd",  // kwargs.cname; zstd default, lz4 supported
     byteShuffle: Boolean = true,       // Blosc.SHUFFLE default
     chunkSize: Seq[Int] = Seq(128, 128, 128), // models.py:65-69
     scaleFactor: Seq[Int] = Seq(2, 2, 2),     // models.py:70-74
@@ -29,6 +30,8 @@ final case class JobSettings(
     "partition_to_process out of range")
   require(compressorName == "blosc" || compressorName == "none",
     s"unsupported compressor: $compressorName (models.py:17-20 allows blosc only)")
+  require(compressorCname == "zstd" || compressorCname == "lz4",
+    s"unsupported compressor cname: $compressorCname (zstd, lz4)")
   require(chunkSize.length == 3 && chunkSize.forall(_ > 0), "chunk_size must be 3 positive ints")
   require(scaleFactor.length == 3 && scaleFactor.forall(_ > 0), "scale_factor must be 3 positive ints")
   require(downsampleLevels >= 1, "downsample_levels must be >= 1")
@@ -66,15 +69,14 @@ object JobSettings {
     val clevel = (j \ "compressor_kwargs" \ "clevel") match {
       case JInt(i) => Some(i.toInt); case _ => None
     }
-    // cname: the reference default is zstd (models.py:55-59); this
-    // engine ENCODES zstd only (BloscCodec decodes lz4/snappy/memcpy),
-    // so any other requested output codec is rejected loudly rather
-    // than silently written as zstd.
-    (j \ "compressor_kwargs" \ "cname") match {
-      case JString(c) if c != "zstd" =>
-        throw new IllegalArgumentException(
-          s"unsupported compressor_kwargs.cname: $c (encode path is zstd-only)")
-      case _ => ()
+    // cname: the reference default is zstd (models.py:55-59); the
+    // engine also encodes lz4 (numcodecs' default). Anything else is
+    // rejected loudly rather than silently written as zstd.
+    val cname = (j \ "compressor_kwargs" \ "cname") match {
+      case JString(c) if c == "zstd" || c == "lz4" => Some(c)
+      case JString(c) => throw new IllegalArgumentException(
+        s"unsupported compressor_kwargs.cname: $c (encode path supports zstd, lz4)")
+      case _ => None
     }
     // shuffle: c-blosc numeric flags (0 = none, 1 = byte shuffle — the
     // reference default Blosc.SHUFFLE, 2 = bit shuffle, unsupported).
@@ -95,6 +97,7 @@ object JobSettings {
       partitionToProcess = int("partition_to_process").getOrElse(0),
       compressorName = str("compressor_name").getOrElse("blosc"),
       compressorLevel = clevel.getOrElse(3),
+      compressorCname = cname.getOrElse("zstd"),
       byteShuffle = shuffleFlag.getOrElse(true),
       chunkSize = ints("chunk_size").getOrElse(Seq(128, 128, 128)),
       scaleFactor = ints("scale_factor").getOrElse(Seq(2, 2, 2)),

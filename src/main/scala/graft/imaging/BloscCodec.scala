@@ -32,9 +32,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * block is not the leftover block (blosc.c blosc_d); encoders since
   * c-blosc 1.14 always set bit 4 for zstd, as does this one.
   *
-  * Encoding is always zstd (the reference's cname); decoding also
-  * accepts lz4 and snappy formats — both raw-block codecs shipped in
-  * Spark's own jars — which covers numcodecs' default cname='lz4'.
+  * Encoding supports zstd (the reference's default cname) and lz4
+  * (numcodecs' default); decoding additionally accepts snappy — all
+  * raw-block codecs shipped in Spark's own jars.
   */
 object BloscCodec {
   private val VERSION: Byte = 2
@@ -104,11 +104,27 @@ object BloscCodec {
   }
 
   def compress(data: Array[Byte], typesize: Int, clevel: Int,
-      byteShuffle: Boolean): Array[Byte] = {
+      byteShuffle: Boolean): Array[Byte] =
+    compress(data, typesize, clevel, byteShuffle, "zstd")
+
+  /** Encode with an explicit codec: "zstd" (the reference default) or
+    * "lz4" (numcodecs' own default cname — closes the last output-side
+    * parity gap). Both emit NOSPLIT single-stream blocks, which every
+    * conformant blosc_d honors via header bit 4 (c-blosc ≥ 1.14 itself
+    * always sets it for zstd); lz4 payloads are raw LZ4 blocks, exactly
+    * what the lz4 decode path below already consumes. */
+  def compress(data: Array[Byte], typesize: Int, clevel: Int,
+      byteShuffle: Boolean, cname: String): Array[Byte] = {
+    val format = cname match {
+      case "zstd" => FORMAT_ZSTD
+      case "lz4" => FORMAT_LZ4
+      case other => throw new IllegalArgumentException(
+        s"unsupported blosc encode cname: $other (zstd, lz4)")
+    }
     val ts = math.max(1, typesize)
     val nbytes = data.length
     val doShuffle = byteShuffle && ts > 1
-    val baseFlags = (FORMAT_ZSTD << 5) | FLAG_NOSPLIT |
+    val baseFlags = (format << 5) | FLAG_NOSPLIT |
       (if (doShuffle) FLAG_SHUFFLE else 0)
 
     def memcpyFrame(): Array[Byte] = {
@@ -139,7 +155,9 @@ object BloscCodec {
       val tmp =
         if (doShuffle) shuffleRange(data, off, neblock, ts)
         else java.util.Arrays.copyOfRange(data, off, off + neblock)
-      val comp = Zstd.compress(tmp, clevel)
+      val comp =
+        if (format == FORMAT_ZSTD) Zstd.compress(tmp, clevel)
+        else lz4Comp.compress(tmp) // lz4 fast: clevel maps to acceleration in c-blosc; fast default is spec-valid
       streams(i) = if (comp.length >= neblock) tmp else comp
       rawLens(i) = neblock
       bodyLen += 4L + streams(i).length
@@ -169,6 +187,7 @@ object BloscCodec {
   }
 
   private lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+  private lazy val lz4Comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
 
   /** Decompress one stored stream of known decompressed size. */
   private def decodeStream(frame: Array[Byte], pos: Int, csize: Int,

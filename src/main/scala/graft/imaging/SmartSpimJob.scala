@@ -134,7 +134,8 @@ object SmartSpimJob {
         if (level < settings.downsampleLevels - 1)
           current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SmartSpimPipeline.writeLevelBy(current, storeFor(outDir, _), level, chunk,
-          settings.compressorLevel, settings.byteShuffle, compressed)
+          settings.compressorLevel, settings.byteShuffle, compressed,
+          settings.compressorCname)
         // `current` is now materialized in the cache (the write was an
         // action), so the level it was derived from can be released.
         prev.foreach(_.unpersist(blocking = false))
@@ -186,7 +187,7 @@ object SmartSpimJob {
     val chunksT = Seq(1, 1, chunk(0), chunk(1), chunk(2))
     write(s"$store/$level/.zarray", ZarrMeta.render(
       ZarrMeta.zarray(shapeT, chunksT, settings.compressorLevel,
-        settings.byteShuffle, compressed)))
+        settings.byteShuffle, compressed, settings.compressorCname)))
   }
 
   /** Metadata write through the Hadoop FileSystem API, so the store

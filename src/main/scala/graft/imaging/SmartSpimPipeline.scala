@@ -314,8 +314,9 @@ object SmartSpimPipeline {
     */
   def writeLevel(chunks: Dataset[ChunkRow], store: String, level: Int,
       chunk: Seq[Int], clevel: Int, byteShuffle: Boolean,
-      compressed: Boolean): Unit =
-    writeLevelBy(chunks, _ => store, level, chunk, clevel, byteShuffle, compressed)
+      compressed: Boolean, cname: String = "zstd"): Unit =
+    writeLevelBy(chunks, _ => store, level, chunk, clevel, byteShuffle,
+      compressed, cname)
 
   /** Multi-store variant: `storeOf` maps a chunk row's stack key to its
     * OME-Zarr store path, so one write job covers every stack in the
@@ -323,7 +324,7 @@ object SmartSpimPipeline {
     * derive the store from the stack path, don't capture a session. */
   def writeLevelBy(chunks: Dataset[ChunkRow], storeOf: String => String,
       level: Int, chunk: Seq[Int], clevel: Int, byteShuffle: Boolean,
-      compressed: Boolean): Unit = {
+      compressed: Boolean, cname: String = "zstd"): Unit = {
     val Seq(cz, cy, cx) = chunk
     chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
       it.foreach { c =>
@@ -344,7 +345,7 @@ object SmartSpimPipeline {
             out
           }
         val payload =
-          if (compressed) BloscCodec.compress(full, 2, clevel, byteShuffle)
+          if (compressed) BloscCodec.compress(full, 2, clevel, byteShuffle, cname)
           else full
         val dir = new HPath(storeOf(c.stack),
           s"$level/0/0/${c.zc}/${c.yc}")
@@ -373,7 +374,8 @@ object SmartSpimPipeline {
     * same Dataset. */
   def writeLevelInWaves(chunks: Dataset[ChunkRow], storeOf: String => String,
       level: Int, chunk: Seq[Int], clevel: Int, byteShuffle: Boolean,
-      compressed: Boolean, shape: Seq[Int], targetSizeMb: Long): Unit = {
+      compressed: Boolean, shape: Seq[Int], targetSizeMb: Long,
+      cname: String = "zstd"): Unit = {
     val block = ChunkPlanner.getBlockShape(shape, chunk, itemSize = 2, targetSizeMb)
     ChunkPlanner.genSlices(shape, block).foreach { box =>
       // voxel box → inclusive chunk-coordinate ranges
@@ -383,7 +385,7 @@ object SmartSpimPipeline {
         c.zc >= lo(0) && c.zc <= hi(0) &&
         c.yc >= lo(1) && c.yc <= hi(1) &&
         c.xc >= lo(2) && c.xc <= hi(2))
-      writeLevelBy(wave, storeOf, level, chunk, clevel, byteShuffle, compressed)
+      writeLevelBy(wave, storeOf, level, chunk, clevel, byteShuffle, compressed, cname)
     }
   }
 

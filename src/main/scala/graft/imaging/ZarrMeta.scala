@@ -81,10 +81,11 @@ object ZarrMeta {
   /** zarr v2 .zarray for a LE uint16 dataset with blosc-zstd compressor
     * and "/" dimension separator (png_to_zarr.py:691-699). */
   def zarray(shapeTczyx: Seq[Long], chunksTczyx: Seq[Int], clevel: Int,
-      byteShuffle: Boolean, compressed: Boolean): JObject = {
+      byteShuffle: Boolean, compressed: Boolean,
+      cname: String = "zstd"): JObject = {
     val compressor: JValue =
       if (compressed)
-        ("id" -> "blosc") ~ ("cname" -> "zstd") ~ ("clevel" -> clevel) ~
+        ("id" -> "blosc") ~ ("cname" -> cname) ~ ("clevel" -> clevel) ~
         ("shuffle" -> (if (byteShuffle) 1 else 0)) ~ ("blocksize" -> 0)
       else JNull
     ("zarr_format" -> 2) ~

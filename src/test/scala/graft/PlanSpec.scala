@@ -69,6 +69,16 @@ class PlanSpec extends AnyFunSuite {
       "LSH candidate generation must never be all-pairs")
   }
 
+  test("q_ann_ivf_pq prunes by cell equi-join; only the K-row centroid table nest-loops") {
+    // The fits collect tiny models during plan construction (planOnly
+    // still runs them); the guard is on the SEARCH plan they produce.
+    val p = plan("q_ann_ivf_pq")
+    assert(!p.contains("CartesianProduct"),
+      "corpus must never cartesian — candidates come from the cell equi-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "cell prune and ADC lookups must be equi-joins")
+  }
+
   test("multi-probe LSH candidates come from an equi-join on the probe bucket") {
     val p = plan("q_ann_lsh_probe")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")

@@ -72,10 +72,12 @@ class SettingsResolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](JobSettings.fromJson(minimal("""{"shuffle": 2}""")))
   }
 
-  test("compressor_kwargs.cname accepts zstd, rejects other output codecs loudly") {
-    assert(JobSettings.fromJson(minimal("""{"cname": "zstd"}""")).compressorName == "blosc")
+  test("compressor_kwargs.cname accepts zstd and lz4, rejects other codecs loudly") {
+    assert(JobSettings.fromJson(minimal("""{"cname": "zstd"}""")).compressorCname == "zstd")
+    assert(JobSettings.fromJson(minimal("""{"cname": "lz4"}""")).compressorCname == "lz4")
+    assert(JobSettings.fromJson(minimal("{}")).compressorCname == "zstd") // reference default
     val e = intercept[IllegalArgumentException](
-      JobSettings.fromJson(minimal("""{"cname": "lz4"}""")))
-    assert(e.getMessage.contains("lz4"))
+      JobSettings.fromJson(minimal("""{"cname": "zlib"}""")))
+    assert(e.getMessage.contains("zlib"))
   }
 }

@@ -21,6 +21,20 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  test("blosc lz4 encode roundtrips and frames with the lz4 FORMAT id") {
+    forAllN2(byteArrays, Gen.oneOf(true, false), 40) { (data, shuf) =>
+      val frame = BloscCodec.compress(data, 2, 3, shuf, "lz4")
+      assert(BloscCodec.decompress(frame).sameElements(data))
+    }
+    val compressible = Array.tabulate[Byte](4096)(i => (i % 5).toByte)
+    val frame = BloscCodec.compress(compressible, 2, 3, true, "lz4")
+    assert(((frame(2) & 0xE0) >> 5) == 1, "lz4 FORMAT id is 1 (BLOSC_LZ4_LIB)")
+    assert((frame(2) & 0x10) == 0x10, "encoder emits NOSPLIT frames")
+    assert(frame.length < compressible.length, "repetitive payload must compress")
+    intercept[IllegalArgumentException](
+      BloscCodec.compress(compressible, 2, 3, true, "zlib"))
+  }
+
   test("blosc shuffle/unshuffle are inverses and shuffle groups byte planes") {
     forAllN(byteArrays, 60) { data =>
       assert(BloscCodec.unshuffle(BloscCodec.shuffle(data, 2), 2).sameElements(data))
