@@ -102,6 +102,33 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Temperature-based mixture sampling (the multilingual-training
+    * recipe of mBERT/XLM-R: sample language l with p_l ∝ q_l^α,
+    * α < 1 upsamples low-resource languages). α = 0.5 is chosen so the
+    * per-language keep rate reduces to 0.5·√(n_max/n_l), capped at 1 —
+    * every operation (integer counts, double divide, sqrt, multiply)
+    * is IEEE-correctly-rounded, so Spark and DuckDB agree BIT-FOR-BIT
+    * with no epsilon anywhere (a pow(q, 0.3) formulation would not:
+    * pow is not correctly rounded and may differ across libm builds).
+    * The keep decision reuses the deterministic md5 percentile. Plan:
+    * one K-row counts aggregate broadcast back, then a map-side gate +
+    * partial-agg profile — at 100 TB the same plan emits kept rows
+    * via `where(keep)`. */
+  val qMixTemperature: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max("n_l").as("n_max"))))
+      .withColumn("rate", least(lit(1.0),
+        lit(0.5) * sqrt(col("n_max").cast("double") / col("n_l").cast("double"))))
+    docs.join(broadcast(rates), "lang")
+      .withColumn("keep", (pct(col("doc_id")) < col("rate") * 100).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), sum("keep").as("n_kept"),
+        round(first("rate"), 4).as("rate"))
+      .orderBy("lang")
+  }
+
   private val PACK_BUDGET = 512 // tokens per packed sequence
   private val PACK_SHARDS = 8
 
@@ -246,6 +273,7 @@ object Pipeline {
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_priority" -> qSamplePriority,
     "q_mix_budget" -> qMixBudget,
+    "q_mix_temperature" -> qMixTemperature,
     "q_pack_sequences" -> qPackSequences,
     "q_decontaminate" -> qDecontaminate,
     "q_pipeline_corpus" -> qPipelineCorpus
@@ -267,6 +295,20 @@ object Pipeline {
     .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT_BUDGET END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |m AS (SELECT max(n_l) AS n_max FROM c),
+        |r AS (SELECT lang, n_l,
+        |        least(CAST(1.0 AS DOUBLE),
+        |          0.5 * sqrt(CAST(n_max AS DOUBLE) / CAST(n_l AS DOUBLE))) AS rate
+        |      FROM c, m),
+        |k AS (SELECT d.lang,
+        |        CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+        |          % 100 < rate * 100 THEN 1 ELSE 0 END AS keep, rate
+        |      FROM documents d JOIN r ON d.lang = r.lang)
+        |SELECT lang, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  round(any_value(rate), 4) AS rate
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "q_sample_priority" ->
       s"""SELECT doc_id, lang,
          |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)

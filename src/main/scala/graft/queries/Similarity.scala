@@ -582,6 +582,38 @@ object Similarity {
     }
   }
 
+  private val SEMDEDUP_TAU = 0.2
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the SAME
+    * integer-exact k-means fit the IVF tier uses, then compare pairs
+    * ONLY within a cluster — the clustering is exactly what makes
+    * pairwise comparison tractable at scale (within-cell pairs are
+    * O(Σ|cell|²) ≪ O(n²), and the cell id is the shuffle key). A
+    * vector is a semantic duplicate iff some LOWER-id vector in its
+    * cell has cosine ≥ τ (the deterministic keeper contract, mirrored
+    * by the oracle). Output: per-cell (n_vecs, n_dropped) profile; at
+    * 100 TB the same plan emits the kept rows via an anti-join on the
+    * dropped set. */
+  val qSemDedup: Q = (s, d) => {
+    val vecs = quantizedVecs(s, d)
+    Scoped.withCachedEager(vecs) {
+      val cent = kmeansFit(vecs)
+      val cells = kmeansAssign(vecs, cent)
+      val e = vecs.select(col("vec_id"), col("embedding")).join(cells, "vec_id")
+      val dropped = e.as("a").join(e.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .where(round(cosine(col("a.embedding"), col("b.embedding")), 4) >= SEMDEDUP_TAU)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("isdrop", lit(1L))
+      e.join(dropped, Seq("vec_id"), "left")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("isdrop"), lit(0L))).as("n_dropped"))
+        .orderBy("cell")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
@@ -590,7 +622,8 @@ object Similarity {
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_pq_adc" -> qAnnPqAdc,
     "q_ann_ivf_pq" -> qAnnIvfPq,
-    "q_ann_quantized" -> qAnnQuantized
+    "q_ann_quantized" -> qAnnQuantized,
+    "q_semdedup" -> qSemDedup
   )
 
   private val cosSql =
@@ -791,7 +824,58 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB replay of the SemDeDup profile: the coarse k-means fit as
+    * chained CTEs (identical to the IVF oracles), then within-cell
+    * lower-id cosine≥τ dropping. */
+  private val semDedupOracleSql: String = {
+    def kdist(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${DIMS + 1}),
+         |        i -> (list_extract($v.q, i) * 1000 - list_extract($c.c, i))
+         |           * (list_extract($v.q, i) * 1000 - list_extract($c.c, i))))""".stripMargin
+    def kAssignCte(name: String, cent: String) =
+      s"""$name AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT v.vec_id, $cent.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${kdist("v", cent)}, $cent.cid) AS rnk
+         |  FROM v, $cent) r WHERE rnk = 1)""".stripMargin
+    def kUpdateCte(name: String, assign: String) =
+      s"""$name AS (
+         |  SELECT cid, list(cv ORDER BY i) AS c FROM (
+         |    SELECT $assign.cell AS cid, t.i AS i,
+         |      CAST(floor(sum(list_extract(v.q, t.i)) * 1000.0 / count(*)) AS BIGINT) AS cv
+         |    FROM v JOIN $assign USING (vec_id), range(1, ${DIMS + 1}) t(i)
+         |    GROUP BY $assign.cell, t.i) u
+         |  GROUP BY cid)""".stripMargin
+    def norm(a: String) =
+      s"sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid,
+       |         list_transform(q, x -> x * 1000) AS c
+       |       FROM (SELECT vec_id, q,
+       |               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS hk
+       |             FROM v ORDER BY hk, vec_id LIMIT $KMEANS_K) s),
+       |${kAssignCte("ka1", "kc0")},
+       |${kUpdateCte("kc1", "ka1")},
+       |${kAssignCte("ka2", "kc1")},
+       |${kUpdateCte("kc2", "ka2")},
+       |${kAssignCte("cells", "kc2")},
+       |e AS (SELECT emb.vec_id, emb.embedding, cells.cell
+       |      FROM embeddings emb JOIN cells USING (vec_id)),
+       |drp AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b
+       |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |        WHERE round(list_sum(list_transform(range(1, ${DIMS + 1}),
+       |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |          / (${norm("a")} * ${norm("b")}), 4) >= $SEMDEDUP_TAU)
+       |SELECT e.cell AS cell, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM e LEFT JOIN drp ON e.vec_id = drp.vec_id
+       |GROUP BY e.cell ORDER BY cell""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_semdedup" -> semDedupOracleSql,
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_pq_adc" -> pqOracleSql,
     "q_ann_ivf_pq" -> ivfPqOracleSql,

@@ -79,6 +79,14 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), "cell prune and ADC lookups must be equi-joins")
   }
 
+  test("q_semdedup compares pairs only within a cell (equi-join, never all-pairs)") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "the k-means cell id must be the pair-join key — no corpus cartesian")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "within-cell pairing must be an equi-join")
+  }
+
   test("multi-probe LSH candidates come from an equi-join on the probe bucket") {
     val p = plan("q_ann_lsh_probe")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
