@@ -26,6 +26,49 @@ import graft.functions.GraftFunctions._
 object Curation {
   type Q = (SparkSession, String) => DataFrame
 
+  private val LM_TOPK = 10
+
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020 score their
+    * corpus with a KenLM perplexity; here the LM is a unigram model
+    * trained on the corpus ITSELF, so the operator needs no external
+    * artifact): token surprise −ln(c_t / T) from corpus counts, doc
+    * score = mean surprise over its tokens, output = the LM_TOPK most
+    * atypical documents (highest surprise — the boilerplate/outlier
+    * end a curation pass inspects or drops).
+    *
+    * Determinism design: surprise is integer-scaled floor(·10⁶) per
+    * DISTINCT token, so the per-doc sum is an exact long — a raw
+    * double sum would depend on shuffle arrival order and differ run
+    * to run. The only FP ops are ln (once per vocab entry, floored
+    * to 10⁻⁶) and one correctly-rounded divide at the end.
+    *
+    * Scale shape: vocab counts = one partial-agg shuffle; the token →
+    * surprise join is pinned shuffle-hash like tfidf's df join (the
+    * vocabulary grows with the corpus — it must NEVER broadcast);
+    * per-doc sum is a partial agg; top-k is a distributed TakeOrdered. */
+  val qQualityLm: Q = (s, d) => {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    Scoped.withCached(tk) {
+      val counts = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      val surp = counts
+        .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
+        .select(col("tok"),
+          floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
+            .cast("long").as("surp"))
+      tk.join(surp.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"), sum("surp").as("ssum"))
+        .withColumn("surprise",
+          round(col("ssum").cast("double") / (col("n_tok") * lit(1000000.0)), 4))
+        .orderBy(col("surprise").desc, col("doc_id").asc).limit(LM_TOPK)
+        .withColumn("rn", row_number().over(
+          boundedWindow(col("surprise").desc, col("doc_id").asc)))
+        .select("rn", "doc_id", "lang", "n_tok", "surprise")
+        .orderBy("rn")
+    }
+  }
+
   // ---- Gopher-style quality rules (thresholds fit this corpus's
   // observed ranges: n_tok p10/p50/p90 = 21/56/88, mean word length
   // 3.7-5.3, distinct ratio 0.28-0.99, mean stopword hits 3.4) ----
@@ -211,6 +254,7 @@ object Curation {
 
   def queries: Map[String, Q] = Map(
     "q_quality_gopher" -> qQualityGopher,
+    "q_quality_lm" -> qQualityLm,
     "q_text_repetition" -> qTextRepetition,
     "q_pii_redact" -> qPiiRedact,
     "q_zorder_curve" -> qZorderCurve,
@@ -241,6 +285,21 @@ object Curation {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    "q_quality_lm" ->
+      s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |tt AS (SELECT sum(c) AS total FROM c),
+         |sp AS (SELECT tok,
+         |         CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS surp
+         |       FROM c, tt),
+         |ds AS (SELECT tk.doc_id, tk.lang, count(*) AS n_tok, sum(surp) AS ssum
+         |       FROM tk JOIN sp USING (tok) GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, n_tok,
+         |        round(CAST(ssum AS DOUBLE) / (n_tok * 1000000.0), 4) AS surprise
+         |      FROM ds)
+         |SELECT rn, doc_id, lang, n_tok, surprise FROM (
+         |  SELECT *, row_number() OVER (ORDER BY surprise DESC, doc_id ASC) AS rn FROM r) q
+         |WHERE rn <= $LM_TOPK ORDER BY rn""".stripMargin,
     "q_quality_gopher" ->
       s"""WITH t AS (SELECT lang, $toksAll AS w FROM documents),
          |r AS (SELECT lang,

@@ -79,6 +79,14 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), "cell prune and ADC lookups must be equi-joins")
   }
 
+  test("q_quality_lm joins the vocabulary shuffle-hash (never broadcast) and top-ks distributed") {
+    val p = plan("q_quality_lm")
+    assert(p.contains("ShuffledHashJoin"),
+      "the token->surprise join must stay a shuffle join — vocab grows with the corpus")
+    assert(p.contains("TakeOrderedAndProject"),
+      "most-atypical-docs must be a distributed top-k, not a global sort")
+  }
+
   test("q_semdedup compares pairs only within a cell (equi-join, never all-pairs)") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"),
