@@ -359,7 +359,48 @@ object Dedup {
     }
   }
 
+  private val INC_MOD = 3     // doc_id % 3 == 0 plays the already-ingested corpus
+  private val INC_PREFIX = 10 // head fingerprint: first 10 tokens
+
+  /** Incremental-ingest dedup: a NEW batch arrives and must be deduped
+    * against the already-ingested corpus — the recurring-crawl shape
+    * (every CommonCrawl snapshot dedups against all prior snapshots).
+    * The match key is a head fingerprint (md5 of the first
+    * INC_PREFIX tokens): the standard cheap near-exact key when full
+    * texts differ only in tails/boilerplate.
+    *
+    * Scale design mirrors decontamination: the EXISTING corpus'
+    * fingerprint set is corpus-sized (never broadcast, never
+    * collected) — a driver-built bloom over it prefilters the incoming
+    * batch MAP-SIDE through the native codegen'd probe, and false
+    * positives die in the exact confirm semi-join (which shuffles only
+    * the bloom survivors on the fingerprint key). Output: per-lang
+    * (incoming, duplicate, new) profile; at 100 TB the same plan emits
+    * the new rows via the anti-join. */
+  val qDedupIncremental: Q = (s, d) => {
+    val fp = md5(concat_ws(" ", slice(tokens(col("text")), 1, INC_PREFIX)))
+    val docs = Tables.documents(s, d).withColumn("h", fp)
+    val existing = docs.where(col("doc_id") % INC_MOD === 0).select("h").distinct()
+    Scoped.withCached(existing) {
+      val incoming = docs.where(col("doc_id") % INC_MOD =!= 0)
+      val n = existing.count().max(1L)
+      val bf = existing.stat.bloomFilter("h", n, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val dup = incoming
+        .where(graft.functions.BloomExpressions.mightContain(col("h"), bfB))
+        .join(existing, Seq("h"), "left_semi")
+        .select(col("doc_id")).withColumn("isdup", lit(1L))
+      incoming.join(dup, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+        .withColumn("n_new", col("n_incoming") - col("n_dup"))
+        .orderBy("lang")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_exact_keep" -> qDedupExactKeep,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
@@ -420,6 +461,18 @@ object Dedup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    md5(array_to_string(
+         |      (list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))[1:$INC_PREFIX],
+         |      ' ')) AS h
+         |  FROM documents),
+         |ex AS (SELECT DISTINCT h FROM d WHERE doc_id % $INC_MOD = 0),
+         |inc AS (SELECT doc_id, lang, h FROM d WHERE doc_id % $INC_MOD != 0)
+         |SELECT lang, count(*) AS n_incoming,
+         |  CAST(sum(CASE WHEN h IN (SELECT h FROM ex) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(count(*) - sum(CASE WHEN h IN (SELECT h FROM ex) THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |FROM inc GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS nd_text
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
