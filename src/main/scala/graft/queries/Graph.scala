@@ -41,16 +41,25 @@ object Graph {
     // edge table ONCE (the standard PageRank precompute) so each
     // iteration is a single equi-join — not join-edges + join-outdeg
     val w = Window.partitionBy("src")
+    // The iteration tables are tiny (≤ PR_NODES_MOD nodes); explicit
+    // small hash-partitioning on the join keys keeps every per-round
+    // join/agg from fanning out to the session's full shuffle width
+    // (same pattern as Dedup's label-propagation loop — at real graph
+    // scale the value is sized to |edges| instead).
+    val loopParts = 4
     val edges = rawEdges.withColumn("deg", count(lit(1)).over(w))
+      .repartition(loopParts, col("src"))
     Scoped.withCached(edges) {
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst"))).distinct()
+        .repartition(loopParts, col("node"))
       val n = nodes.count()
       val base = (3L * PR_SCALE) / (20L * n) // floor((1-d)·S/N), d=0.85
       var ranks = nodes.withColumn("rank", lit(PR_SCALE / n))
       for (_ <- 1 to PR_ITERS) {
         val contrib = ranks.join(edges, col("node") === col("src"))
           .select(col("dst"), expr("rank div deg").as("c"))
+          .repartition(loopParts, col("dst"))
           .groupBy("dst").agg(sum("c").as("in_sum"))
         ranks = nodes.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
