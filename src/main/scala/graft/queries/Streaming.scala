@@ -159,13 +159,15 @@ object Streaming {
     val schema = eventsSchema(s, d)
     val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
-    // ONE source instance referenced twice: the union still duplicates
-    // every row (same logical subtree on both branches), but the stream
-    // tracks a single file source's offsets instead of two
+    // Duplicate every event IN-stream (explode over two copies) rather
+    // than unioning the source with itself: identical duplicated input
+    // for the dedup operator under test, but ONE file source — half
+    // the scan and offset tracking per micro-batch.
     val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = src.union(src)
+    val q = src
+      .withColumn("copy", explode(array(lit(0), lit(1)))).drop("copy")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream.outputMode("append").format("memory").queryName(name)

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+/** Shared-session concurrency: the round-5 hazard was an iterative
+  * query flipping the session-global `spark.sql.shuffle.partitions`
+  * mid-flight, which any concurrently planned query would observe.
+  * The fix replaced the conf mutation with explicit repartitioning;
+  * this spec pins the contract — two queries (one iterative with the
+  * fixpoint loop, one plain aggregate) running CONCURRENTLY on the
+  * shared session produce exactly their sequential results, and the
+  * session's shuffle width is untouched throughout. */
+class ConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+  private val SF = "/root/testdata/sf0.001"
+
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, SF)
+      .collect().map(_.mkString("|")).toSeq
+
+  test("iterative fixpoint + concurrent aggregate: sequential results, conf untouched") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val seqCluster = rows("q_dedup_cluster")
+    val seqAgg = rows("q1_agg")
+    // run both concurrently several times — the loop mutated the conf
+    // for its whole duration, so any overlap would have exposed it
+    (1 to 2).foreach { _ =>
+      val fCluster = Future(rows("q_dedup_cluster"))
+      val fAgg = Future {
+        (1 to 5).map { _ =>
+          val r = rows("q1_agg")
+          // the shared session must never observe a flipped width
+          assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+            "a concurrent query observed a mutated session shuffle width")
+          r
+        }.last
+      }
+      assert(Await.result(fCluster, 5.minutes) == seqCluster)
+      assert(Await.result(fAgg, 5.minutes) == seqAgg)
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+}
