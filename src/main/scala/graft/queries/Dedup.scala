@@ -381,7 +381,8 @@ object Dedup {
     val fp = md5(concat_ws(" ", slice(tokens(col("text")), 1, INC_PREFIX)))
     val docs = Tables.documents(s, d).withColumn("h", fp)
     val existing = docs.where(col("doc_id") % INC_MOD === 0).select("h").distinct()
-    Scoped.withCached(existing) {
+    // eager: the count and bloom build are driver actions on `existing`
+    Scoped.withCachedEager(existing) {
       val incoming = docs.where(col("doc_id") % INC_MOD =!= 0)
       val n = existing.count().max(1L)
       val bf = existing.stat.bloomFilter("h", n, 0.01)

@@ -169,7 +169,11 @@ object Pipeline {
       .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), col("lang"), explode(shingles(col("w"), 3)).as("s"))
     val bench = sh.where(col("doc_id") % DECON_MOD === 0).select("s").distinct()
-    Scoped.withCached(sh, bench) {
+    // EAGER scope: the body runs driver actions (the eval-side count
+    // and the bloom build) — withCached would cache only after the
+    // body, so those actions would recompute the tokenize/shingle
+    // chain uncached each time
+    Scoped.withCachedEager(sh, bench) {
       val train = sh.where(col("doc_id") % DECON_MOD =!= 0)
       // Size the bloom from the data, not a constant: an undersized
       // filter silently degrades its fpp, which weakens the map-side
@@ -227,7 +231,21 @@ object Pipeline {
     val bench = docs.where(col("doc_id") % DECON_MOD === 0)
       .select(explode(shingles(tokens(col("text")), PIPE_SHINGLE_N)).as("s"))
       .distinct()
-    Scoped.withCached(qual, bench) {
+    // EAGER scope (see qDecontaminate): the fixpoint and the bloom
+    // build are driver actions against qual/bench — they must hit the
+    // caches, not rebuild the tokenize/shingle chains per action.
+    Scoped.withCachedEager(qual, bench) {
+      // stage 3's bloom build (two actions on the tiny cached eval
+      // side) is independent of stage 2's cluster fixpoint — run it on
+      // a concurrent driver thread so its jobs fill the fixpoint's
+      // driver-synchronization gaps
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val bloomF = Future {
+        val nBench = bench.count().max(1L)
+        s.sparkContext.broadcast(bench.stat.bloomFilter("s", nBench, 0.01))
+      }
       // stage 2: labels are localCheckpoint-materialized inside, so the
       // returned plan is self-contained (see Dedup.clusterLabelsOf)
       val labels = Dedup.clusterLabelsOf(s, qual, PIPE_MIN_AGREE)
@@ -235,9 +253,7 @@ object Pipeline {
         labels.where(col("lbl") === col("id")).select(col("id").as("doc_id")),
         Seq("doc_id"), "left_semi")
       // stage 3: bloom map-side prune + exact confirm (fpp-irrelevant)
-      val nBench = bench.count().max(1L)
-      val bf = bench.stat.bloomFilter("s", nBench, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
+      val bfB = Await.result(bloomF, Duration.Inf)
       val contam = kept
         .select(col("doc_id"), explode(shingles(col("w"), PIPE_SHINGLE_N)).as("s"))
         // native codegen'd probe — no udf on the widest stage
