@@ -317,10 +317,15 @@ object MicroBench {
           .select(col("vec_id").as("qid"), col("m"),
             col("cid"), graft.queries.Similarity.pqDistCol.as("dt"))
         val wP = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
-        val pq = codes.join(broadcast(dtq),
-            codes("m") === dtq("m") && col("cell") === col("cid") &&
-              col("vec_id") =!= col("qid"))
-          .groupBy("qid", "vec_id").agg(sum("dt").as("adist"))
+        // renamed columns avoid a same-origin codes("m") === dtq("m")
+        // predicate (both derive from sv — see qAnnPqAdc)
+        val dtqR = dtq.withColumnRenamed("qid", "dqid")
+          .withColumnRenamed("m", "dm").withColumnRenamed("cid", "dcid")
+        val pq = codes.join(broadcast(dtqR),
+            col("m") === col("dm") && col("cell") === col("dcid") &&
+              col("vec_id") =!= col("dqid"))
+          .groupBy("dqid", "vec_id").agg(sum("dt").as("adist"))
+          .select(col("dqid").as("qid"), col("vec_id"), col("adist"))
           .withColumn("rn", row_number().over(wP)).where(col("rn") <= kTop)
           .select("qid", "vec_id").collect()
           .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

@@ -499,14 +499,20 @@ object Similarity {
     Scoped.withCachedEager(sv) {
       val cb = pqFit(sv)
       val codes = pqAssign(sv, cb)
+      // distance-table columns renamed up front: both sides derive from
+      // sv, and a codes("m") === dt("m") between same-origin attributes
+      // would lean on Spark's ambiguous-self-join resolution (and log a
+      // trivially-true-predicate warning on every run)
       val dt = sv.where(col("vec_id") < PQ_NQ)
         .join(broadcast(cb), "m")
-        .select(col("vec_id").as("qid"), col("m"), col("cid"), pqDist.as("dt"))
+        .select(col("vec_id").as("dqid"), col("m").as("dm"),
+          col("cid").as("dcid"), pqDist.as("dt"))
       codes.join(broadcast(dt),
-          codes("m") === dt("m") && col("cell") === col("cid") && col("vec_id") =!= col("qid"))
-        .groupBy("qid", "vec_id")
+          col("m") === col("dm") && col("cell") === col("dcid") &&
+            col("vec_id") =!= col("dqid"))
+        .groupBy("dqid", "vec_id")
         .agg(sum("dt").as("adist"))
-        .select(col("qid").cast("long"), col("vec_id").cast("long"),
+        .select(col("dqid").cast("long").as("qid"), col("vec_id").cast("long"),
           col("adist").cast("long"))
         .as[(Long, Long, Long)]
         // partialTopK keeps the LARGEST keys; ADC distance is
