@@ -400,7 +400,43 @@ object Dedup {
     }
   }
 
+  private val SPAN_N = 8
+
+  /** Corpus-wide duplicated-span profile — the C4 / Lee et al. 2022
+    * boilerplate signal ("Deduplicating Training Data Makes Language
+    * Models Better" dedups repeated substrings; C4 discards repeated
+    * three-sentence spans): a doc's word-8-gram span is DUPLICATED iff
+    * it also occurs in at least one other document. Output: per-lang
+    * span counts and the exact corpus dup fraction — the measurement a
+    * span-trimming pass is driven by (`where` on the span's df emits
+    * the spans to cut at scale).
+    *
+    * Shape: shingle explode → partial-agg span df → shuffle-hash join
+    * back on the span (the span table is corpus-sized — never
+    * broadcast, same posture as tfidf/LM-score) → per-doc then
+    * per-lang exact-integer profile. The dup fraction is a ratio of
+    * exact longs (one correctly-rounded divide at the end), so no
+    * FP-sum ordering can perturb the hash. */
+  val qDedupSpans: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(shingles(tokens(col("text")), SPAN_N)).as("sp"))
+    Scoped.withCached(sh) {
+      // shingles() is per-doc distinct, so this count IS document
+      // frequency
+      val df = sh.groupBy("sp").agg(count(lit(1)).as("ndocs"))
+      sh.join(df.hint("shuffle_hash"), "sp")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_frac",
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+        .orderBy("lang")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_dedup_spans" -> qDedupSpans,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_exact_keep" -> qDedupExactKeep,
@@ -462,6 +498,21 @@ object Dedup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_spans" -> {
+      val span = (0 until SPAN_N)
+        .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, lang, $span AS sp
+         |       FROM toks, unnest(range(1, len(w) + 2 - $SPAN_N)) t(i)),
+         |df AS (SELECT sp, count(*) AS ndocs FROM sh GROUP BY sp)
+         |SELECT lang, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         |  round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+         |FROM sh JOIN df USING (sp)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |    md5(array_to_string(
