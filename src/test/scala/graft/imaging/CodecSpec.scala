@@ -77,6 +77,22 @@ class CodecSpec extends AnyFunSuite with PropSupport {
     assert(frame.length < 256 + 20, "compressible data must actually compress")
   }
 
+  test("blosc multi-block frames (> 4 MiB payload) roundtrip for zstd and lz4") {
+    // 9 MiB: 3 blocks at the 4 MiB encoder block size — exercises the
+    // bstarts table and per-block shuffle/tail handling, which every
+    // other test (all < 4 MiB, single-block) never reaches
+    val n = 9 * 1024 * 1024 + 6 // + tail not divisible by typesize
+    val data = Array.tabulate[Byte](n)(i => ((i * 31 + i / 4093) % 251).toByte)
+    for (cname <- Seq("zstd", "lz4"); shuf <- Seq(true, false)) {
+      val frame = BloscCodec.compress(data, 2, 3, shuf, cname)
+      def le32(o: Int): Int = java.nio.ByteBuffer.wrap(frame, o, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      assert(le32(8) == 4 * 1024 * 1024, s"header blocksize ($cname)")
+      assert(BloscCodec.decompress(frame).sameElements(data),
+        s"multi-block roundtrip cname=$cname shuffle=$shuf")
+    }
+  }
+
   test("blosc memcpy fallback for incompressible data") {
     val rnd = new scala.util.Random(7)
     val data = Array.fill[Byte](512)(rnd.nextInt().toByte)
