@@ -87,6 +87,13 @@ class PlanSpec extends AnyFunSuite {
       "most-atypical-docs must be a distributed top-k, not a global sort")
   }
 
+  test("q_dedup_spans joins the span-df table shuffle-hash (corpus-sized, never broadcast)") {
+    val p = plan("q_dedup_spans")
+    assert(p.contains("ShuffledHashJoin"),
+      "the span->df join must stay a shuffle join — the span table grows with the corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_semdedup compares pairs only within a cell (equi-join, never all-pairs)") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"),
