@@ -80,7 +80,11 @@ object Imaging {
     }
     val l0 = SmartSpimPipeline.rechunk(slices, CHUNK)
     val l1 = SmartSpimPipeline.downsampleLevel(l0, CHUNK, FACTOR)
-    digestRows(0, l0).union(digestRows(1, l1))
+    // level 2 via the FUSED path (downsampleToLevel straight from
+    // level 0) — its iterated-floor-mean equivalence is spec-pinned,
+    // and this row puts it under the cross-engine hash gate as well
+    val l2 = SmartSpimPipeline.downsampleToLevel(l0, CHUNK, FACTOR, 2)
+    digestRows(0, l0).union(digestRows(1, l1)).union(digestRows(2, l2))
       .select(col("level"), col("zc"), col("yc"), col("xc"),
         col("dz"), col("dy"), col("dx"), md5(col("vals")).as("digest"))
       .orderBy("level", "zc", "yc", "xc")
@@ -112,10 +116,21 @@ object Imaging {
          |    CAST(max(y) - min(y) + 1 AS INT) AS dy,
          |    CAST(max(x) - min(x) + 1 AS INT) AS dx,
          |    md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY z, y, x)) AS digest
-         |  FROM v1 GROUP BY 2, 3, 4)
+         |  FROM v1 GROUP BY 2, 3, 4),
+         |v2 AS (
+         |  SELECT z // 2 AS z, y // 2 AS y, x // 2 AS x,
+         |    sum(v) // count(*) AS v
+         |  FROM v1 GROUP BY 1, 2, 3),
+         |d2 AS (
+         |  SELECT 2 AS level, z // $cz AS zc, y // $cy AS yc, x // $cx AS xc,
+         |    CAST(max(z) - min(z) + 1 AS INT) AS dz,
+         |    CAST(max(y) - min(y) + 1 AS INT) AS dy,
+         |    CAST(max(x) - min(x) + 1 AS INT) AS dx,
+         |    md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY z, y, x)) AS digest
+         |  FROM v2 GROUP BY 2, 3, 4)
          |SELECT CAST(level AS INT) AS level, CAST(zc AS INT) AS zc,
          |  CAST(yc AS INT) AS yc, CAST(xc AS INT) AS xc, dz, dy, dx, digest
-         |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1) u
+         |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2) u
          |ORDER BY level, zc, yc, xc""".stripMargin
     })
 }
