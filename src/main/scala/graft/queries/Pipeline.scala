@@ -151,6 +151,46 @@ object Pipeline {
       .orderBy("lang", "shard", "seq_id")
   }
 
+  private val BATCH_SIZE = 8 // docs per padded batch
+
+  /** Length-grouped batching (the dynamic-batching / "bucketing by
+    * length" step every padded-batch trainer runs): within each
+    * (lang, shard), docs sorted by token count form batches of
+    * BATCH_SIZE, so each batch pads to a NEAR-UNIFORM length instead
+    * of its longest straggler. Output compares the exact integer
+    * padding waste (Σ batch_max·|batch| − Σ len) of length-sorted
+    * batches against naive arrival-order (doc_id) batches, per
+    * language — the % of padded-token compute the sort saves.
+    *
+    * Scale: both batchings are windows partitioned by (lang, shard) —
+    * shard count grows with the cluster, no global sort anywhere; all
+    * arithmetic integer-exact until one final rounded division. */
+  val qPackLenGrouped: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        (col("doc_id") % PACK_SHARDS).cast("int").as("shard"),
+        size(tokens(col("text"))).as("n_tok"))
+    def padOf(order: Column*): DataFrame = {
+      val w = Window.partitionBy("lang", "shard").orderBy(order: _*)
+      base
+        .withColumn("bid", floor((row_number().over(w) - 1) / BATCH_SIZE))
+        .groupBy("lang", "shard", "bid")
+        .agg((max("n_tok") * count(lit(1)) - sum("n_tok")).as("pad"),
+          count(lit(1)).as("n_docs"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_batches"), sum("pad").cast("long").as("pad"))
+    }
+    val sorted = padOf(col("n_tok").asc, col("doc_id").asc)
+      .withColumnRenamed("pad", "pad_sorted")
+    val naive = padOf(col("doc_id").asc)
+      .select(col("lang").as("nlang"), col("pad").as("pad_naive"))
+    sorted.join(naive, col("lang") === col("nlang"))
+      .select(col("lang"), col("n_batches"), col("pad_sorted"), col("pad_naive"),
+        round(lit(1.0) - col("pad_sorted").cast("double") / col("pad_naive"), 4)
+          .as("saving_frac"))
+      .orderBy("lang")
+  }
+
   private val DECON_MOD = 11  // doc_id % 11 == 0 plays the eval set
   private val DECON_MIN_OVERLAP = 5
 
@@ -291,6 +331,7 @@ object Pipeline {
     "q_mix_budget" -> qMixBudget,
     "q_mix_temperature" -> qMixTemperature,
     "q_pack_sequences" -> qPackSequences,
+    "q_pack_lengrouped" -> qPackLenGrouped,
     "q_decontaminate" -> qDecontaminate,
     "q_pipeline_corpus" -> qPipelineCorpus
   )
@@ -311,6 +352,25 @@ object Pipeline {
     .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT_BUDGET END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_pack_lengrouped" ->
+      s"""WITH base AS (SELECT lang, doc_id, CAST(doc_id % $PACK_SHARDS AS INT) AS shard,
+         |                len($toksAll) AS n_tok FROM documents),
+         |srt AS (SELECT lang, shard, n_tok,
+         |          (row_number() OVER (PARTITION BY lang, shard ORDER BY n_tok, doc_id) - 1)
+         |            // $BATCH_SIZE AS bid FROM base),
+         |nai AS (SELECT lang, shard, n_tok,
+         |          (row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id) - 1)
+         |            // $BATCH_SIZE AS bid FROM base),
+         |ps AS (SELECT lang, sum(pad) AS pad_sorted, count(*) AS n_batches FROM (
+         |         SELECT lang, shard, bid, max(n_tok) * count(*) - sum(n_tok) AS pad
+         |         FROM srt GROUP BY 1, 2, 3) b GROUP BY lang),
+         |pn AS (SELECT lang, sum(pad) AS pad_naive FROM (
+         |         SELECT lang, shard, bid, max(n_tok) * count(*) - sum(n_tok) AS pad
+         |         FROM nai GROUP BY 1, 2, 3) b GROUP BY lang)
+         |SELECT ps.lang AS lang, n_batches, CAST(pad_sorted AS BIGINT) AS pad_sorted,
+         |  CAST(pad_naive AS BIGINT) AS pad_naive,
+         |  round(CAST(1.0 AS DOUBLE) - CAST(pad_sorted AS DOUBLE) / pad_naive, 4) AS saving_frac
+         |FROM ps JOIN pn ON ps.lang = pn.lang ORDER BY ps.lang""".stripMargin,
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
         |m AS (SELECT max(n_l) AS n_max FROM c),
