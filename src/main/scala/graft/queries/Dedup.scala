@@ -435,7 +435,38 @@ object Dedup {
     }
   }
 
+  /** Deterministic split id for a doc: md5-derived decile → 8/1/1
+    * train/val/test. Seeded ("split_" prefix) so the split hash is
+    * independent of every other hash-percentile decision in the
+    * inventory. */
+  private def splitOf(c: Column): Column = {
+    val p = hash28(concat(lit("split_"), c.cast("string"))) % 10
+    when(p < 8, "train").when(p === 8, "val").otherwise("test")
+  }
+
+  /** Train/val/test LEAKAGE audit: near-duplicate pairs that CROSS a
+    * split boundary — a val/test doc with a near-dup in train inflates
+    * eval scores, and a random doc-level split leaks exactly this way
+    * (the audit every eval pipeline runs before trusting its numbers).
+    * Candidates are the same MinHash LSH band pairs as q_dedup_minhash
+    * (bounded, never all-pairs); the output is the full split×split
+    * pair matrix — off-diagonal rows ARE the leakage. At 100 TB the
+    * same plan emits the offending val/test doc ids for re-assignment
+    * or removal. */
+  val qSplitLeakage: Q = (s, d) => {
+    val sig = minhashSignatures16(s, d)
+    Scoped.withCached(sig) {
+      minhashBandCandidates(sig)
+        .select(splitOf(col("da")).as("ra"), splitOf(col("db")).as("rb"))
+        .select(least(col("ra"), col("rb")).as("split_a"),
+          greatest(col("ra"), col("rb")).as("split_b"))
+        .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_split_leakage" -> qSplitLeakage,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_exact" -> qDedupExact,
@@ -498,6 +529,23 @@ object Dedup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_split_leakage" -> {
+      def splitSql(x: String) =
+        s"""CASE WHEN CAST(concat('0x', substr(md5(concat('split_', CAST($x AS VARCHAR))), 1, 7)) AS BIGINT) % 10 < 8
+           | THEN 'train'
+           | WHEN CAST(concat('0x', substr(md5(concat('split_', CAST($x AS VARCHAR))), 1, 7)) AS BIGINT) % 10 = 8
+           | THEN 'val' ELSE 'test' END""".stripMargin
+      s"""$unigramSql,
+         |sig AS (SELECT doc_id, $mhCols FROM uh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sp AS (SELECT ${splitSql("da")} AS ra, ${splitSql("db")} AS rb FROM cand)
+         |SELECT least(ra, rb) AS split_a, greatest(ra, rb) AS split_b,
+         |  count(*) AS n_pairs
+         |FROM sp GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+    },
     "q_dedup_spans" -> {
       val span = (0 until SPAN_N)
         .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
