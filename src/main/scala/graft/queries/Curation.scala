@@ -26,6 +26,42 @@ import graft.functions.GraftFunctions._
 object Curation {
   type Q = (SparkSession, String) => DataFrame
 
+  private val DRIFT_MOD = 3 // doc_id % 3 == 0 plays the prior snapshot
+
+  /** Snapshot drift profile (the TFDV-style data-validation stage a
+    * recurring ingest runs between batches): per-language statistics of
+    * the PRIOR snapshot vs the NEW batch — doc counts, exact token
+    * totals, distinct sources, mean doc length — and the mean-length
+    * shift as the drift indicator. A language whose mean length or
+    * source mix moves is flagged for inspection BEFORE the batch joins
+    * the corpus.
+    *
+    * Everything is integer-exact (counts, long token sums) until the
+    * two final rounded divisions, so the profile is hash-stable;
+    * the whole query is two partial-agg passes over the corpus joined
+    * on the (tiny, per-lang) profile rows. */
+  val qProfileDrift: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("n_tok", size(tokens(col("text"))))
+    def prof(which: Column, suffix: String): DataFrame =
+      docs.where(which)
+        .groupBy(col("lang").as(s"lang$suffix"))
+        .agg(count(lit(1)).as(s"n$suffix"),
+          sum("n_tok").cast("long").as(s"tok$suffix"),
+          countDistinct("source").as(s"src$suffix"))
+    val old = prof(col("doc_id") % DRIFT_MOD === 0, "_old")
+    val neu = prof(col("doc_id") % DRIFT_MOD =!= 0, "_new")
+    old.join(neu, col("lang_old") === col("lang_new"), "full_outer")
+      .select(coalesce(col("lang_old"), col("lang_new")).as("lang"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("src_old"), lit(0L)).as("src_old"),
+        coalesce(col("src_new"), lit(0L)).as("src_new"),
+        round(col("tok_old").cast("double") / col("n_old"), 4).as("mean_old"),
+        round(col("tok_new").cast("double") / col("n_new"), 4).as("mean_new"))
+      .withColumn("mean_shift", round(col("mean_new") - col("mean_old"), 4))
+      .orderBy("lang")
+  }
+
   private val LM_TOPK = 10
 
   /** CCNet-style LM quality scoring (Wenzek et al. 2020 score their
@@ -253,6 +289,7 @@ object Curation {
   }
 
   def queries: Map[String, Q] = Map(
+    "q_profile_drift" -> qProfileDrift,
     "q_quality_gopher" -> qQualityGopher,
     "q_quality_lm" -> qQualityLm,
     "q_text_repetition" -> qTextRepetition,
@@ -285,6 +322,24 @@ object Curation {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    "q_profile_drift" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, len($toksAll) AS n_tok FROM documents),
+         |o AS (SELECT lang, count(*) AS n_old, sum(n_tok) AS tok_old,
+         |        count(DISTINCT source) AS src_old
+         |      FROM t WHERE doc_id % $DRIFT_MOD = 0 GROUP BY lang),
+         |n AS (SELECT lang, count(*) AS n_new, sum(n_tok) AS tok_new,
+         |        count(DISTINCT source) AS src_new
+         |      FROM t WHERE doc_id % $DRIFT_MOD != 0 GROUP BY lang),
+         |j AS (SELECT coalesce(o.lang, n.lang) AS lang,
+         |        coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+         |        coalesce(src_old, 0) AS src_old, coalesce(src_new, 0) AS src_new,
+         |        round(CAST(tok_old AS DOUBLE) / n_old, 4) AS mean_old,
+         |        round(CAST(tok_new AS DOUBLE) / n_new, 4) AS mean_new
+         |      FROM o FULL OUTER JOIN n ON o.lang = n.lang)
+         |SELECT lang, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+         |  CAST(src_old AS BIGINT) AS src_old, CAST(src_new AS BIGINT) AS src_new,
+         |  mean_old, mean_new, round(mean_new - mean_old, 4) AS mean_shift
+         |FROM j ORDER BY lang""".stripMargin,
     "q_quality_lm" ->
       s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
