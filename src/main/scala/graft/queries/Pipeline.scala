@@ -151,6 +151,31 @@ object Pipeline {
       .orderBy("lang", "shard", "seq_id")
   }
 
+  private val EPOCH_SHARDS = 4
+  private val EPOCH_HEAD = 3
+
+  /** Deterministic per-epoch shuffle order — the data-loader property
+    * that a training run is REPRODUCIBLE and each epoch sees a
+    * different permutation: a doc's position within its shard at epoch
+    * e ranks by hash28("epoch<e>_<doc_id>") (seeded per epoch, so
+    * epochs permute independently; no RNG state anywhere). The window
+    * partitions by (epoch, shard) — shards scale with the cluster, no
+    * global sort. Output: the first EPOCH_HEAD docs of every (epoch,
+    * shard) stream for two epochs, enough for the oracle to pin both
+    * permutations. */
+  val qEpochShuffle: Q = (s, d) => {
+    val key = hash28(concat(lit("epoch"), col("epoch").cast("string"),
+      lit("_"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("epoch", "shard").orderBy(key.asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % EPOCH_SHARDS).cast("int").as("shard"),
+        explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= EPOCH_HEAD)
+      .select("epoch", "shard", "rn", "doc_id")
+      .orderBy("epoch", "shard", "rn")
+  }
+
   private val BATCH_SIZE = 8 // docs per padded batch
 
   /** Length-grouped batching (the dynamic-batching / "bucketing by
@@ -332,6 +357,7 @@ object Pipeline {
     "q_mix_temperature" -> qMixTemperature,
     "q_pack_sequences" -> qPackSequences,
     "q_pack_lengrouped" -> qPackLenGrouped,
+    "q_epoch_shuffle" -> qEpochShuffle,
     "q_decontaminate" -> qDecontaminate,
     "q_pipeline_corpus" -> qPipelineCorpus
   )
@@ -352,6 +378,16 @@ object Pipeline {
     .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT_BUDGET END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_epoch_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, CAST(doc_id % $EPOCH_SHARDS AS INT) AS shard, epoch,
+         |             CAST(concat('0x', substr(md5(
+         |               concat('epoch', epoch, '_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS k
+         |           FROM documents, unnest([0, 1]) t(epoch)),
+         |r AS (SELECT CAST(epoch AS INT) AS epoch, shard, doc_id,
+         |        row_number() OVER (PARTITION BY epoch, shard ORDER BY k, doc_id) AS rn
+         |      FROM e)
+         |SELECT epoch, shard, CAST(rn AS INT) AS rn, doc_id FROM r
+         |WHERE rn <= $EPOCH_HEAD ORDER BY epoch, shard, rn""".stripMargin,
     "q_pack_lengrouped" ->
       s"""WITH base AS (SELECT lang, doc_id, CAST(doc_id % $PACK_SHARDS AS INT) AS shard,
          |                len($toksAll) AS n_tok FROM documents),
