@@ -254,17 +254,24 @@ object Similarity {
     * unless the caller holds it cached (Scoped.withCachedEager wraps
     * fit + downstream use in one scope), and the fit never unpersists —
     * so it cannot evict a cache scope it does not own. */
-  private[graft] def kmeansFit(vecs: DataFrame): DataFrame = {
+  private[graft] def kmeansFit(vecs: DataFrame): DataFrame =
+    kmeansFitK(vecs, KMEANS_K)
+
+  /** Same fit with a caller-chosen cluster count — SemDeDup derives K
+    * from the corpus size (see [[qSemDedup]]); the IVF tiers keep the
+    * fixed [[KMEANS_K]] (probe bounds their candidate cost, so K is a
+    * recall/cost knob there, not a blowup). */
+  private[graft] def kmeansFitK(vecs: DataFrame, k: Int): DataFrame = {
     val hk = graft.functions.GraftFunctions.hash28(col("vec_id").cast("string"))
-    kmeansFitLoop(vecs, hk)
+    kmeansFitLoop(vecs, hk, k)
   }
 
-  private def kmeansFitLoop(vecs: DataFrame, hk: Column): DataFrame = {
+  private def kmeansFitLoop(vecs: DataFrame, hk: Column, k: Int): DataFrame = {
     // init: the K md5-lowest vec_ids, centroid = q rescaled to 10⁶.
     // The window ranks only the K surviving rows (orderBy+limit is a
     // distributed TakeOrdered), so the single partition holds K rows.
     var cent = localModel(vecs.select(col("vec_id"), col("q"), hk.as("hk"))
-      .orderBy(col("hk"), col("vec_id")).limit(KMEANS_K)
+      .orderBy(col("hk"), col("vec_id")).limit(k)
       .withColumn("cid", (row_number().over(
         boundedWindow(col("hk"), col("vec_id"))) - 1).cast("long"))
       .select(col("cid"), transform(col("q"), x => x * lit(1000L)).as("c")))
@@ -601,21 +608,49 @@ object Similarity {
 
   private val SEMDEDUP_TAU = 0.2
 
+  /** SemDeDup's target cell width W: the clustering exists to bound the
+    * within-cell pair join, so K is DERIVED from the corpus count as
+    * K = ⌈n/W⌉ rather than fixed — a fixed K makes cells grow as n/K
+    * and the pair join degrade to all-pairs O(n²/K) at corpus scale.
+    * With K ∝ n the expected pair cost is O(Σ|cell|²) ≈ O(n·W), linear
+    * in n for a fixed W. W is the scale knob: the broadcast centroid
+    * model is K×D longs = (n/W)·D·8 bytes, so at billion-row scale W is
+    * raised (the SemDeDup paper's K=50k on multi-billion corpora is an
+    * effective W in the tens of thousands) to keep the model a few MiB;
+    * here W=64 exercises data-derived K at test scale (sf0.01 n=500 →
+    * K=8, sf0.1 n=2000 → K=32). SimilarityBoundSpec pins the realized
+    * max cell width at sf0.1. */
+  private[graft] val SEMDEDUP_CELL_W = 64
+
+  private[graft] def semDedupK(n: Long): Int =
+    math.max(1L, (n + SEMDEDUP_CELL_W - 1) / SEMDEDUP_CELL_W).toInt
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embeddings with the SAME
-    * integer-exact k-means fit the IVF tier uses, then compare pairs
-    * ONLY within a cluster — the clustering is exactly what makes
+    * integer-exact k-means fit the IVF tier uses — but with K derived
+    * from the corpus count (K = ⌈n/[[SEMDEDUP_CELL_W]]⌉) — then compare
+    * pairs ONLY within a cluster: the clustering is exactly what makes
     * pairwise comparison tractable at scale (within-cell pairs are
-    * O(Σ|cell|²) ≪ O(n²), and the cell id is the shuffle key). A
-    * vector is a semantic duplicate iff some LOWER-id vector in its
-    * cell has cosine ≥ τ (the deterministic keeper contract, mirrored
-    * by the oracle). Output: per-cell (n_vecs, n_dropped) profile; at
-    * 100 TB the same plan emits the kept rows via an anti-join on the
-    * dropped set. */
+    * O(Σ|cell|²) ≈ O(n·W) ≪ O(n²), and the cell id is the shuffle
+    * key). A vector is a semantic duplicate iff some LOWER-id vector in
+    * its cell has cosine ≥ τ (the deterministic keeper contract,
+    * mirrored by the oracle). Output: per-cell (n_vecs, n_dropped)
+    * profile; at 100 TB the same plan emits the kept rows via an
+    * anti-join on the dropped set. */
+  /** The SemDeDup cell assignment (vec_id, cell) with data-derived K —
+    * exposed for SimilarityBoundSpec's cell-width pin. */
+  private[graft] def semDedupCellsOf(s: SparkSession, d: String): DataFrame = {
+    val vecs = quantizedVecs(s, d)
+    Scoped.withCachedEager(vecs) {
+      kmeansAssign(vecs, kmeansFitK(vecs, semDedupK(vecs.count())))
+        .localCheckpoint(true)
+    }
+  }
+
   val qSemDedup: Q = (s, d) => {
     val vecs = quantizedVecs(s, d)
     Scoped.withCachedEager(vecs) {
-      val cent = kmeansFit(vecs)
+      val cent = kmeansFitK(vecs, semDedupK(vecs.count()))
       val cells = kmeansAssign(vecs, cent)
       val e = vecs.select(col("vec_id"), col("embedding")).join(cells, "vec_id")
       val dropped = e.as("a").join(e.as("b"),
@@ -842,8 +877,10 @@ object Similarity {
   }
 
   /** DuckDB replay of the SemDeDup profile: the coarse k-means fit as
-    * chained CTEs (identical to the IVF oracles), then within-cell
-    * lower-id cosine≥τ dropping. */
+    * chained CTEs (same shape as the IVF oracles but with K derived
+    * from the corpus count in the `kn` CTE — mirroring [[semDedupK]]'s
+    * exact integer ⌈n/W⌉), then within-cell lower-id cosine≥τ
+    * dropping. */
   private val semDedupOracleSql: String = {
     def kdist(v: String, c: String) =
       s"""list_sum(list_transform(range(1, ${DIMS + 1}),
@@ -868,11 +905,14 @@ object Similarity {
     s"""WITH v AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
-       |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid,
+       |kn AS (SELECT CAST((count(*) + ${SEMDEDUP_CELL_W - 1}) // $SEMDEDUP_CELL_W AS BIGINT) AS k FROM v),
+       |kc0 AS (SELECT CAST(s.rn - 1 AS BIGINT) AS cid,
        |         list_transform(q, x -> x * 1000) AS c
        |       FROM (SELECT vec_id, q,
-       |               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS hk
-       |             FROM v ORDER BY hk, vec_id LIMIT $KMEANS_K) s),
+       |               row_number() OVER (ORDER BY
+       |                 CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT),
+       |                 vec_id) AS rn
+       |             FROM v) s, kn WHERE s.rn <= kn.k),
        |${kAssignCte("ka1", "kc0")},
        |${kUpdateCte("kc1", "ka1")},
        |${kAssignCte("ka2", "kc1")},
