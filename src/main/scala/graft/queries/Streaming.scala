@@ -14,14 +14,21 @@ object Streaming {
   type Q = (SparkSession, String) => DataFrame
 
   /** The state store creates `shuffle.partitions` state partitions per
-    * stateful operator; at demo volumes 32 partitions are pure
-    * overhead. Scope the setting down for the streaming query, restore
-    * after — the returned DataFrame is a batch read of the memory sink,
-    * unaffected by the restore. */
-  private def withStreamShufflePartitions[T](s: SparkSession, n: Int = 2)(body: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    * stateful operator; at demo volumes 32 partitions are pure overhead
+    * (2 measured fastest — 1 and 4 both worse). Rather than flipping the
+    * session-global conf (which a CONCURRENT batch query on the shared
+    * session would observe), each streaming query runs on its own child
+    * session from `newSession()`: shared SparkContext and cached data,
+    * isolated SQLConf — no other query can ever see n=2. The child also
+    * carries the nanos-as-long legacy parquet flag the event fixtures
+    * need, again without touching the parent. Children are not closed
+    * (closing would stop the shared context); an idle child session is
+    * a few conf maps, collected with the reference. */
+  private def onStreamSession[T](parent: SparkSession)(body: SparkSession => T): T = {
+    val s = parent.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    body(s)
   }
 
   /** Scoped checkpoint root for a drained demo query: tmpfs when the
@@ -55,12 +62,20 @@ object Streaming {
     try q.processAllAvailable()
     finally { q.stop(); deleteRecursively(ck) }
 
-  /** events.parquet schema, probed once per dataset dir (each probe is
-    * a file listing + footer read; five streaming queries share it). */
+  /** events.parquet schema, probed once per dataset (each probe is a
+    * file listing + footer read; five streaming queries share it). The
+    * key carries the file's (mtime, length) so a dataset REGENERATED at
+    * the same path with a different schema re-probes instead of
+    * silently reading with the stale one; superseded entries are a few
+    * StructType objects, left to sit. */
+  private final case class SchemaKey(dir: String, mtime: Long, len: Long)
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
-  private def eventsSchema(s: SparkSession, d: String) =
-    schemaCache.computeIfAbsent(d, _ => s.read.parquet(s"$d/events.parquet").schema)
+    new java.util.concurrent.ConcurrentHashMap[SchemaKey, org.apache.spark.sql.types.StructType]()
+  private def eventsSchema(s: SparkSession, d: String) = {
+    val f = new java.io.File(s"$d/events.parquet")
+    schemaCache.computeIfAbsent(SchemaKey(d, f.lastModified, f.length),
+      _ => s.read.parquet(s"$d/events.parquet").schema)
+  }
 
   /** Finish a drained memory-sink query, then DROP the sink's temp view
     * so repeated invocations don't leak per-UUID tables (and their
@@ -77,8 +92,7 @@ object Streaming {
   /** Event-time tumbling-window counts, executed as a real streaming
     * query (file source → complete-mode memory sink, drained with
     * processAllAvailable). */
-  val qStreamHourly: Q = (s, d) => withStreamShufflePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  val qStreamHourly: Q = (parent, d) => onStreamSession(parent) { s =>
     val schema = eventsSchema(s, d)
     val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
@@ -123,8 +137,7 @@ object Streaming {
     * contract. The final no-data micro-batch advances the watermark to
     * max(ts) - 10 min, so every window ending at or before that point
     * flushes; the oracle applies the same cutoff. */
-  val qStreamHourlyWm: Q = (s, d) => withStreamShufflePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  val qStreamHourlyWm: Q = (parent, d) => onStreamSession(parent) { s =>
     val schema = eventsSchema(s, d)
     val name = "stream_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
@@ -154,8 +167,7 @@ object Streaming {
     * plain batch profile: dedup must exactly undo the self-union (the
     * duplicate arrives in the same micro-batch, well inside the
     * horizon). */
-  val qStreamDedup: Q = (s, d) => withStreamShufflePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  val qStreamDedup: Q = (parent, d) => onStreamSession(parent) { s =>
     val schema = eventsSchema(s, d)
     val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
@@ -184,8 +196,7 @@ object Streaming {
     * range condition is what lets Spark bound join state). Inner join
     * emission doesn't wait on the watermark, so the drained result is
     * exactly the batch join — which is the oracle. */
-  val qStreamJoin: Q = (s, d) => withStreamShufflePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  val qStreamJoin: Q = (parent, d) => onStreamSession(parent) { s =>
     val schema = eventsSchema(s, d)
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
@@ -222,8 +233,7 @@ object Streaming {
     * decorating a 100 TB/day event firehose with dimension attributes.
     * The dim is broadcast: the stream side never shuffles for the
     * join; the only stateful operator is the final rollup. */
-  val qStreamStaticJoin: Q = (s, d) => withStreamShufflePartitions(s) {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  val qStreamStaticJoin: Q = (parent, d) => onStreamSession(parent) { s =>
     val schema = eventsSchema(s, d)
     val name = "stream_static_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)

@@ -43,4 +43,33 @@ class ConcurrencySpec extends AnyFunSuite {
     }
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
   }
+
+  test("draining stream + concurrent batch query: batch keeps full shuffle width") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val seqAgg = rows("q1_agg")
+    // the streaming queries run with shuffle.partitions=2 on an ISOLATED
+    // child session (Streaming.onStreamSession); a batch query planned
+    // while the stream drains must still see the parent's width — both
+    // in the conf it reads and in the physical plan it gets
+    val fStream = Future(rows("q_stream_hourly"))
+    val fBatch = Future {
+      (1 to 5).map { _ =>
+        val r = rows("q1_agg")
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+          "a batch query observed the streaming child session's width")
+        val ex = Tables.lineitem(spark, SF).groupBy("l_returnflag").count()
+          .queryExecution.executedPlan
+        val widths = ex.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            s.outputPartitioning.numPartitions
+        }
+        assert(widths.forall(_ == before.toInt),
+          s"batch plan shuffled at ${widths.mkString(",")} instead of $before")
+        r
+      }.last
+    }
+    assert(Await.result(fStream, 5.minutes).nonEmpty)
+    assert(Await.result(fBatch, 5.minutes) == seqAgg)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
 }
