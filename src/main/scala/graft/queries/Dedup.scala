@@ -435,6 +435,50 @@ object Dedup {
     }
   }
 
+  /** Span-trimming APPLICATION (the pass [[qDedupSpans]] only profiles
+    * — Lee et al. 2022 CUTS the repeated substrings): every token
+    * covered by at least one word-8-gram span occurring in ≥ 2
+    * documents is trimmed; output is the per-doc (n_tokens, n_trimmed,
+    * n_kept) accounting, the exact bookkeeping a trim pass emits
+    * alongside the rewritten text at scale.
+    *
+    * Shape: position-carrying span explode (unlike `shingles()`, every
+    * OCCURRENCE matters here — the same span twice in one doc covers
+    * two intervals) → per-doc-distinct span df → duplicated-span set
+    * joined back `shuffle_hash` (corpus-sized, same posture as
+    * [[qDedupSpans]]) → per-doc interval-union via one (doc_id)-
+    * partitioned lead() window: consecutive sorted starts overlap, so
+    * each start contributes min(N, next−start) tokens and the last a
+    * full N. All-integer arithmetic end to end; docs with no
+    * duplicated span survive via the left join with zero trimmed. */
+  val qDedupTrim: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    Scoped.withCached(docs) {
+      val occ = docs.select(col("doc_id"),
+          posexplode(when(size(col("w")) < SPAN_N, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("w")) - lit(SPAN_N)),
+              i => concat_ws(" ", slice(col("w"), i + lit(1), lit(SPAN_N)))))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("sp"))
+      val dupSp = occ.select("doc_id", "sp").distinct()
+        .groupBy("sp").agg(count(lit(1)).as("ndocs"))
+        .where(col("ndocs") >= 2).select("sp")
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      val cov = occ.join(dupSp.hint("shuffle_hash"), "sp")
+        .select("doc_id", "p")
+        .withColumn("c", least(lit(SPAN_N.toLong),
+          coalesce(lead("p", 1).over(wOrd) - col("p"), lit(SPAN_N.toLong))))
+        .groupBy("doc_id").agg(sum("c").as("n_trimmed"))
+      docs.select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          coalesce(col("n_trimmed"), lit(0L)).as("n_trimmed"),
+          (col("n_tokens") - coalesce(col("n_trimmed"), lit(0L))).as("n_kept"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Deterministic split id for a doc: md5-derived decile → 8/1/1
     * train/val/test. Seeded ("split_" prefix) so the split hash is
     * independent of every other hash-percentile decision in the
@@ -468,6 +512,7 @@ object Dedup {
   def queries: Map[String, Q] = Map(
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_spans" -> qDedupSpans,
+    "q_dedup_trim" -> qDedupTrim,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_exact_keep" -> qDedupExactKeep,
@@ -560,6 +605,28 @@ object Dedup {
          |  round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
          |FROM sh JOIN df USING (sp)
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q_dedup_trim" -> {
+      val span = (0 until SPAN_N)
+        .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
+         |  FROM documents),
+         |occ AS (SELECT doc_id, CAST(i AS BIGINT) AS p, $span AS sp
+         |        FROM toks, unnest(range(1, len(w) + 2 - $SPAN_N)) t(i)),
+         |dup AS (SELECT sp FROM (SELECT DISTINCT doc_id, sp FROM occ) u
+         |        GROUP BY sp HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id,
+         |          CAST(sum(least($SPAN_N, coalesce(nxt - p, $SPAN_N))) AS BIGINT) AS n_trimmed
+         |        FROM (SELECT occ.doc_id, occ.p,
+         |                lead(occ.p) OVER (PARTITION BY occ.doc_id ORDER BY occ.p) AS nxt
+         |              FROM occ JOIN dup USING (sp)) st
+         |        GROUP BY doc_id)
+         |SELECT toks.doc_id, toks.lang, CAST(len(toks.w) AS BIGINT) AS n_tokens,
+         |  coalesce(cov.n_trimmed, 0) AS n_trimmed,
+         |  CAST(len(toks.w) AS BIGINT) - coalesce(cov.n_trimmed, 0) AS n_kept
+         |FROM toks LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     "q_dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, lang,

@@ -94,6 +94,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_dedup_trim joins the duplicated-span set shuffle-hash (corpus-sized, never broadcast)") {
+    val p = plan("q_dedup_trim")
+    assert(p.contains("ShuffledHashJoin"),
+      "the occurrence->dup-span join must stay a shuffle join — the span set grows with the corpus")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_semdedup compares pairs only within a cell (equi-join, never all-pairs)") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"),
