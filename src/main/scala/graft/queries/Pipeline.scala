@@ -226,20 +226,27 @@ object Pipeline {
     * before the exact confirm semi-join — false positives die in the
     * join, so the result is exact regardless of fpp. At 100 TB the
     * bloom is what keeps join input proportional to candidate shingles,
-    * not the corpus. */
+    * not the corpus.
+    *
+    * The split filter is PUSHED INTO TWO SEPARATE SCANS (eval 1/11 +
+    * train 10/11 = exactly one corpus tokenize total) instead of
+    * sharing one cached full-corpus shingle explosion: only the tiny
+    * eval side is ever cached — a corpus-sized exploded cache can't
+    * exist at 100 TB, and locally its materialization write was most
+    * of this query's cost. */
   val qDecontaminate: Q = (s, d) => {
-    // scoped cache: the eval and train splits both read this shingle
-    // pass; bench additionally feeds count, bloom build and confirm join
-    val sh = Tables.documents(s, d)
+    def shingleOf(df: DataFrame): DataFrame = df
       .withColumn("w", tokens(col("text")))
       .select(col("doc_id"), col("lang"), explode(shingles(col("w"), 3)).as("s"))
-    val bench = sh.where(col("doc_id") % DECON_MOD === 0).select("s").distinct()
+    val docs = Tables.documents(s, d)
+    val bench = shingleOf(docs.where(col("doc_id") % DECON_MOD === 0))
+      .select("s").distinct()
     // EAGER scope: the body runs driver actions (the eval-side count
     // and the bloom build) — withCached would cache only after the
     // body, so those actions would recompute the tokenize/shingle
     // chain uncached each time
-    Scoped.withCachedEager(sh, bench) {
-      val train = sh.where(col("doc_id") % DECON_MOD =!= 0)
+    Scoped.withCachedEager(bench) {
+      val train = shingleOf(docs.where(col("doc_id") % DECON_MOD =!= 0))
       // Size the bloom from the data, not a constant: an undersized
       // filter silently degrades its fpp, which weakens the map-side
       // prune — the whole point of the bloom at 100 TB. The count is one
