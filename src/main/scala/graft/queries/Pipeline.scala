@@ -211,8 +211,13 @@ object Pipeline {
       .select(col("lang").as("nlang"), col("pad").as("pad_naive"))
     sorted.join(naive, col("lang") === col("nlang"))
       .select(col("lang"), col("n_batches"), col("pad_sorted"), col("pad_naive"),
-        round(lit(1.0) - col("pad_sorted").cast("double") / col("pad_naive"), 4)
-          .as("saving_frac"))
+        // degenerate guard: a language whose every naive batch has
+        // uniform lengths has pad_naive=0 — the ratio is undefined, and
+        // an unguarded divide yields NaN here but NULL in DuckDB (a
+        // cross-engine hash split); both engines agree on NULL
+        when(col("pad_naive") > 0,
+          round(lit(1.0) - col("pad_sorted").cast("double") / col("pad_naive"), 4))
+          .otherwise(lit(null).cast("double")).as("saving_frac"))
       .orderBy("lang")
   }
 
@@ -313,19 +318,30 @@ object Pipeline {
       // driver-synchronization gaps
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
       val bloomF = Future {
         val nBench = bench.count().max(1L)
         s.sparkContext.broadcast(bench.stat.bloomFilter("s", nBench, 0.01))
       }
-      // stage 2: labels are localCheckpoint-materialized inside, so the
-      // returned plan is self-contained (see Dedup.clusterLabelsOf)
-      val labels = Dedup.clusterLabelsOf(s, qual, PIPE_MIN_AGREE)
-      val kept = qual.join(
-        labels.where(col("lbl") === col("id")).select(col("id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+      // If anything below throws BEFORE the bloom is consumed (e.g. the
+      // fixpoint's convergence require), reap the concurrent broadcast
+      // instead of leaking it into the shared session; the finite await
+      // also means a wedged bloom job fails the query instead of
+      // hanging it forever. On the success path the broadcast must
+      // OUTLIVE this scope — the returned plan probes it lazily — so
+      // its cleanup belongs to ContextCleaner via GC, not to us.
+      def reapBloom(): Unit =
+        try Await.result(bloomF, 1.minute).destroy() catch { case _: Throwable => () }
+      val kept = try {
+        // stage 2: labels are localCheckpoint-materialized inside, so the
+        // returned plan is self-contained (see Dedup.clusterLabelsOf)
+        val labels = Dedup.clusterLabelsOf(s, qual, PIPE_MIN_AGREE)
+        qual.join(
+          labels.where(col("lbl") === col("id")).select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+      } catch { case t: Throwable => reapBloom(); throw t }
       // stage 3: bloom map-side prune + exact confirm (fpp-irrelevant)
-      val bfB = Await.result(bloomF, Duration.Inf)
+      val bfB = Await.result(bloomF, 10.minutes)
       val contam = kept
         .select(col("doc_id"), explode(shingles(col("w"), PIPE_SHINGLE_N)).as("s"))
         // native codegen'd probe — no udf on the widest stage
@@ -412,7 +428,9 @@ object Pipeline {
          |         FROM nai GROUP BY 1, 2, 3) b GROUP BY lang)
          |SELECT ps.lang AS lang, n_batches, CAST(pad_sorted AS BIGINT) AS pad_sorted,
          |  CAST(pad_naive AS BIGINT) AS pad_naive,
-         |  round(CAST(1.0 AS DOUBLE) - CAST(pad_sorted AS DOUBLE) / pad_naive, 4) AS saving_frac
+         |  CASE WHEN pad_naive > 0
+         |    THEN round(CAST(1.0 AS DOUBLE) - CAST(pad_sorted AS DOUBLE) / pad_naive, 4)
+         |    ELSE NULL END AS saving_frac
          |FROM ps JOIN pn ON ps.lang = pn.lang ORDER BY ps.lang""".stripMargin,
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),

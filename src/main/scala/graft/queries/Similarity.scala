@@ -559,11 +559,15 @@ object Similarity {
       // caches). Measured ~1.2× on the composed query at sf0.1.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
+      // finite awaits: a wedged fit job fails the query rather than
+      // hanging it forever. Both futures yield driver-LOCAL relations
+      // (collected K-row models — nothing session-held to reap on the
+      // error path, unlike the pipeline's broadcast bloom).
       val centF = Future(kmeansFit(vecs))
       val cbF = Future(pqFit(sv))
-      val cent = Await.result(centF, Duration.Inf)
-      val cb = Await.result(cbF, Duration.Inf)
+      val cent = Await.result(centF, 10.minutes)
+      val cb = Await.result(cbF, 10.minutes)
       val cells = kmeansAssign(vecs, cent)
         .select(col("vec_id"), col("cell").as("ccell"))
       val codes = pqAssign(sv, cb)

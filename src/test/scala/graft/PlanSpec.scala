@@ -256,4 +256,36 @@ class PlanSpec extends AnyFunSuite {
     assert(qq.contains("BroadcastHashJoin"),
       "per-lang thresholds (K rows) must broadcast back onto the docs")
   }
+
+  test("window sweep: every window in every inventory query is partitioned or bounded") {
+    // LogHygiene silences WindowExec's single-partition warning at the
+    // LOGGER, so this sweep is the structural guard in its place: an
+    // unpartitioned window is acceptable ONLY over a provably small
+    // input — below a Limit (the boundedWindow marker pattern) or
+    // above a grouped Aggregate (K-group profile tables). Anything
+    // else is a single-partition global sort waiting to fall over at
+    // scale, and must fail here at review time rather than warn at
+    // runtime.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def boundedBelow(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: GlobalLimit => ()
+      case _: LocalLimit => ()
+      case a: Aggregate if a.groupingExpressions.nonEmpty => ()
+    }.nonEmpty
+    // The one accepted case, exempted BY NAME so any new offender still
+    // fails: q_win_ntile's global ntile is inherently a single-partition
+    // sort; its scaladoc documents the 100x input filter and the
+    // percentile_approx two-phase form a 100 TB deployment swaps in
+    // (kept exact here because the inventory pins exact tile ties).
+    val exempt = Set("q_win_ntile")
+    val offenders = graft.queries.Scoped.planOnly {
+      (SparkEntry.queries.keySet -- exempt).toSeq.sorted.flatMap { name =>
+        SparkEntry.queries(name)(spark, SF).queryExecution.optimizedPlan.collect {
+          case w: Window if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+            s"$name: unpartitioned window over unbounded input"
+        }
+      }
+    }
+    assert(offenders.isEmpty, offenders.distinct.mkString("; "))
+  }
 }
