@@ -283,8 +283,12 @@ object MicroBench {
         val ivfFrac = e.groupBy("label").count().agg(sum(col("count") * col("count")))
           .first().getLong(0).toDouble / (total * total)
         // learned k-means cells (q_ann_ivf_kmeans): corpus assignment +
-        // nearest-2-cell probes; recall measured against the same truth
-        val (cells, probes) = graft.queries.Similarity.kmeansModel(spark, sf, nq)
+        // nearest-2-cell probes; recall measured against the same truth.
+        // The model is fit ONCE with the probe ranking widened to 4 so
+        // the probe-count curve below reuses it; the inventory's
+        // operating point is the pr <= 2 slice.
+        val (cells, probesAll) = graft.queries.Similarity.kmeansModel(spark, sf, nq, maxProbe = 4)
+        val probes = probesAll.where(col("pr") <= 2).drop("pr")
         val pcells = probes.groupBy("qid").agg(collect_set("pcell").as("pcells"))
         val wK = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
         val km = e.join(cells, "vec_id")
@@ -331,22 +335,39 @@ object MicroBench {
           .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
         // IVF × PQ (q_ann_ivf_pq): coarse-cell PRUNE then ADC rank —
         // the pruned-ADC point on the recall/cost curve (candidate
-        // fraction = the k-means prune's, fidelity = the codes')
-        val candIP = cells.withColumnRenamed("cell", "ccell")
-          .join(broadcast(probes), col("ccell") === col("pcell") &&
-            col("vec_id") =!= col("qid"))
-          .select(col("qid").as("cqid"), col("vec_id"))
-        val ivfpq = codes.join(candIP, "vec_id")
-          .join(broadcast(dtq
-              .withColumnRenamed("qid", "dqid").withColumnRenamed("m", "dm")),
-            col("m") === col("dm") && col("cell") === col("cid") &&
-              col("cqid") === col("dqid"))
-          .groupBy("cqid", "vec_id").agg(sum("dt").as("adist"))
-          .select(col("cqid").as("qid"), col("vec_id"), col("adist"))
-          .withColumn("rn", row_number().over(wP)).where(col("rn") <= kTop)
-          .select("qid", "vec_id").collect()
-          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f,"pq_adc_recall":${recall(pq)}%.3f,"ivf_pq_recall":${recall(ivfpq)}%.3f,"ivf_pq_candidate_frac":$kmFrac%.4f}""")
+        // fraction = the k-means prune's, fidelity = the codes').
+        // Parameterized by probe count: the probe knob trades candidate
+        // fraction (cost) for recall, and the curve below is the
+        // measured chart of that tradeoff (VERDICT r6 item 7).
+        def ivfpqAt(p: Int): (Double, Double) = {
+          val pr = probesAll.where(col("pr") <= p).drop("pr")
+          val candIP = cells.withColumnRenamed("cell", "ccell")
+            .join(broadcast(pr), col("ccell") === col("pcell") &&
+              col("vec_id") =!= col("qid"))
+            .select(col("qid").as("cqid"), col("vec_id"))
+          val got = codes.join(candIP, "vec_id")
+            .join(broadcast(dtq
+                .withColumnRenamed("qid", "dqid").withColumnRenamed("m", "dm")),
+              col("m") === col("dm") && col("cell") === col("cid") &&
+                col("cqid") === col("dqid"))
+            .groupBy("cqid", "vec_id").agg(sum("dt").as("adist"))
+            .select(col("cqid").as("qid"), col("vec_id"), col("adist"))
+            .withColumn("rn", row_number().over(wP)).where(col("rn") <= kTop)
+            .select("qid", "vec_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+          val frac = pr.join(cells, col("pcell") === col("cell"))
+            .where(col("vec_id") =!= col("qid"))
+            .groupBy("qid").agg(count("*").as("cand"))
+            .agg(avg("cand")).first().getDouble(0) / total
+          (recall(got), frac)
+        }
+        val curve = (1 to 4).map(p => p -> ivfpqAt(p))
+        val (ivfpqR, ivfpqF) = curve(1)._2 // probe=2, the operating point
+        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f,"pq_adc_recall":${recall(pq)}%.3f,"ivf_pq_recall":$ivfpqR%.3f,"ivf_pq_candidate_frac":$ivfpqF%.4f}""")
+        val pts = curve.map { case (p, (r, f)) =>
+          f"""{"probe":$p,"recall":$r%.3f,"cand_frac":$f%.4f}"""
+        }.mkString(",")
+        println(s"""{"bench":"ivfpq_probe_curve","k":$kTop,"n_queries":$nq,"points":[$pts]}""")
       case "decode" =>
         // single-threaded PNG decode: fast path vs ImageIO, same bytes
         val w = 2048; val h = 2048; val reps = args.lift(1).map(_.toInt).getOrElse(20)

@@ -296,9 +296,13 @@ object Similarity {
   }
 
   /** Corpus cell assignment (vec_id, cell) and per-query probed cells
-    * (qid, pcell) — the fitted model's pieces, for the recall
-    * micro-bench (MicroBench annrecall). */
-  private[graft] def kmeansModel(s: SparkSession, d: String, nq: Int): (DataFrame, DataFrame) = {
+    * (qid, pcell, pr) — the fitted model's pieces, for the recall
+    * micro-bench (MicroBench annrecall). `maxProbe` widens the probe
+    * ranking so the caller can chart the probe-count/recall curve by
+    * filtering `pr`; the default reproduces the inventory's probe=2
+    * operating point. */
+  private[graft] def kmeansModel(s: SparkSession, d: String, nq: Int,
+      maxProbe: Int = KMEANS_PROBE): (DataFrame, DataFrame) = {
     // localCheckpoint materializes the quantized vectors once for the
     // fit's per-round actions + both returned plans; the blocks release
     // via ContextCleaner when the caller drops the DataFrames
@@ -311,8 +315,8 @@ object Similarity {
       .withColumn("pr", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
           .orderBy(col("dist"), col("cid"))))
-      .where(col("pr") <= KMEANS_PROBE)
-      .select(col("vec_id").as("qid"), col("cid").as("pcell"))
+      .where(col("pr") <= maxProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("pcell"), col("pr"))
     (cells, probes)
   }
 
