@@ -62,6 +62,58 @@ object Curation {
       .orderBy("lang")
   }
 
+  private val DSIR_MOD = 13  // doc_id % 13 == 0 plays the curated target set
+  private val DSIR_B = 1024  // hashed feature buckets
+  private val DSIR_TOPK = 20
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every raw-pool document by how much more likely its hashed
+    * n-gram features are under a small curated TARGET set than under
+    * the pool itself, and keep the top-scoring docs — the importance-
+    * resampling pass that turns "we have 100 TB of crawl" into "the
+    * slice that looks like our target domain".
+    *
+    * Model: unigram features hashed into a FIXED B=1024 buckets
+    * (hashed n-grams are DSIR's own trick); bucket log-ratio
+    * w(b) = ln p̂_target(b)/p̂_pool(b) with add-1 smoothing. Because B
+    * is fixed, the model is ≤ B rows at ANY corpus scale — unlike a
+    * vocabulary it may ALWAYS broadcast, so scoring is one map-side
+    * broadcast join + partial agg: the corpus is scanned once for the
+    * model (conditional aggregation, no second pass) and once for
+    * scoring. Determinism follows [[qQualityLm]]: the ratio is a
+    * single divide of two exact long products, ln floored to 10⁻⁶ per
+    * bucket, per-doc sums exact longs, one rounded divide at the end. */
+  val qSelectDsir: Q = (s, d) => {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % DSIR_MOD === 0).as("tgt"),
+        explode(tokens(col("text"))).as("tok"))
+      .withColumn("b", hash28(col("tok")) % DSIR_B)
+    Scoped.withCached(tk) {
+      val counts = tk.groupBy("b").agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("cp"))
+      val model = counts
+        .crossJoin(broadcast(counts.agg(sum("ct").as("tt"), sum("cp").as("tp"))))
+        .select(col("b"),
+          floor(log(((col("ct") + 1) * (col("tp") + DSIR_B)).cast("double") /
+                    ((col("cp") + 1) * (col("tt") + DSIR_B)).cast("double")) * 1e6)
+            .cast("long").as("w"))
+      tk.where(!col("tgt"))
+        .join(broadcast(model), "b")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"), sum("w").as("lw"))
+        .withColumn("importance",
+          round(col("lw").cast("double") / (col("n_tok") * lit(1000000.0)), 4))
+        .orderBy(col("importance").desc, col("doc_id").asc).limit(DSIR_TOPK)
+        .withColumn("rn", row_number().over(
+          boundedWindow(col("importance").desc, col("doc_id").asc)))
+        .select("rn", "doc_id", "lang", "n_tok", "importance")
+        .orderBy("rn")
+    }
+  }
+
   private val LM_TOPK = 10
 
   /** CCNet-style LM quality scoring (Wenzek et al. 2020 score their
@@ -290,6 +342,7 @@ object Curation {
 
   def queries: Map[String, Q] = Map(
     "q_profile_drift" -> qProfileDrift,
+    "q_select_dsir" -> qSelectDsir,
     "q_quality_gopher" -> qQualityGopher,
     "q_quality_lm" -> qQualityLm,
     "q_text_repetition" -> qTextRepetition,
@@ -340,6 +393,27 @@ object Curation {
          |  CAST(src_old AS BIGINT) AS src_old, CAST(src_new AS BIGINT) AS src_new,
          |  mean_old, mean_new, round(mean_new - mean_old, 4) AS mean_shift
          |FROM j ORDER BY lang""".stripMargin,
+    "q_select_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, lang, (doc_id % $DSIR_MOD = 0) AS tgt,
+         |    CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) % $DSIR_B AS b
+         |  FROM (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents) u),
+         |c AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |        sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cp
+         |      FROM tk GROUP BY b),
+         |t AS (SELECT sum(ct) AS tt, sum(cp) AS tp FROM c),
+         |m AS (SELECT b,
+         |        CAST(floor(ln(CAST((ct + 1) * (tp + $DSIR_B) AS DOUBLE)
+         |                    / CAST((cp + 1) * (tt + $DSIR_B) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+         |      FROM c, t),
+         |ds AS (SELECT tk.doc_id, tk.lang, count(*) AS n_tok, sum(w) AS lw
+         |       FROM tk JOIN m USING (b) WHERE NOT tk.tgt GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+         |        round(CAST(lw AS DOUBLE) / (n_tok * 1000000.0), 4) AS importance
+         |      FROM ds)
+         |SELECT rn, doc_id, lang, n_tok, importance FROM (
+         |  SELECT *, row_number() OVER (ORDER BY importance DESC, doc_id ASC) AS rn
+         |  FROM r) q
+         |WHERE rn <= $DSIR_TOPK ORDER BY rn""".stripMargin,
     "q_quality_lm" ->
       s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
