@@ -150,9 +150,24 @@ object Dedup {
     Scoped.withCached(sig)(minhashBandCandidates(sig).orderBy("da", "db"))
   }
 
+  /** Band-candidate pairs VERIFIED at signature agreement ≥ minAgree —
+    * the near-dup edge set (estimated Jaccard ≥ minAgree/16). One join
+    * of the bounded candidate pairs against the signatures per side;
+    * shared by the triangle diagnostic (graft.queries.Graph). */
+  private[graft] def verifiedPairsOf(sig: DataFrame, minAgree: Int): DataFrame = {
+    val agree = (0 until NPERM)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    minhashBandCandidates(sig)
+      .join(sig.as("a"), col("da") === col("a.doc_id"))
+      .join(sig.as("b"), col("db") === col("b.doc_id"))
+      .where(agree >= minAgree)
+      .select("da", "db")
+  }
+
   /** Minimum signature agreement (of 16) for a verified near-dup edge:
     * estimated Jaccard ≥ 12/16 = 0.75. */
-  private val CLUSTER_MIN_AGREE = 12
+  private[graft] val CLUSTER_MIN_AGREE = 12
   private val CLUSTER_MAX_ITERS = 30
 
   /** Near-dup CLUSTERING + canonical keeper — the step that turns
@@ -528,7 +543,7 @@ object Dedup {
     """SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
       |  t -> t != '') AS w FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
-  private val unigramSql =
+  private[graft] val unigramSql =
     s"""WITH toks AS ($toksSql),
        |uh AS (SELECT DISTINCT doc_id, CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h
        |       FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u)""".stripMargin

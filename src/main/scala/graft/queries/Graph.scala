@@ -69,7 +69,76 @@ object Graph {
     }
   }
 
-  def queries: Map[String, Q] = Map("q_graph_pagerank" -> qPageRank)
+  /** Triangle count + global clustering coefficient over the VERIFIED
+    * near-dup graph (band candidates confirmed at signature agreement
+    * ≥ 12/16, the q_dedup_cluster edge rule) — the cluster-quality
+    * diagnostic run after a dedup pass: genuine duplicate communities
+    * are triangle-dense (every pair agrees), while hash-collision
+    * chains are triangle-free, so a LOW coefficient flags band
+    * parameters producing spurious edges. Verification comes FIRST
+    * precisely because the raw candidate graph is the dense one — at
+    * sf0.1 it has 441k edges over 1k nodes and its wedge set is ~10⁸,
+    * while the verified graph's is bounded by real duplicate structure.
+    *
+    * Scale shape: the classic degree-ordered orientation — each edge
+    * points from its (deg, id)-smaller endpoint, which bounds oriented
+    * out-degree by O(√m), so the wedge self-join on the source is
+    * O(Σ outdeg²) = O(m^1.5) worst case instead of Σ deg² (the
+    * star-node blowup), and every triangle is generated exactly once
+    * at its smallest vertex. Wedges close via a semi-join against the
+    * oriented edges (equi-join on both endpoints — no cartesian). All
+    * counts are exact longs; the coefficient is one rounded divide.
+    *
+    * Runs on a UNIFORM doc sample (doc_id % 25): the synthetic fixture
+    * is adversarially dup-dense (the full verified graph at sf0.1 is
+    * 222k edges over 952 nodes — quasi-complete, 42M triangles), and
+    * on any quasi-complete graph exact counting is Ω(n³) no matter the
+    * algorithm. Node-sampled clustering is the standard estimator for
+    * the coefficient on huge graphs; on a REAL corpus (sparse dedup
+    * graph) the same plan runs exactly on the full edge set. */
+  val qTriangles: Q = (s, d) => {
+    val sig = Dedup.minhashSignatures16Of(
+      Tables.documents(s, d).where(col("doc_id") % 25 === 0))
+    val edges = Dedup.verifiedPairsOf(sig, Dedup.CLUSTER_MIN_AGREE)
+    val deg = edges.select(col("da").as("v"))
+      .unionAll(edges.select(col("db").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val aFirst = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("da") < col("db"))
+    // the oriented edge table is read three times (both wedge sides +
+    // the closing semi-join) — cached alongside its inputs so the
+    // band/verify joins run once, not three times
+    val o = edges
+      .join(deg.select(col("v").as("da"), col("deg").as("dega")), "da")
+      .join(deg.select(col("v").as("db"), col("deg").as("degb")), "db")
+      .select(when(aFirst, col("da")).otherwise(col("db")).as("src"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dst"),
+        when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
+    Scoped.withCached(sig, edges, o) {
+      val wedges = o.select(col("src"), col("dst").as("v1"), col("ddeg").as("d1"))
+        .join(o.select(col("src"), col("dst").as("v2"), col("ddeg").as("d2")), Seq("src"))
+        .where(col("d1") < col("d2") ||
+          (col("d1") === col("d2") && col("v1") < col("v2")))
+        .select("src", "v1", "v2")
+      val nTri = wedges
+        .join(o.select(col("src").as("v1"), col("dst").as("v2")),
+          Seq("v1", "v2"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+          sum(col("deg") * (col("deg") - 1)).as("w2")))
+        .crossJoin(nTri)
+        .select(col("n_nodes"), col("n_edges"),
+          expr("w2 div 2").as("n_wedges"), col("n_triangles"),
+          when(col("w2") > 0,
+            round(lit(6.0) * col("n_triangles") / col("w2"), 4))
+            .otherwise(lit(null).cast("double")).as("clustering"))
+    }
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> qPageRank,
+    "q_graph_triangles" -> qTriangles)
 
   def oracleSql: Map[String, String] = {
     val S = PR_SCALE
@@ -95,6 +164,49 @@ object Graph {
          |${iterCte("r2", "r1")},
          |${iterCte("r3", "r2")}
          |SELECT node, CAST(rank AS BIGINT) AS rank
-         |FROM r3 ORDER BY rank DESC, node ASC""".stripMargin)
+         |FROM r3 ORDER BY rank DESC, node ASC""".stripMargin,
+    "q_graph_triangles" -> {
+      val orient = "x.deg < y.deg OR (x.deg = y.deg AND e.da < e.db)"
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |uh AS (SELECT DISTINCT doc_id,
+         |         CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u),
+         |sig AS (SELECT doc_id, ${Dedup.mhColsSql} FROM uh GROUP BY doc_id),
+         |bands AS (${Dedup.bandSelectsSql}),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.sig = b.sig
+         |             AND a.doc_id < b.doc_id),
+         |edges AS (SELECT da, db FROM cand
+         |          JOIN sig sa ON cand.da = sa.doc_id
+         |          JOIN sig sb ON cand.db = sb.doc_id
+         |          WHERE ${Dedup.agreeSumSql} >= ${Dedup.CLUSTER_MIN_AGREE}),
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |          SELECT da AS v FROM edges
+         |          UNION ALL SELECT db AS v FROM edges) u GROUP BY v),
+         |o AS (SELECT CASE WHEN $orient THEN e.da ELSE e.db END AS src,
+         |        CASE WHEN $orient THEN e.db ELSE e.da END AS dst,
+         |        CASE WHEN $orient THEN y.deg ELSE x.deg END AS ddeg
+         |      FROM edges e JOIN deg x ON e.da = x.v JOIN deg y ON e.db = y.v),
+         |w AS (SELECT a.src, a.dst AS v1, b.dst AS v2
+         |      FROM o a JOIN o b ON a.src = b.src
+         |      WHERE a.ddeg < b.ddeg OR (a.ddeg = b.ddeg AND a.dst < b.dst)),
+         |tri AS (SELECT count(*) AS n_triangles FROM w
+         |        WHERE EXISTS (SELECT 1 FROM o t
+         |                      WHERE t.src = w.v1 AND t.dst = w.v2)),
+         |st AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |              (SELECT count(*) FROM edges) AS n_edges,
+         |              (SELECT sum(deg * (deg - 1)) FROM deg) AS w2,
+         |              (SELECT n_triangles FROM tri) AS n_triangles)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(w2 // 2 AS BIGINT) AS n_wedges,
+         |  CAST(n_triangles AS BIGINT) AS n_triangles,
+         |  CASE WHEN w2 > 0 THEN round(6.0 * n_triangles / w2, 4)
+         |    ELSE NULL END AS clustering
+         |FROM st""".stripMargin
+    })
   }
 }

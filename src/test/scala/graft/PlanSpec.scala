@@ -101,6 +101,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_graph_triangles builds wedges by equi-join on the oriented source (never all-pairs)") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedge generation and closing must be equi-joins on (src) and (v1,v2)")
+  }
+
   test("q_semdedup compares pairs only within a cell (equi-join, never all-pairs)") {
     val p = plan("q_semdedup")
     assert(!p.contains("CartesianProduct"),
