@@ -81,6 +81,30 @@ object Bench {
     val contentionBar = 1.4
     if (passes > 1 && medianSpread() > contentionBar) addPass()
     val spreadMedian = medianSpread()
+    // Spread catches INTERMITTENT contention (some passes slow); a
+    // noisy neighbor pinned for the whole run slows every pass equally
+    // and leaves the spread tight. The objective anchor for that case:
+    // a fixed single-threaded xorshift spin whose calm-host time is a
+    // known constant — CPU steal inflates it proportionally, so
+    // artifacts from different rounds are comparable via calib_sec
+    // regardless of when the host was busy. Measured min-of-3 (min
+    // estimates the uncontended cost, same logic as the query minima).
+    def calibrate(): Double = {
+      def spin(): Long = {
+        var x = 0x9E3779B97F4A7C15L; var s = 0L; var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1
+        }
+        s
+      }
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val r = spin()
+        if (r == 42L) print("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val calib = calibrate()
     val contended = passes > 1 && spreadMedian > contentionBar
     val timed: Seq[(String, Seq[Double])] = names.zip(raw.toSeq)
     val results = timed.map { case (k, ts) => k -> ts.min }
@@ -104,7 +128,7 @@ object Bench {
     val allPasses = timed.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","spread_median":$spreadMedian,"contended":$contended,"queries":$qsFull,"passes":$allPasses,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","spread_median":$spreadMedian,"contended":$contended,"calib_sec":$calib,"queries":$qsFull,"passes":$allPasses,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -124,7 +148,7 @@ object Bench {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val sp = noisy.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"contended":$contended,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     val candidates =
