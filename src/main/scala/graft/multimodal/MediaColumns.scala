@@ -125,47 +125,86 @@ object MediaColumns {
     * (fmt / data; unknown chunks skipped with RIFF even-padding),
     * validates PCM 16-bit, and extracts rate/duration/RMS — per
     * partition, like every decoder here. */
+  /** Parse a 16-bit PCM RIFF/WAVE payload into (sampleRate, channels,
+    * interleaved samples). The RIFF chunk walk skips LIST/INFO etc. */
+  private def parsePcm16(b: Array[Byte]): (Int, Int, Array[Short]) = {
+    def le32(o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var rate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = tag(off); val len = le32(off + 4)
+      require(len >= 0 && off + 8 + len <= b.length, s"truncated $id chunk")
+      id match {
+        case "fmt " =>
+          require(le16(off + 8) == 1, "only PCM wav supported")
+          channels = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => () // LIST/INFO/etc: skip
+      }
+      off += 8 + len + (len & 1) // chunks are even-padded
+    }
+    require(rate > 0 && channels > 0 && dataOff >= 0, "missing fmt /data chunk")
+    require(bits == 16, s"only 16-bit PCM supported, got $bits")
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((b(dataOff + 2 * i + 1) << 8) | (b(dataOff + 2 * i) & 0xFF)).toShort
+      i += 1
+    }
+    (rate, channels, samples)
+  }
+
   def decodeWavFeatures(media: Dataset[MediaRow]): Dataset[WavFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val b = m.bytes
-        def le32(o: Int): Int =
-          (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
-          ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
-        def le16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
-        def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
-        require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
-          "not a RIFF/WAVE payload")
-        var off = 12
-        var rate = -1; var channels = -1; var bits = -1
-        var dataOff = -1; var dataLen = -1
-        while (off + 8 <= b.length) {
-          val id = tag(off); val len = le32(off + 4)
-          require(len >= 0 && off + 8 + len <= b.length, s"truncated $id chunk")
-          id match {
-            case "fmt " =>
-              require(le16(off + 8) == 1, "only PCM wav supported")
-              channels = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
-            case "data" => dataOff = off + 8; dataLen = len
-            case _ => () // LIST/INFO/etc: skip
-          }
-          off += 8 + len + (len & 1) // chunks are even-padded
-        }
-        require(rate > 0 && channels > 0 && dataOff >= 0, "missing fmt /data chunk")
-        require(bits == 16, s"only 16-bit PCM supported, got $bits")
-        val n = dataLen / (2 * channels)
+        val (rate, channels, s) = parsePcm16(m.bytes)
+        val n = s.length / channels
         var sumSq = 0.0
         var i = 0
-        while (i < n * channels) {
-          val v = ((b(dataOff + 2 * i + 1) << 8) | (b(dataOff + 2 * i) & 0xFF))
-            .toShort.toDouble
-          sumSq += v * v
-          i += 1
-        }
+        while (i < s.length) { sumSq += s(i).toDouble * s(i); i += 1 }
         WavFeatures(m.id, rate, channels, n, n * 1000.0 / rate,
-          if (n == 0) 0.0 else math.sqrt(sumSq / (n * channels)))
+          if (n == 0) 0.0 else math.sqrt(sumSq / s.length))
+      }
+    }
+  }
+
+  final case class AudioFingerprint(id: Long, afp: Long)
+
+  /** Shazam-style time-domain audio fingerprint: successive 2-sample
+    * frame energies E_f = s²+s' ² (exact longs), bit f set iff
+    * E_{f+1} > E_f (strict) — the sign-of-energy-delta rule the
+    * spectral original applies per band, applied in the time domain
+    * because no FFT library ships here. 32 frames over the 64-sample
+    * fixtures → a 31-bit fingerprint; integer-exact end to end, so any
+    * engine reproduces the bits from the samples alone. */
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (_, _, s) = parsePcm16(m.bytes)
+        val nf = s.length / 2
+        val e = Array.tabulate(nf) { f =>
+          val a = s(2 * f).toLong; val b = s(2 * f + 1).toLong
+          a * a + b * b
+        }
+        var h = 0L
+        var f = 0
+        while (f < nf - 1) {
+          if (e(f + 1) > e(f)) h |= 1L << f
+          f += 1
+        }
+        AudioFingerprint(m.id, h)
       }
     }
   }

@@ -113,6 +113,61 @@ object Multimodal {
     }
   }
 
+  private val AFP_MAX_HAM = 3
+  private val AFP_NVEC = 20
+  private val AFP_PERT_ID = 100
+
+  /** Audio-fingerprint near-dup — the AUDIO arm of the dedup suite
+    * (alongside [[qMmPhash]] for images and the text tiers): each clip
+    * fingerprints through the REAL WAV encode→RIFF-parse path
+    * ([[graft.multimodal.MediaColumns.audioFingerprints]], 31 energy-
+    * delta bits), then near-dup pairs at hamming ≤ 3 via a 4-band
+    * pigeonhole equi-join (8/8/8/7 bits — hamming ≤ 3 leaves one band
+    * untouched, so banding is lossless at the threshold; never
+    * all-pairs). Fixture clips come from the embeddings with a
+    * perturbed TWIN per clip (+1 on every 5th sample) — a re-encoded /
+    * slightly-reprocessed copy, which is exactly what audio dedup
+    * catches in the wild. Oracle replays sample synthesis, frame
+    * energies, delta bits and brute hamming in SQL, gating the WAV
+    * roundtrip byte-for-byte. */
+  val qMmAudioFp: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    val e = Tables.embeddings(s, d).where(col("vec_id") < AFP_NVEC)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val media = e.flatMap { case (id, emb) =>
+      def clip(cid: Long, pert: Int): MediaColumns.MediaRow = {
+        val samples = emb.zipWithIndex.map { case (x, i) =>
+          (math.max(-32768L, math.min(32767L,
+            math.floor(x.toDouble * 1000).toLong)) +
+            (if (pert == 1 && i % 5 == 0) 1L else 0L)).toShort
+        }
+        MediaColumns.MediaRow(cid, "audio/wav",
+          MediaColumns.encodeWavPcm16(8000, samples))
+      }
+      Seq(clip(id, 0), clip(id + AFP_PERT_ID, 1))
+    }
+    val fps = MediaColumns.audioFingerprints(media).toDF("id", "afp")
+    Scoped.withCached(fps) {
+      val bandStructs = array((0 until 4).map { b =>
+        struct(lit(b).as("band_id"),
+          (shiftright(col("afp"), b * 8) % lit(256)).as("bk"))
+      }: _*)
+      val bands = fps.select(col("id"), col("afp"), explode(bandStructs).as("bs"))
+        .select(col("id"), col("afp"),
+          col("bs.band_id").as("band_id"), col("bs.bk").as("bk"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("ida"), col("b.id").as("idb"),
+          expr("bit_count(a.afp ^ b.afp)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= AFP_MAX_HAM)
+        .orderBy("ida", "idb")
+    }
+  }
+
   val qMmResize: Q = (s, d) => {
     import s.implicits._
     import graft.multimodal.MediaColumns
@@ -261,6 +316,7 @@ object Multimodal {
     "q_mm_pixels" -> qMmPixels,
     "q_mm_resize" -> qMmResize,
     "q_mm_phash" -> qMmPhash,
+    "q_mm_audiofp" -> qMmAudioFp,
     "q_mm_frames" -> qMmFrames
   )
 
@@ -307,6 +363,28 @@ object Multimodal {
         |  round(CAST(list_sum(p) AS DOUBLE) / 32.0, 6) AS mean_px,
         |  CAST(list_max(p) AS INT) AS max_px, CAST(list_min(p) AS INT) AS min_px
         |FROM px ORDER BY doc_id""".stripMargin,
+    "q_mm_audiofp" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $AFP_NVEC),
+         |c AS (SELECT vec_id AS id, 0 AS pert, embedding FROM e
+         |      UNION ALL
+         |      SELECT vec_id + $AFP_PERT_ID, 1, embedding FROM e),
+         |s AS (SELECT id, CAST(i AS INT) AS i,
+         |        greatest(-32768, least(32767,
+         |          CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT)))
+         |        + CASE WHEN pert = 1 AND i % 5 = 0 THEN 1 ELSE 0 END AS v
+         |      FROM c, unnest(range(0, 64)) t(i)),
+         |en AS (SELECT id, f, sum(v * v) AS e
+         |       FROM (SELECT id, i // 2 AS f, v FROM s) q GROUP BY id, f),
+         |fp AS (SELECT a.id,
+         |         CAST(sum(CASE WHEN n.e > a.e
+         |                  THEN (CAST(1 AS BIGINT) << CAST(a.f AS INT)) ELSE 0 END) AS BIGINT) AS afp
+         |       FROM en a JOIN en n ON a.id = n.id AND n.f = a.f + 1
+         |       GROUP BY a.id)
+         |SELECT a.id AS ida, b.id AS idb,
+         |  bit_count(xor(a.afp, b.afp)) AS hamming
+         |FROM fp a JOIN fp b ON a.id < b.id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= $AFP_MAX_HAM
+         |ORDER BY ida, idb""".stripMargin,
     "q_mm_phash" -> {
       val n = PH_W * PH_H
       s"""WITH p AS (SELECT p_partkey AS pk FROM part WHERE p_partkey % 50 = 0),
