@@ -221,6 +221,53 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** DoReMi-style excess-loss domain reweighting (Xie et al. 2023,
+    * arXiv:2305.10429): upweight the domains a reference model finds
+    * HARD — the complement of size-based temperature mixing (which
+    * only sees counts). The full DoReMi alternates proxy-model updates
+    * with multiplicative weight steps; the ENGINE-side operator is the
+    * reweighting pass itself, computed here in one shot from a static
+    * loss proxy (the corpus-trained unigram surprise of q_quality_lm —
+    * no external model artifact): domain loss = mean token surprise,
+    * excess = loss − min domain loss, weight ∝ exp(η·excess),
+    * normalized.
+    *
+    * Determinism: per-token surprise is the established floor(·10⁶)
+    * exact-long machinery; domain loss is one correctly-rounded divide
+    * of exact longs; exp is computed once per DOMAIN (K values) and
+    * floored to 10⁻⁶ before the exact-long normalization — the same
+    * risk profile as the accepted ln-based queries. Scale: vocab join
+    * pinned shuffle-hash (never broadcast); everything after the
+    * per-lang partial agg is K rows. */
+  val qMixDoremi: Q = (s, d) => {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    Scoped.withCached(tk) {
+      val counts = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      val surp = counts
+        .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
+        .select(col("tok"),
+          floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
+            .cast("long").as("surp"))
+      val perLang = tk.join(surp.hint("shuffle_hash"), "tok")
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tok"),
+          sum("surp").as("ssum"))
+        .withColumn("loss",
+          col("ssum").cast("double") / (col("n_tok").cast("double") * lit(1e6)))
+      val w = perLang
+        .crossJoin(broadcast(perLang.agg(min("loss").as("lmin"))))
+        .withColumn("excess", col("loss") - col("lmin"))
+        .withColumn("ew", floor(exp(col("excess")) * 1e6).cast("long"))
+      w.crossJoin(broadcast(w.agg(sum("ew").as("ewtot"))))
+        .select(col("lang"), col("n_docs"), col("n_tok"),
+          round(col("loss"), 4).as("loss"),
+          round(col("excess"), 4).as("excess"),
+          round(col("ew").cast("double") / col("ewtot").cast("double"), 4).as("weight"))
+        .orderBy("lang")
+    }
+  }
+
   private val DECON_MOD = 11  // doc_id % 11 == 0 plays the eval set
   private val DECON_MIN_OVERLAP = 5
 
@@ -378,6 +425,7 @@ object Pipeline {
     "q_sample_priority" -> qSamplePriority,
     "q_mix_budget" -> qMixBudget,
     "q_mix_temperature" -> qMixTemperature,
+    "q_mix_doremi" -> qMixDoremi,
     "q_pack_sequences" -> qPackSequences,
     "q_pack_lengrouped" -> qPackLenGrouped,
     "q_epoch_shuffle" -> qEpochShuffle,
@@ -432,6 +480,28 @@ object Pipeline {
          |    THEN round(CAST(1.0 AS DOUBLE) - CAST(pad_sorted AS DOUBLE) / pad_naive, 4)
          |    ELSE NULL END AS saving_frac
          |FROM ps JOIN pn ON ps.lang = pn.lang ORDER BY ps.lang""".stripMargin,
+    "q_mix_doremi" ->
+      s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |tt AS (SELECT sum(c) AS total FROM c),
+         |sp AS (SELECT tok,
+         |         CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS surp
+         |       FROM c, tt),
+         |pl AS (SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tok,
+         |         sum(surp) AS ssum
+         |       FROM tk JOIN sp USING (tok) GROUP BY lang),
+         |l AS (SELECT lang, n_docs, n_tok,
+         |        CAST(ssum AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1000000.0) AS loss
+         |      FROM pl),
+         |mn AS (SELECT min(loss) AS lmin FROM l),
+         |ew AS (SELECT lang, n_docs, n_tok, loss, loss - lmin AS excess,
+         |         CAST(floor(exp(loss - lmin) * 1000000) AS BIGINT) AS ew
+         |       FROM l, mn),
+         |et AS (SELECT sum(ew) AS ewtot FROM ew)
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tok AS BIGINT) AS n_tok,
+         |  round(loss, 4) AS loss, round(excess, 4) AS excess,
+         |  round(CAST(ew AS DOUBLE) / CAST(ewtot AS DOUBLE), 4) AS weight
+         |FROM ew, et ORDER BY lang""".stripMargin,
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
         |m AS (SELECT max(n_l) AS n_max FROM c),
