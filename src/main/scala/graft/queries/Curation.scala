@@ -125,36 +125,42 @@ object Curation {
     * end a curation pass inspects or drops).
     *
     * Determinism design: surprise is integer-scaled floor(·10⁶) per
-    * DISTINCT token, so the per-doc sum is an exact long — a raw
-    * double sum would depend on shuffle arrival order and differ run
-    * to run. The only FP ops are ln (once per vocab entry, floored
-    * to 10⁻⁶) and one correctly-rounded divide at the end.
+    * token value, so the per-doc sum is an exact long — a raw double
+    * sum would depend on shuffle arrival order and differ run to run.
+    * The only FP ops are ln (floored to 10⁻⁶; identical value for
+    * every occurrence of a token) and one correctly-rounded divide at
+    * the end.
     *
-    * Scale shape: vocab counts = one partial-agg shuffle; the token →
-    * surprise join is pinned shuffle-hash like tfidf's df join (the
-    * vocabulary grows with the corpus — it must NEVER broadcast);
-    * per-doc sum is a partial agg; top-k is a distributed TakeOrdered. */
+    * Scale shape (round 7): vocab counts come from count().over(
+    * partitionBy(tok)) — ONE shuffle of the token table, whose width
+    * scales with the vocabulary, replacing the old vocab-agg +
+    * shuffle-hash-join-back pair and the corpus-sized cache both; the
+    * scalar total rides a broadcast. Per-doc sum is a partial agg;
+    * top-k is a distributed TakeOrdered. */
   val qQualityLm: Q = (s, d) => {
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-    Scoped.withCached(tk) {
-      val counts = tk.groupBy("tok").agg(count(lit(1)).as("c"))
-      val surp = counts
-        .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
-        .select(col("tok"),
-          floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
-            .cast("long").as("surp"))
-      tk.join(surp.hint("shuffle_hash"), "tok")
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_tok"), sum("surp").as("ssum"))
-        .withColumn("surprise",
-          round(col("ssum").cast("double") / (col("n_tok") * lit(1000000.0)), 4))
-        .orderBy(col("surprise").desc, col("doc_id").asc).limit(LM_TOPK)
-        .withColumn("rn", row_number().over(
-          boundedWindow(col("surprise").desc, col("doc_id").asc)))
-        .select("rn", "doc_id", "lang", "n_tok", "surprise")
-        .orderBy("rn")
-    }
+    // Vocabulary counts via count().over(partitionBy(tok)) — ONE
+    // shuffle of the token table (the window's, width scales with the
+    // vocabulary) instead of the old groupBy + shuffle-hash-join-back's
+    // two, and no corpus-sized cache (single pass over tk). The total
+    // token count is a K-free scalar — one tiny agg broadcast back.
+    // Surprise value per occurrence is the identical floor(·10⁶) long.
+    import org.apache.spark.sql.expressions.Window
+    tk.withColumn("c", count(lit(1)).over(Window.partitionBy("tok")))
+      .crossJoin(broadcast(tk.agg(count(lit(1)).as("total"))))
+      .withColumn("surp",
+        floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum("surp").as("ssum"))
+      .withColumn("surprise",
+        round(col("ssum").cast("double") / (col("n_tok") * lit(1000000.0)), 4))
+      .orderBy(col("surprise").desc, col("doc_id").asc).limit(LM_TOPK)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("surprise").desc, col("doc_id").asc)))
+      .select("rn", "doc_id", "lang", "n_tok", "surprise")
+      .orderBy("rn")
   }
 
   // ---- Gopher-style quality rules (thresholds fit this corpus's

@@ -436,18 +436,20 @@ object Dedup {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(shingles(tokens(col("text")), SPAN_N)).as("sp"))
-    Scoped.withCached(sh) {
-      // shingles() is per-doc distinct, so this count IS document
-      // frequency
-      val df = sh.groupBy("sp").agg(count(lit(1)).as("ndocs"))
-      sh.join(df.hint("shuffle_hash"), "sp")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
-        .withColumn("dup_frac",
-          round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
-        .orderBy("lang")
-    }
+    // shingles() is per-doc distinct, so a count over the span
+    // partition IS document frequency — ONE shuffle of the span table
+    // (the window's) instead of the groupBy + join-back's two, no
+    // corpus-sized cache, and the per-span count attaches in place.
+    // The window partitions by the span, so width scales with the
+    // spans, not a single partition.
+    import org.apache.spark.sql.expressions.Window
+    sh.withColumn("ndocs", count(lit(1)).over(Window.partitionBy("sp")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+      .orderBy("lang")
   }
 
   /** Span-trimming APPLICATION (the pass [[qDedupSpans]] only profiles

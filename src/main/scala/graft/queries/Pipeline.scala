@@ -236,36 +236,38 @@ object Pipeline {
     * exact-long machinery; domain loss is one correctly-rounded divide
     * of exact longs; exp is computed once per DOMAIN (K values) and
     * floored to 10⁻⁶ before the exact-long normalization — the same
-    * risk profile as the accepted ln-based queries. Scale: vocab join
-    * pinned shuffle-hash (never broadcast); everything after the
+    * risk profile as the accepted ln-based queries. Scale: vocab
+    * counts via a (tok)-partitioned window (one shuffle of the token
+    * table, width scales with the vocabulary); everything after the
     * per-lang partial agg is K rows. */
   val qMixDoremi: Q = (s, d) => {
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-    Scoped.withCached(tk) {
-      val counts = tk.groupBy("tok").agg(count(lit(1)).as("c"))
-      val surp = counts
-        .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
-        .select(col("tok"),
-          floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
-            .cast("long").as("surp"))
-      val perLang = tk.join(surp.hint("shuffle_hash"), "tok")
-        .groupBy("lang")
-        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tok"),
-          sum("surp").as("ssum"))
-        .withColumn("loss",
-          col("ssum").cast("double") / (col("n_tok").cast("double") * lit(1e6)))
-      val w = perLang
-        .crossJoin(broadcast(perLang.agg(min("loss").as("lmin"))))
-        .withColumn("excess", col("loss") - col("lmin"))
-        .withColumn("ew", floor(exp(col("excess")) * 1e6).cast("long"))
-      w.crossJoin(broadcast(w.agg(sum("ew").as("ewtot"))))
-        .select(col("lang"), col("n_docs"), col("n_tok"),
-          round(col("loss"), 4).as("loss"),
-          round(col("excess"), 4).as("excess"),
-          round(col("ew").cast("double") / col("ewtot").cast("double"), 4).as("weight"))
-        .orderBy("lang")
-    }
+    // vocab counts via a (tok)-partitioned window — one shuffle of the
+    // token table, no vocab join-back, no corpus-sized cache (same
+    // single-pass form as q_quality_lm / q_dedup_spans, round 7)
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    val perLang = tk
+      .withColumn("c", count(lit(1)).over(wTok))
+      .crossJoin(broadcast(tk.agg(count(lit(1)).as("total"))))
+      .withColumn("surp",
+        floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tok"),
+        sum("surp").as("ssum"))
+      .withColumn("loss",
+        col("ssum").cast("double") / (col("n_tok").cast("double") * lit(1e6)))
+    val w = perLang
+      .crossJoin(broadcast(perLang.agg(min("loss").as("lmin"))))
+      .withColumn("excess", col("loss") - col("lmin"))
+      .withColumn("ew", floor(exp(col("excess")) * 1e6).cast("long"))
+    w.crossJoin(broadcast(w.agg(sum("ew").as("ewtot"))))
+      .select(col("lang"), col("n_docs"), col("n_tok"),
+        round(col("loss"), 4).as("loss"),
+        round(col("excess"), 4).as("excess"),
+        round(col("ew").cast("double") / col("ewtot").cast("double"), 4).as("weight"))
+      .orderBy("lang")
   }
 
   private val DECON_MOD = 11  // doc_id % 11 == 0 plays the eval set

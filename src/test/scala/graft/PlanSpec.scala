@@ -87,11 +87,11 @@ class PlanSpec extends AnyFunSuite {
       "most-atypical-docs must be a distributed top-k, not a global sort")
   }
 
-  test("q_dedup_spans joins the span-df table shuffle-hash (corpus-sized, never broadcast)") {
+  test("q_dedup_spans counts span df in ONE partitioned window pass (no join, no cartesian)") {
     val p = plan("q_dedup_spans")
-    assert(p.contains("ShuffledHashJoin"),
-      "the span->df join must stay a shuffle join — the span table grows with the corpus")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window") && p.contains("hashpartitioning(sp"),
+      "span df must come from a window partitioned by the span — one shuffle, width scales with spans")
+    assert(!p.contains("Join"), "the single-pass form has no join at all")
   }
 
   test("q_dedup_trim joins the duplicated-span set shuffle-hash (corpus-sized, never broadcast)") {
