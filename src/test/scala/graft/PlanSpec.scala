@@ -79,10 +79,12 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), "cell prune and ADC lookups must be equi-joins")
   }
 
-  test("q_quality_lm joins the vocabulary shuffle-hash (never broadcast) and top-ks distributed") {
+  test("q_quality_lm counts vocab in ONE partitioned window pass and top-ks distributed") {
     val p = plan("q_quality_lm")
-    assert(p.contains("ShuffledHashJoin"),
-      "the token->surprise join must stay a shuffle join — vocab grows with the corpus")
+    assert(p.contains("Window") && p.contains("hashpartitioning(tok"),
+      "vocab counts must come from a window partitioned by the token — one shuffle, no vocab join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the single-pass form has no corpus-sized join (only the scalar-total broadcast)")
     assert(p.contains("TakeOrderedAndProject"),
       "most-atypical-docs must be a distributed top-k, not a global sort")
   }
