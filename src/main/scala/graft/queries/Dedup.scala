@@ -66,7 +66,12 @@ object Dedup {
     * pairs are only those sharing ≥1 (rare) shingle; hot shingles are
     * removed by the df cap, the standard guard against stopword-shingle
     * skew blowing up the equi-join. */
-  val qDedupNgramJaccard: Q = (s, d) => {
+  /** Shared shingle-pair statistics: rare-shingle equi-join candidate
+    * pairs with |∩| and both per-doc shingle counts — the machinery
+    * behind BOTH similarity measures (Jaccard resemblance and Broder
+    * containment). `body` shapes the final measure inside the cache
+    * scope. */
+  private def ngramPairStats(s: SparkSession, d: String)(body: DataFrame => DataFrame): DataFrame = {
     // cached (scoped): referenced four times (df cap, both join sides,
     // per-doc counts); without it the tokenize/shingle pass runs per
     // use. Shingle rows are ~|corpus| — at 100 TB persist
@@ -84,19 +89,44 @@ object Dedup {
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("inter"))
-      val j = pairs
+      body(pairs
         .join(cnt.select(col("doc_id").as("da"), col("c").as("ca")), "da")
-        .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), "db")
-        .withColumn("uni", col("ca") + col("cb") - col("inter"))
-        .withColumn("jac", round(col("inter") / col("uni"), 4))
-      // top-k via orderBy+limit (distributed TakeOrderedAndProject), then
-      // rank only the 20 survivors — no global single-partition window
-      j.orderBy(col("jac").desc, col("da").asc, col("db").asc).limit(20)
-        .withColumn("rn", row_number().over(
-          boundedWindow(col("jac").desc, col("da").asc, col("db").asc)))
-        .select("rn", "da", "db", "inter", "uni", "jac")
-        .orderBy("rn")
+        .join(cnt.select(col("doc_id").as("db"), col("c").as("cb")), "db"))
     }
+  }
+
+  val qDedupNgramJaccard: Q = (s, d) => ngramPairStats(s, d) { stats =>
+    val j = stats
+      .withColumn("uni", col("ca") + col("cb") - col("inter"))
+      .withColumn("jac", round(col("inter") / col("uni"), 4))
+    // top-k via orderBy+limit (distributed TakeOrderedAndProject), then
+    // rank only the 20 survivors — no global single-partition window
+    j.orderBy(col("jac").desc, col("da").asc, col("db").asc).limit(20)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("jac").desc, col("da").asc, col("db").asc)))
+      .select("rn", "da", "db", "inter", "uni", "jac")
+      .orderBy("rn")
+  }
+
+  /** Broder CONTAINMENT dedup (Broder 1997 separates resemblance from
+    * containment): C = |∩| / |smaller doc| — a short doc fully quoted
+    * inside a long one scores ~1.0 here while its symmetric Jaccard is
+    * tiny (the union is dominated by the long doc), so this is the
+    * measure that catches quote/expansion/boilerplate-wrapper pairs a
+    * resemblance threshold misses. Same bounded candidate machinery as
+    * [[qDedupNgramJaccard]]; output ranks by containment and reports
+    * the Jaccard alongside to show the gap. */
+  val qDedupContainment: Q = (s, d) => ngramPairStats(s, d) { stats =>
+    val j = stats
+      .withColumn("c_small", least(col("ca"), col("cb")))
+      .withColumn("containment", round(col("inter") / col("c_small"), 4))
+      .withColumn("jac",
+        round(col("inter") / (col("ca") + col("cb") - col("inter")), 4))
+    j.orderBy(col("containment").desc, col("da").asc, col("db").asc).limit(20)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("containment").desc, col("da").asc, col("db").asc)))
+      .select("rn", "da", "db", "inter", "c_small", "containment", "jac")
+      .orderBy("rn")
   }
 
   /** Distinct-unigram 28-bit hashes of any (doc_id, text) DataFrame —
@@ -534,6 +564,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_exact_keep" -> qDedupExactKeep,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embcos" -> qDedupEmbCos,
@@ -680,6 +711,25 @@ object Dedup {
          |      FROM pairs JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
          |SELECT rn, da, db, inter, uni, jac FROM (
          |  SELECT *, row_number() OVER (ORDER BY jac DESC, da ASC, db ASC) AS rn FROM j) t
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH toks AS ($toksSql),
+         |sh_all AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |       FROM toks, unnest(range(1, len(w) - 1)) t(i)),
+         |dfc AS (SELECT s, count(*) AS df FROM sh_all GROUP BY s),
+         |sh AS (SELECT sh_all.doc_id, sh_all.s FROM sh_all
+         |       JOIN dfc ON sh_all.s = dfc.s WHERE dfc.df <= $SHINGLE_DF_CAP),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT da, db, inter, least(ca.c, cb.c) AS c_small,
+         |        round(inter * 1.0 / least(ca.c, cb.c), 4) AS containment,
+         |        round(inter * 1.0 / (ca.c + cb.c - inter), 4) AS jac
+         |      FROM pairs JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)
+         |SELECT rn, da, db, inter, c_small, containment, jac FROM (
+         |  SELECT *, row_number() OVER (
+         |    ORDER BY containment DESC, da ASC, db ASC) AS rn FROM j) t
          |WHERE rn <= 20 ORDER BY rn""".stripMargin,
     "q_dedup_minhash" ->
       s"""$unigramSql,
