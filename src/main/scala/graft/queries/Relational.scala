@@ -482,6 +482,48 @@ object Relational {
       .orderBy("nt")
   }
 
+  /** The TWO-PHASE distributed form of exact ntile that [[qWinNtile]]'s
+    * scaladoc promises — gated by the SAME ntile(4) oracle, proving the
+    * formulations equivalent with NO global window anywhere:
+    *
+    *  1. exact global rank without a single-partition sort: range-
+    *     repartition on the total order key (range partitions are
+    *     themselves ordered), sort within partitions, `zipWithIndex`
+    *     (one tiny job collects per-partition counts → offsets). The
+    *     rank is the total-order rank regardless of where the sampled
+    *     range bounds fall, because the key (price, orderkey) is total;
+    *  2. ntile's exact bucket rule as integer arithmetic on the rank —
+    *     the first n mod k buckets take ⌈n/k⌉ rows — with n from one
+    *     driver-side count.
+    *
+    * At 100 TB this is the shape that works: every stage is bounded by
+    * a partition, and the only driver data is the scalar n. */
+  val qNtileScalable: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.orders(s, d).where(col("o_custkey") % 100 === 0)
+      .select(col("o_totalprice"), col("o_orderkey"))
+    val k = 4L
+    val n = base.count()
+    val bucket = n / k
+    val rem = n % k
+    val ranked = base
+      .repartitionByRange(8, col("o_totalprice").asc, col("o_orderkey").asc)
+      .sortWithinPartitions(col("o_totalprice").asc, col("o_orderkey").asc)
+      .as[(Double, Long)].rdd.zipWithIndex()
+      .map { case ((price, okey), r) => (price, okey, r) }
+    val wide = (bucket + 1) * rem // rows in the first (n mod k) wider buckets
+    s.createDataset(ranked).toDF("o_totalprice", "o_orderkey", "r")
+      .withColumn("nt",
+        (when(col("r") < lit(wide), expr(s"r div ${bucket + 1}"))
+          .otherwise(lit(rem) + expr(s"(r - $wide) div ${bucket.max(1L)}"))
+          + 1).cast("int"))
+      .groupBy("nt")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("nt")
+  }
+
   /** cume_dist + nth_value — the remaining analytic window functions
     * (ranking/lag/first-last/percent_rank live in their own queries).
     * Unique ordering (price, key) keeps both deterministic. */
@@ -837,6 +879,7 @@ object Relational {
     "q_topk_per_group" -> qTopkPerGroup,
     "q_win_rank" -> qWinRank,
     "q_win_ntile" -> qWinNtile,
+    "q_ntile_scalable" -> qNtileScalable,
     "q_win_lag" -> qWinLag,
     "q_win_cume" -> qWinCume,
     "q_win_running" -> qWinRunning,
@@ -1065,6 +1108,15 @@ object Relational {
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
         |ORDER BY c_nationkey, rn""".stripMargin,
     "q_win_ntile" ->
+      """SELECT nt, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM (SELECT o_totalprice,
+        |        ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS nt
+        |      FROM orders WHERE o_custkey % 100 = 0) t
+        |GROUP BY nt ORDER BY nt""".stripMargin,
+    // the scalable two-phase form must reproduce the ntile() oracle
+    // EXACTLY — same SQL, proving the formulations equivalent
+    "q_ntile_scalable" ->
       """SELECT nt, count(*) AS n, round(min(o_totalprice), 2) AS lo,
         |  round(max(o_totalprice), 2) AS hi
         |FROM (SELECT o_totalprice,
