@@ -62,6 +62,49 @@ object Curation {
       .orderBy("lang")
   }
 
+  private val MAD_K = 0.6745 // Iglewicz–Hoaglin consistency constant
+  private val MAD_THR = 3.5  // their recommended modified-z cutoff
+
+  /** Robust per-language outlier audit on document token counts — the
+    * MAD-based modified z-score (Iglewicz & Hoaglin 1993): median and
+    * median-absolute-deviation replace mean/stddev so a few extreme
+    * docs cannot mask themselves by inflating the spread (the failure
+    * mode of plain z-scores on heavy-tailed length distributions).
+    * z = 0.6745·(x − med)/MAD, outlier iff |z| > 3.5. Output per lang:
+    * doc count, med, MAD, outlier count, z range.
+    *
+    * Determinism: both quantiles are Spark `percentile` ≡ DuckDB
+    * `quantile_cont` (the q_agg_percentile-proven mapping); every
+    * arithmetic op after them is a single correctly-rounded IEEE op on
+    * identical inputs, so the outlier booleans agree bit-for-bit. A
+    * zero MAD (more than half the docs sharing one length) yields NULL
+    * z — guarded identically in both engines. Scale: two grouped
+    * quantile passes with K-row broadcasts back; the final pass is one
+    * partial agg. */
+  val qQualityMad: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    Scoped.withCached(docs) {
+      val med = docs.groupBy(col("lang").as("m_lang"))
+        .agg(percentile(col("n_tok"), lit(0.5)).as("med"))
+      val dv = docs.join(broadcast(med), col("lang") === col("m_lang"))
+      val mad = dv.groupBy(col("lang").as("d_lang"))
+        .agg(percentile(abs(col("n_tok") - col("med")), lit(0.5)).as("mad"))
+      dv.join(broadcast(mad), col("lang") === col("d_lang"))
+        .withColumn("z", when(col("mad") > 0,
+          lit(MAD_K) * (col("n_tok") - col("med")) / col("mad")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(first("med"), 4).as("med_tok"),
+          round(first("mad"), 4).as("mad_tok"),
+          sum(when(abs(col("z")) > MAD_THR, 1L).otherwise(0L)).as("n_outliers"),
+          round(min("z"), 4).as("z_min"),
+          round(max("z"), 4).as("z_max"))
+        .orderBy("lang")
+    }
+  }
+
   private val DSIR_MOD = 13  // doc_id % 13 == 0 plays the curated target set
   private val DSIR_B = 1024  // hashed feature buckets
   private val DSIR_TOPK = 20
@@ -349,6 +392,7 @@ object Curation {
   def queries: Map[String, Q] = Map(
     "q_profile_drift" -> qProfileDrift,
     "q_select_dsir" -> qSelectDsir,
+    "q_quality_mad" -> qQualityMad,
     "q_quality_gopher" -> qQualityGopher,
     "q_quality_lm" -> qQualityLm,
     "q_text_repetition" -> qTextRepetition,
@@ -496,6 +540,23 @@ object Curation {
          |  CAST(sum(CASE WHEN rn <= $CAP_PER_SOURCE THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  min(CASE WHEN rn <= $CAP_PER_SOURCE THEN n_chars END) AS admit_chars
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_quality_mad" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksAll) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |med AS (SELECT lang AS m_lang, quantile_cont(n_tok, 0.5) AS med
+         |        FROM t GROUP BY lang),
+         |dv AS (SELECT t.lang, t.n_tok, med.med FROM t JOIN med ON t.lang = m_lang),
+         |mad AS (SELECT lang AS d_lang, quantile_cont(abs(n_tok - med), 0.5) AS mad
+         |        FROM dv GROUP BY lang),
+         |z AS (SELECT dv.lang, dv.n_tok, dv.med, mad.mad,
+         |        CASE WHEN mad.mad > 0
+         |          THEN $MAD_K * (dv.n_tok - dv.med) / mad.mad END AS z
+         |      FROM dv JOIN mad ON dv.lang = d_lang)
+         |SELECT lang, count(*) AS n_docs, round(any_value(med), 4) AS med_tok,
+         |  round(any_value(mad), 4) AS mad_tok,
+         |  CAST(sum(CASE WHEN abs(z) > $MAD_THR THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  round(min(z), 4) AS z_min, round(max(z), 4) AS z_max
+         |FROM z GROUP BY lang ORDER BY lang""".stripMargin,
     "q_quality_quantile" ->
       s"""WITH thr AS (SELECT lang AS t_lang,
          |               quantile_cont(n_chars, $QQ_FRAC) AS thr
