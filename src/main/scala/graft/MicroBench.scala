@@ -74,6 +74,36 @@ object MicroBench {
         val sec = (System.nanoTime() - t0) / 1e9
         val rawMb = nz.toLong * ny * nx * 2 / (1024.0 * 1024.0)
         println(f"""{"bench":"imaging","nz":$nz,"ny":$ny,"nx":$nx,"raw_mib":$rawMb%.0f,"sec":$sec%.2f,"mib_per_sec":${rawMb / sec}%.1f}""")
+      case "zipf" =>
+        // Straggler-vs-fix for corpus-frequency attach on a Zipf(1.0)
+        // key (the q_quality_lm / q_mix_doremi / q_dedup_spans shape):
+        // count().over(partitionBy(tok)) lands the hot key's whole
+        // group in ONE WindowExec task (AQE cannot split a window
+        // partition), vs the heavy-hitter split (broadcast hot keys
+        // map-side + shuffle-hash tail join). Synthetic tokens by
+        // inverse-CDF: u uniform from a hash of id, tok =
+        // floor(exp(u·ln(K+1)))−1 → P(tok=k) ≈ 1/((k+1)·ln(K+1)),
+        // i.e. Zipf s=1.0; tok 0 carries ~ln2/lnK ≈ 6% of all rows at
+        // K=1e5 — the "the" regime.
+        val zk = args.lift(2).map(_.toInt).getOrElse(100000)
+        val zdf = spark.range(rows).select(col("id"),
+          (exp((((col("id") * 2654435761L) % 1000003L).cast("double") / 1000003.0)
+            * math.log(zk + 1.0)).cast("long") - 1L).as("tok"))
+        def runAgg(attached: org.apache.spark.sql.DataFrame): Unit = {
+          attached.agg(sum(col("c")), count(lit(1))).collect(); ()
+        }
+        def windowForm() = runAgg(zdf.withColumn("c",
+          count(lit(1)).over(Window.partitionBy("tok"))))
+        def splitForm() = runAgg(
+          graft.queries.HeavyHitters.attachKeyCount(zdf, "tok", "c"))
+        def ztime(f: () => Unit): Double = {
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }
+        windowForm(); splitForm() // warm codegen
+        val winSec = (1 to 3).map(_ => ztime(() => windowForm())).min
+        val splitSec = (1 to 3).map(_ => ztime(() => splitForm())).min
+        val hotShare = zdf.where(col("tok") === 0).count().toDouble / rows
+        println(f"""{"bench":"zipf","rows":$rows,"keys":$zk,"hot_key_share":$hotShare%.4f,"window_sec":$winSec%.3f,"split_sec":$splitSec%.3f,"speedup":${winSec / splitSec}%.2f}""")
       case "tokenize" =>
         // native Tokenize expression vs the composed
         // filter(split(lower)) built-in pipeline it replaced

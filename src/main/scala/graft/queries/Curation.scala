@@ -174,24 +174,23 @@ object Curation {
     * every occurrence of a token) and one correctly-rounded divide at
     * the end.
     *
-    * Scale shape (round 7): vocab counts come from count().over(
-    * partitionBy(tok)) — ONE shuffle of the token table, whose width
-    * scales with the vocabulary, replacing the old vocab-agg +
-    * shuffle-hash-join-back pair and the corpus-sized cache both; the
-    * scalar total rides a broadcast. Per-doc sum is a partial agg;
+    * Scale shape (round 8): vocab counts attach via the heavy-hitter
+    * split ([[HeavyHitters.attachKeyCount]]) — hot tokens (df ≥
+    * total/10⁴, provably ≤ 10⁴ keys) broadcast and attach MAP-SIDE, so
+    * the Zipf head (the dominant share of occurrences) never shuffles;
+    * the tail joins back shuffle-hash with every partition bounded
+    * below total/10⁴ rows. The round-7 count().over(partitionBy(tok))
+    * form was one shuffle fewer locally but put the hottest token's
+    * entire group in ONE WindowExec task, which AQE cannot split — the
+    * skew bound here is explicit instead. Per-doc sum is a partial agg;
     * top-k is a distributed TakeOrdered. */
   val qQualityLm: Q = (s, d) => {
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-    // Vocabulary counts via count().over(partitionBy(tok)) — ONE
-    // shuffle of the token table (the window's, width scales with the
-    // vocabulary) instead of the old groupBy + shuffle-hash-join-back's
-    // two, and no corpus-sized cache (single pass over tk). The total
-    // token count is a K-free scalar — one tiny agg broadcast back.
-    // Surprise value per occurrence is the identical floor(·10⁶) long.
-    import org.apache.spark.sql.expressions.Window
-    tk.withColumn("c", count(lit(1)).over(Window.partitionBy("tok")))
-      .crossJoin(broadcast(tk.agg(count(lit(1)).as("total"))))
+    // Surprise value per occurrence is the identical floor(·10⁶) long
+    // regardless of which branch (hot broadcast / tail join) attached
+    // the count, so the split cannot perturb the result hash.
+    HeavyHitters.attachKeyCount(tk, "tok", "c", totalOut = Some("total"))
       .withColumn("surp",
         floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
           .cast("long"))

@@ -456,24 +456,21 @@ object Dedup {
     * span-trimming pass is driven by (`where` on the span's df emits
     * the spans to cut at scale).
     *
-    * Shape: shingle explode → partial-agg span df → shuffle-hash join
-    * back on the span (the span table is corpus-sized — never
-    * broadcast, same posture as tfidf/LM-score) → per-doc then
-    * per-lang exact-integer profile. The dup fraction is a ratio of
-    * exact longs (one correctly-rounded divide at the end), so no
-    * FP-sum ordering can perturb the hash. */
+    * Shape (round 8): shingle explode → heavy-hitter split attach
+    * ([[HeavyHitters.attachKeyCount]]): since shingles() is per-doc
+    * distinct, a count over span rows IS document frequency. Hot spans
+    * (df ≥ total/10⁴ — boilerplate 8-grams reach ~1% df in web
+    * corpora) broadcast and attach map-side; the tail joins back
+    * shuffle-hash with every partition bounded below total/10⁴ rows.
+    * The round-7 (sp)-partitioned window form put a hot boilerplate
+    * span's whole group in one un-splittable WindowExec task. The dup
+    * fraction is a ratio of exact longs (one correctly-rounded divide
+    * at the end), so no FP-sum ordering can perturb the hash. */
   val qDedupSpans: Q = (s, d) => {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(shingles(tokens(col("text")), SPAN_N)).as("sp"))
-    // shingles() is per-doc distinct, so a count over the span
-    // partition IS document frequency — ONE shuffle of the span table
-    // (the window's) instead of the groupBy + join-back's two, no
-    // corpus-sized cache, and the per-span count attaches in place.
-    // The window partitions by the span, so width scales with the
-    // spans, not a single partition.
-    import org.apache.spark.sql.expressions.Window
-    sh.withColumn("ndocs", count(lit(1)).over(Window.partitionBy("sp")))
+    HeavyHitters.attachKeyCount(sh, "sp", "ndocs")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))

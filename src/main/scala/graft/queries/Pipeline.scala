@@ -236,20 +236,18 @@ object Pipeline {
     * exact-long machinery; domain loss is one correctly-rounded divide
     * of exact longs; exp is computed once per DOMAIN (K values) and
     * floored to 10⁻⁶ before the exact-long normalization — the same
-    * risk profile as the accepted ln-based queries. Scale: vocab
-    * counts via a (tok)-partitioned window (one shuffle of the token
-    * table, width scales with the vocabulary); everything after the
-    * per-lang partial agg is K rows. */
+    * risk profile as the accepted ln-based queries. Scale (round 8):
+    * vocab counts attach via the heavy-hitter split
+    * ([[HeavyHitters.attachKeyCount]]) — the ≤ 10⁴ hot tokens
+    * broadcast and attach map-side (the Zipf head never shuffles), the
+    * tail joins back shuffle-hash with every partition bounded below
+    * total/10⁴ rows; everything after the per-lang partial agg is K
+    * rows. The round-7 (tok)-partitioned window put the hot token's
+    * group in one un-splittable WindowExec task. */
   val qMixDoremi: Q = (s, d) => {
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-    // vocab counts via a (tok)-partitioned window — one shuffle of the
-    // token table, no vocab join-back, no corpus-sized cache (same
-    // single-pass form as q_quality_lm / q_dedup_spans, round 7)
-    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
-    val perLang = tk
-      .withColumn("c", count(lit(1)).over(wTok))
-      .crossJoin(broadcast(tk.agg(count(lit(1)).as("total"))))
+    val perLang = HeavyHitters.attachKeyCount(tk, "tok", "c", totalOut = Some("total"))
       .withColumn("surp",
         floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
           .cast("long"))

@@ -79,21 +79,22 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), "cell prune and ADC lookups must be equi-joins")
   }
 
-  test("q_quality_lm counts vocab in ONE partitioned window pass and top-ks distributed") {
+  test("q_quality_lm top-ks distributed; scalar totals broadcast") {
+    // The raw-token-window skew guard is the logical allowlist sweep
+    // below ("no inventory window partitions on a raw token key") —
+    // string matching cannot tell a JOIN exchange hash-partitioned by
+    // tok (fine, AQE-skew-eligible) from a WINDOW one (the killer).
     val p = plan("q_quality_lm")
-    assert(p.contains("Window") && p.contains("hashpartitioning(tok"),
-      "vocab counts must come from a window partitioned by the token — one shuffle, no vocab join")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "the single-pass form has no corpus-sized join (only the scalar-total broadcast)")
     assert(p.contains("TakeOrderedAndProject"),
       "most-atypical-docs must be a distributed top-k, not a global sort")
   }
 
-  test("q_dedup_spans counts span df in ONE partitioned window pass (no join, no cartesian)") {
+  test("q_dedup_spans attaches span df skew-safely (no cartesian)") {
+    // BroadcastNestedLoopJoin appears ONLY as the 1-row scalar-total
+    // attach inside the heavy-hitter split (crossJoin of a broadcast
+    // single-row aggregate — the established scalar pattern).
     val p = plan("q_dedup_spans")
-    assert(p.contains("Window") && p.contains("hashpartitioning(sp"),
-      "span df must come from a window partitioned by the span — one shuffle, width scales with spans")
-    assert(!p.contains("Join"), "the single-pass form has no join at all")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q_dedup_trim joins the duplicated-span set shuffle-hash (corpus-sized, never broadcast)") {
@@ -299,6 +300,51 @@ class PlanSpec extends AnyFunSuite {
           case w: Window if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
             s"$name: unpartitioned window over unbounded input"
         }
+      }
+    }
+    assert(offenders.isEmpty, offenders.distinct.mkString("; "))
+  }
+
+  test("corpus-frequency queries use the heavy-hitter split, not a raw-key window") {
+    // q_quality_lm / q_mix_doremi / q_dedup_spans attach vocabulary /
+    // span-df counts via HeavyHitters.attachKeyCount: broadcast hot
+    // keys (map-side attach) + shuffle-hash tail join. The round-7
+    // count().over(partitionBy(tok|sp)) form put the Zipf head's whole
+    // group in one WindowExec task AQE cannot split — pin the fixed
+    // shape so it cannot come back.
+    for (q <- Seq("q_quality_lm", "q_mix_doremi", "q_dedup_spans")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: hot keys must attach via a broadcast join")
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q: the tail must join back shuffle-hash (AQE-skew-eligible)")
+    }
+  }
+
+  test("window sweep: no inventory window partitions on a raw token/shingle key") {
+    // Partitioned-or-bounded (the sweep above) is necessary but not
+    // sufficient: a window hash-partitioned by an exploded token or
+    // shingle column is Zipf-skewed — the hot key's group lands in one
+    // WindowExec task that AQE cannot split (OptimizeSkewedJoin
+    // rewrites SMJ/SHJ only). Allowlist the partition keys that are
+    // safe by construction (per-doc, per-entity, per-domain, bounded
+    // band/cell ids); any NEW window key must be added here
+    // consciously, with its skew story, at review time.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val safeKeys = Set(
+      "doc_id", "lang", "shard", "epoch", "source",      // corpus entities
+      "user_id", "qid", "vec_id", "cid",                 // event / vector entities
+      "band_id", "sig", "src", "grp", "bucket",          // bounded band/cell/demo ids
+      "o_orderpriority", "c_nationkey", "o_custkey",     // TPC-H dimensions
+      "l_orderkey", "key")
+    val offenders = graft.queries.Scoped.planOnly {
+      SparkEntry.queries.keySet.toSeq.sorted.flatMap { name =>
+        SparkEntry.queries(name)(spark, SF).queryExecution.optimizedPlan.collect {
+          case w: Window =>
+            w.partitionSpec.flatMap(_.references.map(_.name))
+              .filterNot(safeKeys)
+              .map(k => s"$name: window partitioned on non-allowlisted key '$k'")
+        }.flatten
       }
     }
     assert(offenders.isEmpty, offenders.distinct.mkString("; "))
