@@ -105,7 +105,17 @@ object Bench {
       }.min
     }
     val calib = calibrate()
-    val contended = passes > 1 && spreadMedian > contentionBar
+    // Spread catches only INTERMITTENT load; SUSTAINED load slows all
+    // passes equally and leaves spread flat (the round-7 artifact
+    // self-reported calm at calib 0.426 while calib sat 0.414-0.446
+    // for the whole round). The objective anchor: the best calm
+    // calibration constant ever observed on this host (min across all
+    // stored artifacts; update only downward if a calmer window ever
+    // beats it). Anything 10% above it means CPU steal inflated this
+    // run's numbers regardless of how tight the per-pass spread looks.
+    val calibFloor = 0.414
+    val calibContended = calib > 1.1 * calibFloor
+    val contended = (passes > 1 && spreadMedian > contentionBar) || calibContended
     val timed: Seq[(String, Seq[Double])] = names.zip(raw.toSeq)
     val results = timed.map { case (k, ts) => k -> ts.min }
     val total = results.map(_._2).sum
@@ -128,7 +138,7 @@ object Bench {
     val allPasses = timed.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","spread_median":$spreadMedian,"contended":$contended,"calib_sec":$calib,"queries":$qsFull,"passes":$allPasses,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","spread_median":$spreadMedian,"contended":$contended,"calib_sec":$calib,"calib_floor":$calibFloor,"calib_contended":$calibContended,"queries":$qsFull,"passes":$allPasses,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -148,7 +158,7 @@ object Bench {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val sp = noisy.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"calib_floor":$calibFloor,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     val candidates =

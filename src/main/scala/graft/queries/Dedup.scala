@@ -456,24 +456,37 @@ object Dedup {
     * span-trimming pass is driven by (`where` on the span's df emits
     * the spans to cut at scale).
     *
-    * Shape (round 8): shingle explode → heavy-hitter split attach
-    * ([[HeavyHitters.attachKeyCount]]): since shingles() is per-doc
-    * distinct, a count over span rows IS document frequency. Hot spans
-    * (df ≥ total/10⁴ — boilerplate 8-grams reach ~1% df in web
-    * corpora) broadcast and attach map-side; the tail joins back
-    * shuffle-hash with every partition bounded below total/10⁴ rows.
-    * The round-7 (sp)-partitioned window form put a hot boilerplate
-    * span's whole group in one un-splittable WindowExec task. The dup
-    * fraction is a ratio of exact longs (one correctly-rounded divide
-    * at the end), so no FP-sum ordering can perturb the hash. */
+    * Shape (round 8): ONE shingle explode compressed map-side to
+    * per-(span, lang) multiplicities (shingles() is per-doc distinct,
+    * so the multiplicity sum over langs IS document frequency), then a
+    * join of two span-keyed aggregate tables bounded at ≤ #langs rows
+    * per span — no corpus-row shuffle, no skew possible however hot a
+    * boilerplate 8-gram gets (~1% df in web corpora): the Zipf head
+    * collapses in partial aggregation. The round-7 (sp)-partitioned
+    * window form put a hot span's whole group in one un-splittable
+    * WindowExec task. The dup fraction is a ratio of exact longs (one
+    * correctly-rounded divide at the end), so no FP-sum ordering can
+    * perturb the hash. */
   val qDedupSpans: Q = (s, d) => {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(shingles(tokens(col("text")), SPAN_N)).as("sp"))
-    HeavyHitters.attachKeyCount(sh, "sp", "ndocs")
+    // Compress to per-(span, lang) multiplicities first — ONE shingle
+    // explode (the expensive scan), map-side combine collapses hot
+    // boilerplate spans per input task. The df join-back then runs on
+    // tables BOUNDED per key by construction: g carries ≤ #langs rows
+    // per span and w exactly one, so no join partition can exceed
+    // #langs rows per key no matter how Zipf-hot the span — the skew
+    // lives only in the aggregations, where partial agg absorbs it.
+    // (No heavy-hitter split needed: that is for per-ROW attaches.)
+    // Per-lang counts are sums of the same exact longs the row-level
+    // form counted one by one.
+    val g = sh.groupBy("sp", "lang").agg(count(lit(1)).as("n"))
+    val w = g.groupBy("sp").agg(sum("n").cast("long").as("ndocs"))
+    g.join(w.hint("shuffle_hash"), "sp")
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .agg(sum("n").as("n_spans"),
+        sum(when(col("ndocs") >= 2, col("n")).otherwise(0L)).as("n_dup_spans"))
       .withColumn("dup_frac",
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
       .orderBy("lang")

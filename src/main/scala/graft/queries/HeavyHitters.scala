@@ -62,7 +62,15 @@ object HeavyHitters {
     * `totalOut` is set, also attaches the total row count as that
     * column (one extra K-free scalar, derived from `counts` — no
     * additional scan of `df`), since every corpus-frequency consumer
-    * (unigram surprise, df ratios) needs the total anyway. */
+    * (unigram surprise, df ratios) needs the total anyway.
+    *
+    * Reach for this ONLY when the count must attach to corpus-sized
+    * ROWS (a per-doc or per-row output downstream). When the output is
+    * per-GROUP (per-domain, per-lang profiles), aggregate to
+    * per-(key, group) multiplicities first and join the two key-keyed
+    * aggregate tables instead — that join is bounded at ≤ #groups rows
+    * per key by construction, so no split is needed at all (see
+    * q_mix_doremi / q_dedup_spans). */
   def attachKeyCount(df: DataFrame, key: String, out: String,
       totalOut: Option[String] = None): DataFrame = {
     val counts = df.groupBy(key).agg(count(lit(1)).as(out))

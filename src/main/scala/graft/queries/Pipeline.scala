@@ -237,23 +237,38 @@ object Pipeline {
     * of exact longs; exp is computed once per DOMAIN (K values) and
     * floored to 10⁻⁶ before the exact-long normalization — the same
     * risk profile as the accepted ln-based queries. Scale (round 8):
-    * vocab counts attach via the heavy-hitter split
-    * ([[HeavyHitters.attachKeyCount]]) — the ≤ 10⁴ hot tokens
-    * broadcast and attach map-side (the Zipf head never shuffles), the
-    * tail joins back shuffle-hash with every partition bounded below
-    * total/10⁴ rows; everything after the per-lang partial agg is K
-    * rows. The round-7 (tok)-partitioned window put the hot token's
-    * group in one un-splittable WindowExec task. */
+    * one map-side-combined pass to per-(lang, tok) multiplicities,
+    * then a vocab-sized join bounded at ≤ #langs rows per token —
+    * no corpus-row shuffle, no skew possible anywhere (the Zipf head
+    * collapses in partial aggregation); everything after the per-lang
+    * agg is K rows. The round-7 (tok)-partitioned window put the hot
+    * token's group in one un-splittable WindowExec task. */
   val qMixDoremi: Q = (s, d) => {
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-    val perLang = HeavyHitters.attachKeyCount(tk, "tok", "c", totalOut = Some("total"))
+    // The output is per-DOMAIN, so no per-row (or even per-doc) attach
+    // is needed: compress to per-(lang, tok) multiplicities in one
+    // map-side-combined pass (the Zipf head collapses per input task),
+    // derive vocab counts as the sum over domains — no second corpus
+    // scan — and join the two VOCAB-sized tables on tok, where vl
+    // carries ≤ #langs rows per token and vocab exactly one: bounded
+    // per key by construction, no skew possible. Σ n·surp ≡ Σ surp
+    // over occurrences in exact longs. n_docs (distinct docs per lang
+    // among docs with ≥1 token) rides a text-light second aggregation
+    // joined on the K-row result.
+    val vl = tk.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val vocab = vl.groupBy("tok").agg(sum("n").cast("long").as("c"))
+    val nd = Tables.documents(s, d)
+      .where(size(tokens(col("text"))) > 0)
+      .groupBy("lang").agg(countDistinct("doc_id").as("n_docs"))
+    val perLang = vl.join(vocab.hint("shuffle_hash"), "tok")
+      .crossJoin(broadcast(vocab.agg(sum("c").cast("long").as("total"))))
       .withColumn("surp",
         floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
           .cast("long"))
       .groupBy("lang")
-      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tok"),
-        sum("surp").as("ssum"))
+      .agg(sum("n").as("n_tok"), sum(col("n") * col("surp")).as("ssum"))
+      .join(nd, "lang")
       .withColumn("loss",
         col("ssum").cast("double") / (col("n_tok").cast("double") * lit(1e6)))
     val w = perLang

@@ -305,19 +305,25 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.distinct.mkString("; "))
   }
 
-  test("corpus-frequency queries use the heavy-hitter split, not a raw-key window") {
-    // q_quality_lm / q_mix_doremi / q_dedup_spans attach vocabulary /
-    // span-df counts via HeavyHitters.attachKeyCount: broadcast hot
-    // keys (map-side attach) + shuffle-hash tail join. The round-7
-    // count().over(partitionBy(tok|sp)) form put the Zipf head's whole
-    // group in one WindowExec task AQE cannot split — pin the fixed
-    // shape so it cannot come back.
-    for (q <- Seq("q_quality_lm", "q_mix_doremi", "q_dedup_spans")) {
+  test("corpus-frequency queries are skew-safe: split for per-row, bounded join for per-group") {
+    // The round-7 count().over(partitionBy(tok|sp)) form put the Zipf
+    // head's whole group in one WindowExec task AQE cannot split. Pin
+    // each query's round-8 replacement shape so it cannot come back:
+    // q_quality_lm (per-DOC output → genuine per-row attach) uses the
+    // heavy-hitter split — broadcast hot keys + shuffle-hash tail;
+    // q_mix_doremi / q_dedup_spans (per-GROUP output) join key-keyed
+    // aggregate tables bounded at ≤ #groups rows per key, with no
+    // corpus-row shuffle at all.
+    val lm = plan("q_quality_lm")
+    assert(lm.contains("BroadcastHashJoin"),
+      "q_quality_lm: hot keys must attach via a broadcast join")
+    assert(lm.contains("ShuffledHashJoin"),
+      "q_quality_lm: the tail must join back shuffle-hash (AQE-skew-eligible)")
+    for (q <- Seq("q_mix_doremi", "q_dedup_spans")) {
       val p = plan(q)
-      assert(p.contains("BroadcastHashJoin"),
-        s"$q: hot keys must attach via a broadcast join")
       assert(p.contains("ShuffledHashJoin"),
-        s"$q: the tail must join back shuffle-hash (AQE-skew-eligible)")
+        s"$q: aggregate tables join shuffle-hash (vocab-sized, never broadcast)")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian")
     }
   }
 
