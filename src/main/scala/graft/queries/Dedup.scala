@@ -492,6 +492,54 @@ object Dedup {
       .orderBy("lang")
   }
 
+  private val LINE_W = 5
+
+  /** Line-granularity EXACT dedup — the C4 rule (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2 discard repeated three-sentence spans;
+    * applied at line granularity in the public C4 pipeline): every
+    * line that occurs anywhere else in the corpus is dropped except
+    * its FIRST occurrence (smallest (doc_id, position)), and each doc
+    * reports its retained-line accounting. The synthetic corpus has no
+    * newlines, so the "line" unit is the non-overlapping [[LINE_W]]-
+    * token chunk — the operator applies verbatim to '\n'-split lines.
+    *
+    * Shape: position-carrying chunk explode → md5 line key →
+    * first-occurrence keeper via one partial-aggregated
+    * `min(doc_id·10⁶ + pos)` per line hash (the packed key keeps the
+    * keeper a plain long min for both engines; positions are < 10⁶ by
+    * construction and doc ids fit the packing up to ~9·10¹² docs,
+    * past which a struct min replaces it) → join back on the line
+    * hash. The keeper table carries exactly ONE row per line hash, so
+    * the join multiplies nothing; a boilerplate line hot on the probe
+    * side is equi-join skew, which AQE splits. No window anywhere near
+    * the line key. Counts are exact longs. */
+  val qDedupLines: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    val nChunks = floor((size(col("w")) + lit(LINE_W - 1)) / lit(LINE_W)).cast("long")
+    val ln = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(when(size(col("w")) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0L), nChunks - 1),
+            i => concat_ws(" ", slice(col("w"), (i * LINE_W + 1).cast("int"), lit(LINE_W)))))))
+      .select(col("doc_id"), col("lang"), col("pos").cast("long").as("p"),
+        md5(col("col")).as("lh"))
+    val keeper = ln.groupBy("lh")
+      .agg(min(col("doc_id") * lit(1000000L) + col("p")).as("kid"))
+    val acct = ln.join(keeper.hint("shuffle_hash"), "lh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nl"),
+        sum(when(col("doc_id") * lit(1000000L) + col("p") === col("kid"), 1L)
+          .otherwise(0L)).as("nk"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(acct, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("nl"), lit(0L)).as("n_lines"),
+        coalesce(col("nk"), lit(0L)).as("n_kept"),
+        (coalesce(col("nl"), lit(0L)) - coalesce(col("nk"), lit(0L))).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   /** Span-trimming APPLICATION (the pass [[qDedupSpans]] only profiles
     * — Lee et al. 2022 CUTS the repeated substrings): every token
     * covered by at least one word-8-gram span occurring in ≥ 2
@@ -568,6 +616,7 @@ object Dedup {
 
   def queries: Map[String, Q] = Map(
     "q_split_leakage" -> qSplitLeakage,
+    "q_dedup_lines" -> qDedupLines,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_trim" -> qDedupTrim,
     "q_dedup_incremental" -> qDedupIncremental,
@@ -649,6 +698,23 @@ object Dedup {
          |  count(*) AS n_pairs
          |FROM sp GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
     },
+    "q_dedup_lines" ->
+      s"""WITH docs AS (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
+         |  FROM documents),
+         |ln AS (SELECT doc_id, lang, CAST(i AS BIGINT) AS p,
+         |         md5(array_to_string(w[(i*$LINE_W+1):(i*$LINE_W+$LINE_W)], ' ')) AS lh
+         |       FROM docs, unnest(range(0, (len(w)+${LINE_W - 1})//$LINE_W)) t(i)),
+         |k AS (SELECT lh, min(doc_id*1000000 + p) AS kid FROM ln GROUP BY lh),
+         |acct AS (SELECT ln.doc_id, count(*) AS nl,
+         |           CAST(sum(CASE WHEN ln.doc_id*1000000 + ln.p = k.kid THEN 1 ELSE 0 END) AS BIGINT) AS nk
+         |         FROM ln JOIN k USING (lh) GROUP BY ln.doc_id)
+         |SELECT docs.doc_id, docs.lang,
+         |  CAST(coalesce(acct.nl, 0) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(acct.nk, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(acct.nl, 0) - coalesce(acct.nk, 0) AS BIGINT) AS n_dropped
+         |FROM docs LEFT JOIN acct USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_spans" -> {
       val span = (0 until SPAN_N)
         .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")

@@ -73,7 +73,15 @@ object Streaming {
     new java.util.concurrent.ConcurrentHashMap[SchemaKey, org.apache.spark.sql.types.StructType]()
   private def eventsSchema(s: SparkSession, d: String) = {
     val f = new java.io.File(s"$d/events.parquet")
-    schemaCache.computeIfAbsent(SchemaKey(d, f.lastModified, f.length),
+    // A parquet dataset path is usually a DIRECTORY of part files, and
+    // an in-place rewrite may leave the directory inode's own
+    // (mtime, length) unchanged — key on the contained files'
+    // max-mtime and total length instead (a single-file layout
+    // degenerates to the file itself).
+    val files = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+    val mtime = (f.lastModified +: files.map(_.lastModified)).max
+    val len = files.map(_.length).sum
+    schemaCache.computeIfAbsent(SchemaKey(d, mtime, len),
       _ => s.read.parquet(s"$d/events.parquet").schema)
   }
 

@@ -57,12 +57,28 @@ class ConcurrencySpec extends AnyFunSuite {
         val r = rows("q1_agg")
         assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
           "a batch query observed the streaming child session's width")
-        val ex = Tables.lineitem(spark, SF).groupBy("l_returnflag").count()
-          .queryExecution.executedPlan
-        val widths = ex.collect {
+        // Under AQE the executed plan root is AdaptiveSparkPlanExec,
+        // whose collect sees no exchanges: its inputPlan predates
+        // EnsureRequirements, and in the FINAL plan every stage
+        // (ResultQueryStage, ShuffleQueryStage) is a LEAF node hiding
+        // its subtree in `plan`. Force execution, then walk the tree
+        // descending through both children and stage bodies, and
+        // require the exchange to actually be found so this can never
+        // pass vacuously.
+        val df = Tables.lineitem(spark, SF).groupBy("l_returnflag").count()
+        df.collect()
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+          case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case q: QueryStageExec => flatten(q.plan)
+          case other => other.children.flatMap(flatten)
+        })
+        val widths = flatten(df.queryExecution.executedPlan).collect {
           case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
             s.outputPartitioning.numPartitions
         }
+        assert(widths.nonEmpty, "expected a shuffle exchange in the grouped-agg plan")
         assert(widths.forall(_ == before.toInt),
           s"batch plan shuffled at ${widths.mkString(",")} instead of $before")
         r
