@@ -123,6 +123,24 @@ object MicroBench {
         val native = time3(docs.select(
           explode(GraftFunctions.tokens(col("text")))).count())
         println(f"""{"bench":"tokenize","composed_sec":$composed%.3f,"native_sec":$native%.3f,"speedup":${composed / native}%.2f}""")
+      case "shingle" =>
+        // native single-pass Shingles expression vs the composed
+        // array_distinct(transform(sequence/slice/concat_ws)) pipeline
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(graft.functions.GraftFunctions.tokens(col("text")).as("w")).cache()
+        docs.count()
+        def time3s(f: => Long): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        import graft.functions.GraftFunctions
+        docs.select(explode(GraftFunctions.shinglesComposed(col("w"), 8))).count()
+        docs.select(explode(GraftFunctions.shingles(col("w"), 8))).count()
+        val composedSh = time3s(docs.select(
+          explode(GraftFunctions.shinglesComposed(col("w"), 8))).count())
+        val nativeSh = time3s(docs.select(
+          explode(GraftFunctions.shingles(col("w"), 8))).count())
+        println(f"""{"bench":"shingle","n":8,"composed_sec":$composedSh%.3f,"native_sec":$nativeSh%.3f,"speedup":${composedSh / nativeSh}%.2f}""")
       case "blosc" =>
         // codec throughput on a realistic 4 MiB uint16 chunk (smooth
         // imagery — the shuffle filter's target case)

@@ -49,9 +49,17 @@ object GraftFunctions {
   private[graft] def tokensRegex(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > lit(0))
 
-  /** Distinct word n-gram shingles of a token array. Guarded for arrays
-    * shorter than n (Spark's sequence() would otherwise run backwards). */
+  /** Distinct word n-gram shingles of a token array. Runs the native
+    * single-pass [[Shingles]] expression — equivalent by construction
+    * to the composed `array_distinct(transform(...))` form (kept below
+    * for the equivalence property test). */
   def shingles(toks: Column, n: Int): Column =
+    TextExpressions.shinglesFast(toks, n)
+
+  /** The composed built-in form `shingles` replaces; retained as the
+    * equivalence-test reference. Guarded for arrays shorter than n
+    * (Spark's sequence() would otherwise run backwards). */
+  private[graft] def shinglesComposed(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       array_distinct(
         transform(sequence(lit(0), size(toks) - lit(n)),

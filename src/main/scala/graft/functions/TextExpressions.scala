@@ -36,7 +36,60 @@ case class Tokenize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native single-pass distinct word n-gram shingler. Semantically
+  * IDENTICAL BY CONSTRUCTION to the composed form
+  * `array_distinct(transform(sequence(0, size-n), i => concat_ws(" ",
+  * slice(toks, i+1, n))))` guarded for short arrays: windows join
+  * through `UTF8String.concatWs` (the exact `concat_ws` kernel, same
+  * null-skipping), and a LinkedHashSet preserves `array_distinct`'s
+  * first-occurrence order. What it removes is the five-operator
+  * pipeline's intermediate allocations (index sequence, per-window
+  * slice arrays, pre-distinct output array) and array_distinct's
+  * second pass. Shingling feeds the span/dedup/decontamination
+  * family — the second-hottest scalar path after [[Tokenize]].
+  */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.shinglesUtf8(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.shinglesUtf8($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
 object TextExpressions {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Distinct space-joined n-windows of a string array, first-occurrence
+    * order; empty result below n elements. */
+  def shinglesUtf8(a: ArrayData, n: Int): ArrayData = {
+    val len = a.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (a.isNullAt(i + j)) null else a.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(SPACE, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
+  def shinglesFast(toks: Column, n: Int): Column =
+    column(Shingles(expression(toks), n))
+
   /** Maximal [a-z0-9]+ runs of the lowercased input, as UTF8Strings. */
   def tokenizeUtf8(s: UTF8String): ArrayData = {
     val b = s.toLowerCase.getBytes
