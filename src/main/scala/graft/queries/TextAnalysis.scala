@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -105,6 +105,85 @@ object TextAnalysis {
       .orderBy("rn")
   }
 
+  private val PMI_MIN_COUNT = 5L
+  private val PMI_TOPK = 20
+
+  /** PMI collocation mining (Church & Hanks 1990, "Word Association
+    * Norms, Mutual Information, and Lexicography"): the word pairs
+    * that co-occur far more than chance — pmi = ln(p(x,y)/(p(x)p(y)))
+    * over adjacent-word bigrams, with the classic min-count floor
+    * (rare pairs have unreliable, inflated PMI). The corpus-analysis
+    * pass behind phrase detection and tokenizer-merge candidates.
+    *
+    * Shape: bigram pairs and unigram counts are each ONE map-side-
+    * combined partial agg (the Zipf head collapses per input task);
+    * the floor prunes the pair table BEFORE the two unigram joins,
+    * which run on aggregate tables bounded per key by the distinct-
+    * successor count — no corpus-row shuffle, no raw-key window.
+    * Determinism: counts are exact longs; the single ln is computed
+    * on double-cast factor products (the DSIR overflow rule) and
+    * floored to the established 10⁻⁶ grid. */
+  val qTextPmi: Q = (s, d) => {
+    val w = col("w")
+    val pairs = when(size(w) < 2, array().cast("array<struct<x:string,y:string>>"))
+      .otherwise(transform(sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("x"), element_at(w, i + 2).as("y"))))
+    val toks = Tables.documents(s, d).withColumn("w", tokens(col("text")))
+    val big = toks.select(explode(pairs).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cxy"))
+    val uni = toks.select(explode(w).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val cand = big.where(col("cxy") >= PMI_MIN_COUNT)
+      .join(uni.select(col("tok").as("x"), col("cnt").as("cx")).hint("shuffle_hash"), "x")
+      .join(uni.select(col("tok").as("y"), col("cnt").as("cy")).hint("shuffle_hash"), "y")
+      .crossJoin(broadcast(uni.agg(sum("cnt").as("tu"))))
+      .crossJoin(broadcast(big.agg(sum("cxy").as("tb"))))
+      .withColumn("pmi_raw",
+        floor(log((col("cxy").cast("double") * col("tu").cast("double") * col("tu").cast("double"))
+          / (col("tb").cast("double") * col("cx").cast("double") * col("cy").cast("double"))) * 1e6)
+          .cast("long"))
+    cand
+      .orderBy(col("pmi_raw").desc, col("x").asc, col("y").asc).limit(PMI_TOPK)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("pmi_raw").desc, col("x").asc, col("y").asc)))
+      .select(col("rn"), col("x"), col("y"), col("cxy").as("n_pair"),
+        round(col("pmi_raw").cast("double") / 1e6, 4).as("pmi"))
+      .orderBy("rn")
+  }
+
+  private val POST_K = 5
+  private val POST_TOPK = 20
+
+  /** Inverted-index posting build: per term, document frequency, total
+    * term frequency, and the first [[POST_K]] postings (smallest doc
+    * ids) — the index-construction pass of a search/retrieval stack,
+    * profiled over the highest-df terms.
+    *
+    * The posting prefix is the skew trap: `row_number().over(
+    * partitionBy(term))` would put a stopword's entire posting list in
+    * one window task. [[graft.functions.BoundedMinK]] computes it as a
+    * typed Aggregator instead — k-long bounded state, map-side partial
+    * reduction (each input task contributes ≤ k postings per term to
+    * the shuffle), associative merge ⇒ shuffle-order-independent. At
+    * 100 TB the same aggregation emits full per-segment posting runs;
+    * the prefix keeps the oracle comparable. */
+  val qTextPostings: Q = (s, d) => {
+    val minK = udaf(graft.functions.BoundedMinK(POST_K), Encoders.scalaLong)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("tf_total"),
+        minK(col("doc_id")).as("postings"))
+      .orderBy(col("df").desc, col("term").asc).limit(POST_TOPK)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("df").desc, col("term").asc)))
+      .select("rn", "term", "df", "tf_total", "postings")
+      .orderBy("rn")
+  }
+
   /** TF-IDF: highest-scoring term per sampled document.
     * idf = ln(N / df) with df over the full corpus. df dedups terms
     * within each document map-side (`array_distinct` before the
@@ -192,6 +271,8 @@ object TextAnalysis {
     "q_text_langid" -> qTextLangid,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_ngrams" -> qTextNgrams,
+    "q_text_pmi" -> qTextPmi,
+    "q_text_postings" -> qTextPostings,
     "q_text_tfidf" -> qTextTfidf
   )
 
@@ -199,6 +280,36 @@ object TextAnalysis {
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_pmi" ->
+      s"""WITH toks AS (SELECT doc_id, $toksAll AS w FROM documents),
+         |big AS (SELECT w[i] AS x, w[i+1] AS y, count(*) AS cxy
+         |        FROM toks, unnest(range(1, len(w))) t(i)
+         |        GROUP BY 1, 2),
+         |uni AS (SELECT tok, count(*) AS cnt FROM (
+         |    SELECT unnest(w) AS tok FROM toks) u GROUP BY tok),
+         |tu AS (SELECT CAST(sum(cnt) AS BIGINT) AS tu FROM uni),
+         |tb AS (SELECT CAST(sum(cxy) AS BIGINT) AS tb FROM big),
+         |cand AS (SELECT big.x, big.y, CAST(big.cxy AS BIGINT) AS n_pair,
+         |    CAST(floor(ln((CAST(big.cxy AS DOUBLE) * CAST(tu.tu AS DOUBLE) * CAST(tu.tu AS DOUBLE))
+         |      / (CAST(tb.tb AS DOUBLE) * CAST(ux.cnt AS DOUBLE) * CAST(uy.cnt AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_raw
+         |  FROM big
+         |  JOIN uni ux ON big.x = ux.tok
+         |  JOIN uni uy ON big.y = uy.tok, tu, tb
+         |  WHERE big.cxy >= $PMI_MIN_COUNT)
+         |SELECT rn, x, y, n_pair, round(CAST(pmi_raw AS DOUBLE) / 1000000.0, 4) AS pmi
+         |FROM (SELECT *, row_number() OVER (ORDER BY pmi_raw DESC, x ASC, y ASC) AS rn
+         |      FROM cand) q
+         |WHERE rn <= $PMI_TOPK ORDER BY rn""".stripMargin,
+    "q_text_postings" ->
+      s"""WITH td AS (SELECT doc_id, unnest($toksAll) AS term FROM documents),
+         |pd AS (SELECT term, doc_id, count(*) AS tf FROM td GROUP BY 1, 2),
+         |t AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |        CAST(sum(tf) AS BIGINT) AS tf_total,
+         |        array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, $POST_K), ',') AS postings
+         |      FROM pd GROUP BY term)
+         |SELECT rn, term, df, tf_total, postings
+         |FROM (SELECT *, row_number() OVER (ORDER BY df DESC, term ASC) AS rn FROM t) q
+         |WHERE rn <= $POST_TOPK ORDER BY rn""".stripMargin,
     "q_text_heavyhitters" ->
       s"""WITH tc AS (SELECT tok, count(*) AS c FROM (
          |    SELECT unnest($toksAll) AS tok FROM documents) t GROUP BY tok),

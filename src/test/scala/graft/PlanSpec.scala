@@ -327,6 +327,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pmi joins aggregate tables; postings prefix is a bounded-state aggregation") {
+    val pmi = plan("q_text_pmi")
+    assert(pmi.contains("ShuffledHashJoin"),
+      "unigram counts join the candidate pairs shuffle-hash (vocab-sized, never broadcast)")
+    assert(pmi.contains("TakeOrderedAndProject"),
+      "top-k collocations must be a distributed top-k")
+    val post = plan("q_text_postings")
+    assert(post.contains("TakeOrderedAndProject"))
+    assert(post.contains("ObjectHashAggregate") && post.contains("partial_"),
+      "the BoundedMinK posting prefix must partially aggregate map-side — " +
+        "a window over the raw term would carry a stopword's full posting list in one task")
+  }
+
   test("window sweep: no inventory window partitions on a raw token/shingle key") {
     // Partitioned-or-bounded (the sweep above) is necessary but not
     // sufficient: a window hash-partitioned by an exploded token or
