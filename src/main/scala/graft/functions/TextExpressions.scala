@@ -48,7 +48,8 @@ case class Tokenize(child: Expression) extends UnaryExpression {
   * second pass. Shingling feeds the span/dedup/decontamination
   * family — the second-hottest scalar path after [[Tokenize]].
   */
-case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(n >= 1, s"shingle width must be >= 1, got $n")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -57,9 +58,10 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    TextExpressions.shinglesUtf8(input.asInstanceOf[ArrayData], n)
+    TextExpressions.shinglesUtf8(input.asInstanceOf[ArrayData], n, distinct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.shinglesUtf8($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextExpressions.shinglesUtf8($c, $n, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
@@ -67,12 +69,16 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
 object TextExpressions {
   private val SPACE = UTF8String.fromString(" ")
 
-  /** Distinct space-joined n-windows of a string array, first-occurrence
-    * order; empty result below n elements. */
-  def shinglesUtf8(a: ArrayData, n: Int): ArrayData = {
+  /** Space-joined n-windows of a string array (distinct keeps
+    * first-occurrence order, the array_distinct contract; non-distinct
+    * keeps every occurrence in position order — the posexplode /
+    * frequency-bigram form); empty result below n elements. */
+  def shinglesUtf8(a: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val len = a.numElements()
     if (len < n) return new GenericArrayData(Array.empty[AnyRef])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val out: java.util.Collection[AnyRef] =
+      if (distinct) new java.util.LinkedHashSet[AnyRef]()
+      else new java.util.ArrayList[AnyRef](len - n + 1)
     var i = 0
     while (i <= len - n) {
       val parts = new Array[UTF8String](n)
@@ -81,14 +87,19 @@ object TextExpressions {
         parts(j) = if (a.isNullAt(i + j)) null else a.getUTF8String(i + j)
         j += 1
       }
-      seen.add(UTF8String.concatWs(SPACE, parts: _*))
+      out.add(UTF8String.concatWs(SPACE, parts: _*))
       i += 1
     }
-    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
   }
 
   def shinglesFast(toks: Column, n: Int): Column =
     column(Shingles(expression(toks), n))
+
+  /** Every n-window in position order (no dedupe) — feeds posexplode
+    * position arithmetic and frequency bigrams. */
+  def shinglesAllFast(toks: Column, n: Int): Column =
+    column(Shingles(expression(toks), n, distinct = false))
 
   /** Maximal [a-z0-9]+ runs of the lowercased input, as UTF8Strings. */
   def tokenizeUtf8(s: UTF8String): ArrayData = {

@@ -364,9 +364,7 @@ object Curation {
 
   /** Word bigrams (frequency form, not distinct) of a token array. */
   private def bigrams(w: Column): Column =
-    when(size(w) < 2, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", slice(w, i + 1, lit(2)))))
+    graft.functions.TextExpressions.shinglesAllFast(w, 2)
 
   /** Per-document repetition signals on the sampled corpus: distinct
     * token ratio and the mass of the single most frequent bigram

@@ -561,9 +561,8 @@ object Dedup {
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
     Scoped.withCached(docs) {
       val occ = docs.select(col("doc_id"),
-          posexplode(when(size(col("w")) < SPAN_N, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(0), size(col("w")) - lit(SPAN_N)),
-              i => concat_ws(" ", slice(col("w"), i + lit(1), lit(SPAN_N)))))))
+          posexplode(graft.functions.TextExpressions
+            .shinglesAllFast(col("w"), SPAN_N)))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("sp"))
       val dupSp = occ.select("doc_id", "sp").distinct()
         .groupBy("sp").agg(count(lit(1)).as("ndocs"))

@@ -87,13 +87,10 @@ object TextAnalysis {
     * Tokens are materialized before the bigram transform — inlining
     * the split expression would re-tokenize per bigram. */
   val qTextNgrams: Q = (s, d) => {
-    val w = col("w")
-    val bigrams = when(size(w) < 2, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", slice(w, i + 1, lit(2)))))
     Tables.documents(s, d)
       .withColumn("w", tokens(col("text")))
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(graft.functions.TextExpressions
+        .shinglesAllFast(col("w"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       // top-k first (TakeOrderedAndProject — distributed partial top-k
       // per partition, no single-partition global window sort), then
