@@ -129,6 +129,58 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  private val UNIMAX_E = 2L // per-language epoch cap
+
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling", arXiv:2304.09151):
+    * given a total token budget N and an epoch cap E, serve every
+    * language at most E epochs and split the remaining budget
+    * uniformly — the water-filling allocation alloc_l = min(E·c_l, θ)
+    * with θ chosen so the allocations exhaust N.
+    *
+    * All arithmetic is integer-exact (token counts, `div`), so Spark
+    * and DuckDB agree bit-for-bit: with languages sorted ascending by
+    * cap, language i saturates iff cap_i·(K−i+1) ≤ N − S_{i−1} (the
+    * prefix cumulative sum) — the standard exchange argument shows
+    * saturation is a prefix property under this exact integer test —
+    * and every non-saturated language receives the common share
+    * (N − S_sat) div (K − n_sat).
+    *
+    * Plan shape at 100 TB: one partial-aggregated shuffle collapses
+    * the corpus to K per-language rows (map-side combine; K = #langs,
+    * dozens at most); the window and the totals cross-join run over
+    * that K-row table, so nothing downstream of the first aggregate
+    * scales with the corpus. The same plan gates the actual emit via
+    * a broadcast of the K-row allocation. */
+  val qMixUnimax: Q = (s, d) => {
+    val perLang = Tables.documents(s, d)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang").agg(sum("n_tok").as("c"))
+      .withColumn("cap", col("c") * UNIMAX_E)
+    Scoped.withCached(perLang) {
+      // budget = 3/2 of corpus tokens: low-resource languages saturate
+      // at the E-epoch cap, the head language is truncated.
+      val tot = perLang.agg(sum("c").as("t"), count(lit(1)).as("k"))
+        .withColumn("n", expr("t * 3 div 2"))
+      val ord = Window.orderBy(col("cap").asc, col("lang").asc)
+      val ranked = perLang.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(ord))
+        .withColumn("s_prev", coalesce(sum("cap").over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("saturated",
+          (col("cap") * (col("k") - col("i") + 1) <= col("n") - col("s_prev")).cast("int"))
+      val sat = ranked.agg(
+        sum(when(col("saturated") === 1, col("cap")).otherwise(0L)).as("s_sat"),
+        sum(col("saturated").cast("long")).as("n_sat"))
+      ranked.crossJoin(broadcast(sat))
+        .withColumn("alloc", when(col("saturated") === 1, col("cap"))
+          .otherwise(expr("(n - s_sat) div (k - n_sat)")))
+        .select(col("lang"), col("c"), col("cap"), col("saturated"),
+          col("alloc"), round(col("alloc").cast("double") / col("c"), 6).as("epochs"))
+        .orderBy("lang")
+    }
+  }
+
   private val PACK_BUDGET = 512 // tokens per packed sequence
   private val PACK_SHARDS = 8
 
@@ -441,6 +493,7 @@ object Pipeline {
     "q_mix_budget" -> qMixBudget,
     "q_mix_temperature" -> qMixTemperature,
     "q_mix_doremi" -> qMixDoremi,
+    "q_mix_unimax" -> qMixUnimax,
     "q_pack_sequences" -> qPackSequences,
     "q_pack_lengrouped" -> qPackLenGrouped,
     "q_epoch_shuffle" -> qEpochShuffle,
@@ -464,6 +517,26 @@ object Pipeline {
     .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT_BUDGET END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_mix_unimax" ->
+      s"""WITH pl AS (SELECT lang, CAST(sum(len($toksAll)) AS BIGINT) AS c
+         |            FROM documents GROUP BY lang),
+         |pl2 AS (SELECT lang, c, c * $UNIMAX_E AS cap FROM pl),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS k,
+         |          CAST(sum(c) * 3 // 2 AS BIGINT) AS n FROM pl2),
+         |ranked AS (SELECT lang, c, cap, t, k, n,
+         |    row_number() OVER (ORDER BY cap, lang) AS i,
+         |    CAST(coalesce(sum(cap) OVER (ORDER BY cap, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_prev
+         |  FROM pl2 CROSS JOIN tot),
+         |flagged AS (SELECT *, CASE WHEN cap * (k - i + 1) <= n - s_prev
+         |                           THEN 1 ELSE 0 END AS saturated FROM ranked),
+         |sat AS (SELECT CAST(sum(CASE WHEN saturated = 1 THEN cap ELSE 0 END) AS BIGINT) AS s_sat,
+         |          CAST(sum(saturated) AS BIGINT) AS n_sat FROM flagged)
+         |SELECT lang, c, cap, saturated,
+         |  CASE WHEN saturated = 1 THEN cap ELSE (n - s_sat) // (k - n_sat) END AS alloc,
+         |  round(CAST(CASE WHEN saturated = 1 THEN cap
+         |                  ELSE (n - s_sat) // (k - n_sat) END AS DOUBLE) / c, 6) AS epochs
+         |FROM flagged CROSS JOIN sat ORDER BY lang""".stripMargin,
     "q_epoch_shuffle" ->
       s"""WITH e AS (SELECT doc_id, CAST(doc_id % $EPOCH_SHARDS AS INT) AS shard, epoch,
          |             CAST(concat('0x', substr(md5(

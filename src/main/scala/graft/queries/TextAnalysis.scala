@@ -210,6 +210,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private val BM25_QUERY = Seq("join", "hash", "merge", "scan")
+
+  /** BM25 ranked retrieval (Robertson's probabilistic relevance
+    * framework; k1 = 1.2, b = 0.75, Lucene's non-negative
+    * idf = ln(1 + (N − df + ½)/(df + ½))): top-20 documents for a
+    * fixed query term set, scores as floor(·10⁶) longs so the per-doc
+    * sum over matched terms is associative (order-independent) and
+    * bit-exact across engines — the established integer-score
+    * treatment (see qSelectDsir).
+    *
+    * Plan shape at 100 TB: the query-term `isin` prunes the exploded
+    * token stream BEFORE any shuffle, so the tf aggregate shuffles
+    * only rows matching the |q| query terms (≪ corpus); df collapses
+    * to |q| rows and broadcasts; the corpus stats (N, Σdl) are one
+    * partial-aggregated row broadcast via crossJoin; the final top-20
+    * is a TakeOrdered, never a global sort. Nothing downstream of the
+    * pruned explode scales with corpus size. */
+  val qRankBm25: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val toks = docs
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("tok"))
+      .where(col("tok").isin(BM25_QUERY.map(lit): _*))
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfTab = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val st = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w"))).cast("long").as("tot"))
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val num = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      col("tf") * lit(2.2)
+    val den = col("tf") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl)
+    tf.join(broadcast(dfTab), "tok").crossJoin(broadcast(st))
+      .withColumn("w", floor(num.divide(den) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w").as("score_w"))
+      .orderBy(col("score_w").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** Zipf rank-frequency profile: top-30 tokens by corpus frequency
     * with their rank·freq product (≈ constant under Zipf's law).
     * Distributed top-k first, ranking only the 30 survivors. */
@@ -269,6 +311,7 @@ object TextAnalysis {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_ngrams" -> qTextNgrams,
     "q_text_pmi" -> qTextPmi,
+    "q_rank_bm25" -> qRankBm25,
     "q_text_postings" -> qTextPostings,
     "q_text_tfidf" -> qTextTfidf
   )
@@ -277,6 +320,22 @@ object TextAnalysis {
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_rank_bm25" -> {
+      val terms = BM25_QUERY.map(t => s"'$t'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, $toksAll AS w FROM documents),
+         |tk AS (SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM w),
+         |qt AS (SELECT * FROM tk WHERE tok IN ($terms)),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM qt GROUP BY 1, 2),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tot FROM w),
+         |sc AS (SELECT doc_id,
+         |         CAST(floor(((ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2)
+         |           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs))))
+         |           * 1000000) AS BIGINT) AS w
+         |       FROM tf JOIN df USING (tok) CROSS JOIN st)
+         |SELECT doc_id, count(*) AS n_terms, CAST(sum(w) AS BIGINT) AS score_w
+         |FROM sc GROUP BY doc_id ORDER BY score_w DESC, doc_id LIMIT 20""".stripMargin
+    },
     "q_text_pmi" ->
       s"""WITH toks AS (SELECT doc_id, $toksAll AS w FROM documents),
          |big AS (SELECT w[i] AS x, w[i+1] AS y, count(*) AS cxy
