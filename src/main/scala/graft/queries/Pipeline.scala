@@ -156,29 +156,34 @@ object Pipeline {
     val perLang = Tables.documents(s, d)
       .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("lang").agg(sum("n_tok").as("c"))
-      .withColumn("cap", col("c") * UNIMAX_E)
-    Scoped.withCached(perLang) {
-      // budget = 3/2 of corpus tokens: low-resource languages saturate
-      // at the E-epoch cap, the head language is truncated.
-      val tot = perLang.agg(sum("c").as("t"), count(lit(1)).as("k"))
-        .withColumn("n", expr("t * 3 div 2"))
-      val ord = Window.orderBy(col("cap").asc, col("lang").asc)
-      val ranked = perLang.crossJoin(broadcast(tot))
-        .withColumn("i", row_number().over(ord))
-        .withColumn("s_prev", coalesce(sum("cap").over(
-          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("saturated",
-          (col("cap") * (col("k") - col("i") + 1) <= col("n") - col("s_prev")).cast("int"))
-      val sat = ranked.agg(
-        sum(when(col("saturated") === 1, col("cap")).otherwise(0L)).as("s_sat"),
-        sum(col("saturated").cast("long")).as("n_sat"))
-      ranked.crossJoin(broadcast(sat))
-        .withColumn("alloc", when(col("saturated") === 1, col("cap"))
-          .otherwise(expr("(n - s_sat) div (k - n_sat)")))
-        .select(col("lang"), col("c"), col("cap"), col("saturated"),
-          col("alloc"), round(col("alloc").cast("double") / col("c"), 6).as("epochs"))
-        .orderBy("lang")
-    }
+    Scoped.withCached(perLang)(unimaxAlloc(perLang))
+  }
+
+  /** The K-row water-fill over a (lang, c) per-language token-count
+    * table — factored out so UnimaxSpec can drive it with synthetic
+    * inputs and check the allocation invariants directly. Budget =
+    * 3/2 of corpus tokens: low-resource languages saturate at the
+    * E-epoch cap, the head language is truncated. */
+  private[graft] def unimaxAlloc(perLangCounts: DataFrame): DataFrame = {
+    val perLang = perLangCounts.withColumn("cap", col("c") * UNIMAX_E)
+    val tot = perLang.agg(sum("c").as("t"), count(lit(1)).as("k"))
+      .withColumn("n", expr("t * 3 div 2"))
+    val ord = Window.orderBy(col("cap").asc, col("lang").asc)
+    val ranked = perLang.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(ord))
+      .withColumn("s_prev", coalesce(sum("cap").over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("saturated",
+        (col("cap") * (col("k") - col("i") + 1) <= col("n") - col("s_prev")).cast("int"))
+    val sat = ranked.agg(
+      sum(when(col("saturated") === 1, col("cap")).otherwise(0L)).as("s_sat"),
+      sum(col("saturated").cast("long")).as("n_sat"))
+    ranked.crossJoin(broadcast(sat))
+      .withColumn("alloc", when(col("saturated") === 1, col("cap"))
+        .otherwise(expr("(n - s_sat) div (k - n_sat)")))
+      .select(col("lang"), col("c"), col("cap"), col("saturated"),
+        col("alloc"), round(col("alloc").cast("double") / col("c"), 6).as("epochs"))
+      .orderBy("lang")
   }
 
   private val PACK_BUDGET = 512 // tokens per packed sequence

@@ -340,6 +340,26 @@ class PlanSpec extends AnyFunSuite {
         "a window over the raw term would carry a stopword's full posting list in one task")
   }
 
+  test("q_rank_bm25 prunes to query terms before any shuffle; top-k is distributed") {
+    val p = plan("q_rank_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort")
+    assert(!p.contains("CartesianProduct"))
+    // Scale guard: the query-term isin must gate the exploded token
+    // stream directly (below the tf aggregate), so the shuffle carries
+    // only |q|-term matches — never the whole corpus token table.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+    val opt = graft.queries.Scoped.planOnly {
+      SparkEntry.queries("q_rank_bm25")(spark, SF).queryExecution.optimizedPlan
+    }
+    val prunedOnExplode = opt.collect {
+      case f: Filter if f.condition.references.exists(_.name == "tok") =>
+        f.child.collect { case g: Generate => g }.nonEmpty
+    }
+    assert(prunedOnExplode.exists(identity),
+      "query-term filter must sit directly on the exploded token stream")
+  }
+
   test("window sweep: no inventory window partitions on a raw token/shingle key") {
     // Partitioned-or-bounded (the sweep above) is necessary but not
     // sufficient: a window hash-partitioned by an exploded token or
