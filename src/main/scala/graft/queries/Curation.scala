@@ -265,8 +265,11 @@ object Curation {
     *
     * Scale: the model is K weights + 1 threshold at ANY corpus size —
     * broadcasts forever; the corpus is scanned once for class counts
-    * and once for margins (both map-side-combined partial aggs, never
-    * a corpus shuffle); the threshold window runs over DISTINCT
+    * (map-side explode carrying the label, partial agg ⇒ ≤ B bucket
+    * rows per task shuffle) and once for margins (a literal-map fold
+    * over the token array — NO shuffle at all; the K-pair model is
+    * collected at plan time like the IVF fits); the corpus token table
+    * itself never shuffles anywhere; the threshold window runs over DISTINCT
     * margins of K small-integer-weighted counts (bounded far below
     * doc count; a 100 TB deployment quantizes margins to a fixed grid
     * if ever needed). Determinism: exact longs end to end except the
@@ -281,15 +284,17 @@ object Curation {
           >= QG_MIN_STOPS, 1L).otherwise(-1L).as("y"),
         (hash28(concat(lit("clf_"), col("doc_id").cast("string"))) % 10 < 8).as("train"),
         col("w"))
-    val lab = docs.select("doc_id", "lang", "y", "train")
-    val feat = docs.select(col("doc_id"), explode(col("w")).as("tok"))
-      .withColumn("b", hash28(col("tok")) % CLF_B)
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("x"))
-    Scoped.withCached(feat, lab) {
-      val cls = feat.join(lab.where(col("train")).select("doc_id", "y"), "doc_id")
+    Scoped.withCachedEager(docs) {
+      // Class counts straight off a map-side explode carrying the
+      // label: partial agg collapses each task to ≤ B bucket rows, so
+      // the shuffle is B-row partials — the per-(doc_id, b) grouping
+      // this replaces shuffled the whole token table.
+      val cls = docs.where(col("train"))
+        .select(col("y"), explode(col("w")).as("tok"))
+        .withColumn("b", hash28(col("tok")) % CLF_B)
         .groupBy("b").agg(
-          sum(when(col("y") === 1L, col("x")).otherwise(0L)).as("ct"),
-          sum(when(col("y") === 1L, 0L).otherwise(col("x"))).as("cn"))
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("ct"),
+          sum(when(col("y") === 1L, 0L).otherwise(1L)).as("cn"))
       val sel = cls
         .crossJoin(broadcast(cls.agg(sum("ct").as("tp0"), sum("cn").as("tn0"))))
         .withColumn("assoc",
@@ -302,11 +307,15 @@ object Curation {
             .cast("long"))
         .orderBy(col("assoc").desc, col("b").asc).limit(CLF_K)
         .select("b", "wv")
-      val dm = lab.join(
-          feat.join(broadcast(sel), "b")
-            .groupBy("doc_id").agg(sum(col("x") * col("wv")).as("m0")),
-          Seq("doc_id"), "left")
-        .withColumn("m", coalesce(col("m0"), lit(0L)))
+      // The model is K (bucket, weight) pairs — collect it and score
+      // map-side as a literal-map lookup folded over the token array
+      // (the tiny-model-at-plan-time pattern of the IVF fits): the
+      // margin pass touches no shuffle at all, at any corpus scale.
+      val model = sel.collect().map(r => r.getLong(0) -> r.getLong(1))
+      val wvMap = map(model.flatMap { case (b, wv) => Seq(lit(b), lit(wv)) }: _*)
+      val dm = docs.select(col("doc_id"), col("lang"), col("y"), col("train"),
+        aggregate(col("w"), lit(0L), (acc, t) =>
+          acc + coalesce(element_at(wvMap, hash28(t) % CLF_B), lit(0L))).as("m"))
       val trm = dm.where(col("train")).groupBy("m").agg(
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
         sum(when(col("y") === 1L, 0L).otherwise(1L)).as("nn"))
