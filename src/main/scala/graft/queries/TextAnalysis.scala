@@ -210,6 +210,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private val BPE_ROUNDS = 5
+
+  /** BPE tokenizer induction (Sennrich et al. 2016, arXiv:1508.07909):
+    * learn the first [[BPE_ROUNDS]] byte-pair merges over the corpus —
+    * each round counts adjacent symbol pairs (weighted by word
+    * frequency), merges the most frequent pair (ties → lexicographically
+    * smallest), and rewrites the vocabulary. Output: the learned merge
+    * table (round, pair, merged symbol, count) — the artifact a
+    * tokenizer trainer ships.
+    *
+    * Merge application is a space-padded non-overlapping global
+    * regexp replace, scanning left-to-right and consuming the
+    * separator: a run like `a a a a` becomes `aa a a` in one round
+    * (the shared boundary space is consumed), not strict pairwise
+    * `aa aa`. Java regex and RE2 (DuckDB) agree exactly on this
+    * semantic, which is why it was chosen — the deviation from
+    * textbook pairwise merging converges over subsequent rounds and
+    * is identical in both engines, so the hash gate pins it.
+    *
+    * Scale: the ONLY corpus-sized step is the word-frequency partial
+    * agg (map-side combine; vocab ≪ corpus at any scale — this is
+    * precisely why production BPE trainers operate on word counts).
+    * Every merge round runs on the vocab-sized table: one vocab-keyed
+    * partial agg for pair counts, a 1-row TakeOrdered argmax collected
+    * to the driver (the tiny-model-at-plan-time pattern of the IVF
+    * fits), and a map-side rewrite. Driver state is R rows. */
+  val qTokenizeBpe: Q = (s, d) => {
+    val vocab0 = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .withColumn("sym", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+    Scoped.withCachedEager(vocab0) {
+      var vocab = vocab0
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to BPE_ROUNDS) {
+        val best = vocab
+          .withColumn("a", split(col("sym"), " "))
+          .where(size(col("a")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(a)-2), i -> concat(a[i], ' ', a[i+1]))")).as("p"))
+          .groupBy("p").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("p").asc).limit(1)
+          .collect()(0)
+        val (p, cnt) = (best.getString(0), best.getLong(1))
+        merges += ((r, p, p.replace(" ", ""), cnt))
+        vocab = vocab.withColumn("sym",
+          trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
+            lit(s" ${java.util.regex.Pattern.quote(p)} "), lit(s" ${p.replace(" ", "")} "))))
+      }
+      import s.implicits._
+      merges.result().toDF("round", "pair", "merged", "cnt").orderBy("round")
+    }
+  }
+
   private val BM25_QUERY = Seq("join", "hash", "merge", "scan")
 
   /** BM25 ranked retrieval (Robertson's probabilistic relevance
@@ -312,6 +366,7 @@ object TextAnalysis {
     "q_text_ngrams" -> qTextNgrams,
     "q_text_pmi" -> qTextPmi,
     "q_rank_bm25" -> qRankBm25,
+    "q_tokenize_bpe" -> qTokenizeBpe,
     "q_text_postings" -> qTextPostings,
     "q_text_tfidf" -> qTextTfidf
   )
@@ -320,6 +375,33 @@ object TextAnalysis {
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_tokenize_bpe" -> {
+      // The R merge rounds unroll into R CTE stages (pairs → argmax →
+      // rewrite), generated here so the oracle always matches
+      // BPE_ROUNDS; merge patterns reach regexp_replace as scalar
+      // subqueries over the previous round's 1-row argmax.
+      val stages = (1 to BPE_ROUNDS).map { i =>
+        val prev = s"v${i - 1}"
+        s"""p$i AS (SELECT l[i] || ' ' || l[i+1] AS p, freq
+           |  FROM (SELECT freq, string_split(sym, ' ') AS l FROM $prev) s,
+           |       unnest(generate_series(1, len(s.l) - 1)) AS t(i)),
+           |b$i AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i
+           |        GROUP BY p ORDER BY cnt DESC, p LIMIT 1),
+           |v$i AS (SELECT word, freq, trim(regexp_replace(' ' || sym || ' ',
+           |    ' ' || (SELECT p FROM b$i) || ' ',
+           |    ' ' || (SELECT replace(p, ' ', '') FROM b$i) || ' ', 'g')) AS sym
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to BPE_ROUNDS).map { i =>
+        s"SELECT $i AS round, p AS pair, replace(p, ' ', '') AS merged, cnt FROM b$i"
+      }.mkString("\nUNION ALL ")
+      s"""WITH v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+         |  FROM (SELECT unnest($toksAll) AS word FROM documents) GROUP BY word),
+         |$stages
+         |$rows
+         |ORDER BY round""".stripMargin
+    },
     "q_rank_bm25" -> {
       val terms = BM25_QUERY.map(t => s"'$t'").mkString(", ")
       s"""WITH w AS (SELECT doc_id, $toksAll AS w FROM documents),
