@@ -360,6 +360,29 @@ class PlanSpec extends AnyFunSuite {
       "query-term filter must sit directly on the exploded token stream")
   }
 
+  test("q_dedup_cdc chunks map-side: one aggregate shuffle, no joins, top-k distributed") {
+    val p = plan("q_dedup_cdc")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Join"), "CDC chunking must not join anything")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      "only the chunk-hash aggregate (partial+final) may shuffle")
+  }
+
+  test("BPE merge application: separator-consuming left-to-right scan (the pinned variant)") {
+    // The space-padded global replace consumes the shared boundary
+    // space, so a run `a a a a` merges to `aa a a` in ONE round (not
+    // strict pairwise `aa aa`); RE2 (DuckDB) scans identically, which
+    // the q_tokenize_bpe hash gate pins cross-engine. This unit test
+    // pins the Java-side semantics the scaladoc documents.
+    def apply(sym: String, pair: String): String =
+      s" $sym ".replaceAll(s" ${java.util.regex.Pattern.quote(pair)} ",
+        s" ${pair.replace(" ", "")} ").trim
+    assert(apply("a a a", "a a") == "aa a")
+    assert(apply("a a a a", "a a") == "aa a a")
+    assert(apply("x a b y a b", "a b") == "x ab y ab")
+    assert(apply("a b", "a b") == "ab")
+  }
+
   test("window sweep: no inventory window partitions on a raw token/shingle key") {
     // Partitioned-or-bounded (the sweep above) is necessary but not
     // sufficient: a window hash-partitioned by an exploded token or
