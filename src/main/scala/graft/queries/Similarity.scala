@@ -674,7 +674,47 @@ object Similarity {
     }
   }
 
+  private val OUT_SCALE = 10000L // element quantization grid (floor·10⁴)
+
+  /** Embedding-space outlier audit — the distance-to-class-centroid
+    * filter of the LAION-style curation stack (and the classic
+    * mislabeled-sample detector): for each label, quantize every
+    * element to the floor(·10⁴) integer grid, form the per-dimension
+    * floor-mean centroid, and rank vectors by exact integer squared
+    * distance to their label's centroid. Top-10 farthest = the
+    * candidates a curation pass re-examines or drops.
+    *
+    * Everything after quantization is integer arithmetic (sums of
+    * longs, floor-mean via IEEE double division of exact-in-double
+    * sums, squared diffs bounded by (2·10⁴)²·64 ≈ 2.6·10¹⁰ per vector
+    * at ANY corpus size), so Spark and DuckDB agree bit-for-bit with
+    * no epsilon — the established quantized-embedding treatment
+    * ([[qAnnQuantized]]).
+    *
+    * Shape: one posexplode partial agg collapses the corpus to
+    * #labels·64 centroid rows (map-side combine); the centroid
+    * assembles to a per-label array and BROADCASTS back, so the
+    * distance pass is map-side (zip_with fold, no shuffle of the
+    * vector table); top-10 is a TakeOrdered. */
+  val qEmbedOutlier: Q = (s, d) => {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $OUT_SCALE) AS BIGINT))")
+        .as("q"))
+    val cent = q.select(col("label"), posexplode(col("q")).as(Seq("j", "v")))
+      .groupBy("label", "j")
+      .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("mu"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(j, mu))), s -> s.mu)").as("muv"))
+    q.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"), expr(
+        "aggregate(zip_with(q, muv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+        .as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id").asc).limit(10)
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_embed_outlier" -> qEmbedOutlier,
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
@@ -944,6 +984,21 @@ object Similarity {
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_pq_adc" -> pqOracleSql,
     "q_ann_ivf_pq" -> ivfPqOracleSql,
+    "q_embed_outlier" ->
+      s"""WITH q AS (SELECT vec_id, label,
+         |    [CAST(floor(CAST(x AS DOUBLE) * $OUT_SCALE) AS BIGINT) FOR x IN embedding] AS q
+         |  FROM embeddings),
+         |e AS (SELECT vec_id, label, i - 1 AS j, q[i] AS v
+         |      FROM q, unnest(generate_series(1, len(q))) AS t(i)),
+         |m AS (SELECT label, j,
+         |        CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+         |      FROM e GROUP BY 1, 2),
+         |d AS (SELECT vec_id, e.label AS label,
+         |        CAST(sum((v - mu) * (v - mu)) AS BIGINT) AS dist2
+         |      FROM e JOIN m ON e.label = m.label AND e.j = m.j
+         |      GROUP BY 1, 2)
+         |SELECT vec_id, label, dist2 FROM d
+         |ORDER BY dist2 DESC, vec_id LIMIT 10""".stripMargin,
     "q_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, $cosSql AS cos
