@@ -368,6 +368,15 @@ class PlanSpec extends AnyFunSuite {
       "only the chunk-hash aggregate (partial+final) may shuffle")
   }
 
+  test("q_embed_outlier broadcasts the centroid; the vector table never shuffle-joins") {
+    val p = plan("q_embed_outlier")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-label centroid must broadcast back onto the vectors")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the vector table must not shuffle for the distance pass")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("BPE merge application: separator-consuming left-to-right scan (the pinned variant)") {
     // The space-padded global replace consumes the shared boundary
     // space, so a run `a a a a` merges to `aa a a` in ONE round (not
