@@ -186,6 +186,51 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  private val TENS_V = 256   // vocab size (top-V tokens by corpus freq)
+  private val TENS_SEQ = 128 // fixed sequence length
+
+  /** Tensorization — the last-mile step that turns curated text into
+    * training tensors: map tokens to ids from a corpus-derived vocab
+    * (top-[[TENS_V]] by frequency, ids by rank, ties → token order,
+    * OOV → 0), frame each doc to a fixed [[TENS_SEQ]]-length sequence
+    * (truncate long docs, right-pad short ones), and report the
+    * per-language framing profile plus an order-independent integer
+    * checksum of the id streams (Σ over docs of Σ id·(pos+1),
+    * position-weighted so any id permutation changes it — the
+    * cheap whole-output integrity check a tensor-writer emits).
+    *
+    * Shape: the vocab is one map-side-combined partial agg + a
+    * TakeOrdered of V rows, broadcast back (fixed-size model, the
+    * [[Curation.qSelectDsir]] posture); encode + frame + checksum are
+    * pure map-side array ops; the profile is one partial-agg shuffle
+    * of K language rows. Nothing but the vocab agg scales with the
+    * corpus, and its shuffle carries ≤ |vocab| rows per task. */
+  val qTensorize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    val vocab = docs.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(TENS_V)
+      .withColumn("id", row_number().over(
+        boundedWindow(col("freq").desc, col("tok").asc)).cast("long"))
+      .select("tok", "id")
+    val enc = docs.crossJoin(broadcast(vocab.agg(
+        map_from_arrays(collect_list("tok"), collect_list("id")).as("vm"))))
+      .withColumn("ids", expr(
+        s"transform(slice(w, 1, $TENS_SEQ), t -> coalesce(element_at(vm, t), 0L))"))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+    enc.select(col("lang"), col("n_tok"),
+        when(col("n_tok") > TENS_SEQ, 1L).otherwise(0L).as("trunc"),
+        (lit(TENS_SEQ) - least(col("n_tok"), lit(TENS_SEQ.toLong))).as("pad"),
+        expr("aggregate(ids, struct(0L AS s, 1L AS p), " +
+          "(acc, x) -> struct(acc.s + x * acc.p, acc.p + 1L), acc -> acc.s)").as("ck"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        sum("trunc").as("n_trunc_docs"), sum("pad").as("pad_total"),
+        sum("ck").as("ids_checksum"))
+      .orderBy("lang")
+  }
+
   private val PACK_BUDGET = 512 // tokens per packed sequence
   private val PACK_SHARDS = 8
 
@@ -499,6 +544,7 @@ object Pipeline {
     "q_mix_temperature" -> qMixTemperature,
     "q_mix_doremi" -> qMixDoremi,
     "q_mix_unimax" -> qMixUnimax,
+    "q_tensorize" -> qTensorize,
     "q_pack_sequences" -> qPackSequences,
     "q_pack_lengrouped" -> qPackLenGrouped,
     "q_epoch_shuffle" -> qEpochShuffle,
@@ -522,6 +568,25 @@ object Pipeline {
     .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT_BUDGET END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_tensorize" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
+         |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS id
+         |      FROM (SELECT tok, count(*) AS freq
+         |            FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok
+         |            ORDER BY freq DESC, tok LIMIT $TENS_V)),
+         |p AS (SELECT doc_id, lang, i, w[i] AS tok
+         |      FROM t, unnest(generate_series(1, least(len(w), $TENS_SEQ))) AS u(i)),
+         |ids AS (SELECT p.doc_id, i, coalesce(v.id, 0) AS id FROM p LEFT JOIN v USING (tok)),
+         |ck AS (SELECT doc_id, CAST(sum(id * i) AS BIGINT) AS ck FROM ids GROUP BY 1),
+         |s AS (SELECT t.doc_id, t.lang, CAST(len(w) AS BIGINT) AS n_tok,
+         |        CASE WHEN len(w) > $TENS_SEQ THEN 1 ELSE 0 END AS trunc,
+         |        $TENS_SEQ - least(len(w), $TENS_SEQ) AS pad, coalesce(ck.ck, 0) AS ck
+         |      FROM t LEFT JOIN ck ON t.doc_id = ck.doc_id)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+         |  CAST(sum(trunc) AS BIGINT) AS n_trunc_docs,
+         |  CAST(sum(pad) AS BIGINT) AS pad_total,
+         |  CAST(sum(ck) AS BIGINT) AS ids_checksum
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q_mix_unimax" ->
       s"""WITH pl AS (SELECT lang, CAST(sum(len($toksAll)) AS BIGINT) AS c
          |            FROM documents GROUP BY lang),
