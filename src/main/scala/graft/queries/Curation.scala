@@ -510,6 +510,121 @@ object Curation {
       .orderBy("lang")
   }
 
+  // ---- CCNet perplexity buckets (head / middle / tail) ----------------
+
+  /** CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): within
+    * each language, split documents into head / middle / tail terciles
+    * of LM surprise (lowest-surprise third = head = the cleanest slice;
+    * CCNet trains on head+middle and ships the split as corpus
+    * metadata). The LM is the corpus-self unigram model shared with
+    * [[qQualityLm]], integer-scaled floor(·10⁶) per token, so every
+    * per-doc statistic is an exact long.
+    *
+    * Exact terciles WITHOUT a corpus-sized sort: per-doc mean surprise
+    * quantizes to an integer (`floor(ssum/n_tok)`, the ·10⁶ grain), a
+    * partial-agg histogram groups by (lang, grain) — the window that
+    * computes cumulative counts runs over the HISTOGRAM, whose per-lang
+    * partition is bounded by the value range of the grain (≤ ~3·10⁷
+    * rows — ln(10⁻¹³)·10⁶ — regardless of corpus size), never over
+    * document rows. Tercile cuts reduce to 2 longs per language,
+    * broadcast back; the bucket assignment is map-side. Ties at a cut
+    * all land on the lower bucket (`<=`), so the split is deterministic
+    * in both engines. */
+  val qQualityBuckets: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val ds = HeavyHitters.attachKeyCount(tk, "tok", "c", totalOut = Some("total"))
+      .withColumn("surp",
+        floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum("surp").as("ssum"))
+      .withColumn("sper", floor(col("ssum") / col("n_tok")).cast("long"))
+    val hist = ds.groupBy("lang", "sper").agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cn",
+      sum("n").over(Window.partitionBy("lang").orderBy("sper")))
+    val tot = ds.groupBy(col("lang").as("t_lang")).agg(count(lit(1)).as("nl"))
+    val cuts = cum.join(broadcast(tot), col("lang") === col("t_lang"))
+      .groupBy(col("lang").as("c_lang"))
+      .agg(min(when(col("cn") * 3 >= col("nl"), col("sper"))).as("c1"),
+        min(when(col("cn") * 3 >= col("nl") * 2, col("sper"))).as("c2"))
+    ds.join(broadcast(cuts), col("lang") === col("c_lang"))
+      .withColumn("bucket",
+        when(col("sper") <= col("c1"), "head")
+          .when(col("sper") <= col("c2"), "middle").otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_total"),
+        round(sum("ssum").cast("double") / (sum("n_tok") * lit(1000000.0)), 4)
+          .as("mean_surprise"))
+      .orderBy("lang", "bucket")
+  }
+
+  // ---- fixed-vocabulary OOV audit -------------------------------------
+
+  private val OOV_V = 16 // top-V corpus vocabulary (10⁵ in practice)
+
+  /** Out-of-vocabulary audit: the rate of token occurrences outside the
+    * corpus's top-[[OOV_V]] vocabulary, per (lang, source) — the check
+    * a tokenizer-training or vocab-freeze step runs before committing a
+    * vocabulary (high OOV in a stratum means the vocab under-serves
+    * it). The vocab is FIXED-SIZE by construction (top-V by count, ties
+    * by token), so it broadcasts at any corpus scale — membership is a
+    * map-side broadcast left-join; the only shuffles are the two
+    * partial-agg groupBys (token counts; stratum profile), both
+    * map-side combined. Top-V selection is a distributed TakeOrdered,
+    * never a global sort. */
+  val qVocabOov: Q = (s, d) => {
+    val tk = Tables.documents(s, d)
+      .select(col("lang"), col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(OOV_V)
+      .select(col("tok").as("v_tok"))
+    tk.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("v_tok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tok"), 4))
+      .orderBy("lang", "source")
+  }
+
+  // ---- per-source curation profile (RefinedWeb-style) -----------------
+
+  private val SRC_MAX_DUP = 0.2 // drop a source above this exact-dup rate
+
+  /** Source-level curation profile (the RefinedWeb/CommonCrawl move of
+    * judging whole domains, Penedo et al. 2023 §3: a domain whose pages
+    * are mostly mirror copies is dropped wholesale before any per-doc
+    * work): per source — document count, distinct-text count (exact,
+    * via md5 digest), the implied duplicate rate, language breadth,
+    * token volume, and the keep/drop flag at [[SRC_MAX_DUP]].
+    *
+    * Shape: one partial-aggregated groupBy(source) carrying
+    * count-distinct over the digest and lang — Spark plans these as
+    * two-phase expand+agg where the per-task partial dedups each
+    * (source, digest) to one row before the shuffle, so hot sources
+    * cost distinct-values-per-task, not rows. No window, no join; the
+    * profile is K rows for K sources. */
+  val qSourceStats: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), md5(col("text")).as("digest"),
+        col("n_chars"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("digest")).as("n_uniq"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum("n_tok").as("tok_total"),
+        round(sum("n_chars").cast("double") / count(lit(1)), 4).as("mean_chars"))
+      .withColumn("dup_rate",
+        round((col("n_docs") - col("n_uniq")).cast("double") / col("n_docs"), 4))
+      .withColumn("keep", col("dup_rate") <= SRC_MAX_DUP)
+      .select("source", "n_docs", "n_uniq", "dup_rate", "n_langs",
+        "tok_total", "mean_chars", "keep")
+      .orderBy("source")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_profile_drift" -> qProfileDrift,
     "q_select_dsir" -> qSelectDsir,
@@ -521,7 +636,10 @@ object Curation {
     "q_pii_redact" -> qPiiRedact,
     "q_zorder_curve" -> qZorderCurve,
     "q_cap_per_source" -> qCapPerSource,
-    "q_quality_quantile" -> qQualityQuantile
+    "q_quality_quantile" -> qQualityQuantile,
+    "q_quality_buckets" -> qQualityBuckets,
+    "q_vocab_oov" -> qVocabOov,
+    "q_source_stats" -> qSourceStats
   )
 
   private val toksAll =
@@ -736,6 +854,57 @@ object Curation {
          |  CAST(sum(CASE WHEN n_chars >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  round(any_value(thr), 4) AS p25_chars
          |FROM documents JOIN thr ON lang = t_lang
-         |GROUP BY lang ORDER BY lang""".stripMargin
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |tt AS (SELECT sum(c) AS total FROM c),
+         |sp AS (SELECT tok,
+         |         CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS surp
+         |       FROM c, tt),
+         |ds AS (SELECT tk.doc_id, tk.lang, count(*) AS n_tok, sum(surp) AS ssum
+         |       FROM tk JOIN sp USING (tok) GROUP BY 1, 2),
+         |dd AS (SELECT lang, n_tok, ssum,
+         |         CAST(floor(CAST(ssum AS DOUBLE) / n_tok) AS BIGINT) AS sper FROM ds),
+         |h AS (SELECT lang, sper, count(*) AS n FROM dd GROUP BY 1, 2),
+         |cum AS (SELECT lang, sper, sum(n) OVER (PARTITION BY lang ORDER BY sper) AS cn FROM h),
+         |tot AS (SELECT lang AS t_lang, count(*) AS nl FROM dd GROUP BY 1),
+         |cuts AS (SELECT lang, min(CASE WHEN cn * 3 >= nl THEN sper END) AS c1,
+         |                min(CASE WHEN cn * 3 >= nl * 2 THEN sper END) AS c2
+         |         FROM cum JOIN tot ON lang = t_lang GROUP BY 1),
+         |b AS (SELECT dd.lang,
+         |        CASE WHEN sper <= c1 THEN 'head'
+         |             WHEN sper <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |        n_tok, ssum
+         |      FROM dd JOIN cuts USING (lang))
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |  round(CAST(sum(ssum) AS DOUBLE) / (CAST(sum(n_tok) AS BIGINT) * 1000000.0), 4)
+         |    AS mean_surprise
+         |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    "q_vocab_oov" ->
+      s"""WITH tk AS (SELECT lang, source, unnest($toksAll) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |v AS (SELECT tok AS v_tok FROM c ORDER BY c DESC, tok ASC LIMIT $OOV_V)
+         |SELECT lang, source, count(*) AS n_tok,
+         |  CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS oov_rate
+         |FROM tk LEFT JOIN v ON tok = v_tok
+         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "q_source_stats" ->
+      s"""WITH d AS (SELECT source, lang, md5(text) AS digest, n_chars,
+         |             CAST(len($toksAll) AS BIGINT) AS n_tok FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |        count(DISTINCT digest) AS n_uniq,
+         |        count(DISTINCT lang) AS n_langs,
+         |        CAST(sum(n_tok) AS BIGINT) AS tok_total,
+         |        round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_chars
+         |      FROM d GROUP BY source)
+         |SELECT source, n_docs, n_uniq,
+         |  round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4) AS dup_rate,
+         |  n_langs, tok_total, mean_chars,
+         |  round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4) <= $SRC_MAX_DUP AS keep
+         |FROM g ORDER BY source""".stripMargin
   )
 }

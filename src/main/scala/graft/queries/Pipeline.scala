@@ -537,7 +537,46 @@ object Pipeline {
     }
   }
 
+  // ---- RAG sliding-window chunking ------------------------------------
+
+  private val CHUNK_W = 24      // tokens per chunk
+  private val CHUNK_S = 16      // stride (overlap = W - S = 8)
+  private val CHUNK_DOC_MOD = 5 // sampled provenance dump
+
+  /** Sliding-window chunking (the RAG / long-context ingestion step:
+    * fixed token windows with overlap, each chunk carrying provenance
+    * and a content fingerprint so a retrieval index or a downstream
+    * near-dup pass can key on it). Chunks start at 0, S, 2S, … while
+    * the start is inside the document; the final chunk is the natural
+    * remainder (shorter than W), matching the LangChain/LlamaIndex
+    * convention.
+    *
+    * Scale shape: ZERO shuffles — the chunk explosion is a map-side
+    * `posexplode(transform(sequence(...)))` over each document's own
+    * token array, so the operator scales by adding executors; the only
+    * exchange in the plan is the output-order sort of the sampled dump.
+    * At 100 TB the same plan emits (doc_id, chunk_idx, text, fp) as the
+    * corpus's chunk table, partitioned exactly like its input. */
+  val qChunkSliding: Q = (s, d) => {
+    Tables.documents(s, d)
+      .where(col("doc_id") % CHUNK_DOC_MOD === 0)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        posexplode(expr(s"transform(sequence(0, n - 1, $CHUNK_S), st -> " +
+          s"concat_ws(' ', slice(w, st + 1, $CHUNK_W)))")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * CHUNK_S).cast("long").as("start_pos"),
+        least(lit(CHUNK_W).cast("long"),
+          col("n").cast("long") - col("pos") * CHUNK_S).as("chunk_len"),
+        substring(md5(col("col")), 1, 8).as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_chunk_sliding" -> qChunkSliding,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_priority" -> qSamplePriority,
     "q_mix_budget" -> qMixBudget,
@@ -568,6 +607,18 @@ object Pipeline {
     .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT_BUDGET END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_chunk_sliding" ->
+      s"""WITH t AS (SELECT doc_id, $toksAll AS w FROM documents
+         |           WHERE doc_id % $CHUNK_DOC_MOD = 0),
+         |t2 AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+         |ch AS (SELECT doc_id, n, st,
+         |         array_to_string(list_slice(w, st + 1, st + $CHUNK_W), ' ') AS chunk
+         |       FROM t2, unnest(range(0, n, $CHUNK_S)) u(st))
+         |SELECT doc_id, CAST(st // $CHUNK_S AS BIGINT) AS chunk_idx,
+         |  CAST(st AS BIGINT) AS start_pos,
+         |  CAST(least($CHUNK_W, n - st) AS BIGINT) AS chunk_len,
+         |  substr(md5(chunk), 1, 8) AS fp
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_tensorize" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
          |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS id

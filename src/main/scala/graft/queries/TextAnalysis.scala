@@ -306,6 +306,39 @@ object TextAnalysis {
       .limit(20)
   }
 
+  private val PHRASE = Seq("data", "line", "join")
+
+  /** Positional phrase search (the inverted-index query class
+    * [[qTextPostings]]'s doc-level postings cannot answer): documents
+    * containing the exact consecutive phrase, via position-carrying
+    * postings — the classic IR adjacency join (each term's positions
+    * shift to the would-be phrase start; a start present in every
+    * term's list is a match).
+    *
+    * Plan shape at 100 TB: the phrase-term `isin` prunes the exploded
+    * token stream MAP-SIDE before anything else, so every downstream
+    * table scales with the query terms' corpus frequency, not corpus
+    * size; the adjacency joins are equi-joins all keyed on the same
+    * (doc_id, p0) pair, so the per-term streams co-partition under one
+    * exchange each and AQE's skew handling stays available. The
+    * shuffle_hash hint pins the at-scale shape (a term stream is
+    * corpus-frequency-sized — never broadcast it); the per-doc rollup
+    * is a partial agg. */
+  val qTextPhrase: Q = (s, d) => {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .where(col("tok").isin(PHRASE.map(lit): _*))
+    val parts = PHRASE.zipWithIndex.map { case (t, i) =>
+      tk.where(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).cast("long").as("p0"))
+    }
+    parts.reduce((a, b) => a.join(b.hint("shuffle_hash"), Seq("doc_id", "p0")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("p0").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Zipf rank-frequency profile: top-30 tokens by corpus frequency
     * with their rank·freq product (≈ constant under Zipf's law).
     * Distributed top-k first, ranking only the 30 survivors. */
@@ -365,6 +398,7 @@ object TextAnalysis {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_ngrams" -> qTextNgrams,
     "q_text_pmi" -> qTextPmi,
+    "q_text_phrase" -> qTextPhrase,
     "q_rank_bm25" -> qRankBm25,
     "q_tokenize_bpe" -> qTokenizeBpe,
     "q_text_postings" -> qTextPostings,
@@ -375,6 +409,17 @@ object TextAnalysis {
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_phrase" -> {
+      val conds = PHRASE.zipWithIndex
+        .map { case (t, k) => s"w[i + $k] = '$t'" }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id, $toksAll AS w FROM documents),
+         |m AS (SELECT doc_id, i
+         |      FROM t, unnest(range(1, len(w) - ${PHRASE.size - 2})) u(i)
+         |      WHERE $conds)
+         |SELECT doc_id, count(*) AS n_matches,
+         |  CAST(min(i) - 1 AS BIGINT) AS first_pos
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_tokenize_bpe" -> {
       // The R merge rounds unroll into R CTE stages (pairs → argmax →
       // rewrite), generated here so the oracle always matches
