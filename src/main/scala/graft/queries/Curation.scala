@@ -219,6 +219,50 @@ object Curation {
       .orderBy("rn")
   }
 
+  private val BLM_TOPK = 10
+
+  /** Bigram-LM quality scoring — the conditional-context upgrade of
+    * [[qQualityLm]] (CCNet's KenLM is a 5-gram model; the unigram
+    * scorer can't see broken word ORDER, only rare words — a document
+    * of common words shuffled randomly scores as clean; under a bigram
+    * model its improbable transitions surface): token surprise
+    * −ln(c(w₁w₂)/c₁(w₁)) where c₁ counts w₁'s occurrences as a bigram
+    * LEFT element (the MLE conditional over observed transitions —
+    * every scored bigram was observed, so c ≥ 1 and no smoothing mass
+    * is needed for self-scoring); doc score = mean transition surprise,
+    * output = the [[BLM_TOPK]] most-atypical documents.
+    *
+    * Scale shape: the bigram stream is map-side (native non-distinct
+    * Shingles + substring for the left element); BOTH frequency
+    * attaches go through the heavy-hitter split — bigram keys are
+    * Zipfian exactly like tokens ("of the" ~0.5-1% of English web
+    * bigrams), so each attach broadcasts its ≤ 10⁴ hot keys map-side
+    * and shuffle-hash-joins only the tail, with every partition
+    * bounded below total/10⁴. Surprise per bigram type is the
+    * established floor(·10⁶) long, so per-doc sums are exact. */
+  val qQualityBigram: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextExpressions
+          .shinglesAllFast(tokens(col("text")), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val attached = HeavyHitters.attachKeyCount(
+      HeavyHitters.attachKeyCount(bg, "bg", "cbg"), "w1", "cw1")
+    attached
+      .withColumn("surp",
+        floor(-log(col("cbg").cast("double") / col("cw1").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bg"), sum("surp").as("ssum"))
+      .withColumn("surprise",
+        round(col("ssum").cast("double") / (col("n_bg") * lit(1000000.0)), 4))
+      .orderBy(col("surprise").desc, col("doc_id").asc).limit(BLM_TOPK)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("surprise").desc, col("doc_id").asc)))
+      .select("rn", "doc_id", "lang", "n_bg", "surprise")
+      .orderBy("rn")
+  }
+
   // ---- Gopher-style quality rules (thresholds fit this corpus's
   // observed ranges: n_tok p10/p50/p90 = 21/56/88, mean word length
   // 3.7-5.3, distinct ratio 0.28-0.99, mean stopword hits 3.4) ----
@@ -632,6 +676,7 @@ object Curation {
     "q_quality_gopher" -> qQualityGopher,
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_lm" -> qQualityLm,
+    "q_quality_bigram" -> qQualityBigram,
     "q_text_repetition" -> qTextRepetition,
     "q_pii_redact" -> qPiiRedact,
     "q_zorder_curve" -> qZorderCurve,
@@ -855,6 +900,23 @@ object Curation {
          |  round(any_value(thr), 4) AS p25_chars
          |FROM documents JOIN thr ON lang = t_lang
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quality_bigram" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
+         |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg
+         |       FROM t, unnest(range(1, len(w))) u(i)),
+         |cb AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg),
+         |cu AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY w1),
+         |sp AS (SELECT bg.doc_id, bg.lang,
+         |         CAST(floor(-ln(CAST(cbg AS DOUBLE) / cw1) * 1000000) AS BIGINT) AS surp
+         |       FROM bg JOIN cb USING (bg) JOIN cu USING (w1)),
+         |ds AS (SELECT doc_id, lang, count(*) AS n_bg, sum(surp) AS ssum
+         |       FROM sp GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, n_bg,
+         |        round(CAST(ssum AS DOUBLE) / (n_bg * 1000000.0), 4) AS surprise
+         |      FROM ds)
+         |SELECT rn, doc_id, lang, n_bg, surprise FROM (
+         |  SELECT *, row_number() OVER (ORDER BY surprise DESC, doc_id ASC) AS rn FROM r) q
+         |WHERE rn <= $BLM_TOPK ORDER BY rn""".stripMargin,
     "q_quality_buckets" ->
       s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),

@@ -667,7 +667,53 @@ object Dedup {
     }
   }
 
+  private val MEM_N = 8 // gram order (Carlini et al. use ≥50-token spans;
+                        // these synthetic docs run 21-88 tokens)
+
+  /** Memorization / gram-level contamination audit (Carlini et al.
+    * 2021-2023 measure memorization as verbatim n-gram overlap between
+    * model output and training data; run at corpus-build time the same
+    * statistic tells you how much of a held-out split is recoverable
+    * verbatim from train — the gram-granular companion to
+    * [[qSplitLeakage]]'s near-dup pair audit and [[graft.queries.Pipeline]]'s
+    * doc-level decontamination): per non-train language slice — total
+    * distinct eval-doc [[MEM_N]]-grams, how many also occur in train,
+    * the corpus-level hit rate, and the count of documents ≥ half
+    * recoverable (the "memorized" bar, integer compare n_hit·2 ≥
+    * n_grams).
+    *
+    * Scale shape: per-doc-DISTINCT grams via the native Shingles
+    * expression (map-side); the train gram set is a partial-agg
+    * distinct (hot boilerplate grams collapse per task before the
+    * shuffle); membership attaches through ONE equi-join on the gram
+    * key — shuffle_hash-pinned (the train gram table is corpus-sized,
+    * never broadcast) and AQE-skew-eligible, never a window on the raw
+    * gram. All accounting is exact longs; the one division is the
+    * final rounded rate. */
+  val qMemorization: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), splitOf(col("doc_id")).as("split"),
+        explode(shingles(tokens(col("text")), MEM_N)).as("sp"))
+    val train = sh.where(col("split") === "train")
+      .select(col("sp").as("tsp")).distinct()
+    sh.where(col("split") =!= "train")
+      .join(train.hint("shuffle_hash"), col("sp") === col("tsp"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("tsp").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("grams_total"),
+        sum("n_hit").as("grams_hit"),
+        sum(when(col("n_hit") * 2 >= col("n_grams"), 1L).otherwise(0L))
+          .as("n_memorized"))
+      .withColumn("hit_rate",
+        round(col("grams_hit").cast("double") / col("grams_total"), 4))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_memorization" -> qMemorization,
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_lines" -> qDedupLines,
     "q_dedup_cdc" -> qDedupCdc,
@@ -735,6 +781,31 @@ object Dedup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_memorization" -> {
+      val gram = (0 until MEM_N)
+        .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+      val split =
+        s"""CASE WHEN CAST(concat('0x', substr(md5(concat('split_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10 < 8
+           | THEN 'train'
+           | WHEN CAST(concat('0x', substr(md5(concat('split_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 10 = 8
+           | THEN 'val' ELSE 'test' END""".stripMargin
+      s"""WITH t AS (SELECT doc_id, lang, $split AS split,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS w
+         |  FROM documents),
+         |g AS (SELECT DISTINCT doc_id, lang, split, $gram AS sp
+         |      FROM t, unnest(range(1, len(w) + 2 - $MEM_N)) u(i)),
+         |tr AS (SELECT DISTINCT sp FROM g WHERE split = 'train'),
+         |ev AS (SELECT g.doc_id, g.lang, count(*) AS n_grams,
+         |         CAST(sum(CASE WHEN tr.sp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |       FROM g LEFT JOIN tr ON g.sp = tr.sp
+         |       WHERE g.split != 'train' GROUP BY 1, 2)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS grams_total,
+         |  CAST(sum(n_hit) AS BIGINT) AS grams_hit,
+         |  CAST(sum(CASE WHEN n_hit * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_memorized,
+         |  round(CAST(sum(n_hit) AS DOUBLE) / sum(n_grams), 4) AS hit_rate
+         |FROM ev GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_split_leakage" -> {
       def splitSql(x: String) =
         s"""CASE WHEN CAST(concat('0x', substr(md5(concat('split_', CAST($x AS VARCHAR))), 1, 7)) AS BIGINT) % 10 < 8

@@ -49,6 +49,41 @@ object Similarity {
     heaps.valuesIterator.flatMap(_.iterator)
   }
 
+  private val NEG_QN = 4 // anchor count
+  private val NEG_K = 5  // negatives per anchor
+
+  /** Hard-negative mining (the DPR / contrastive-training step,
+    * Karpukhin et al. 2020 §3.2: the most useful negatives are the
+    * highest-scoring candidates that are NOT the answer): for each
+    * anchor vector, the top-[[NEG_K]] most-similar vectors carrying a
+    * DIFFERENT label — random negatives are trivial for the model;
+    * these near-miss negatives are what sharpen the decision boundary.
+    *
+    * Scale shape = [[qAnnBrute]]'s (anchors broadcast, per-partition
+    * bounded heaps cap the shuffle at |partitions|·K·|anchors| rows)
+    * plus a map-side label-inequality prune on the broadcast join
+    * condition itself — mismatched-label pairs never materialize. At
+    * 100 TB the anchor set is the (small) training-batch query side;
+    * the corpus side streams map-side exactly like the brute search. */
+  val qAnnNegatives: Q = (s, d) => {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, d)
+    val anchors = corpus.where(col("vec_id") < NEG_QN)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    corpus.join(broadcast(anchors), col("label") =!= col("qlabel"))
+      .select(col("qid").cast("long"), col("vec_id").cast("long"),
+        round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+      .as[(Long, Long, Double)]
+      .mapPartitions(partialTopK[(Long, Long, Double)](_, NEG_K, _._1, t => (t._3, t._2)))
+      .toDF("qid", "vec_id", "cos")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= NEG_K)
+      .select("qid", "rn", "vec_id", "cos")
+      .orderBy("qid", "rn")
+  }
+
   /** Brute-force cosine top-5 for a small broadcast query set. */
   val qAnnBrute: Q = (s, d) => {
     import s.implicits._
@@ -716,6 +751,7 @@ object Similarity {
   def queries: Map[String, Q] = Map(
     "q_embed_outlier" -> qEmbedOutlier,
     "q_ann_brute" -> qAnnBrute,
+    "q_ann_negatives" -> qAnnNegatives,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
     "q_ann_ivf_label" -> qAnnIvfLabel,
@@ -999,6 +1035,15 @@ object Similarity {
          |      GROUP BY 1, 2)
          |SELECT vec_id, label, dist2 FROM d
          |ORDER BY dist2 DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_negatives" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, $cosSql AS cos
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id < $NEG_QN AND c.label != q.label)
+         |SELECT qid, rn, vec_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM scored) t
+         |WHERE rn <= $NEG_K ORDER BY qid, rn""".stripMargin,
     "q_ann_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, $cosSql AS cos

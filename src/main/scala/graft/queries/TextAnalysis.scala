@@ -306,6 +306,48 @@ object TextAnalysis {
       .limit(20)
   }
 
+  private val SKEW_TOPN = 10
+
+  /** Shuffle-key skew diagnostic — the pre-flight audit this engine's
+    * own scale decisions rest on (heavy-hitter split vs plain groupBy,
+    * salting, AQE skew thresholds all start from "how skewed IS this
+    * key?"): over the corpus token key — row and distinct-key counts,
+    * the hottest key's share, the top-[[SKEW_TOPN]] keys' combined
+    * share, and Shannon entropy in nats (low entropy = concentrated =
+    * shuffle-hostile). A key whose top1_share × rows exceeds one
+    * executor's memory fails a window partition and spills a join
+    * partition — this query is the number to check BEFORE picking the
+    * plan shape.
+    *
+    * Scale shape: one partial-agg groupBy collapses the corpus to the
+    * key-cardinality counts table (hot keys cost one long per task);
+    * every statistic after that runs over counts only — global aggs
+    * partial-combine, the top-N is a TakeOrdered, the total is a 1-row
+    * broadcast. Entropy terms are per-key floor(·10⁻⁶)-grain longs, so
+    * the sum is shuffle-order-independent. */
+  val qSkewProfile: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    graft.queries.Scoped.withCached(counts) {
+      val tot = counts.agg(sum("c").cast("long").as("t"))
+      val stats = counts.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("n_keys"),
+          sum("c").as("n_rows"),
+          max("c").as("top1"),
+          sum(floor((col("c").cast("double") / col("t")) *
+            log(col("t").cast("double") / col("c")) * 1e6).cast("long"))
+            .as("ent_sum"))
+      val topN = counts.orderBy(col("c").desc, col("tok").asc).limit(SKEW_TOPN)
+        .agg(sum("c").cast("long").as("topn"))
+      stats.crossJoin(broadcast(topN))
+        .select(lit("tok").as("key_domain"), col("n_rows"), col("n_keys"),
+          round(col("top1").cast("double") / col("n_rows"), 4).as("top1_share"),
+          round(col("topn").cast("double") / col("n_rows"), 4).as("topn_share"),
+          round(col("ent_sum").cast("double") / 1e6, 4).as("entropy_nats"))
+    }
+  }
+
   private val PHRASE = Seq("data", "line", "join")
 
   /** Positional phrase search (the inverted-index query class
@@ -399,6 +441,7 @@ object TextAnalysis {
     "q_text_ngrams" -> qTextNgrams,
     "q_text_pmi" -> qTextPmi,
     "q_text_phrase" -> qTextPhrase,
+    "q_skew_profile" -> qSkewProfile,
     "q_rank_bm25" -> qRankBm25,
     "q_tokenize_bpe" -> qTokenizeBpe,
     "q_text_postings" -> qTextPostings,
@@ -409,6 +452,22 @@ object TextAnalysis {
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_skew_profile" ->
+      s"""WITH tk AS (SELECT unnest($toksAll) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c),
+         |s AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         |        CAST(max(c) AS BIGINT) AS top1,
+         |        CAST(sum(CAST(floor((CAST(c AS DOUBLE) / t)
+         |          * ln(CAST(t AS DOUBLE) / c) * 1000000) AS BIGINT)) AS BIGINT) AS ent_sum
+         |      FROM c, t),
+         |tp AS (SELECT CAST(sum(c) AS BIGINT) AS topn FROM
+         |        (SELECT c FROM c ORDER BY c DESC, tok ASC LIMIT $SKEW_TOPN))
+         |SELECT 'tok' AS key_domain, n_rows, n_keys,
+         |  round(CAST(top1 AS DOUBLE) / n_rows, 4) AS top1_share,
+         |  round(CAST(topn AS DOUBLE) / n_rows, 4) AS topn_share,
+         |  round(CAST(ent_sum AS DOUBLE) / 1000000, 4) AS entropy_nats
+         |FROM s, tp""".stripMargin,
     "q_text_phrase" -> {
       val conds = PHRASE.zipWithIndex
         .map { case (t, k) => s"w[i + $k] = '$t'" }.mkString(" AND ")
