@@ -258,7 +258,45 @@ object Streaming {
     finishAndDrop(s, name)(_.orderBy("c_mktsegment"))
   }
 
+  /** Stateful session windows as a REAL streaming query — the
+    * [[graft.streaming.Sessionizer]] flatMapGroupsWithState path
+    * (previously covered only by its batch-parity unit suite) under
+    * the oracle gate. Closed sessions emit from the data batch itself
+    * (a later event past the 30-min gap closes them); each user's
+    * final open session emits only when its event-time timeout
+    * (last + gap) falls strictly before the final watermark
+    * (max ts − 10 s), which the closing no-data micro-batch advances —
+    * the same finalize-by-watermark contract as [[qStreamHourlyWm]],
+    * and the oracle applies the identical cutoff. State is one small
+    * record per active user: at 100 TB of events the store scales with
+    * ACTIVE-user cardinality, not event volume, and the only shuffle
+    * is the groupByKey on user_id. */
+  val qStreamSessions: Q = (parent, d) => onStreamSession(parent) { s =>
+    import s.implicits._
+    val schema = eventsSchema(s, d)
+    val name = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = scopedCheckpoint(name)
+    val events = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .where(col("user_id") % 25 === 0)
+      .select(col("user_id").as("userId"),
+        expr("ts div 1000000").cast("long").as("tsMs"),
+        col("event_id").as("eventId"))
+      .as[graft.streaming.Sessionizer.Event]
+    val q = graft.streaming.Sessionizer.sessionize(events, 1800000L, "10 seconds")
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name)(_
+      .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+        col("endMs").as("end_ms"), col("nEvents").as("n_events"),
+        col("firstEvent").as("first_event"))
+      .orderBy("user_id", "start_ms"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_sessions" -> qStreamSessions,
     "q_stream_static_join" -> qStreamStaticJoin,
     "q_stream_hourly" -> qStreamHourly,
     "q_stream_hourly_wm" -> qStreamHourlyWm,
@@ -268,6 +306,39 @@ object Streaming {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // Sessions: the batch gap-split rule; every non-final session per
+    // user emits (closed by a later event); the final one emits only
+    // if its timeout (end + gap) fell strictly before the final
+    // watermark (max sampled ts − 10 s) — the flatMapGroupsWithState
+    // EventTimeTimeout contract.
+    "q_stream_sessions" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events
+        |            WHERE user_id % 25 = 0),
+        |wm AS (SELECT max(t) - 10000 AS cut FROM ev),
+        |g AS (SELECT user_id, event_id, t,
+        |        t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        |      FROM ev),
+        |b AS (SELECT user_id, event_id, t,
+        |        CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS brk
+        |      FROM g),
+        |sd AS (SELECT user_id, event_id, t,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
+        |       FROM b),
+        |fe AS (SELECT user_id, sid, event_id AS first_event FROM sd
+        |       WHERE rn = (SELECT min(s2.rn) FROM sd s2
+        |                   WHERE s2.user_id = sd.user_id AND s2.sid = sd.sid)),
+        |sess AS (SELECT sd.user_id, sd.sid, min(t) AS start_ms, max(t) AS end_ms,
+        |           count(*) AS n_events
+        |         FROM sd GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+        |SELECT s.user_id AS user_id, s.start_ms, s.end_ms, s.n_events, fe.first_event
+        |FROM sess s
+        |JOIN fe ON s.user_id = fe.user_id AND s.sid = fe.sid
+        |JOIN mx ON s.user_id = mx.user_id, wm
+        |WHERE s.sid < mx.last_sid OR s.end_ms + 1800000 < wm.cut
+        |ORDER BY s.user_id, s.start_ms""".stripMargin,
     "q_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM events JOIN customer ON user_id = c_custkey
