@@ -233,25 +233,32 @@ object Curation {
     * output = the [[BLM_TOPK]] most-atypical documents.
     *
     * Scale shape: the bigram stream is map-side (native non-distinct
-    * Shingles + substring for the left element); BOTH frequency
-    * attaches go through the heavy-hitter split — bigram keys are
-    * Zipfian exactly like tokens ("of the" ~0.5-1% of English web
-    * bigrams), so each attach broadcasts its ≤ 10⁴ hot keys map-side
-    * and shuffle-hash-joins only the tail, with every partition
-    * bounded below total/10⁴. Surprise per bigram type is the
-    * established floor(·10⁶) long, so per-doc sums are exact. */
+    * Shingles); the CORPUS is aggregated exactly once — the left-
+    * element totals derive from the bigram counts table itself
+    * (c₁(w₁) = Σ_bg c(w₁·), a key-cardinality-sized agg + join, per-w₁
+    * group bounded by the distinct-continuation count ≤ vocab), and
+    * per-bigram-TYPE surprise is precomputed on that model table so
+    * ONE heavy-hitter split ([[HeavyHitters.attachModel]]) attaches a
+    * single long to the stream — bigram keys are Zipfian exactly like
+    * tokens ("of the" ~0.5-1% of English web bigrams), so the ≤ 10⁴
+    * hot types broadcast map-side and only the tail joins back
+    * shuffle-hash, partitions bounded below total/10⁴. Surprise per
+    * type is the established floor(·10⁶) long, so per-doc sums are
+    * exact. */
   val qQualityBigram: Q = (s, d) => {
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.TextExpressions
           .shinglesAllFast(tokens(col("text")), 2)).as("bg"))
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val attached = HeavyHitters.attachKeyCount(
-      HeavyHitters.attachKeyCount(bg, "bg", "cbg"), "w1", "cw1")
-    attached
+    val cw1 = cb.groupBy(col("w1").as("u1")).agg(sum("cbg").as("cw1"))
+    val model = cb.join(cw1.hint("shuffle_hash"), col("w1") === col("u1"))
       .withColumn("surp",
         floor(-log(col("cbg").cast("double") / col("cw1").cast("double")) * 1e6)
           .cast("long"))
+      .select("bg", "cbg", "surp")
+    HeavyHitters.attachModel(bg, "bg", model, "cbg")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bg"), sum("surp").as("ssum"))
       .withColumn("surprise",

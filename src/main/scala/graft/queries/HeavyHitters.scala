@@ -92,4 +92,41 @@ object HeavyHitters {
       case None => attached
     }
   }
+
+  /** The same hot/tail split for a PRECOMPUTED per-key model table
+    * (`key`, `countCol`, any derived columns): hot keys — `countCol` ≥
+    * total/H, ≤ H rows by the same counting argument — broadcast and
+    * attach every model column MAP-SIDE; tail rows join the model
+    * shuffle-hash with every partition bounded below total/H.
+    *
+    * Use when the model is derived from aggregates rather than being a
+    * bare row count — e.g. a per-bigram-type surprise that needs the
+    * bigram AND its left-element totals ([[Curation.qQualityBigram]]):
+    * deriving those on the key-cardinality counts table and attaching
+    * ONCE costs one corpus-wide aggregate + one split, where nesting
+    * [[attachKeyCount]] per statistic would re-aggregate and re-split
+    * the corpus-sized stream for each. `countCol` must be the key's
+    * occurrence count in `df` (it decides hotness); every `df` row's
+    * key must exist in `model` (inner tail join — true by construction
+    * when the model aggregates the same stream). */
+  def attachModel(df: DataFrame, key: String, model: DataFrame,
+      countCol: String): DataFrame = {
+    val modelCols = model.columns.filterNot(_ == key).toSeq
+    val totals = model.agg(sum(col(countCol)).cast("long").as("__hh_total"))
+    val hot = model.crossJoin(broadcast(totals))
+      .where(col(countCol) * lit(HOT_DENOM) >= col("__hh_total"))
+      .drop("__hh_total")
+    val hotTagged = modelCols.foldLeft(hot) {
+      (t, c) => t.withColumnRenamed(c, s"__hot_$c")
+    }
+    val tagged = df.join(broadcast(hotTagged), Seq(key), "left")
+    val isHot = col(s"__hot_$countCol").isNotNull // counts are never null
+    val hotRows = modelCols.foldLeft(tagged.where(isHot)) {
+      (t, c) => t.withColumn(c, col(s"__hot_$c"))
+    }.drop(modelCols.map(c => s"__hot_$c"): _*)
+    val tailRows = tagged.where(!isHot)
+      .drop(modelCols.map(c => s"__hot_$c"): _*)
+      .join(model.hint("shuffle_hash"), Seq(key))
+    hotRows.unionByName(tailRows)
+  }
 }
