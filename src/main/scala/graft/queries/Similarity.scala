@@ -84,6 +84,53 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  private val MRL_QN = 4   // anchors
+  private val MRL_K = 5    // top-k compared
+  private val MRL_DIM = 16 // truncated prefix dims (of 64)
+
+  /** Dimension-truncation recall audit (the Matryoshka-embedding
+    * question, Kusupati et al. 2022: MRL trains vectors whose PREFIX is
+    * itself an embedding — serving truncates to d′ ≪ d for 4× less
+    * memory and bandwidth, IF recall holds): per anchor, exact top-K
+    * under full 64-dim cosine vs top-K under the first-[[MRL_DIM]]
+    * prefix, reporting the overlap and recall@K — the measurement that
+    * decides whether the truncated tier can serve first-stage
+    * retrieval.
+    *
+    * Scale shape: both rankings are [[qAnnBrute]]'s (anchors broadcast,
+    * per-partition bounded heaps; the corpus streams map-side, scored
+    * once per tier); the overlap join runs on two K·|anchors|-row
+    * lists — driver-free, broadcast-sized. At 100 TB the prefix tier
+    * would read a 4× narrower vector column — the audit quantifies
+    * what that buys before committing the storage layout. */
+  val qAnnMrlRecall: Q = (s, d) => {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, d)
+    val anchors = corpus.where(col("vec_id") < MRL_QN)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def topk(scoreOf: Column): DataFrame =
+      corpus.join(broadcast(anchors), col("vec_id") =!= col("qid"))
+        .select(col("qid").cast("long"), col("vec_id").cast("long"),
+          round(scoreOf, 4).as("cos"))
+        .as[(Long, Long, Double)]
+        .mapPartitions(partialTopK[(Long, Long, Double)](_, MRL_K, _._1, t => (t._3, t._2)))
+        .toDF("qid", "vec_id", "cos")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rn") <= MRL_K)
+    val full = topk(cosine(col("qv"), col("embedding")))
+    val pref = topk(cosine(slice(col("qv"), 1, MRL_DIM),
+      slice(col("embedding"), 1, MRL_DIM)))
+      .select(col("qid").as("p_qid"), col("vec_id").as("p_vid"))
+    full.join(pref, col("qid") === col("p_qid") && col("vec_id") === col("p_vid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("p_vid").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("recall", round(col("n_overlap").cast("double") / col("k"), 4))
+      .orderBy("qid")
+  }
+
   /** Brute-force cosine top-5 for a small broadcast query set. */
   val qAnnBrute: Q = (s, d) => {
     import s.implicits._
@@ -752,6 +799,7 @@ object Similarity {
     "q_embed_outlier" -> qEmbedOutlier,
     "q_ann_brute" -> qAnnBrute,
     "q_ann_negatives" -> qAnnNegatives,
+    "q_ann_mrl_recall" -> qAnnMrlRecall,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
     "q_ann_ivf_label" -> qAnnIvfLabel,
@@ -1035,6 +1083,34 @@ object Similarity {
          |      GROUP BY 1, 2)
          |SELECT vec_id, label, dist2 FROM d
          |ORDER BY dist2 DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_mrl_recall" -> {
+      val prefCos =
+        s"""round(list_sum(list_transform(range(1, ${MRL_DIM + 1}),
+           |    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           |  / (sqrt(list_sum(list_transform(range(1, ${MRL_DIM + 1}),
+           |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+           |     * sqrt(list_sum(list_transform(range(1, ${MRL_DIM + 1}),
+           |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4)"""
+          .stripMargin
+      s"""WITH f AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id, $cosSql AS cos
+         |           FROM embeddings q JOIN embeddings c
+         |             ON q.vec_id < $MRL_QN AND c.vec_id != q.vec_id),
+         |ft AS (SELECT qid, vec_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |         FROM f) t WHERE rn <= $MRL_K),
+         |p AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id, $prefCos AS cos
+         |      FROM embeddings q JOIN embeddings c
+         |        ON q.vec_id < $MRL_QN AND c.vec_id != q.vec_id),
+         |pt AS (SELECT qid, vec_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |         FROM p) t WHERE rn <= $MRL_K)
+         |SELECT ft.qid AS qid, count(*) AS k,
+         |  CAST(sum(CASE WHEN pt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         |  round(CAST(sum(CASE WHEN pt.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS recall
+         |FROM ft LEFT JOIN pt ON ft.qid = pt.qid AND ft.vec_id = pt.vec_id
+         |GROUP BY ft.qid ORDER BY qid""".stripMargin
+    },
     "q_ann_negatives" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS qid, c.vec_id AS vec_id, $cosSql AS cos

@@ -39,4 +39,31 @@ class HeavyHittersSpec extends AnyFunSuite {
     val bad = got.join(naive, "tok").where(col("c") =!= col("c2"))
     assert(got.count() === 5000L && bad.isEmpty)
   }
+
+  test("attachModel equals a naive model join on a Zipf-skewed table") {
+    // Same physical-reshape law for the precomputed-model variant:
+    // every model column must arrive unchanged on every row, whichever
+    // branch (hot broadcast / tail join) delivered it.
+    val df = spark.range(10000).select(col("id"),
+      when(col("id") % 10 < 6, lit("the"))
+        .otherwise(concat(lit("k"), (col("id") % 4096).cast("string"))).as("tok"))
+    val model = df.groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("w", col("c") * 7 + length(col("tok")))
+    val got = HeavyHitters.attachModel(df, "tok", model, "c")
+    val expect = df.join(model, "tok")
+    assert(got.count() === 10000L)
+    val g = got.select("id", "tok", "c", "w")
+    val e = expect.select("id", "tok", "c", "w")
+    assert(g.exceptAll(e).isEmpty && e.exceptAll(g).isEmpty)
+  }
+
+  test("attachModel all-tail when no key is hot") {
+    val df = spark.range(5000).select(col("id"),
+      (col("id") % 3000).cast("string").as("tok"))
+    val model = df.groupBy("tok").agg(count(lit(1)).as("c"))
+    val got = HeavyHitters.attachModel(df, "tok", model, "c")
+    val naive = df.groupBy("tok").agg(count(lit(1)).as("c2"))
+    val bad = got.join(naive, "tok").where(col("c") =!= col("c2"))
+    assert(got.count() === 5000L && bad.isEmpty)
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Driver-side independent reimplementations of the round-8 text
+  * operators at sf0.001 — the same law the oracle gate checks at
+  * sf0.01/sf0.1, but against hand-rolled Scala rather than DuckDB, so
+  * a shared misreading of the semantics in BOTH SQL dialects can't
+  * slip through (the specs and the SQL were written from the operator
+  * definitions independently). */
+class Round8OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+  private val SF = "/root/testdata/sf0.001"
+
+  private def docs(): Seq[(Long, String, String)] =
+    spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  private def toks(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  test("q_chunk_sliding: chunks tile each sampled document exactly") {
+    val W = 24; val S = 16; val MOD = 5
+    val got = SparkEntry.queries("q_chunk_sliding")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1)
+    val expected = docs().filter(_._1 % MOD == 0)
+      .map { case (id, _, t) => id -> toks(t).length }
+      .filter(_._2 > 0).toMap
+    assert(byDoc.keySet == expected.keySet)
+    byDoc.foreach { case (id, rows) =>
+      val n = expected(id)
+      val sorted = rows.sortBy(_._2)
+      // consecutive indices from 0; starts at idx*S while start < n;
+      // len = min(W, n-start). With W > S the last ceil((W-S)/S)+1
+      // chunks may all be partial, so "full iff start+W <= n" is the
+      // law — NOT "only the final chunk is short".
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      assert(sorted.size == (n - 1) / S + 1, "one chunk per stride start below n")
+      sorted.foreach { case (_, idx, start, len) =>
+        assert(start == idx * S)
+        assert(len == math.min(W.toLong, n - start))
+        assert(len > 0)
+        assert((len == W) == (start + W <= n), "full width iff W tokens remain")
+      }
+      val (_, _, lastStart, lastLen) = sorted.last
+      assert(lastStart + lastLen == n, "last chunk must end at the doc end")
+    }
+  }
+
+  test("q_text_phrase: equals a naive scan for the phrase") {
+    val phrase = Seq("data", "line", "join")
+    val got = SparkEntry.queries("q_text_phrase")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = docs().flatMap { case (id, _, t) =>
+      val w = toks(t)
+      val hits = w.indices.filter(i => i + phrase.size <= w.length &&
+        phrase.indices.forall(k => w(i + k) == phrase(k)))
+      if (hits.isEmpty) None
+      else Some((id, hits.size.toLong, hits.min.toLong))
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture should contain the phrase")
+  }
+
+  test("q_memorization: equals a naive split/gram reimplementation") {
+    val N = 8
+    def hash28(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    def splitOf(id: Long): String = (hash28(s"split_$id") % 10) match {
+      case p if p < 8 => "train"
+      case 8          => "val"
+      case _          => "test"
+    }
+    val grams = docs().map { case (id, lang, t) =>
+      (id, lang, splitOf(id), toks(t).sliding(N).filter(_.length == N)
+        .map(_.mkString(" ")).toSet)
+    }
+    val train = grams.filter(_._3 == "train").flatMap(_._4).toSet
+    val perLang = grams.filter(_._3 != "train").filter(_._4.nonEmpty)
+      .groupBy(_._2).map { case (lang, ds) =>
+        val per = ds.map(d => (d._4.size.toLong, d._4.count(train).toLong))
+        (lang, (per.size.toLong, per.map(_._1).sum, per.map(_._2).sum,
+          per.count(p => p._2 * 2 >= p._1).toLong))
+      }
+    val got = SparkEntry.queries("q_memorization")(spark, SF)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == perLang)
+    assert(got.values.map(_._3).sum > 0,
+      "planted exact dups should leak grams across splits")
+  }
+
+  test("q_ann_mrl_recall: shape and bounds") {
+    val rows = SparkEntry.queries("q_ann_mrl_recall")(spark, SF).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5L)
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getLong(2) == math.round(rec * 5))
+    }
+  }
+}
