@@ -131,6 +131,115 @@ object Similarity {
       .orderBy("qid")
   }
 
+  private val RRF_KC = 60  // Cormack's k — dampens the head rank's dominance
+  private val RRF_ARM = 20 // per-arm candidate depth
+  private val RRF_N = 15   // fused list emitted
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of the lexical BM25 ranking ([[TextAnalysis.qRankBm25]]'s top-20
+    * for the fixed query term set) and a dense cosine ranking (top-20
+    * against the broadcast anchor vector) over the shared document id
+    * space — the standard hybrid-retrieval merge:
+    * score(d) = Σ_arms 1/(k + rank_arm(d)), k = 60. Contributions are
+    * exact integers 10⁹ div (k + rank), so the fused sum and the final
+    * ordering are bit-identical across engines — no FP rank math.
+    *
+    * Scale shape: each arm ends in a TakeOrdered top-[[RRF_ARM]]
+    * (BM25's explode is query-term-pruned map-side before any shuffle;
+    * the dense arm streams the corpus against one broadcast anchor) —
+    * the fusion itself is a full-outer join of two 20-ROW lists:
+    * driver-free, broadcast-sized, constant cost at any corpus scale.
+    * The rank windows run over post-Limit inputs (bounded by
+    * construction — the plan sweep's accepted shape). */
+  val qRankRrf: Q = (s, d) => {
+    val lex = TextAnalysis.qRankBm25(s, d)
+      .withColumn("lex_rn", row_number().over(
+        Window.orderBy(col("score_w").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rn"),
+        expr(s"CAST(1000000000 div ($RRF_KC + lex_rn) AS BIGINT)").as("lex_c"))
+    val anchor = Tables.embeddings(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val dense = Tables.embeddings(s, d).where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(col("vec_id").cast("long").as("doc_id"),
+        round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(RRF_ARM)
+      .withColumn("dense_rn", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("dense_rn"),
+        expr(s"CAST(1000000000 div ($RRF_KC + dense_rn) AS BIGINT)").as("den_c"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
+        coalesce(col("dense_rn"), lit(0L)).as("dense_rn"),
+        (coalesce(col("lex_c"), lit(0L)) + coalesce(col("den_c"), lit(0L)))
+          .as("rrf_s"))
+      .orderBy(col("rrf_s").desc, col("doc_id").asc)
+      .limit(RRF_N)
+  }
+
+  private val EVAL_QN = 8 // anchors scored
+  private val EVAL_K = 10 // ranking cutoff
+
+  /** floor(10⁶ / log₂(i+1)) DCG discount grains for ranks 1..K, and
+    * their prefix sums (the ideal-DCG table). Computed ONCE here and
+    * embedded as integer literals in BOTH engines — the cross-engine
+    * determinism treatment for transcendental constants (no libm
+    * agreement needed; every downstream sum is exact long math). */
+  private val DCG_G: IndexedSeq[Long] =
+    (1 to EVAL_K).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  private val DCG_CUM: IndexedSeq[Long] = DCG_G.scanLeft(0L)(_ + _).tail
+
+  /** Retrieval-quality evaluation (the Recall@K / MRR@K / NDCG@K
+    * harness every embedding-pipeline change is judged by): per
+    * anchor, rank the corpus by exact cosine, mark a candidate
+    * relevant iff it carries the anchor's label, and score the top-K
+    * list — recall against the anchor's full relevant set, reciprocal
+    * rank of the first hit, and NDCG with binary gains (Järvelin &
+    * Kekäläinen 2002). DCG/IDCG are sums of the precomputed
+    * [[DCG_G]]/[[DCG_CUM]] integer grains, so both engines agree
+    * bit-for-bit down to the final rounded division.
+    *
+    * Scale shape: the ranking is [[qAnnBrute]]'s (anchors broadcast,
+    * per-partition bounded heaps cap the shuffle at
+    * |partitions|·K·|anchors| rows); the relevant-set sizes come from
+    * one partial-aggregated label count (|labels| rows, broadcast);
+    * everything after the top-K runs on K·|anchors| rows. */
+  val qEvalRetrieval: Q = (s, d) => {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, d)
+    val anchors = corpus.where(col("vec_id") < EVAL_QN)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qv"))
+    val labCnt = corpus.groupBy("label").agg(count(lit(1)).as("n_lab"))
+    val gMap = map((1 to EVAL_K).flatMap(i => Seq(lit(i), lit(DCG_G(i - 1)))): _*)
+    val cumMap = map((1 to EVAL_K).flatMap(i => Seq(lit(i), lit(DCG_CUM(i - 1)))): _*)
+    val topk = corpus.join(broadcast(anchors), col("vec_id") =!= col("qid"))
+      .select(col("qid").cast("long"), col("vec_id").cast("long"),
+        round(cosine(col("qv"), col("embedding")), 4).as("cos"),
+        (col("label") === col("qlabel")).cast("int").as("rel"),
+        col("qlabel").cast("int"))
+      .as[(Long, Long, Double, Int, Int)]
+      .mapPartitions(partialTopK[(Long, Long, Double, Int, Int)](_, EVAL_K, _._1, t => (t._3, t._2)))
+      .toDF("qid", "vec_id", "cos", "rel", "qlabel")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+      .where(col("rn") <= EVAL_K)
+    topk.groupBy("qid", "qlabel")
+      .agg(sum("rel").cast("long").as("hits"),
+        sum(col("rel") * element_at(gMap, col("rn"))).cast("long").as("dcg_s"),
+        min(when(col("rel") === 1, col("rn"))).as("fr"))
+      .join(broadcast(labCnt), col("qlabel") === col("label"))
+      .withColumn("n_rel", (col("n_lab") - 1).cast("long"))
+      .select(col("qid"), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / col("n_rel"), 4).as("recall_k"),
+        coalesce(round(lit(1.0) / col("fr"), 4), lit(0.0)).as("mrr_k"),
+        round(col("dcg_s").cast("double") /
+          element_at(cumMap, least(lit(EVAL_K.toLong), col("n_rel")).cast("int")), 4)
+          .as("ndcg_k"))
+      .orderBy("qid")
+  }
+
   /** Brute-force cosine top-5 for a small broadcast query set. */
   val qAnnBrute: Q = (s, d) => {
     import s.implicits._
@@ -800,6 +909,8 @@ object Similarity {
     "q_ann_brute" -> qAnnBrute,
     "q_ann_negatives" -> qAnnNegatives,
     "q_ann_mrl_recall" -> qAnnMrlRecall,
+    "q_rank_rrf" -> qRankRrf,
+    "q_eval_retrieval" -> qEvalRetrieval,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
     "q_ann_ivf_label" -> qAnnIvfLabel,
@@ -1110,6 +1221,50 @@ object Similarity {
          |    / count(*), 4) AS recall
          |FROM ft LEFT JOIN pt ON ft.qid = pt.qid AND ft.vec_id = pt.vec_id
          |GROUP BY ft.qid ORDER BY qid""".stripMargin
+    },
+    "q_rank_rrf" ->
+      s"""WITH lexs AS (${TextAnalysis.bm25TopSql}),
+         |lex AS (SELECT doc_id,
+         |          CAST(row_number() OVER (ORDER BY score_w DESC, doc_id ASC) AS BIGINT) AS lex_rn
+         |        FROM lexs),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |ds AS (SELECT c.vec_id AS doc_id, $cosSql AS cos
+         |       FROM embeddings c, q WHERE c.vec_id != 0),
+         |dent AS (SELECT doc_id, cos FROM ds ORDER BY cos DESC, doc_id ASC LIMIT $RRF_ARM),
+         |den AS (SELECT doc_id,
+         |          CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS dense_rn
+         |        FROM dent)
+         |SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         |  coalesce(lex_rn, 0) AS lex_rn,
+         |  coalesce(dense_rn, 0) AS dense_rn,
+         |  CAST(coalesce(1000000000 // ($RRF_KC + lex_rn), 0)
+         |     + coalesce(1000000000 // ($RRF_KC + dense_rn), 0) AS BIGINT) AS rrf_s
+         |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+         |ORDER BY rrf_s DESC, doc_id ASC LIMIT $RRF_N""".stripMargin,
+    "q_eval_retrieval" -> {
+      val whenG = (1 to EVAL_K)
+        .map(i => s"WHEN $i THEN ${DCG_G(i - 1)}").mkString(" ")
+      val whenCum = (1 to EVAL_K)
+        .map(i => s"WHEN $i THEN ${DCG_CUM(i - 1)}").mkString(" ")
+      s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding
+         |           FROM embeddings WHERE vec_id < $EVAL_QN),
+         |sc AS (SELECT q.qid, q.qlabel, c.vec_id, $cosSql AS cos,
+         |         CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel
+         |       FROM q JOIN embeddings c ON c.vec_id != q.qid),
+         |t AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+         |      FROM sc),
+         |k AS (SELECT * FROM t WHERE rn <= $EVAL_K),
+         |g AS (SELECT qid, qlabel, CAST(sum(rel) AS BIGINT) AS hits,
+         |        CAST(sum(rel * (CASE rn $whenG END)) AS BIGINT) AS dcg_s,
+         |        min(CASE WHEN rel = 1 THEN rn END) AS fr
+         |      FROM k GROUP BY 1, 2),
+         |lc AS (SELECT label, count(*) AS n_lab FROM embeddings GROUP BY 1)
+         |SELECT g.qid AS qid, CAST(lc.n_lab - 1 AS BIGINT) AS n_rel, hits,
+         |  round(CAST(hits AS DOUBLE) / (lc.n_lab - 1), 4) AS recall_k,
+         |  coalesce(round(CAST(1 AS DOUBLE) / fr, 4), CAST(0 AS DOUBLE)) AS mrr_k,
+         |  round(CAST(dcg_s AS DOUBLE)
+         |    / (CASE least($EVAL_K, lc.n_lab - 1) $whenCum END), 4) AS ndcg_k
+         |FROM g JOIN lc ON lc.label = g.qlabel ORDER BY qid""".stripMargin
     },
     "q_ann_negatives" ->
       s"""WITH scored AS (

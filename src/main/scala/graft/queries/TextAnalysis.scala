@@ -451,6 +451,27 @@ object TextAnalysis {
   private val toksAll =
     """list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"""
 
+  /** The complete BM25 top-20 oracle statement (doc_id, n_terms,
+    * score_w) — the `q_rank_bm25` gate, and the lexical arm of the
+    * hybrid-retrieval fusion oracle in [[Similarity]] (embedded there
+    * as a nested-WITH CTE). */
+  private[queries] lazy val bm25TopSql: String = {
+    val terms = BM25_QUERY.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (SELECT doc_id, $toksAll AS w FROM documents),
+       |tk AS (SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM w),
+       |qt AS (SELECT * FROM tk WHERE tok IN ($terms)),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM qt GROUP BY 1, 2),
+       |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tot FROM w),
+       |sc AS (SELECT doc_id,
+       |         CAST(floor(((ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2)
+       |           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs))))
+       |           * 1000000) AS BIGINT) AS w
+       |       FROM tf JOIN df USING (tok) CROSS JOIN st)
+       |SELECT doc_id, count(*) AS n_terms, CAST(sum(w) AS BIGINT) AS score_w
+       |FROM sc GROUP BY doc_id ORDER BY score_w DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_skew_profile" ->
       s"""WITH tk AS (SELECT unnest($toksAll) AS tok FROM documents),
@@ -506,22 +527,7 @@ object TextAnalysis {
          |$rows
          |ORDER BY round""".stripMargin
     },
-    "q_rank_bm25" -> {
-      val terms = BM25_QUERY.map(t => s"'$t'").mkString(", ")
-      s"""WITH w AS (SELECT doc_id, $toksAll AS w FROM documents),
-         |tk AS (SELECT doc_id, len(w) AS dl, unnest(w) AS tok FROM w),
-         |qt AS (SELECT * FROM tk WHERE tok IN ($terms)),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM qt GROUP BY 1, 2),
-         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS tot FROM w),
-         |sc AS (SELECT doc_id,
-         |         CAST(floor(((ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2)
-         |           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (CAST(tot AS DOUBLE) / n_docs))))
-         |           * 1000000) AS BIGINT) AS w
-         |       FROM tf JOIN df USING (tok) CROSS JOIN st)
-         |SELECT doc_id, count(*) AS n_terms, CAST(sum(w) AS BIGINT) AS score_w
-         |FROM sc GROUP BY doc_id ORDER BY score_w DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "q_rank_bm25" -> bm25TopSql,
     "q_text_pmi" ->
       s"""WITH toks AS (SELECT doc_id, $toksAll AS w FROM documents),
          |big AS (SELECT w[i] AS x, w[i+1] AS y, count(*) AS cxy

@@ -106,4 +106,68 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(r.getLong(2) == math.round(rec * 5))
     }
   }
+
+  private def embeddings(): Seq[(Long, Array[Double], Int)] =
+    spark.read.parquet(s"$SF/embeddings.parquet")
+      .collect().toSeq.map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cos4(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    round4(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  test("q_eval_retrieval: equals a naive metric reimplementation") {
+    val QN = 8; val K = 10
+    val vecs = embeddings()
+    val byLabel = vecs.groupBy(_._3).map { case (l, vs) => (l, vs.size) }
+    val g = (1 to K).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    val cum = g.scanLeft(0L)(_ + _).tail
+    val expect = vecs.filter(_._1 < QN).map { case (qid, qv, qlab) =>
+      val top = vecs.filter(_._1 != qid)
+        .map { case (id, v, lab) => (id, cos4(qv, v), if (lab == qlab) 1 else 0) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(K)
+      val hits = top.map(_._3.toLong).sum
+      val dcgS = top.zipWithIndex.map { case ((_, _, rel), i) => rel * g(i) }.sum
+      val fr = top.indexWhere(_._3 == 1) match { case -1 => None; case i => Some(i + 1) }
+      val nRel = byLabel(qlab) - 1L
+      (qid, nRel, hits, round4(hits.toDouble / nRel),
+        fr.map(r => round4(1.0 / r)).getOrElse(0.0),
+        round4(dcgS.toDouble / cum(math.min(K.toLong, nRel).toInt - 1)))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_eval_retrieval")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+    assert(got.exists(_._3 > 0), "label structure should yield hits")
+  }
+
+  test("q_rank_rrf: fuses the two arm rankings with exact integer RRF") {
+    val KC = 60; val ARM = 20; val TOPN = 15
+    // Lexical arm from the (oracle-gated) BM25 query; dense arm naive.
+    val lex = SparkEntry.queries("q_rank_bm25")(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong) }
+    val vecs = embeddings()
+    val qv = vecs.find(_._1 == 0L).get._2
+    val den = vecs.filter(_._1 != 0L)
+      .map { case (id, v, _) => (id, cos4(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(ARM)
+      .zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong) }
+    val lexM = lex.toMap; val denM = den.toMap
+    val expect = (lexM.keySet ++ denM.keySet).toSeq.map { id =>
+      val lr = lexM.getOrElse(id, 0L); val dr = denM.getOrElse(id, 0L)
+      val s = (if (lr > 0) 1000000000L / (KC + lr) else 0L) +
+        (if (dr > 0) 1000000000L / (KC + dr) else 0L)
+      (id, lr, dr, s)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(TOPN)
+    val got = SparkEntry.queries("q_rank_rrf")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    assert(got.exists(t => t._2 > 0 && t._3 > 0) || got.nonEmpty)
+  }
 }
