@@ -240,6 +240,102 @@ object Similarity {
       .orderBy("qid")
   }
 
+  private val PCA_DIM = 64     // embedding width
+  private val PCA_GRID = 1024L // eigenvector integer grid (2^10)
+  private val PCA_ITERS = 12   // fixed power-iteration count
+  private val PCA_QG = 10000L  // embedding quantization grain
+  private val PCA_TOP = 5      // extreme projections emitted
+
+  /** Truncate-toward-zero long division — Scala/Java `/` semantics,
+    * replicated in the oracle via a CASE (DuckDB's `//` floors, which
+    * differs on negatives). */
+  private def tdiv(a: Long, b: Long): Long = a / b
+
+  /** Principal-component audit of the embedding table (the whitening /
+    * anisotropy question — dominant-direction energy is why raw
+    * sentence embeddings retrieve poorly and why whitening or OPQ
+    * precedes PQ in production ANN stacks): top eigenvector of the
+    * corpus covariance by the power method, plus the [[PCA_TOP]] docs
+    * most extreme along it — the "what is this direction made of"
+    * inspection. EVERYTHING is integer: embeddings quantize to
+    * floor(·10⁴) longs; the scaled covariance is exact long arithmetic
+    * (C_ij = Σqᵢqⱼ − trunc(SᵢSⱼ/n)); each of the [[PCA_ITERS]] fixed
+    * iterations renormalizes y to the [[PCA_GRID]] grid by
+    * truncating division with the exact integer max|y| — so both
+    * engines execute the IDENTICAL integer recurrence and the output
+    * is bit-equal by construction, with no FP convergence or libm
+    * dependence anywhere. λ is the standard max-norm power-iteration
+    * gain, m/[[PCA_GRID]], as an exact long.
+    *
+    * Scale shape: one map-side pass builds per-partition (n, S, G)
+    * Gram partials — FIXED 1+64+64² longs of state each (~33 KB) —
+    * tree-merged (depth 2) to the driver: the corpus never shuffles
+    * and never re-reads; the model fed back is 64 longs broadcast in a
+    * literal, and the projection/top-k pass is map-side + TakeOrdered.
+    * Long-range envelope: |C| < 2⁶³/(64·grid) needs Σq² per dim
+    * ≲ 1.4e14 — holds past 10⁹ rows at this grain; a 100 TB deployment
+    * re-grains the quantization (the scaladoc'd knob), it does not
+    * change shape. Reference has no spectral op; lineage is the
+    * classic tall-skinny covariance trick (e.g. Halko et al. 2011). */
+  val qEmbedPca: Q = (s, d) => {
+    import s.implicits._
+    val dim = PCA_DIM
+    val rows = Tables.embeddings(s, d).select(col("embedding")).as[Array[Float]]
+      .rdd.map { a =>
+        val q = new Array[Long](dim)
+        var i = 0
+        while (i < dim) { q(i) = math.floor(a(i).toDouble * PCA_QG).toLong; i += 1 }
+        q
+      }
+    val zero = (0L, new Array[Long](dim), new Array[Long](dim * dim))
+    val (n, sv, g) = rows.treeAggregate(zero)(
+      { case ((c, sv, g), q) =>
+        var i = 0
+        while (i < dim) {
+          sv(i) += q(i)
+          var j = 0
+          val base = i * dim
+          while (j < dim) { g(base + j) += q(i) * q(j); j += 1 }
+          i += 1
+        }
+        (c + 1, sv, g)
+      },
+      { case ((c1, s1, g1), (c2, s2, g2)) =>
+        var i = 0
+        while (i < dim) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < dim * dim) { g1(i) += g2(i); i += 1 }
+        (c1 + c2, s1, g1)
+      }, depth = 2)
+    val cov = Array.tabulate(dim, dim)((i, j) => g(i * dim + j) - tdiv(sv(i) * sv(j), n))
+    var x = Array.fill(dim)(1L)
+    var m = 1L
+    var it = 0
+    while (it < PCA_ITERS) {
+      val y = Array.tabulate(dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < dim) { acc += cov(i)(j) * x(j); j += 1 }
+        acc
+      }
+      m = y.map(math.abs).max
+      x = y.map(v => tdiv(v * PCA_GRID, m))
+      it += 1
+    }
+    val lambdaQ = tdiv(m, PCA_GRID)
+    val compSum = x.zipWithIndex.map { case (v, j) => (j + 1) * v }.sum
+    val xArr = s"array(${x.mkString("L, ")}L)"
+    Tables.embeddings(s, d)
+      .select(col("vec_id").cast("long"),
+        expr(s"""aggregate(zip_with(embedding, $xArr,
+                 |  (v, w) -> CAST(floor(CAST(v AS DOUBLE) * $PCA_QG) AS BIGINT) * w),
+                 |0L, (acc, e) -> acc + e)""".stripMargin).as("proj_q"))
+      .orderBy(abs(col("proj_q")).desc, col("vec_id").asc)
+      .limit(PCA_TOP)
+      .select(col("vec_id"), col("proj_q"),
+        lit(lambdaQ).as("lambda_q"), lit(compSum).as("comp_sum"))
+      .orderBy(abs(col("proj_q")).desc, col("vec_id").asc)
+  }
+
   /** Brute-force cosine top-5 for a small broadcast query set. */
   val qAnnBrute: Q = (s, d) => {
     import s.implicits._
@@ -911,6 +1007,7 @@ object Similarity {
     "q_ann_mrl_recall" -> qAnnMrlRecall,
     "q_rank_rrf" -> qRankRrf,
     "q_eval_retrieval" -> qEvalRetrieval,
+    "q_embed_pca" -> qEmbedPca,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_probe" -> qAnnLshProbe,
     "q_ann_ivf_label" -> qAnnIvfLabel,
@@ -1241,6 +1338,52 @@ object Similarity {
          |     + coalesce(1000000000 // ($RRF_KC + dense_rn), 0) AS BIGINT) AS rrf_s
          |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
          |ORDER BY rrf_s DESC, doc_id ASC LIMIT $RRF_N""".stripMargin,
+    "q_embed_pca" -> {
+      // trunc-toward-zero division a/b (b > 0) — Scala `/` semantics;
+      // DuckDB's `//` floors, which differs on negative a.
+      def tdivSql(a: String, b: String) =
+        s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+      // Every iteration CTE is MATERIALIZED: DuckDB inlines CTEs per
+      // reference, so a 12-deep x_k -> y_k -> cov -> v chain would
+      // otherwise expand into an exponential plan (observed: file-
+      // handle exhaustion from thousands of duplicated parquet scans).
+      val iters = (1 to PCA_ITERS).map { k =>
+        val px = s"x${k - 1}"
+        s"""y$k AS MATERIALIZED (SELECT cov.i, CAST(sum(cov.c * $px.x) AS BIGINT) AS y
+           |        FROM cov JOIN $px ON cov.j = $px.i GROUP BY cov.i),
+           |m$k AS MATERIALIZED (SELECT max(abs(y)) AS m FROM y$k),
+           |x$k AS MATERIALIZED (SELECT i, ${tdivSql(s"y * $PCA_GRID", "m")} AS x FROM y$k, m$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding,
+         |      e -> CAST(floor(CAST(e AS DOUBLE) * $PCA_QG) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |sv AS MATERIALIZED (SELECT i, CAST(sum(q[i]) AS BIGINT) AS s
+         |       FROM v, unnest(range(1, ${PCA_DIM + 1})) t(i) GROUP BY i),
+         |gm AS MATERIALIZED (SELECT a.i AS i, b.j AS j, CAST(sum(v.q[a.i] * v.q[b.j]) AS BIGINT) AS g
+         |       FROM v, unnest(range(1, ${PCA_DIM + 1})) a(i),
+         |               unnest(range(1, ${PCA_DIM + 1})) b(j)
+         |       GROUP BY 1, 2),
+         |cov AS MATERIALIZED (SELECT gm.i, gm.j,
+         |          gm.g - ${tdivSql("si.s * sj.s", "nn.n")} AS c
+         |        FROM gm JOIN sv si ON si.i = gm.i
+         |                JOIN sv sj ON sj.i = gm.j, nn),
+         |x0 AS MATERIALIZED (SELECT i, CAST(1 AS BIGINT) AS x
+         |       FROM unnest(range(1, ${PCA_DIM + 1})) t(i)),
+         |$iters,
+         |lam AS (SELECT ${tdivSql("m", PCA_GRID.toString)} AS lambda_q FROM m$PCA_ITERS),
+         |cs AS (SELECT CAST(sum(i * x) AS BIGINT) AS comp_sum FROM x$PCA_ITERS),
+         |xl AS (SELECT list(x ORDER BY i) AS xs FROM x$PCA_ITERS),
+         |pr AS (SELECT v.vec_id,
+         |         CAST(list_sum(list_transform(range(1, ${PCA_DIM + 1}),
+         |           i -> v.q[i] * xl.xs[i])) AS BIGINT) AS proj_q
+         |       FROM v, xl)
+         |SELECT vec_id, proj_q, lambda_q, comp_sum
+         |FROM pr, lam, cs
+         |ORDER BY abs(proj_q) DESC, vec_id ASC LIMIT $PCA_TOP""".stripMargin
+    },
     "q_eval_retrieval" -> {
       val whenG = (1 to EVAL_K)
         .map(i => s"WHEN $i THEN ${DCG_G(i - 1)}").mkString(" ")

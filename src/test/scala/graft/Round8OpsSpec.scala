@@ -146,6 +146,34 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "label structure should yield hits")
   }
 
+  test("q_embed_pca: equals a naive integer power-iteration reimplementation") {
+    val DIM = 64; val GRID = 1024L; val ITERS = 12; val QG = 10000L; val TOP = 5
+    val vecs = embeddings()
+    val n = vecs.size.toLong
+    val q = vecs.map { case (id, v, _) =>
+      (id, v.map(x => math.floor(x * QG).toLong)) }
+    val sv = Array.tabulate(DIM)(i => q.map(_._2(i)).sum)
+    val cov = Array.tabulate(DIM, DIM)((i, j) =>
+      q.map(t => t._2(i) * t._2(j)).sum - (sv(i) * sv(j)) / n)
+    var x = Array.fill(DIM)(1L); var m = 1L
+    for (_ <- 1 to ITERS) {
+      val y = Array.tabulate(DIM)(i => (0 until DIM).map(j => cov(i)(j) * x(j)).sum)
+      m = y.map(math.abs).max
+      x = y.map(v => v * GRID / m)
+    }
+    val lambdaQ = m / GRID
+    val compSum = x.zipWithIndex.map { case (v, j) => (j + 1) * v }.sum
+    val expect = q.map { case (id, qv) =>
+      (id, (0 until DIM).map(j => x(j) * qv(j)).sum) }
+      .sortBy { case (id, p) => (-math.abs(p), id) }.take(TOP)
+      .map { case (id, p) => (id, p, lambdaQ, compSum) }
+    val got = SparkEntry.queries("q_embed_pca")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // post-normalization invariant: the grid is saturated every round
+    assert(x.map(math.abs).max == GRID)
+  }
+
   test("q_rank_rrf: fuses the two arm rankings with exact integer RRF") {
     val KC = 60; val ARM = 20; val TOPN = 15
     // Lexical arm from the (oracle-gated) BM25 query; dense arm naive.
