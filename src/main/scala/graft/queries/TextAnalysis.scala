@@ -236,31 +236,82 @@ object TextAnalysis {
     * partial agg for pair counts, a 1-row TakeOrdered argmax collected
     * to the driver (the tiny-model-at-plan-time pattern of the IVF
     * fits), and a map-side rewrite. Driver state is R rows. */
+  /** The [[BPE_ROUNDS]] merge rounds over an initial (word, freq, sym)
+    * vocab — shared by the induction query (which emits the merge
+    * table) and the fertility audit (which emits the rewritten vocab).
+    * Returns the final vocab and the merge list; each round is one
+    * vocab-keyed partial agg + a 1-row TakeOrdered argmax collected to
+    * the driver + a map-side rewrite (the tiny-model-at-plan-time
+    * pattern — driver state is R rows). */
+  private def bpeFit(vocab0: DataFrame): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to BPE_ROUNDS) {
+      val best = vocab
+        .withColumn("a", split(col("sym"), " "))
+        .where(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(a)-2), i -> concat(a[i], ' ', a[i+1]))")).as("p"))
+        .groupBy("p").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("p").asc).limit(1)
+        .collect()(0)
+      val (p, cnt) = (best.getString(0), best.getLong(1))
+      merges += ((r, p, p.replace(" ", ""), cnt))
+      vocab = vocab.withColumn("sym",
+        trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
+          lit(s" ${java.util.regex.Pattern.quote(p)} "), lit(s" ${p.replace(" ", "")} "))))
+    }
+    (vocab, merges.result())
+  }
+
   val qTokenizeBpe: Q = (s, d) => {
     val vocab0 = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
       .withColumn("sym", trim(regexp_replace(col("word"), "(.)", "$1 ")))
     Scoped.withCachedEager(vocab0) {
-      var vocab = vocab0
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to BPE_ROUNDS) {
-        val best = vocab
-          .withColumn("a", split(col("sym"), " "))
-          .where(size(col("a")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(0, size(a)-2), i -> concat(a[i], ' ', a[i+1]))")).as("p"))
-          .groupBy("p").agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("p").asc).limit(1)
-          .collect()(0)
-        val (p, cnt) = (best.getString(0), best.getLong(1))
-        merges += ((r, p, p.replace(" ", ""), cnt))
-        vocab = vocab.withColumn("sym",
-          trim(regexp_replace(concat(lit(" "), col("sym"), lit(" ")),
-            lit(s" ${java.util.regex.Pattern.quote(p)} "), lit(s" ${p.replace(" ", "")} "))))
-      }
       import s.implicits._
-      merges.result().toDF("round", "pair", "merged", "cnt").orderBy("round")
+      bpeFit(vocab0)._2.toDF("round", "pair", "merged", "cnt").orderBy("round")
+    }
+  }
+
+  /** Tokenizer fertility audit (the cross-language fairness question —
+    * Petrov et al. 2023, arXiv:2305.15425: a tokenizer that fragments
+    * one language into more subwords than another taxes its context
+    * budget and its per-token pricing): apply the [[BPE_ROUNDS]]
+    * learned merges and report, per language, exact word/subword/char
+    * volumes plus tokens-per-word (fertility) and chars-per-token —
+    * the numbers a vocab freeze is judged by. The application is the
+    * induction's own rewrite chain, so the two queries pin the SAME
+    * merge semantics.
+    *
+    * Scale shape: the ONLY corpus-sized step is the per-(lang, word)
+    * partial agg (map-side combine collapses the Zipf head per task);
+    * the global vocab and every merge round run on the vocab-sized
+    * table; the fertility join is vocab-sized × |langs|, keyed on
+    * word, shuffle-hash (never a window, never broadcast of a
+    * corpus-derived table); output is |langs| rows of exact longs
+    * until two final rounded divisions. */
+  val qTokenizeFertility: Q = (s, d) => {
+    val byLang = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).cast("long").as("freq"))
+    val vocab0 = byLang.groupBy("word").agg(sum("freq").cast("long").as("freq"))
+      .withColumn("sym", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+    Scoped.withCachedEager(byLang, vocab0) {
+      val (vocabR, _) = bpeFit(vocab0)
+      val toks = vocabR.select(col("word"),
+        size(split(col("sym"), " ")).cast("long").as("n_sym"),
+        length(col("word")).cast("long").as("n_chr"))
+      byLang.join(toks.hint("shuffle_hash"), "word")
+        .groupBy("lang")
+        .agg(sum("freq").cast("long").as("n_words"),
+          sum(col("freq") * col("n_sym")).cast("long").as("n_tokens"),
+          sum(col("freq") * col("n_chr")).cast("long").as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          round(col("n_tokens").cast("double") / col("n_words"), 4).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 4).as("chars_per_token"))
+        .orderBy("lang")
     }
   }
 
@@ -444,6 +495,7 @@ object TextAnalysis {
     "q_skew_profile" -> qSkewProfile,
     "q_rank_bm25" -> qRankBm25,
     "q_tokenize_bpe" -> qTokenizeBpe,
+    "q_tokenize_fertility" -> qTokenizeFertility,
     "q_text_postings" -> qTextPostings,
     "q_text_tfidf" -> qTextTfidf
   )
@@ -471,6 +523,26 @@ object TextAnalysis {
        |SELECT doc_id, count(*) AS n_terms, CAST(sum(w) AS BIGINT) AS score_w
        |FROM sc GROUP BY doc_id ORDER BY score_w DESC, doc_id LIMIT 20""".stripMargin
   }
+
+  /** The R BPE merge rounds unrolled into CTE stages (pairs → argmax →
+    * rewrite), generated so the oracle always matches [[BPE_ROUNDS]];
+    * merge patterns reach regexp_replace as scalar subqueries over the
+    * previous round's 1-row argmax. Expects a `v0(word, freq, sym)`
+    * CTE upstream; exposes `b1..bR` (argmaxes) and `v1..vR`
+    * (rewritten vocabs). Shared by the induction and fertility
+    * oracles so both gate the SAME merge semantics. */
+  private lazy val bpeStagesSql: String = (1 to BPE_ROUNDS).map { i =>
+    val prev = s"v${i - 1}"
+    s"""p$i AS (SELECT l[i] || ' ' || l[i+1] AS p, freq
+       |  FROM (SELECT freq, string_split(sym, ' ') AS l FROM $prev) s,
+       |       unnest(generate_series(1, len(s.l) - 1)) AS t(i)),
+       |b$i AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i
+       |        GROUP BY p ORDER BY cnt DESC, p LIMIT 1),
+       |v$i AS (SELECT word, freq, trim(regexp_replace(' ' || sym || ' ',
+       |    ' ' || (SELECT p FROM b$i) || ' ',
+       |    ' ' || (SELECT replace(p, ' ', '') FROM b$i) || ' ', 'g')) AS sym
+       |  FROM $prev)""".stripMargin
+  }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
     "q_skew_profile" ->
@@ -501,32 +573,33 @@ object TextAnalysis {
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q_tokenize_bpe" -> {
-      // The R merge rounds unroll into R CTE stages (pairs → argmax →
-      // rewrite), generated here so the oracle always matches
-      // BPE_ROUNDS; merge patterns reach regexp_replace as scalar
-      // subqueries over the previous round's 1-row argmax.
-      val stages = (1 to BPE_ROUNDS).map { i =>
-        val prev = s"v${i - 1}"
-        s"""p$i AS (SELECT l[i] || ' ' || l[i+1] AS p, freq
-           |  FROM (SELECT freq, string_split(sym, ' ') AS l FROM $prev) s,
-           |       unnest(generate_series(1, len(s.l) - 1)) AS t(i)),
-           |b$i AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM p$i
-           |        GROUP BY p ORDER BY cnt DESC, p LIMIT 1),
-           |v$i AS (SELECT word, freq, trim(regexp_replace(' ' || sym || ' ',
-           |    ' ' || (SELECT p FROM b$i) || ' ',
-           |    ' ' || (SELECT replace(p, ' ', '') FROM b$i) || ' ', 'g')) AS sym
-           |  FROM $prev)""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to BPE_ROUNDS).map { i =>
         s"SELECT $i AS round, p AS pair, replace(p, ' ', '') AS merged, cnt FROM b$i"
       }.mkString("\nUNION ALL ")
       s"""WITH v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
          |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
          |  FROM (SELECT unnest($toksAll) AS word FROM documents) GROUP BY word),
-         |$stages
+         |$bpeStagesSql
          |$rows
          |ORDER BY round""".stripMargin
     },
+    "q_tokenize_fertility" ->
+      s"""WITH wl AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT lang, unnest($toksAll) AS word FROM documents) GROUP BY 1, 2),
+         |v0 AS (SELECT word, CAST(sum(freq) AS BIGINT) AS freq,
+         |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+         |  FROM wl GROUP BY word),
+         |$bpeStagesSql,
+         |tk AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sym,
+         |         CAST(length(word) AS BIGINT) AS n_chr
+         |       FROM v$BPE_ROUNDS)
+         |SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+         |  CAST(sum(freq * n_sym) AS BIGINT) AS n_tokens,
+         |  CAST(sum(freq * n_chr) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(freq * n_sym) AS DOUBLE) / sum(freq), 4) AS fertility,
+         |  round(CAST(sum(freq * n_chr) AS DOUBLE) / sum(freq * n_sym), 4) AS chars_per_token
+         |FROM wl JOIN tk USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_rank_bm25" -> bm25TopSql,
     "q_text_pmi" ->
       s"""WITH toks AS (SELECT doc_id, $toksAll AS w FROM documents),

@@ -146,6 +146,43 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "label structure should yield hits")
   }
 
+  test("q_tokenize_fertility: equals a naive BPE induce+apply reimplementation") {
+    val ROUNDS = 5
+    val words = docs().flatMap { case (_, lang, t) => toks(t).map(lang -> _) }
+    val byLang = words.groupBy(identity).map { case ((l, w), g) => (l, w, g.size.toLong) }
+    var vocab: Map[String, (Long, String)] = byLang.groupBy(_._2)
+      .map { case (w, g) => w -> (g.map(_._3).sum, w.toCharArray.mkString(" ")) }
+    for (_ <- 1 to ROUNDS) {
+      val pairCnt = vocab.values.toSeq.flatMap { case (f, sym) =>
+        val a = sym.split(" ")
+        a.indices.dropRight(1).map(i => (s"${a(i)} ${a(i + 1)}", f))
+      }.groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+      val (p, _) = pairCnt.toSeq.minBy { case (pp, c) => (-c, pp) }
+      val merged = p.replace(" ", "")
+      vocab = vocab.map { case (w, (f, sym)) =>
+        w -> (f, (" " + sym + " ")
+          .replaceAll(" " + java.util.regex.Pattern.quote(p) + " ", " " + merged + " ")
+          .trim)
+      }
+    }
+    val expect = byLang.groupBy(_._1).map { case (lang, g) =>
+      val rows = g.map { case (_, w, f) =>
+        (f, f * vocab(w)._2.split(" ").length, f * w.length) }
+      val (nw, nt, nc) = (rows.map(_._1).sum, rows.map(_._2).sum, rows.map(_._3).sum)
+      (lang, nw, nt, nc, round4(nt.toDouble / nw), round4(nc.toDouble / nt))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_tokenize_fertility")(spark, SF)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+    // merges only ever join symbols: tokens never exceed chars,
+    // and at least one word must actually have merged
+    got.foreach { case (_, nw, nt, nc, fert, _) =>
+      assert(nt <= nc && fert >= 1.0)
+    }
+    assert(got.map(_._3).sum < got.map(_._4).sum)
+  }
+
   test("q_embed_pca: equals a naive integer power-iteration reimplementation") {
     val DIM = 64; val GRID = 1024L; val ITERS = 12; val QG = 10000L; val TOP = 5
     val vecs = embeddings()
