@@ -270,6 +270,80 @@ object Curation {
       .orderBy("rn")
   }
 
+  private val KN_TOPK = 10
+  private val KN_D = 0.75 // the standard absolute discount
+
+  /** Interpolated Kneser-Ney bigram scoring — the smoothing the real
+    * CCNet pipeline's KenLM actually uses (Kneser & Ney 1995; Chen &
+    * Goodman 1999 establish interpolated KN as the best-performing
+    * n-gram smoothing; Heafield 2011's KenLM implements modified KN).
+    * [[qQualityBigram]] scores with the MLE conditional, which can
+    * only rank transitions it has seen by raw frequency; KN reserves
+    * discount mass D from every observed bigram and backs off to the
+    * CONTINUATION unigram — "how many distinct contexts does w₂
+    * follow?" — the distributional-novelty prior that makes KN the
+    * standard ("san francisco" is frequent, but "francisco" follows
+    * almost nothing else, so its continuation probability is tiny):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c₁(w₁)
+    *            + (D·N₁₊(w₁·)/c₁(w₁)) · (N₁₊(·w₂)/N)
+    *
+    * with c₁(w₁) the left totals, N₁₊(w₁·) the distinct-continuation
+    * count of w₁, N₁₊(·w₂) the distinct-context count of w₂, N the
+    * bigram-type count. Doc score = mean transition surprise
+    * −ln P(w₂|w₁); output = the [[KN_TOPK]] most-atypical documents.
+    *
+    * Scale shape: identical to [[qQualityBigram]] — the CORPUS
+    * aggregates exactly once into the bigram-type table; c₁/N₁₊ left
+    * stats and the N₁₊(·w₂) right stats are key-cardinality aggregates
+    * OF that type table (per-key groups bounded by distinct-
+    * continuation/context counts ≤ vocab); per-TYPE surprise is
+    * precomputed on the model so ONE heavy-hitter split
+    * ([[HeavyHitters.attachModel]]) attaches a single long to the
+    * Zipf-skewed stream (hot types broadcast map-side, tail joins
+    * shuffle-hash with partitions bounded below total/10⁴).
+    *
+    * Determinism: all model inputs are exact longs; P is evaluated
+    * with the IDENTICAL parenthesized IEEE-double op order in both
+    * engines — (max(c−D,0)/c₁) + ((D·n₁ₗ)/c₁)·(n₁ᵣ/N) — then floored
+    * to the established 10⁻⁶ ln grid, so per-doc sums are exact longs
+    * and one rounded divide ends the query. P > 0 always (c ≥ 1 > D
+    * leaves positive discounted mass) and < 1, so the ln is finite. */
+  val qQualityKn: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextExpressions
+          .shinglesAllFast(tokens(col("text")), 2)).as("bg"))
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val left = cb.groupBy(col("w1").as("u1"))
+      .agg(sum("cbg").as("cw1"), count(lit(1)).as("n1l"))
+    val right = cb.groupBy(col("w2").as("u2")).agg(count(lit(1)).as("n1r"))
+    val nTypes = cb.agg(count(lit(1)).as("nt"))
+    val model = cb
+      .join(left.hint("shuffle_hash"), col("w1") === col("u1"))
+      .join(right.hint("shuffle_hash"), col("w2") === col("u2"))
+      .crossJoin(broadcast(nTypes))
+      .withColumn("p",
+        (greatest(col("cbg").cast("double") - KN_D, lit(0.0))
+          / col("cw1").cast("double"))
+        + ((lit(KN_D) * col("n1l").cast("double")) / col("cw1").cast("double"))
+          * (col("n1r").cast("double") / col("nt").cast("double")))
+      .withColumn("surp", floor(-log(col("p")) * 1e6).cast("long"))
+      .select("bg", "cbg", "surp")
+    HeavyHitters.attachModel(bg, "bg", model, "cbg")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bg"), sum("surp").as("ssum"))
+      .withColumn("surprise",
+        round(col("ssum").cast("double") / (col("n_bg") * lit(1000000.0)), 4))
+      .orderBy(col("surprise").desc, col("doc_id").asc).limit(KN_TOPK)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("surprise").desc, col("doc_id").asc)))
+      .select("rn", "doc_id", "lang", "n_bg", "surprise")
+      .orderBy("rn")
+  }
+
   // ---- Gopher-style quality rules (thresholds fit this corpus's
   // observed ranges: n_tok p10/p50/p90 = 21/56/88, mean word length
   // 3.7-5.3, distinct ratio 0.28-0.99, mean stopword hits 3.4) ----
@@ -684,6 +758,7 @@ object Curation {
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_lm" -> qQualityLm,
     "q_quality_bigram" -> qQualityBigram,
+    "q_quality_kn" -> qQualityKn,
     "q_text_repetition" -> qTextRepetition,
     "q_pii_redact" -> qPiiRedact,
     "q_zorder_curve" -> qZorderCurve,
@@ -924,6 +999,30 @@ object Curation {
          |SELECT rn, doc_id, lang, n_bg, surprise FROM (
          |  SELECT *, row_number() OVER (ORDER BY surprise DESC, doc_id ASC) AS rn FROM r) q
          |WHERE rn <= $BLM_TOPK ORDER BY rn""".stripMargin,
+    "q_quality_kn" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
+         |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS bg
+         |       FROM t, unnest(range(1, len(w))) u(i)),
+         |cb AS (SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |         count(*) AS cbg FROM bg GROUP BY bg),
+         |lf AS (SELECT w1, sum(cbg) AS cw1, count(*) AS n1l FROM cb GROUP BY w1),
+         |rt AS (SELECT w2, count(*) AS n1r FROM cb GROUP BY w2),
+         |nt AS (SELECT count(*) AS nt FROM cb),
+         |m AS (SELECT bg,
+         |        CAST(floor(-ln(
+         |          (greatest(CAST(cbg AS DOUBLE) - 0.75, 0.0) / CAST(cw1 AS DOUBLE))
+         |          + ((0.75 * CAST(n1l AS DOUBLE)) / CAST(cw1 AS DOUBLE))
+         |            * (CAST(n1r AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        ) * 1000000) AS BIGINT) AS surp
+         |      FROM cb JOIN lf USING (w1) JOIN rt USING (w2), nt),
+         |ds AS (SELECT bg.doc_id, bg.lang, count(*) AS n_bg, sum(surp) AS ssum
+         |       FROM bg JOIN m USING (bg) GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, n_bg,
+         |        round(CAST(ssum AS DOUBLE) / (n_bg * 1000000.0), 4) AS surprise
+         |      FROM ds)
+         |SELECT rn, doc_id, lang, n_bg, surprise FROM (
+         |  SELECT *, row_number() OVER (ORDER BY surprise DESC, doc_id ASC) AS rn FROM r) q
+         |WHERE rn <= $KN_TOPK ORDER BY rn""".stripMargin,
     "q_quality_buckets" ->
       s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),

@@ -235,4 +235,48 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.exists(t => t._2 > 0 && t._3 > 0) || got.nonEmpty)
   }
+
+  test("q_quality_kn: equals a naive interpolated Kneser-Ney reimplementation") {
+    val D = 0.75; val TOPK = 10
+    val bigrams = docs().flatMap { case (id, lang, t) =>
+      val w = toks(t)
+      w.indices.dropRight(1).map(i => (id, lang, s"${w(i)} ${w(i + 1)}"))
+    }
+    val cbg = bigrams.groupBy(_._3).map { case (bg, xs) => bg -> xs.size.toLong }
+    val w1Of = (bg: String) => bg.split(' ')(0)
+    val w2Of = (bg: String) => bg.split(' ')(1)
+    val cw1 = cbg.groupBy { case (bg, _) => w1Of(bg) }
+      .map { case (u, m) => u -> m.values.sum }
+    val n1l = cbg.groupBy { case (bg, _) => w1Of(bg) }
+      .map { case (u, m) => u -> m.size.toLong }
+    val n1r = cbg.groupBy { case (bg, _) => w2Of(bg) }
+      .map { case (u, m) => u -> m.size.toLong }
+    val nt = cbg.size.toLong
+    val surp = cbg.map { case (bg, c) =>
+      val p = (math.max(c.toDouble - D, 0.0) / cw1(w1Of(bg)).toDouble) +
+        ((D * n1l(w1Of(bg)).toDouble) / cw1(w1Of(bg)).toDouble) *
+          (n1r(w2Of(bg)).toDouble / nt.toDouble)
+      bg -> math.floor(-math.log(p) * 1e6).toLong
+    }
+    val expect = bigrams.groupBy { case (id, lang, _) => (id, lang) }.toSeq
+      .map { case ((id, lang), xs) =>
+        val ssum = xs.map(x => surp(x._3)).sum
+        (id, lang, xs.size.toLong,
+          BigDecimal(ssum.toDouble / (xs.size * 1e6))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, _, _, sp) => (-sp, id) }.take(TOPK)
+      .zipWithIndex.map { case ((id, lang, n, sp), i) => (i + 1L, id, lang, n, sp) }
+    val got = SparkEntry.queries("q_quality_kn")(spark, SF).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSeq
+    assert(got == expect)
+    // KN must actually diverge from the MLE ranking's scores somewhere
+    // (the continuation term redistributes mass), or the smoothing is
+    // a no-op and this test proves nothing.
+    val mle = SparkEntry.queries("q_quality_bigram")(spark, SF).collect()
+      .map(r => (r.getLong(1), r.getDouble(4))).toMap
+    assert(got.exists { case (_, id, _, _, sp) => mle.get(id).forall(_ != sp) })
+  }
 }
