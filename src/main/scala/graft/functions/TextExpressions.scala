@@ -66,8 +66,109 @@ case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = newChild)
 }
 
+/** Native content-defined chunker (LBFS-lineage CDC — Muthitacharoen
+  * et al., SOSP 2001) over a Rabin-style rolling polynomial hash. One
+  * pass per document: decode code points once, roll
+  * `h ← (h − c·B⁷)·B + c'` across every [[TextExpressions.CDC_W]]-char
+  * window in O(1) per position, cut where `h mod CDC_MOD = 0`, and
+  * emit the chunk substrings directly (no cut-array materialization,
+  * no per-window re-hash). All arithmetic is exact int64 — code points
+  * are reduced mod 251 so the full 8-term polynomial peaks at ~1.4e17,
+  * far under 2⁶³ — which is what lets the DuckDB oracle evaluate the
+  * IDENTICAL polynomial non-rolling per window and land on the same
+  * cuts bit-for-bit. B=127 is odd, so `h mod 64` sees every window
+  * position (a power-of-two base would reduce the boundary predicate
+  * to the last character alone).
+  */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires a string input, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.cdcChunksUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.cdcChunksUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   private val SPACE = UTF8String.fromString(" ")
+
+  /** CDC geometry — shared verbatim by the DuckDB oracle SQL. */
+  val CDC_W = 8            // boundary window (chars)
+  val CDC_MOD = 64L        // boundary rate ⇒ expected chunk ≈ 64 chars
+  val CDC_B = 127L         // odd polynomial base (coprime to CDC_MOD)
+  val CDC_CP_MOD = 251     // code-point reduction keeping int64 exact
+  /** B^(W-1) .. B^0, the per-term weights (B=127, W=8). */
+  val CDC_POWS: Array[Long] = {
+    val a = new Array[Long](CDC_W)
+    a(CDC_W - 1) = 1L
+    var j = CDC_W - 2
+    while (j >= 0) { a(j) = a(j + 1) * CDC_B; j -= 1 }
+    a
+  }
+
+  /** Chunks of `s` split at content-defined boundaries: a boundary
+    * after 1-based char position i+W-1 wherever the window [i, i+W)
+    * satisfies `poly(window) mod CDC_MOD = 0` (i ≤ L−W+1); a cut at
+    * exactly L+1 merges with the final sentinel, so the chunks always
+    * tile the input exactly. Empty input → empty array. */
+  def cdcChunksUtf8(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    // one decode pass: cpm(k) = codepoint(char k) % CDC_CP_MOD,
+    // off(k) = byte offset of char k, off(L) = n
+    val cpm = new Array[Int](n + 1)
+    val off = new Array[Int](n + 1)
+    var L = 0
+    var i = 0
+    while (i < n) {
+      off(L) = i
+      val b0 = bytes(i) & 0xFF
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var k = 1
+        while (k < len && i + k < n) { cp = (cp << 6) | (bytes(i + k) & 0x3F); k += 1 }
+      }
+      cpm(L) = cp % CDC_CP_MOD
+      L += 1
+      i += len
+    }
+    off(L) = n
+    val out = new java.util.ArrayList[AnyRef](4)
+    var start = 0 // 0-based char index of the current chunk start
+    if (L >= CDC_W) {
+      var h = 0L
+      var k = 0
+      while (k < CDC_W) { h = h * CDC_B + cpm(k); k += 1 }
+      var b = 0 // window start, 0-based
+      while (b <= L - CDC_W) {
+        if (h % CDC_MOD == 0L) {
+          val cut = b + CDC_W
+          if (cut < L) {
+            out.add(UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(bytes, off(start), off(cut))))
+            start = cut
+          }
+        }
+        if (b < L - CDC_W) h = (h - cpm(b) * CDC_POWS(0)) * CDC_B + cpm(b + CDC_W)
+        b += 1
+      }
+    }
+    out.add(UTF8String.fromBytes(
+      java.util.Arrays.copyOfRange(bytes, off(start), n)))
+    new GenericArrayData(out.toArray)
+  }
+
+  def cdcChunksFast(text: Column): Column = column(CdcChunks(expression(text)))
 
   /** Space-joined n-windows of a string array (distinct keeps
     * first-occurrence order, the array_distinct contract; non-distinct

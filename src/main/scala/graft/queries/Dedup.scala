@@ -540,14 +540,13 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val CDC_W = 8    // boundary window (chars)
-  private val CDC_MOD = 64 // boundary rate ⇒ expected chunk ≈ 64 chars
   private val CDC_MIN = 16 // profile only chunks ≥ 16 chars
 
   /** Content-defined chunking dedup (the Rabin-fingerprint chunker of
     * LBFS lineage — Muthitacharoen et al., SOSP 2001): split each
     * document at content-defined boundaries — positions whose
-    * [[CDC_W]]-char window hashes to 0 mod [[CDC_MOD]] — and profile
+    * 8-char window hashes to 0 mod 64
+    * ([[graft.functions.TextExpressions.CDC_W]]/`CDC_MOD`) — and profile
     * duplicate chunks across the corpus. Unlike the fixed token grid
     * of [[qDedupLines]], CDC boundaries survive insertions/deletions:
     * an edit shifts every fixed-grid chunk after it but leaves all
@@ -555,37 +554,28 @@ object Dedup {
     * makes CDC the storage/corpus-dedup standard for near-identical
     * revisions.
     *
-    * The boundary hash is the engine-shared md5-derived 28-bit value,
-    * not a rolling Rabin polynomial — semantics identical, both
-    * engines bit-exact; a production deployment swaps in a rolling
-    * hash as a native Expression for O(1) window updates with the
-    * chunk statistics unchanged. The production min-chunk clamp is
-    * approximated by PROFILING only chunks ≥ [[CDC_MIN]] chars (a
-    * stateless post-filter both engines share) rather than merging
-    * short chunks forward at cut time (stateful; documented
-    * simplification) — without it the top duplicates are 1-char
-    * fragments from adjacent boundaries.
+    * The boundary hash is a true rolling Rabin-style polynomial,
+    * implemented as the native codegen'd
+    * [[graft.functions.CdcChunks]] Expression: one decode pass per
+    * document, O(1) per-window updates, chunks emitted directly. All
+    * arithmetic is exact int64 (code points mod 251 bound the 8-term
+    * polynomial at ~1.4e17), so the DuckDB oracle evaluates the SAME
+    * polynomial non-rolling per window and lands on identical cuts.
+    * The production min-chunk clamp is approximated by PROFILING only
+    * chunks ≥ [[CDC_MIN]] chars (a stateless post-filter both engines
+    * share) rather than merging short chunks forward at cut time
+    * (stateful; documented simplification) — without it the top
+    * duplicates are 1-char fragments from adjacent boundaries.
     *
-    * Shape: chunking is ENTIRELY map-side (per-row array ops: cut
-    * positions, slices, hashes — no explode before the per-chunk
-    * rows); the only shuffle is the chunk-hash partial agg (map-side
-    * combine collapses hot boilerplate chunks per task), and the
-    * top-10 is a TakeOrdered. Nothing else scales with the corpus. */
+    * Shape: chunking is ENTIRELY map-side (one native Expression per
+    * row — no explode before the per-chunk rows); the only shuffle is
+    * the chunk-hash partial agg (map-side combine collapses hot
+    * boilerplate chunks per task), and the top-10 is a TakeOrdered.
+    * Nothing else scales with the corpus. */
   val qDedupCdc: Q = (s, d) => {
-    val bounds = expr(
-      s"""filter(sequence(1, greatest(length(text) - ${CDC_W - 1}, 1)),
-         |  i -> i <= length(text) - ${CDC_W - 1} AND
-         |    CAST(conv(substr(md5(substr(text, i, $CDC_W)), 1, 7), 16, 10) AS BIGINT)
-         |      % $CDC_MOD = 0)""".stripMargin)
     Tables.documents(s, d).where(length(col("text")) >= 1)
-      .select(col("doc_id"), col("text"))
-      .withColumn("bounds", bounds)
-      .withColumn("cuts", expr(
-        s"array_sort(array_distinct(concat(array(1, length(text) + 1), " +
-          s"transform(bounds, b -> b + $CDC_W))))"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(cuts) - 2), j -> substr(text, cuts[j], cuts[j+1] - cuts[j]))"))
-        .as("chunk"))
+      .select(col("doc_id"), explode(graft.functions.TextExpressions
+        .cdcChunksFast(col("text"))).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("h"), length(col("chunk")).as("clen"))
       .where(col("clen") >= CDC_MIN)
       .groupBy("h").agg(count(lit(1)).as("cnt"),
@@ -823,14 +813,17 @@ object Dedup {
          |  count(*) AS n_pairs
          |FROM sp GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
     },
-    "q_dedup_cdc" ->
+    "q_dedup_cdc" -> {
+      import graft.functions.TextExpressions.{CDC_W, CDC_MOD, CDC_CP_MOD, CDC_POWS}
+      val poly = (0 until CDC_W).map(j =>
+        s"(unicode(substr(text, i + $j, 1)) % $CDC_CP_MOD) * ${CDC_POWS(j)}::BIGINT")
+        .mkString("\n         |          + ")
       s"""WITH c AS (SELECT doc_id, text, length(text) AS L FROM documents
          |           WHERE length(text) >= 1),
          |b AS (SELECT doc_id, text,
          |    list_sort(list_distinct(list_concat([1, L + 1],
          |      [i + $CDC_W FOR i IN range(1, greatest(L - ${CDC_W - 1}, 0) + 1)
-         |         IF CAST(concat('0x', substr(md5(substr(text, i, $CDC_W)), 1, 7)) AS BIGINT)
-         |            % $CDC_MOD = 0]))) AS cuts
+         |         IF ($poly) % $CDC_MOD = 0]))) AS cuts
          |  FROM c),
          |ch AS (SELECT doc_id, substr(text, cuts[j], cuts[j + 1] - cuts[j]) AS chunk
          |       FROM b, unnest(generate_series(1, len(cuts) - 1)) AS t(j)),
@@ -838,7 +831,8 @@ object Dedup {
          |        count(DISTINCT doc_id) AS n_docs, min(length(chunk)) AS chunk_len
          |      FROM ch WHERE length(chunk) >= $CDC_MIN GROUP BY 1)
          |SELECT h, cnt, n_docs, chunk_len FROM g WHERE cnt > 1
-         |ORDER BY cnt DESC, h LIMIT 10""".stripMargin,
+         |ORDER BY cnt DESC, h LIMIT 10""".stripMargin
+    },
     "q_dedup_lines" ->
       s"""WITH docs AS (SELECT doc_id, lang,
          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w

@@ -236,6 +236,50 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got.exists(t => t._2 > 0 && t._3 > 0) || got.nonEmpty)
   }
 
+  test("q_dedup_cdc: equals a naive string-based CDC reimplementation; chunks tile") {
+    val W = 8; val MOD = 64L; val B = 127L; val CPM = 251; val MIN = 16
+    val pows = Array.iterate(1L, W)(_ * B).reverse // B^(W-1)..B^0
+    def naiveChunks(t: String): Seq[String] = {
+      val cps = t.codePoints().toArray
+      val L = cps.length
+      val bounds = (0 to L - W).filter { i =>
+        (0 until W).map(j => (cps(i + j) % CPM).toLong * pows(j)).sum % MOD == 0
+      }
+      val cuts = (Seq(0, L) ++ bounds.map(_ + W).filter(_ < L)).distinct.sorted
+      cuts.zip(cuts.tail).map { case (a, b2) =>
+        new String(cps, a, b2 - a)
+      }
+    }
+    // the native Expression must agree with the naive chunker doc by
+    // doc, and the chunks must tile the document exactly
+    val sparkChunks = spark.read.parquet(s"$SF/documents.parquet")
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), graft.functions.TextExpressions
+        .cdcChunksFast(col("text")).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    docs().filter(_._3.nonEmpty).foreach { case (id, _, t) =>
+      val naive = naiveChunks(t)
+      assert(sparkChunks(id) == naive, s"doc $id chunk mismatch")
+      assert(naive.mkString == t, s"doc $id chunks must tile the text")
+    }
+    // and the full profile query must equal the naive aggregate
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val all = docs().filter(_._3.nonEmpty).flatMap { case (id, _, t) =>
+      naiveChunks(t).filter(c => c.codePointCount(0, c.length) >= MIN)
+        .map(c => (id, md5hex(c), c.codePoints().count().toInt))
+    }
+    val expect = all.groupBy(_._2).map { case (h, xs) =>
+      (h, xs.size.toLong, xs.map(_._1).distinct.size.toLong,
+        xs.map(_._3).min.toLong)
+    }.toSeq.filter(_._2 > 1).sortBy { case (h, cnt, _, _) => (-cnt, h) }.take(10)
+    val got = SparkEntry.queries("q_dedup_cdc")(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong)).toSeq
+    assert(got == expect)
+  }
+
   test("q_quality_kn: equals a naive interpolated Kneser-Ney reimplementation") {
     val D = 0.75; val TOPK = 10
     val bigrams = docs().flatMap { case (id, lang, t) =>
