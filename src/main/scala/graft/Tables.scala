@@ -23,17 +23,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and rebuild a proper
-    * TimestampType at microsecond precision (the data carries none below
-    * µs). Integer `div` keeps the ns→µs conversion exact — a double
-    * division would lose bits above 2^53.
+  /** The driver has written events.ts two ways across fixture
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read nanos as long under the legacy conf and
+    * rebuild µs-precision timestamps; integer `div` keeps ns→µs exact
+    * where a double division would lose bits above 2^53) and plain
+    * timestamp[us] (surfaced as TIMESTAMP_NTZ). Branch on the schema
+    * actually read so a regenerated dataset never needs a code change;
+    * sessions run with spark.sql.session.timeZone=UTC, so the NTZ→TZ
+    * cast preserves the stored wall-clock reading as the UTC instant —
+    * identical epoch values on both paths.
     */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(s.read.parquet(s"$d/events.parquet"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -106,7 +106,7 @@ object Streaming {
     val ck = scopedCheckpoint(name)
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
     val q = stream.writeStream.outputMode("complete")
@@ -151,7 +151,7 @@ object Streaming {
     val ck = scopedCheckpoint(name)
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -185,7 +185,7 @@ object Streaming {
     // the scan and offset tracking per micro-batch.
     val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
     val q = src
       .withColumn("copy", explode(array(lit(0), lit(1)))).drop("copy")
       .withWatermark("ts", "10 minutes")
@@ -210,7 +210,7 @@ object Streaming {
     val ck = scopedCheckpoint(name)
     def src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeTs)
       .where(col("user_id") % 10 === 0)
     val clicks = src.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
@@ -278,9 +278,10 @@ object Streaming {
     val ck = scopedCheckpoint(name)
     val events = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normalizeTs)
       .where(col("user_id") % 25 === 0)
       .select(col("user_id").as("userId"),
-        expr("ts div 1000000").cast("long").as("tsMs"),
+        unix_millis(col("ts")).as("tsMs"),
         col("event_id").as("eventId"))
       .as[graft.streaming.Sessionizer.Event]
     val q = graft.streaming.Sessionizer.sessionize(events, 1800000L, "10 seconds")
