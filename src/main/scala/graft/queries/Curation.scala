@@ -355,6 +355,36 @@ object Curation {
   private val QG_MIN_DISTINCT = 0.35
   private val STOPWORDS = Seq("the", "a", "of", "and")
 
+  /** The corpus stand-in for C4's constant badword list; the real
+    * ~400-entry list compiles into the same fixed literal predicate.
+    * "spam"/"crash" never occur in the fixtures — they pin the
+    * zero-hit path through both engines. */
+  private val BLOCKLIST = Seq("dup", "spam", "crash")
+
+  /** C4-style blocklist filter (Raffel et al. 2020 §2.2: a document
+    * containing ANY term from the fixed badword list is dropped
+    * whole). Output is the audit a corpus release ships with its
+    * filter config — per (lang, source): docs scanned, docs flagged,
+    * total blocklisted-token hits, docs kept.
+    *
+    * Scale: the blocklist is a FIXED literal at any corpus size, so
+    * the flag is a pure map-side predicate over the token array (no
+    * dictionary join, no broadcast — the list rides in the codegen'd
+    * plan); the only shuffle is the final partial-agg rollup to
+    * (lang, source) rows. Counts are exact longs end to end. */
+  val qFilterBlocklist: Q = (s, d) => {
+    val hits = size(filter(tokens(col("text")),
+      t => t.isin(BLOCKLIST.map(lit): _*)))
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), hits.as("hits"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum("hits").cast("long").as("n_hits"),
+        sum(when(col("hits") === 0, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang", "source")
+  }
+
   private val CLF_B = DSIR_B // hashed feature buckets
   private val CLF_K = 8      // selected features — the model is K+1 numbers
 
@@ -766,7 +796,8 @@ object Curation {
     "q_quality_quantile" -> qQualityQuantile,
     "q_quality_buckets" -> qQualityBuckets,
     "q_vocab_oov" -> qVocabOov,
-    "q_source_stats" -> qSourceStats
+    "q_source_stats" -> qSourceStats,
+    "q_filter_blocklist" -> qFilterBlocklist
   )
 
   private val toksAll =
@@ -1073,6 +1104,17 @@ object Curation {
          |  round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4) AS dup_rate,
          |  n_langs, tok_total, mean_chars,
          |  round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4) <= $SRC_MAX_DUP AS keep
-         |FROM g ORDER BY source""".stripMargin
+         |FROM g ORDER BY source""".stripMargin,
+    "q_filter_blocklist" -> {
+      val blockIn = BLOCKLIST.map(w => s"'$w'").mkString("(", ",", ")")
+      s"""WITH t AS (SELECT lang, source,
+         |    len(list_filter($toksAll, t -> t IN $blockIn)) AS hits
+         |  FROM documents)
+         |SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(hits) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    }
   )
 }
