@@ -21,6 +21,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // All entrypoints share Tables.normalizeTs's documented assumption
+      // that the session zone is UTC (epoch-preserving NTZ→TZ cast).
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -101,6 +104,27 @@ object Bench {
     }
     val contentionBar = 1.4
     if (passes > 1 && medianSpread() > contentionBar) addPass()
+    // The median-only trigger under-measures (round-8 artifact: median
+    // spread 1.39 — just under the bar — while the heaviest dedup
+    // queries showed 2.0-4.1x pass spread and recorded minima 2-4x
+    // above the same build's calm min-of-5). A per-query spread > 2.0
+    // means every recorded pass of THAT query may have landed in a
+    // burst; min-of-2 has no calm sample to fall back on. So give
+    // exactly the noisy queries three extra grouped back-to-back
+    // passes (min-of-5 effectively — the builder's calm methodology),
+    // which is cheap because only the noisy ones re-run.
+    val perQueryBar = 2.0
+    if (passes > 1) {
+      val noisyIdx = raw.indices.filter(i => spreadOf(raw(i)) > perQueryBar)
+      noisyIdx.foreach { i =>
+        val fn = SparkEntry.queries(names(i))
+        raw(i) = raw(i) ++ (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+      }
+    }
     val spreadMedian = medianSpread()
     // Spread catches INTERMITTENT contention (some passes slow); a
     // noisy neighbor pinned for the whole run slows every pass equally
@@ -141,7 +165,13 @@ object Bench {
     val timed: Seq[(String, Seq[Double])] = names.zip(raw.toSeq)
     val results = timed.map { case (k, ts) => k -> ts.min }
     val total = results.map(_._2).sum
-    val agg = s"min-of-${raw.headOption.map(_.size).getOrElse(passes)}"
+    // Pass counts can differ per query now (noisy ones get extras).
+    val agg = {
+      val sizes = raw.map(_.size)
+      if (sizes.isEmpty) s"min-of-$passes"
+      else if (sizes.distinct.size == 1) s"min-of-${sizes.head}"
+      else s"min-of-${sizes.min}..${sizes.max}"
+    }
     // Per-query pass spread (max/min): the mechanical noise indicator.
     // A query whose min regressed vs a prior round but whose spread is
     // large was measured through host contention, not a plan change

@@ -60,6 +60,7 @@ object SmartSpimMain {
     val builder = SparkSession.builder()
       .appName("smartspim-to-ome-zarr")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
     // spark-submit injects spark.master; standalone runs default local
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master(s"local[$cpus]")).getOrCreate()

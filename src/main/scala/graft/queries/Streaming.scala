@@ -248,6 +248,7 @@ object Streaming {
     val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
     val q = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normalizeTs)
       .where(col("event_type") === "purchase")
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy("c_mktsegment")
