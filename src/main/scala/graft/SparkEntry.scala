@@ -25,7 +25,8 @@ object SparkEntry {
       (q.Graph.queries, q.Graph.oracleSql),
       (q.Multimodal.queries, q.Multimodal.oracleSql),
       (q.Streaming.queries, q.Streaming.oracleSql),
-      (q.Imaging.queries, q.Imaging.oracleSql)
+      (q.Imaging.queries, q.Imaging.oracleSql),
+      (q.Sql.queries, q.Sql.oracleSql)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** SQL-string surface parity (SURVEY.md §2.8 API-surface closure).
+  *
+  * The rest of the inventory exercises the DataFrame API; a real user
+  * migrating from the reference also expects to hand the engine ANSI
+  * SQL text. These queries register the test tables as temp views and
+  * execute via `spark.sql(...)` — and the parity statement is made as
+  * strong as possible by running the IDENTICAL SQL string on both
+  * engines: `oracleSql` is the very string passed to `spark.sql`
+  * (broadcast hints ride in hint-style block comments, which DuckDB
+  * parses as plain comments; ORDER BY spells NULLS FIRST explicitly
+  * since Spark defaults nulls-first and DuckDB nulls-last).
+  *
+  * Scale posture is inherited from the plans, not the strings:
+  * Catalyst compiles these to the same physical plans as their
+  * DataFrame twins (broadcast dim joins, partial aggregation,
+  * rank-window with a 5-value partition key), verified in PlanSpec.
+  */
+object Sql {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Views are per-session and definitions are constant, so concurrent
+    * re-registration is idempotent. Events goes through normalizeTs so
+    * SQL over `events` sees the same µs-precision UTC timestamps as the
+    * DataFrame surface. */
+  private def registerViews(s: SparkSession, d: String): Unit =
+    Tables.names.foreach { t =>
+      try Tables(s, d, t).createOrReplaceTempView(t)
+      catch { case _: Throwable => () } // missing fixture table: view absent
+    }
+
+  /** Join-matrix core via SQL text: customer ⋈ nation (broadcast-hinted
+    * dim) — the snowflake join q_join_bcast expresses via DataFrame. */
+  private val sqlJoin: String =
+    """SELECT /*+ BROADCAST(nation) */ n_name,
+      |       count(*) AS n_cust,
+      |       round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name NULLS FIRST""".stripMargin
+
+  /** Rank window over a bounded (5-value) partition key via SQL text —
+    * the q_topk_per_group shape. Ties at the boundary are included by
+    * rank() on both engines, so the result is order-deterministic via
+    * the trailing total sort. */
+  private val sqlWindow: String =
+    """SELECT o_orderpriority, o_orderkey, rnk
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |         rank() OVER (PARTITION BY o_orderpriority
+      |                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders
+      |) t
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority NULLS FIRST, rnk, o_orderkey""".stripMargin
+
+  /** ROLLUP aggregate via SQL text — the q_agg_rollup shape. */
+  private val sqlRollup: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       count(*) AS n,
+      |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_v
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  private def runSql(sql: String): Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(sql)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sql_join"   -> runSql(sqlJoin),
+    "q_sql_window" -> runSql(sqlWindow),
+    "q_sql_rollup" -> runSql(sqlRollup)
+  )
+
+  /** Identical strings — the whole point of the parity gate. */
+  val oracleSql: Map[String, String] = Map(
+    "q_sql_join"   -> sqlJoin,
+    "q_sql_window" -> sqlWindow,
+    "q_sql_rollup" -> sqlRollup
+  )
+}
