@@ -492,6 +492,50 @@ object Dedup {
       .orderBy("lang")
   }
 
+  private val MULTI_LENS = Seq(8, 16, 32, 64)
+
+  /** Multi-length exact-substring dedup profile — the practical
+    * distributed stand-in for suffix-array dedup (Lee et al. 2022 find
+    * duplicate substrings at ALL lengths with a suffix array, which
+    * doesn't distribute; the fixed-gram [[qDedupSpans]] sees only one
+    * length). Grams at lengths {8,16,32,64} are profiled together and
+    * each doc reports the LONGEST gram length it shares verbatim with
+    * any other document plus its total duplicated-gram count — the
+    * doubling ladder brackets every true longest-duplicate within 2×,
+    * which is what a trim/score pass actually consumes.
+    *
+    * Shape: tokens computed once (cached); per length, the same
+    * bounded-aggregate-join as [[qDedupSpans]] — per-doc-DISTINCT
+    * grams map-side (native Shingles), document frequency via partial-
+    * agg count on the (len, gram) key (Zipf-hot boilerplate collapses
+    * per task), duplicated grams re-attach through ONE shuffle_hash
+    * equi-join (corpus-sized build side, AQE-skew-eligible, never
+    * broadcast, never a window on the raw gram). Union-of-lengths
+    * multiplies the explode volume by the ladder size only; every
+    * per-key bound is unchanged, so the 100 TB posture is exactly
+    * q_dedup_spans' × 4. All accounting is exact longs. */
+  val qDedupMultilen: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    Scoped.withCached(docs) {
+      val occ = MULTI_LENS.map { n =>
+        docs.select(col("doc_id"), lit(n.toLong).as("gl"),
+          explode(shingles(col("w"), n)).as("sp"))
+      }.reduce(_ unionAll _)
+      val dup = occ.groupBy("gl", "sp").agg(count(lit(1)).as("ndocs"))
+        .where(col("ndocs") >= 2).select("gl", "sp")
+      val flags = occ.join(dup.hint("shuffle_hash"), Seq("gl", "sp"))
+        .groupBy("doc_id")
+        .agg(max("gl").as("longest_dup"), count(lit(1)).as("n_dup_grams"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(flags, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("longest_dup"), lit(0L)).as("longest_dup"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+        .orderBy("doc_id")
+    }
+  }
+
   private val LINE_W = 5
 
   /** Line-granularity EXACT dedup — the C4 rule (Raffel et al. 2020,
@@ -708,6 +752,7 @@ object Dedup {
     "q_dedup_lines" -> qDedupLines,
     "q_dedup_cdc" -> qDedupCdc,
     "q_dedup_spans" -> qDedupSpans,
+    "q_dedup_multilen" -> qDedupMultilen,
     "q_dedup_trim" -> qDedupTrim,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_exact" -> qDedupExact,
@@ -864,6 +909,27 @@ object Dedup {
          |  round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
          |FROM sh JOIN df USING (sp)
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q_dedup_multilen" -> {
+      // array_to_string over a slice, not a || chain: a 64-term concat
+      // exceeds DuckDB's 128-deep binder recursion limit.
+      def spanExpr(n: Int) = s"array_to_string(w[i:i+${n - 1}], ' ')"
+      val branches = MULTI_LENS.map { n =>
+        s"""SELECT DISTINCT doc_id, CAST($n AS BIGINT) AS gl, ${spanExpr(n)} AS sp
+           |  FROM toks, unnest(range(1, len(w) + 2 - $n)) t(i)""".stripMargin
+      }.mkString("\n         | UNION ALL\n         | ")
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
+         |  FROM documents),
+         |occ AS ($branches),
+         |dup AS (SELECT gl, sp FROM occ GROUP BY gl, sp HAVING count(*) >= 2),
+         |fl AS (SELECT doc_id, max(gl) AS longest_dup, count(*) AS n_dup_grams
+         |       FROM occ JOIN dup USING (gl, sp) GROUP BY doc_id)
+         |SELECT toks.doc_id, toks.lang,
+         |  CAST(coalesce(fl.longest_dup, 0) AS BIGINT) AS longest_dup,
+         |  CAST(coalesce(fl.n_dup_grams, 0) AS BIGINT) AS n_dup_grams
+         |FROM toks LEFT JOIN fl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     "q_dedup_trim" -> {
       val span = (0 until SPAN_N)
