@@ -344,6 +344,92 @@ object Curation {
       .orderBy("rn")
   }
 
+  private val KN3_TOPK = 10
+
+  /** Interpolated TRIGRAM Kneser-Ney scoring — the order-3 extension
+    * of [[qQualityKn]] (Chen & Goodman 1999 §3: each order discounts
+    * its observed counts and interpolates with the next-lower order's
+    * CONTINUATION distribution; KenLM ships order 5). The full ladder:
+    *
+    *   P(w₃|w₁w₂) = max(c(w₁w₂w₃)−D, 0)/c(w₁w₂·)
+    *              + (D·N₁₊(w₁w₂·)/c(w₁w₂·)) · P_mid(w₃|w₂)
+    *   P_mid(w₃|w₂) = max(N₁₊(·w₂w₃)−D, 0)/N₁₊(·w₂·)
+    *              + (D·N₁₊(w₂·)/N₁₊(·w₂·)) · P_cont(w₃)
+    *   P_cont(w₃) = N₁₊(·w₃)/N₁₊(··)
+    *
+    * — the middle and bottom orders use TYPE (continuation) counts,
+    * not raw counts, all derived from the trigram-type table: N₁₊(·w₂w₃)
+    * is its distinct-w₁ count per (w₂,w₃), N₁₊(·w₂·)/N₁₊(w₂·) its
+    * per-middle-w₂ aggregates, N₁₊(·w₃)/N₁₊(··) the (w₂,w₃)-pair-table
+    * aggregates (boundary bigrams not covered by any trigram are
+    * outside the model by this convention — documented, and replayed
+    * identically by the oracle). Doc score = mean trigram surprise;
+    * output = the [[KN3_TOPK]] most-atypical documents.
+    *
+    * Scale shape: the corpus aggregates exactly ONCE into the
+    * trigram-type table; every KN statistic is a key-cardinality
+    * aggregate of that table or of its (w₂,w₃) contraction, joined
+    * shuffle_hash with per-key groups bounded by distinct-continuation
+    * counts; per-TYPE surprise rides ONE heavy-hitter split
+    * ([[HeavyHitters.attachModel]]) onto the Zipf-skewed trigram
+    * stream — same posture as the bigram scorers, one order deeper.
+    *
+    * Determinism: model inputs are exact longs; P evaluates with the
+    * identical parenthesized IEEE-double dag in both engines, floored
+    * to the 10⁻⁶ ln grid, so per-doc sums are exact longs. c ≥ 1 > D
+    * keeps every numerator's discounted mass positive, so P ∈ (0,1)
+    * and the ln is finite. */
+  val qQualityKnTri: Q = (s, d) => {
+    val tg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextExpressions
+          .shinglesAllFast(tokens(col("text")), 3)).as("tg"))
+    val ct = tg.groupBy("tg").agg(count(lit(1)).as("c3"))
+      .withColumn("w1", substring_index(col("tg"), " ", 1))
+      .withColumn("w2",
+        substring_index(substring_index(col("tg"), " ", 2), " ", -1))
+      .withColumn("w3", substring_index(col("tg"), " ", -1))
+    val ctx = ct.groupBy(col("w1").as("x1"), col("w2").as("x2"))
+      .agg(sum("c3").as("c12"), count(lit(1)).as("n1l12"))
+    val cont = ct.groupBy(col("w2").as("v2"), col("w3").as("v3"))
+      .agg(count(lit(1)).as("n23"))
+    val mid = cont.groupBy(col("v2").as("m2"))
+      .agg(sum("n23").cast("long").as("n2mid"), count(lit(1)).as("nw2dot"))
+    val uni = cont.groupBy(col("v3").as("q3")).agg(count(lit(1)).as("ndw3"))
+    val nPairs = cont.agg(count(lit(1)).as("np"))
+    val model = ct
+      .join(ctx.hint("shuffle_hash"),
+        col("w1") === col("x1") && col("w2") === col("x2"))
+      .join(cont.hint("shuffle_hash"),
+        col("w2") === col("v2") && col("w3") === col("v3"))
+      .join(mid.hint("shuffle_hash"), col("w2") === col("m2"))
+      .join(uni.hint("shuffle_hash"), col("w3") === col("q3"))
+      .crossJoin(broadcast(nPairs))
+      .withColumn("pcont", col("ndw3").cast("double") / col("np").cast("double"))
+      .withColumn("pmid",
+        (greatest(col("n23").cast("double") - KN_D, lit(0.0))
+          / col("n2mid").cast("double"))
+        + ((lit(KN_D) * col("nw2dot").cast("double")) / col("n2mid").cast("double"))
+          * col("pcont"))
+      .withColumn("p",
+        (greatest(col("c3").cast("double") - KN_D, lit(0.0))
+          / col("c12").cast("double"))
+        + ((lit(KN_D) * col("n1l12").cast("double")) / col("c12").cast("double"))
+          * col("pmid"))
+      .withColumn("surp", floor(-log(col("p")) * 1e6).cast("long"))
+      .select("tg", "c3", "surp")
+    HeavyHitters.attachModel(tg, "tg", model, "c3")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tg"), sum("surp").as("ssum"))
+      .withColumn("surprise",
+        round(col("ssum").cast("double") / (col("n_tg") * lit(1000000.0)), 4))
+      .orderBy(col("surprise").desc, col("doc_id").asc).limit(KN3_TOPK)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("surprise").desc, col("doc_id").asc)))
+      .select("rn", "doc_id", "lang", "n_tg", "surprise")
+      .orderBy("rn")
+  }
+
   // ---- Gopher-style quality rules (thresholds fit this corpus's
   // observed ranges: n_tok p10/p50/p90 = 21/56/88, mean word length
   // 3.7-5.3, distinct ratio 0.28-0.99, mean stopword hits 3.4) ----
@@ -789,6 +875,7 @@ object Curation {
     "q_quality_lm" -> qQualityLm,
     "q_quality_bigram" -> qQualityBigram,
     "q_quality_kn" -> qQualityKn,
+    "q_quality_kn_tri" -> qQualityKnTri,
     "q_text_repetition" -> qTextRepetition,
     "q_pii_redact" -> qPiiRedact,
     "q_zorder_curve" -> qZorderCurve,
@@ -1054,6 +1141,35 @@ object Curation {
          |SELECT rn, doc_id, lang, n_bg, surprise FROM (
          |  SELECT *, row_number() OVER (ORDER BY surprise DESC, doc_id ASC) AS rn FROM r) q
          |WHERE rn <= $KN_TOPK ORDER BY rn""".stripMargin,
+    "q_quality_kn_tri" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
+         |tg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg
+         |       FROM t, unnest(range(1, len(w) - 1)) u(i)),
+         |ct AS (SELECT tg, split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
+         |         split_part(tg, ' ', 3) AS w3, count(*) AS c3 FROM tg GROUP BY tg),
+         |ctx AS (SELECT w1, w2, sum(c3) AS c12, count(*) AS n1l12 FROM ct GROUP BY 1, 2),
+         |cont AS (SELECT w2, w3, count(*) AS n23 FROM ct GROUP BY 1, 2),
+         |mid AS (SELECT w2, sum(n23) AS n2mid, count(*) AS nw2dot FROM cont GROUP BY 1),
+         |uni AS (SELECT w3, count(*) AS ndw3 FROM cont GROUP BY 1),
+         |np AS (SELECT count(*) AS np FROM cont),
+         |m AS (SELECT tg,
+         |        CAST(floor(-ln(
+         |          (greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) / CAST(c12 AS DOUBLE))
+         |          + ((0.75 * CAST(n1l12 AS DOUBLE)) / CAST(c12 AS DOUBLE))
+         |            * ((greatest(CAST(n23 AS DOUBLE) - 0.75, 0.0) / CAST(n2mid AS DOUBLE))
+         |               + ((0.75 * CAST(nw2dot AS DOUBLE)) / CAST(n2mid AS DOUBLE))
+         |                 * (CAST(ndw3 AS DOUBLE) / CAST(np AS DOUBLE)))
+         |        ) * 1000000) AS BIGINT) AS surp
+         |      FROM ct JOIN ctx USING (w1, w2) JOIN cont USING (w2, w3)
+         |           JOIN mid USING (w2) JOIN uni USING (w3), np),
+         |ds AS (SELECT tg.doc_id, tg.lang, count(*) AS n_tg, sum(surp) AS ssum
+         |       FROM tg JOIN m USING (tg) GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, n_tg,
+         |        round(CAST(ssum AS DOUBLE) / (n_tg * 1000000.0), 4) AS surprise
+         |      FROM ds)
+         |SELECT rn, doc_id, lang, n_tg, surprise FROM (
+         |  SELECT *, row_number() OVER (ORDER BY surprise DESC, doc_id ASC) AS rn FROM r) q
+         |WHERE rn <= $KN3_TOPK ORDER BY rn""".stripMargin,
     "q_quality_buckets" ->
       s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
