@@ -382,6 +382,27 @@ object MicroBench {
           .withColumn("rn", row_number().over(wP)).where(col("rn") <= kTop)
           .select("qid", "vec_id").collect()
           .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        // OPQ tier (q_ann_opq): the same ADC ranking after the
+        // Householder rotation that balances top-PC energy across
+        // subspaces — the recall delta vs pq above IS the measured
+        // value of the rotation at the same 6-byte code budget.
+        val svO = graft.queries.Similarity
+          .pqSubvecsOf(graft.queries.Similarity.opqRotatedVecs(spark, sf))
+          .localCheckpoint(true)
+        val cbO = graft.queries.Similarity.pqFit(svO).localCheckpoint(true)
+        val codesO = graft.queries.Similarity.pqAssign(svO, cbO)
+        val dtqO = svO.where(col("vec_id") < nq)
+          .join(broadcast(cbO), "m")
+          .select(col("vec_id").as("dqid"), col("m").as("dm"),
+            col("cid").as("dcid"), graft.queries.Similarity.pqDistCol.as("dt"))
+        val opq = codesO.join(broadcast(dtqO),
+            col("m") === col("dm") && col("cell") === col("dcid") &&
+              col("vec_id") =!= col("dqid"))
+          .groupBy("dqid", "vec_id").agg(sum("dt").as("adist"))
+          .select(col("dqid").as("qid"), col("vec_id"), col("adist"))
+          .withColumn("rn", row_number().over(wP)).where(col("rn") <= kTop)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
         // IVF × PQ (q_ann_ivf_pq): coarse-cell PRUNE then ADC rank —
         // the pruned-ADC point on the recall/cost curve (candidate
         // fraction = the k-means prune's, fidelity = the codes').
@@ -412,7 +433,7 @@ object MicroBench {
         }
         val curve = (1 to 4).map(p => p -> ivfpqAt(p))
         val (ivfpqR, ivfpqF) = curve(1)._2 // probe=2, the operating point
-        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f,"pq_adc_recall":${recall(pq)}%.3f,"ivf_pq_recall":$ivfpqR%.3f,"ivf_pq_candidate_frac":$ivfpqF%.4f}""")
+        println(f"""{"bench":"annrecall","k":$kTop,"n_queries":$nq,"lsh_recall":${recall(lsh)}%.3f,"lsh_probe1_recall":${recall(probe1)}%.3f,"lsh_probe2_recall":${recall(probe2)}%.3f,"lsh_candidate_frac":$lshFrac%.4f,"ivf_recall":${recall(ivf)}%.3f,"ivf_candidate_frac":$ivfFrac%.4f,"ivf_kmeans_recall":${recall(km)}%.3f,"ivf_kmeans_candidate_frac":$kmFrac%.4f,"pq_adc_recall":${recall(pq)}%.3f,"opq_adc_recall":${recall(opq)}%.3f,"ivf_pq_recall":$ivfpqR%.3f,"ivf_pq_candidate_frac":$ivfpqF%.4f}""")
         val pts = curve.map { case (p, (r, f)) =>
           f"""{"probe":$p,"recall":$r%.3f,"cand_frac":$f%.4f}"""
         }.mkString(",")

@@ -277,7 +277,11 @@ object Similarity {
     * re-grains the quantization (the scaladoc'd knob), it does not
     * change shape. Reference has no spectral op; lineage is the
     * classic tall-skinny covariance trick (e.g. Halko et al. 2011). */
-  val qEmbedPca: Q = (s, d) => {
+  /** The integer-exact top-eigenvector fit shared by [[qEmbedPca]] and
+    * the OPQ rotation ([[opqRotationV]]): one tree-aggregated Gram
+    * pass, then the fixed [[PCA_ITERS]]-round integer power recurrence.
+    * Returns (x on the [[PCA_GRID]] grid, final max|y| m). */
+  private[graft] def pcaPowerFit(s: SparkSession, d: String): (Array[Long], Long) = {
     import s.implicits._
     val dim = PCA_DIM
     val rows = Tables.embeddings(s, d).select(col("embedding")).as[Array[Float]]
@@ -321,6 +325,11 @@ object Similarity {
       x = y.map(v => tdiv(v * PCA_GRID, m))
       it += 1
     }
+    (x, m)
+  }
+
+  val qEmbedPca: Q = (s, d) => {
+    val (x, m) = pcaPowerFit(s, d)
     val lambdaQ = tdiv(m, PCA_GRID)
     val compSum = x.zipWithIndex.map { case (v, j) => (j + 1) * v }.sum
     val xArr = s"array(${x.mkString("L, ")}L)"
@@ -706,7 +715,12 @@ object Similarity {
   /** Exploded sub-vectors (vec_id, m, sq): sq = dims [m·8+1, m·8+8] of
     * the scale-10³ quantized vector. */
   private[graft] def pqSubvecs(s: SparkSession, d: String): DataFrame =
-    quantizedVecs(s, d).select(col("vec_id"),
+    pqSubvecsOf(quantizedVecs(s, d))
+
+  /** Same explode for any (vec_id, q) relation — the OPQ path feeds
+    * ROTATED quantized vectors through the identical PQ machinery. */
+  private[graft] def pqSubvecsOf(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
       explode(array((0 until PQ_M).map(m => struct(lit(m).as("m"),
         slice(col("q"), m * PQ_SUBDIM + 1, PQ_SUBDIM).as("sq"))): _*)).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sq").as("sq"))
@@ -815,6 +829,91 @@ object Similarity {
         .as[(Long, Long, Long)]
         // partialTopK keeps the LARGEST keys; ADC distance is
         // smaller-is-better, so negate it for the heap
+        .mapPartitions(partialTopK[(Long, Long, Long)](_, 3, _._1,
+          t => (-t._3.toDouble, t._2)))
+        .toDF("qid", "vec_id", "adist")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)))
+        .where(col("rn") <= 3)
+        .select("qid", "rn", "vec_id", "adist")
+        .orderBy("qid", "rn")
+    }
+  }
+
+  /** The OPQ rotation vector: a single data-adaptive Householder
+    * reflection H = I − 2vvᵀ/(v·v) with v = 8u − t·1⃗, where u is the
+    * integer top eigenvector ([[pcaPowerFit]], grid [[PCA_GRID]]) and
+    * t = ⌊√(64·u·u)⌋ — so H maps the corpus's DOMINANT VARIANCE
+    * direction (approximately, to isqrt rounding) onto the all-ones
+    * diagonal, whose energy splits EVENLY across the 8 PQ subspaces.
+    * This is the variance-balancing objective of OPQ (Ge et al. 2013,
+    * "Optimized Product Quantization": rotate so subspaces carry
+    * balanced information) realized as one exact reflection instead of
+    * the full iterated Procrustes solve — the deterministic, driver-
+    * cheap fraction of OPQ that composes with the existing integer
+    * Lloyd fits. Returns (v, v·v); v·v = 0 (u exactly along 1⃗) falls
+    * back to identity. */
+  private[graft] def opqRotationV(s: SparkSession, d: String): (Array[Long], Long) = {
+    val (u, _) = pcaPowerFit(s, d)
+    val nu2 = u.map(z => z * z).sum
+    // Both engines use correctly-rounded IEEE sqrt of the same exact
+    // double (64·nu2 < 2^53), so ⌊√·⌋ is bit-identical cross-engine.
+    val t = math.floor(math.sqrt((64L * nu2).toDouble)).toLong
+    val v = u.map(z => 8L * z - t)
+    (v, v.map(z => z * z).sum)
+  }
+
+  /** Rotated quantized vectors (vec_id, q): r = H·q evaluated in exact
+    * integers as rᵢ = tdiv((v·v)·qᵢ − 2(v·q)·vᵢ, v·v) — one truncating
+    * division per component (error ≤ 1 at the 10³ grain, the same
+    * order as the quantization itself), identical in both engines.
+    * Magnitude envelope: |v·v| ≤ 64·(8·1024+2¹⁶)² < 4·10¹¹ and
+    * |q| ≤ 10⁴ keep every product below 10¹⁶ ≪ 2⁶³. Map-side only —
+    * the rotation is K ≪ corpus driver state shipped as literals. */
+  private[graft] def opqRotatedVecs(s: SparkSession, d: String): DataFrame = {
+    val (v, vv) = opqRotationV(s, d)
+    if (vv == 0L) quantizedVecs(s, d)
+    else {
+      val vArr = s"array(${v.mkString("L, ")}L)"
+      quantizedVecs(s, d)
+        .withColumn("vq", expr(
+          s"aggregate(zip_with(q, $vArr, (a, b) -> a * b), 0L, (acc, e) -> acc + e)"))
+        .withColumn("q", expr(
+          s"""zip_with(q, $vArr, (qi, vi) ->
+             |  CASE WHEN ${vv}L * qi - 2L * vq * vi >= 0L
+             |    THEN (${vv}L * qi - 2L * vq * vi) div ${vv}L
+             |    ELSE -((-(${vv}L * qi - 2L * vq * vi)) div ${vv}L) END)""".stripMargin))
+        .select(col("vec_id"), col("embedding"), col("q"))
+    }
+  }
+
+  /** OPQ-rotated PQ/ADC search — [[qAnnPqAdc]] with the corpus (and
+    * queries) rotated by [[opqRotatedVecs]] before the codebook fit.
+    * Because H is orthogonal, exact distances are preserved; what
+    * changes is the SUBSPACE DECOMPOSITION the product quantizer works
+    * in — balanced top-PC energy means codebooks waste fewer codes on
+    * one dominant subspace (recall measured vs plain PQ in
+    * `MicroBench annrecall` / BASELINE.md). Plan shape is identical to
+    * q_ann_pq_adc: fit + encode map-side over one cached subvec scan,
+    * broadcast distance tables, partial-agg ADC sums, bounded top-k. */
+  val qAnnOpq: Q = (s, d) => {
+    import s.implicits._
+    val sv = pqSubvecsOf(opqRotatedVecs(s, d))
+    Scoped.withCachedEager(sv) {
+      val cb = pqFit(sv)
+      val codes = pqAssign(sv, cb)
+      val dt = sv.where(col("vec_id") < PQ_NQ)
+        .join(broadcast(cb), "m")
+        .select(col("vec_id").as("dqid"), col("m").as("dm"),
+          col("cid").as("dcid"), pqDist.as("dt"))
+      codes.join(broadcast(dt),
+          col("m") === col("dm") && col("cell") === col("dcid") &&
+            col("vec_id") =!= col("dqid"))
+        .groupBy("dqid", "vec_id")
+        .agg(sum("dt").as("adist"))
+        .select(col("dqid").cast("long").as("qid"), col("vec_id").cast("long"),
+          col("adist").cast("long"))
+        .as[(Long, Long, Long)]
         .mapPartitions(partialTopK[(Long, Long, Long)](_, 3, _._1,
           t => (-t._3.toDouble, t._2)))
         .toDF("qid", "vec_id", "adist")
@@ -1013,6 +1112,7 @@ object Similarity {
     "q_ann_ivf_label" -> qAnnIvfLabel,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_pq_adc" -> qAnnPqAdc,
+    "q_ann_opq" -> qAnnOpq,
     "q_ann_ivf_pq" -> qAnnIvfPq,
     "q_ann_quantized" -> qAnnQuantized,
     "q_semdedup" -> qSemDedup
@@ -1079,10 +1179,10 @@ object Similarity {
        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
-  /** DuckDB replay of the PQ/ADC search: identical integer-exact
-    * per-subspace Lloyd fit (md5-seeded init, PQ_ITERS rounds), corpus
-    * encoding, query distance tables, summed-lookup ranking. */
-  private val pqOracleSql: String = {
+  /** The PQ fit/encode/ADC chain given a preceding CTE `v(vec_id, q)`
+    * with q the scale-10³ vectors — shared verbatim by the plain PQ
+    * oracle and the OPQ oracle (which swaps in ROTATED q). */
+  private def pqChainAfterV: String = {
     val sub = PQ_SUBDIM
     def dist(svA: String, cbA: String) =
       s"""list_sum(list_transform(range(1, ${sub + 1}),
@@ -1101,10 +1201,7 @@ object Similarity {
          |         range(1, ${sub + 1}) t(i)
          |    GROUP BY $assign.m, $assign.cell, t.i) u
          |  GROUP BY m, cid)""".stripMargin
-    s"""WITH v AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |sv AS (SELECT vec_id, m, list_transform(range(1, ${sub + 1}), i -> q[m * $sub + i]) AS sq
+    s"""sv AS (SELECT vec_id, m, list_transform(range(1, ${sub + 1}), i -> q[m * $sub + i]) AS sq
        |       FROM v, range(0, $PQ_M) t(m)),
        |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid
        |         FROM (SELECT vec_id,
@@ -1127,6 +1224,71 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY adist ASC, vec_id ASC) AS rn FROM adc) t
        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** DuckDB replay of the PQ/ADC search: identical integer-exact
+    * per-subspace Lloyd fit (md5-seeded init, PQ_ITERS rounds), corpus
+    * encoding, query distance tables, summed-lookup ranking. */
+  private val pqOracleSql: String =
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$pqChainAfterV""".stripMargin
+
+  /** DuckDB replay of the OPQ search: the o-prefixed power-iteration
+    * chain re-derives the integer top eigenvector (same recurrence as
+    * the q_embed_pca oracle), the Householder v = 8u − ⌊√(64·u·u)⌋·1⃗
+    * rotates the scale-10³ vectors with per-component truncating
+    * division, and the UNCHANGED [[pqChainAfterV]] runs on the rotated
+    * `v`. */
+  private val opqOracleSql: String = {
+    def tdivSql(a: String, b: String) =
+      s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+    val iters = (1 to PCA_ITERS).map { k =>
+      val px = s"ox${k - 1}"
+      s"""oy$k AS MATERIALIZED (SELECT ocov.i, CAST(sum(ocov.c * $px.x) AS BIGINT) AS y
+         |        FROM ocov JOIN $px ON ocov.j = $px.i GROUP BY ocov.i),
+         |om$k AS MATERIALIZED (SELECT max(abs(y)) AS m FROM oy$k),
+         |ox$k AS MATERIALIZED (SELECT i, ${tdivSql(s"y * $PCA_GRID", "m")} AS x FROM oy$k, om$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ov AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding,
+       |      e -> CAST(floor(CAST(e AS DOUBLE) * $PCA_QG) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |onn AS (SELECT count(*) AS n FROM ov),
+       |osv AS MATERIALIZED (SELECT i, CAST(sum(q[i]) AS BIGINT) AS s
+       |       FROM ov, unnest(range(1, ${PCA_DIM + 1})) t(i) GROUP BY i),
+       |ogm AS MATERIALIZED (SELECT a.i AS i, b.j AS j, CAST(sum(ov.q[a.i] * ov.q[b.j]) AS BIGINT) AS g
+       |       FROM ov, unnest(range(1, ${PCA_DIM + 1})) a(i),
+       |               unnest(range(1, ${PCA_DIM + 1})) b(j)
+       |       GROUP BY 1, 2),
+       |ocov AS MATERIALIZED (SELECT ogm.i, ogm.j,
+       |          ogm.g - ${tdivSql("si.s * sj.s", "onn.n")} AS c
+       |        FROM ogm JOIN osv si ON si.i = ogm.i
+       |                JOIN osv sj ON sj.i = ogm.j, onn),
+       |ox0 AS MATERIALIZED (SELECT i, CAST(1 AS BIGINT) AS x
+       |       FROM unnest(range(1, ${PCA_DIM + 1})) t(i)),
+       |$iters,
+       |ou AS (SELECT list(x ORDER BY i) AS u FROM ox$PCA_ITERS),
+       |orot AS MATERIALIZED (SELECT
+       |        list_transform(u, z -> 8 * z -
+       |          CAST(floor(sqrt(CAST(64 * list_sum(list_transform(u, w -> w * w)) AS DOUBLE)))
+       |            AS BIGINT)) AS vvec
+       |      FROM ou),
+       |ovv AS (SELECT CAST(list_sum(list_transform(vvec, z -> z * z)) AS BIGINT) AS vv FROM orot),
+       |v AS MATERIALIZED (SELECT vec_id,
+       |      CASE WHEN vv = 0 THEN q3 ELSE
+       |        list_transform(range(1, ${PCA_DIM + 1}), i ->
+       |          ${tdivSql("vv * q3[i] - 2 * vq * vvec[i]", "vv")}) END AS q
+       |      FROM (SELECT vec_id, q3,
+       |              CAST(list_sum(list_transform(range(1, ${PCA_DIM + 1}),
+       |                i -> q3[i] * vvec[i])) AS BIGINT) AS vq, vvec, vv
+       |            FROM (SELECT vec_id,
+       |                    list_transform(embedding,
+       |                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q3
+       |                  FROM embeddings) e, orot, ovv) s),
+       |$pqChainAfterV""".stripMargin
   }
 
   /** DuckDB replay of the IVF × PQ composition: BOTH integer-exact
@@ -1275,6 +1437,7 @@ object Similarity {
     "q_semdedup" -> semDedupOracleSql,
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_pq_adc" -> pqOracleSql,
+    "q_ann_opq" -> opqOracleSql,
     "q_ann_ivf_pq" -> ivfPqOracleSql,
     "q_embed_outlier" ->
       s"""WITH q AS (SELECT vec_id, label,
