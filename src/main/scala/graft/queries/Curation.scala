@@ -189,7 +189,13 @@ object Curation {
     * form was one shuffle fewer locally but put the hottest token's
     * entire group in ONE WindowExec task, which AQE cannot split — the
     * skew bound here is explicit instead. Per-doc sum is a partial agg;
-    * top-k is a distributed TakeOrdered. */
+    * top-k is a distributed TakeOrdered.
+    *
+    * Overflow envelope (round 9, DeterminismSpec-pinned): surp ≤
+    * ln(T)·10⁶ ≈ 2.8·10⁷ at T = 10¹² corpus tokens, and the sum is
+    * per-DOC — a 10⁶-token document reaches 2.8·10¹³, 3·10⁵× inside
+    * int64. (Corpus-level sums of this grain are NOT long-safe; see
+    * q_quality_buckets / q_mix_doremi, which widen to decimal.) */
   val qQualityLm: Q = (s, d) => {
     val tk = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
@@ -244,7 +250,9 @@ object Curation {
     * hot types broadcast map-side and only the tail joins back
     * shuffle-hash, partitions bounded below total/10⁴. Surprise per
     * type is the established floor(·10⁶) long, so per-doc sums are
-    * exact. */
+    * exact. Overflow envelope: per-doc only — surp ≤ ln(T)·10⁶ ≈
+    * 2.8·10⁷ at T = 10¹² transitions × 10⁶-token doc = 2.8·10¹³,
+    * 3·10⁵× inside int64 (DeterminismSpec). */
   val qQualityBigram: Q = (s, d) => {
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -308,7 +316,10 @@ object Curation {
     * engines — (max(c−D,0)/c₁) + ((D·n₁ₗ)/c₁)·(n₁ᵣ/N) — then floored
     * to the established 10⁻⁶ ln grid, so per-doc sums are exact longs
     * and one rounded divide ends the query. P > 0 always (c ≥ 1 > D
-    * leaves positive discounted mass) and < 1, so the ln is finite. */
+    * leaves positive discounted mass) and < 1, so the ln is finite.
+    * Overflow envelope: same per-doc-only bound as [[qQualityBigram]]
+    * (−ln P < 56 nats → 3·10⁵× int64 headroom per 10⁶-token doc;
+    * DeterminismSpec). */
   val qQualityKn: Q = (s, d) => {
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -378,7 +389,8 @@ object Curation {
     * identical parenthesized IEEE-double dag in both engines, floored
     * to the 10⁻⁶ ln grid, so per-doc sums are exact longs. c ≥ 1 > D
     * keeps every numerator's discounted mass positive, so P ∈ (0,1)
-    * and the ln is finite. */
+    * and the ln is finite. Overflow envelope: per-doc only, same bound
+    * as [[qQualityBigram]] (DeterminismSpec). */
   val qQualityKnTri: Q = (s, d) => {
     val tg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -795,9 +807,17 @@ object Curation {
         when(col("sper") <= col("c1"), "head")
           .when(col("sper") <= col("c2"), "middle").otherwise("tail"))
       .groupBy("lang", "bucket")
+      // Overflow envelope (round 9): per-DOC ssum is long-safe (a 10⁶-
+      // token doc × surp ≤ 2.8·10⁷ stays under 2.8·10¹³), but the
+      // per-(lang, bucket) sum of ssum is corpus-scale — ≈ 2.8·10¹⁹ at
+      // 10¹² tokens, past int64. Widened to decimal(38,0) on the
+      // #docs-row aggregate only (DuckDB sums BIGINT into HUGEINT, so
+      // the oracle was never at risk; the double quotient is
+      // bit-identical either way).
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("tok_total"),
-        round(sum("ssum").cast("double") / (sum("n_tok") * lit(1000000.0)), 4)
+        round(sum(col("ssum").cast("decimal(38,0)")).cast("double")
+          / (sum("n_tok") * lit(1000000.0)), 4)
           .as("mean_surprise"))
       .orderBy("lang", "bucket")
   }

@@ -369,7 +369,17 @@ object Pipeline {
         floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
           .cast("long"))
       .groupBy("lang")
-      .agg(sum("n").as("n_tok"), sum(col("n") * col("surp")).as("ssum"))
+      // Overflow envelope (round 9): n·surp and its per-DOMAIN sum are
+      // corpus-scale — at 10¹² tokens a hot token's n alone can reach
+      // ~10¹¹ and surp ≤ ln(10¹²)·10⁶ ≈ 2.8·10⁷, so both the product
+      // and the domain sum (≤ 2.8·10¹⁹) exceed int64. Widened to
+      // decimal(38,0): exact, order-insensitive, 10³⁸ headroom, and
+      // the decimal arithmetic touches only the VOCAB-sized table —
+      // never the corpus rows. (DuckDB's sum(BIGINT) is already
+      // HUGEINT, so the oracle side was never at risk; values are
+      // identical, only Spark's accumulator width changed.)
+      .agg(sum("n").as("n_tok"),
+        sum(col("n").cast("decimal(20,0)") * col("surp")).as("ssum"))
       .join(nd, "lang")
       .withColumn("loss",
         col("ssum").cast("double") / (col("n_tok").cast("double") * lit(1e6)))
@@ -377,7 +387,11 @@ object Pipeline {
       .crossJoin(broadcast(perLang.agg(min("loss").as("lmin"))))
       .withColumn("excess", col("loss") - col("lmin"))
       .withColumn("ew", floor(exp(col("excess")) * 1e6).cast("long"))
-    w.crossJoin(broadcast(w.agg(sum("ew").as("ewtot"))))
+    // ew ≤ e^excess·10⁶ where excess is bounded by the max domain-loss
+    // spread (≤ ln of the vocab-size ratio, ~28 nats worst case →
+    // ew ≤ 1.4·10¹⁸, inside int64 with 6× headroom); the TOTAL across
+    // K domains is not, so the normalizer sums decimal (K rows).
+    w.crossJoin(broadcast(w.agg(sum(col("ew").cast("decimal(38,0)")).as("ewtot"))))
       .select(col("lang"), col("n_docs"), col("n_tok"),
         round(col("loss"), 4).as("loss"),
         round(col("excess"), 4).as("excess"),

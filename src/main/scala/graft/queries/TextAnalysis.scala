@@ -119,7 +119,12 @@ object TextAnalysis {
     * successor count — no corpus-row shuffle, no raw-key window.
     * Determinism: counts are exact longs; the single ln is computed
     * on double-cast factor products (the DSIR overflow rule) and
-    * floored to the established 10⁻⁶ grid. */
+    * floored to the established 10⁻⁶ grid. Overflow envelope: the
+    * factor products live in DOUBLES (≤ 10³⁶ at 10¹² tokens — far
+    * inside double range, and both engines compute the identical
+    * product dag so the floor grid cannot split); pmi_raw itself is
+    * |ln| ≤ 56 nats → ≤ 5.6·10⁷, an ordering grain that is never
+    * summed (DeterminismSpec). */
   val qTextPmi: Q = (s, d) => {
     val w = col("w")
     val pairs = when(size(w) < 2, array().cast("array<struct<x:string,y:string>>"))
@@ -331,7 +336,13 @@ object TextAnalysis {
     * to |q| rows and broadcasts; the corpus stats (N, Σdl) are one
     * partial-aggregated row broadcast via crossJoin; the final top-20
     * is a TakeOrdered, never a global sort. Nothing downstream of the
-    * pruned explode scales with corpus size. */
+    * pruned explode scales with corpus size.
+    *
+    * Overflow envelope: a term score w ≤ idf·(k1+1)·10⁶ ≤
+    * ln(2N)·2.2·10⁶ < 6.3·10⁷ at N = 10¹² docs, and the per-doc sum
+    * runs over the matched QUERY terms only (≤ |q|, here 4; even a
+    * 10⁴-term query stays under 6.3·10¹¹ — 10⁷× inside int64;
+    * DeterminismSpec). */
   val qRankBm25: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("w"))
@@ -375,7 +386,12 @@ object TextAnalysis {
     * every statistic after that runs over counts only — global aggs
     * partial-combine, the top-N is a TakeOrdered, the total is a 1-row
     * broadcast. Entropy terms are per-key floor(·10⁻⁶)-grain longs, so
-    * the sum is shuffle-order-independent. */
+    * the sum is shuffle-order-independent.
+    *
+    * Overflow envelope: each entropy term (c/t)·ln(t/c)·10⁶ is
+    * bounded by 10⁶/e < 3.7·10⁵ (max of p·ln(1/p)), and the sum runs
+    * over KEY TYPES, not occurrences — even a 10¹²-type vocabulary
+    * stays under 3.7·10¹⁷, 25× inside int64 (DeterminismSpec). */
   val qSkewProfile: Q = (s, d) => {
     val counts = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
