@@ -438,6 +438,59 @@ object MicroBench {
           f"""{"probe":$p,"recall":$r%.3f,"cand_frac":$f%.4f}"""
         }.mkString(",")
         println(s"""{"bench":"ivfpq_probe_curve","k":$kTop,"n_queries":$nq,"points":[$pts]}""")
+      case "sessionstate" =>
+        // Streaming state-at-scale evidence (VERDICT r8 item 8): drive
+        // the Sessionizer to ~10⁶ concurrent users and measure, per
+        // micro-batch, the state-store row count and wall latency. The
+        // claim under test: state is ONE record per ACTIVE user —
+        // independent of event volume — and per-batch latency stays
+        // flat as batches accumulate (no state leak, no per-batch
+        // replay). A final past-gap batch pair closes every session
+        // through the event-time timeout and the store drains.
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.Sessionizer
+        import spark.implicits._
+        val users = args.lift(1).map(_.toInt).getOrElse(1000000)
+        val batches = args.lift(2).map(_.toInt).getOrElse(4)
+        implicit val sqlCtx = spark.sqlContext
+        val ms = MemoryStream[Sessionizer.Event]
+        val gapMs = 1800000L
+        val qn = "sess_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = java.nio.file.Files.createTempDirectory("ck_sess_state").toString
+        val q = Sessionizer.sessionize(ms.toDS(), gapMs, "10 seconds")
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .option("checkpointLocation", ck).start()
+        val base = 1700000000000L
+        def stateRows: Long =
+          Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        val perBatch = (1 to batches).map { b =>
+          // one event per user, one minute apart across batches (inside
+          // the 30-min gap) → every session stays OPEN: state must sit
+          // at exactly `users` rows, however many batches accumulate
+          val ts = base + b.toLong * 60000L
+          ms.addData((0 until users).map(u =>
+            Sessionizer.Event(u.toLong, ts + u % 1000, b.toLong * users + u)))
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          (b, stateRows, sec)
+        }
+        // Past-gap pair: the first advances the watermark beyond every
+        // session's (last + gap) timeout, the second gives the store a
+        // batch in which to FIRE those timeouts and emit/remove.
+        val far = base + batches.toLong * 60000L + gapMs + 3600000L
+        ms.addData(Seq(Sessionizer.Event(-1L, far, -1L)))
+        q.processAllAvailable()
+        ms.addData(Seq(Sessionizer.Event(-1L, far + 1000L, -2L)))
+        q.processAllAvailable()
+        val drained = stateRows
+        val closed = spark.table(qn).count()
+        q.stop()
+        val ok = perBatch.forall(_._2 == users.toLong) && drained <= 2
+        val pb = perBatch.map { case (b, st, sec) =>
+          f"""{"batch":$b,"state_rows":$st,"sec":$sec%.2f}"""
+        }.mkString(",")
+        println(s"""{"bench":"sessionstate","users":$users,"batches":$batches,"per_batch":[$pb],"drained_state_rows":$drained,"closed_sessions":$closed,"state_one_row_per_user":$ok}""")
       case "decode" =>
         // single-threaded PNG decode: fast path vs ImageIO, same bytes
         val w = 2048; val h = 2048; val reps = args.lift(1).map(_.toInt).getOrElse(20)

@@ -59,4 +59,47 @@ class SessionizerSpec extends AnyFunSuite {
       assert(!got.exists(s => s.userId == 2))
     } finally q.stop()
   }
+
+  test("state store holds exactly one row per active user and drains on timeout") {
+    // The scale-law assertion behind the 100 TB posture (and the
+    // MicroBench sessionstate evidence at 10⁶ users): state row count
+    // equals ACTIVE-user cardinality on every batch — independent of
+    // how many batches (events) have accumulated — and the event-time
+    // timeout drains it once the watermark passes last + gap.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val users = 20000
+    val gapMs = 60000L
+    val input = MemoryStream[Event]
+    val qn = "sessions_state_scale"
+    val ck = java.nio.file.Files.createTempDirectory("ck_state_scale").toString
+    val q = sessionize(input.toDS(), gapMs, "1 second")
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .option("checkpointLocation", ck).start()
+    val base = 1700000000000L
+    def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      (1 to 3).foreach { b =>
+        val ts = base + b * 5000L // inside the gap: all sessions stay open
+        input.addData((0 until users).map(u =>
+          Event(u.toLong, ts + u % 100, b.toLong * users + u)))
+        q.processAllAvailable()
+        assert(stateRows == users.toLong,
+          s"batch $b: state rows $stateRows != active users $users")
+      }
+      // past-gap pair: first advances the watermark beyond every
+      // timeout, second fires them
+      val far = base + 3 * 5000L + gapMs + 600000L
+      input.addData(Seq(Event(-1L, far, -1L)))
+      q.processAllAvailable()
+      input.addData(Seq(Event(-1L, far + 100L, -2L)))
+      q.processAllAvailable()
+      assert(stateRows <= 2, s"state failed to drain: $stateRows rows")
+      assert(spark.table(qn)
+          .where(org.apache.spark.sql.functions.col("userId") >= 0)
+          .count() == users.toLong,
+        "every user's session must emit exactly once on timeout")
+    } finally q.stop()
+  }
 }
