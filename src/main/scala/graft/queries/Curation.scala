@@ -390,7 +390,13 @@ object Curation {
     * to the 10⁻⁶ ln grid, so per-doc sums are exact longs. c ≥ 1 > D
     * keeps every numerator's discounted mass positive, so P ∈ (0,1)
     * and the ln is finite. Overflow envelope: per-doc only, same bound
-    * as [[qQualityBigram]] (DeterminismSpec). */
+    * as [[qQualityBigram]] (DeterminismSpec).
+    *
+    * Deliberately NOT cached: ct/cont each feed several consumers, but
+    * they are all aggregates over the SAME groupBy exchange, which
+    * ReuseExchange dedups for free — an explicit Scoped.withCached
+    * measured 1.9 → 3.5 s at sf0.1 (serial materialization barriers +
+    * a non-codegen cached scan replacing the reused exchange). */
   val qQualityKnTri: Q = (s, d) => {
     val tg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
