@@ -68,21 +68,55 @@ object Sql {
       |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Correlated scalar subquery — the decorrelation path: Catalyst
+    * rewrites the per-row subquery into an aggregate + join
+    * (RewriteCorrelatedScalarSubquery), so what LOOKS like a nested
+    * loop executes as one aggregate exchange + one equi-join at any
+    * scale. The boundary quantity is an integer count, so no FP
+    * summation-order ulp can flip a row across the predicate. */
+  private val sqlSubquery: String =
+    """SELECT o_orderkey, o_custkey
+      |FROM orders o
+      |WHERE o_orderkey < (SELECT min(o2.o_orderkey) + 10
+      |                    FROM orders o2
+      |                    WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** CTE + HAVING + join — the query text every analyst writes.
+    * Aggregates kept to exact counts (no FP in the HAVING boundary). */
+  private val sqlCte: String =
+    """WITH big AS (
+      |  SELECT o_custkey, count(*) AS n_orders
+      |  FROM orders
+      |  GROUP BY o_custkey
+      |  HAVING count(*) >= 10
+      |)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |       CAST(sum(n_orders) AS BIGINT) AS orders_total
+      |FROM big
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
   private def runSql(sql: String): Q = (s, d) => {
     registerViews(s, d)
     s.sql(sql)
   }
 
   val queries: Map[String, Q] = Map(
-    "q_sql_join"   -> runSql(sqlJoin),
-    "q_sql_window" -> runSql(sqlWindow),
-    "q_sql_rollup" -> runSql(sqlRollup)
+    "q_sql_join"     -> runSql(sqlJoin),
+    "q_sql_window"   -> runSql(sqlWindow),
+    "q_sql_rollup"   -> runSql(sqlRollup),
+    "q_sql_subquery" -> runSql(sqlSubquery),
+    "q_sql_cte"      -> runSql(sqlCte)
   )
 
   /** Identical strings — the whole point of the parity gate. */
   val oracleSql: Map[String, String] = Map(
-    "q_sql_join"   -> sqlJoin,
-    "q_sql_window" -> sqlWindow,
-    "q_sql_rollup" -> sqlRollup
+    "q_sql_join"     -> sqlJoin,
+    "q_sql_window"   -> sqlWindow,
+    "q_sql_rollup"   -> sqlRollup,
+    "q_sql_subquery" -> sqlSubquery,
+    "q_sql_cte"      -> sqlCte
   )
 }
