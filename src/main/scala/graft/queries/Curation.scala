@@ -355,6 +355,95 @@ object Curation {
       .orderBy("rn")
   }
 
+  private val KNM_TOPK = 10
+
+  /** MODIFIED Kneser-Ney bigram scoring — the count-of-counts discount
+    * schedule KenLM actually ships (Chen & Goodman 1999 §4.1.6:
+    * separate discounts for count-1, count-2 and count-≥3 types,
+    * estimated from the corpus's own count-of-counts; Heafield 2011):
+    *
+    *   Y  = n₁/(n₁+2n₂),  D₁ = 1−2Y·n₂/n₁,  D₂ = 2−3Y·n₃/n₂,
+    *   D₃₊ = 3−4Y·n₄/n₃   (ratio terms 0 when the denominator
+    *                       count-of-count is 0 — degenerate-corpus
+    *                       guard, same CASE in both engines)
+    *   P(w₂|w₁) = max(c−D(c),0)/c₁(w₁)
+    *            + ((D₁·N₁(w₁·)+D₂·N₂(w₁·)+D₃₊·N₃₊(w₁·))/c₁(w₁))
+    *              · N₁₊(·w₂)/N
+    *
+    * where N_k(w₁·) counts w₁'s continuations with count exactly k
+    * (≥3 for the last). Upgrades [[qQualityKn]]'s fixed D = 0.75 to
+    * the data-estimated schedule — the difference is measurable
+    * exactly where singleton mass dominates (web-scale tails).
+    *
+    * Scale shape: identical to [[qQualityKn]] — ONE corpus aggregate
+    * to the bigram-type table; the count-of-counts (n₁..n₄, N) are ONE
+    * broadcast row aggregated from it; left stats gain two columns;
+    * per-TYPE surprise rides the same heavy-hitter split. Discounts
+    * are doubles derived from exact integer counts with the identical
+    * op order in both engines, then the established floor(·10⁻⁶) ln
+    * grid. Overflow envelope: per-doc only, same bound as
+    * [[qQualityBigram]] (DeterminismSpec class). */
+  val qQualityKnMod: Q = (s, d) => {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextExpressions
+          .shinglesAllFast(tokens(col("text")), 2)).as("bg"))
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val cc = cb.agg(
+      sum(when(col("cbg") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cbg") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("cbg") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("cbg") === 4, 1L).otherwise(0L)).as("n4"),
+      count(lit(1)).as("nt"))
+    val left = cb.groupBy(col("w1").as("u1")).agg(
+      sum("cbg").as("cw1"),
+      sum(when(col("cbg") === 1, 1L).otherwise(0L)).as("nl1"),
+      sum(when(col("cbg") === 2, 1L).otherwise(0L)).as("nl2"),
+      sum(when(col("cbg") >= 3, 1L).otherwise(0L)).as("nl3"))
+    val right = cb.groupBy(col("w2").as("u2")).agg(count(lit(1)).as("n1r"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    val y = ratio(col("n1"), col("n1") + col("n2") * 2)
+    val model = cb
+      .join(left.hint("shuffle_hash"), col("w1") === col("u1"))
+      .join(right.hint("shuffle_hash"), col("w2") === col("u2"))
+      .crossJoin(broadcast(cc))
+      // clamped at 0: a degenerate count-of-counts profile (n₃ > n₂ on
+      // small/duplicated corpora) can push the raw D₂/D₃ negative,
+      // which would ADD mass and could drive P < 0 → NaN ln. The clamp
+      // is the standard practical guard and is identical in the oracle.
+      .withColumn("d1",
+        greatest(lit(1.0) - (lit(2.0) * y) * ratio(col("n2"), col("n1")), lit(0.0)))
+      .withColumn("d2",
+        greatest(lit(2.0) - (lit(3.0) * y) * ratio(col("n3"), col("n2")), lit(0.0)))
+      .withColumn("d3",
+        greatest(lit(3.0) - (lit(4.0) * y) * ratio(col("n4"), col("n3")), lit(0.0)))
+      .withColumn("dc",
+        when(col("cbg") === 1, col("d1"))
+          .when(col("cbg") === 2, col("d2")).otherwise(col("d3")))
+      .withColumn("p",
+        (greatest(col("cbg").cast("double") - col("dc"), lit(0.0))
+          / col("cw1").cast("double"))
+        + (((col("d1") * col("nl1").cast("double"))
+            + (col("d2") * col("nl2").cast("double"))
+            + (col("d3") * col("nl3").cast("double"))) / col("cw1").cast("double"))
+          * (col("n1r").cast("double") / col("nt").cast("double")))
+      .withColumn("surp", floor(-log(col("p")) * 1e6).cast("long"))
+      .select("bg", "cbg", "surp")
+    HeavyHitters.attachModel(bg, "bg", model, "cbg")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bg"), sum("surp").as("ssum"))
+      .withColumn("surprise",
+        round(col("ssum").cast("double") / (col("n_bg") * lit(1000000.0)), 4))
+      .orderBy(col("surprise").desc, col("doc_id").asc).limit(KNM_TOPK)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("surprise").desc, col("doc_id").asc)))
+      .select("rn", "doc_id", "lang", "n_bg", "surprise")
+      .orderBy("rn")
+  }
+
   private val KN3_TOPK = 10
 
   /** Interpolated TRIGRAM Kneser-Ney scoring — the order-3 extension
@@ -901,6 +990,7 @@ object Curation {
     "q_quality_lm" -> qQualityLm,
     "q_quality_bigram" -> qQualityBigram,
     "q_quality_kn" -> qQualityKn,
+    "q_quality_kn_mod" -> qQualityKnMod,
     "q_quality_kn_tri" -> qQualityKnTri,
     "q_text_repetition" -> qTextRepetition,
     "q_pii_redact" -> qPiiRedact,
@@ -1167,6 +1257,57 @@ object Curation {
          |SELECT rn, doc_id, lang, n_bg, surprise FROM (
          |  SELECT *, row_number() OVER (ORDER BY surprise DESC, doc_id ASC) AS rn FROM r) q
          |WHERE rn <= $KN_TOPK ORDER BY rn""".stripMargin,
+    "q_quality_kn_mod" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
+         |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS bg
+         |       FROM t, unnest(range(1, len(w))) u(i)),
+         |cb AS (SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         |         count(*) AS cbg FROM bg GROUP BY bg),
+         |cc AS (SELECT
+         |         CAST(sum(CASE WHEN cbg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN cbg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |         CAST(sum(CASE WHEN cbg = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |         CAST(sum(CASE WHEN cbg = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         |         count(*) AS nt
+         |       FROM cb),
+         |lf AS (SELECT w1, sum(cbg) AS cw1,
+         |         CAST(sum(CASE WHEN cbg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nl1,
+         |         CAST(sum(CASE WHEN cbg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nl2,
+         |         CAST(sum(CASE WHEN cbg >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nl3
+         |       FROM cb GROUP BY w1),
+         |rt AS (SELECT w2, count(*) AS n1r FROM cb GROUP BY w2),
+         |ds0 AS (SELECT cb.bg, cb.cbg, lf.cw1, lf.nl1, lf.nl2, lf.nl3, rt.n1r,
+         |          cc.n1, cc.n2, cc.n3, cc.n4, cc.nt,
+         |          (CASE WHEN cc.n1 + cc.n2 * 2 > 0
+         |             THEN CAST(cc.n1 AS DOUBLE) / CAST(cc.n1 + cc.n2 * 2 AS DOUBLE)
+         |             ELSE 0.0 END) AS y
+         |        FROM cb JOIN lf USING (w1) JOIN rt USING (w2), cc),
+         |ds1 AS (SELECT *,
+         |          greatest(1.0 - (2.0 * y) * (CASE WHEN n1 > 0
+         |            THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) ELSE 0.0 END), 0.0) AS d1,
+         |          greatest(2.0 - (3.0 * y) * (CASE WHEN n2 > 0
+         |            THEN CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) ELSE 0.0 END), 0.0) AS d2,
+         |          greatest(3.0 - (4.0 * y) * (CASE WHEN n3 > 0
+         |            THEN CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE) ELSE 0.0 END), 0.0) AS d3
+         |        FROM ds0),
+         |m AS (SELECT bg,
+         |        CAST(floor(-ln(
+         |          (greatest(CAST(cbg AS DOUBLE) -
+         |             (CASE WHEN cbg = 1 THEN d1 WHEN cbg = 2 THEN d2 ELSE d3 END), 0.0)
+         |            / CAST(cw1 AS DOUBLE))
+         |          + (((d1 * CAST(nl1 AS DOUBLE)) + (d2 * CAST(nl2 AS DOUBLE))
+         |              + (d3 * CAST(nl3 AS DOUBLE))) / CAST(cw1 AS DOUBLE))
+         |            * (CAST(n1r AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        ) * 1000000) AS BIGINT) AS surp
+         |      FROM ds1),
+         |ds AS (SELECT bg.doc_id, bg.lang, count(*) AS n_bg, sum(surp) AS ssum
+         |       FROM bg JOIN m USING (bg) GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, n_bg,
+         |        round(CAST(ssum AS DOUBLE) / (n_bg * 1000000.0), 4) AS surprise
+         |      FROM ds)
+         |SELECT rn, doc_id, lang, n_bg, surprise FROM (
+         |  SELECT *, row_number() OVER (ORDER BY surprise DESC, doc_id ASC) AS rn FROM r) q
+         |WHERE rn <= $KNM_TOPK ORDER BY rn""".stripMargin,
     "q_quality_kn_tri" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
          |tg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg
