@@ -23,7 +23,7 @@ class DeterminismSpec extends AnyFunSuite {
   // bounded-heap top-k rankings, and the integer BM25/RRF ranks.
   private val TARGETS = Seq(
     "q_quality_lm", "q_select_dsir", "q_mix_doremi", "q_quality_bigram",
-    "q_quality_kn", "q_quality_kn_tri",
+    "q_quality_kn", "q_quality_kn_tri", "q_quality_kn_mod",
     "q_text_pmi", "q_embed_pca", "q_eval_retrieval", "q_skew_profile",
     "q_rank_bm25", "q_rank_rrf", "q_ann_mrl_recall", "q_tokenize_fertility")
 
