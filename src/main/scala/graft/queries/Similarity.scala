@@ -936,10 +936,27 @@ object Similarity {
     * table: map-side prune, ADC sum, bounded partial top-k. Both fits
     * and the ADC sums are integer-exact (see the tier docs above), so
     * the DuckDB oracle replays the ENTIRE composition as chained CTEs. */
-  val qAnnIvfPq: Q = (s, d) => {
+  val qAnnIvfPq: Q = (s, d) =>
+    ivfPqSearch(s, quantizedVecs(s, d), pqSubvecs(s, d))
+
+  /** IVF × OPQ composition (FAISS's `OPQ..,IVF..,PQ..` index string —
+    * the production layout): the SAME prune-then-ADC-rank chain run in
+    * the ROTATED space — coarse cells and codebooks both fit on
+    * [[opqRotatedVecs]] output, so the variance-balanced subspaces
+    * benefit the codes while the orthogonal rotation leaves exact
+    * distances (and hence the cell geometry) equivalent up to the
+    * quantization grain. Everything downstream of the rotation is the
+    * identical integer-exact machinery, oracle-replayed end to end. */
+  val qAnnIvfOpq: Q = (s, d) => {
+    val vecs = opqRotatedVecs(s, d)
+    ivfPqSearch(s, vecs, pqSubvecsOf(vecs))
+  }
+
+  private def ivfPqSearch(s: SparkSession, vecsIn: DataFrame,
+      svIn: DataFrame): DataFrame = {
     import s.implicits._
-    val vecs = quantizedVecs(s, d)
-    val sv = pqSubvecs(s, d)
+    val vecs = vecsIn
+    val sv = svIn
     Scoped.withCachedEager(vecs, sv) {
       // The two fits are independent (coarse cells over q, codebooks
       // over sq) and each is a chain of small driver-synchronized
@@ -1113,6 +1130,7 @@ object Similarity {
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_pq_adc" -> qAnnPqAdc,
     "q_ann_opq" -> qAnnOpq,
+    "q_ann_ivf_opq" -> qAnnIvfOpq,
     "q_ann_ivf_pq" -> qAnnIvfPq,
     "q_ann_quantized" -> qAnnQuantized,
     "q_semdedup" -> qSemDedup
@@ -1241,7 +1259,7 @@ object Similarity {
     * rotates the scale-10³ vectors with per-component truncating
     * division, and the UNCHANGED [[pqChainAfterV]] runs on the rotated
     * `v`. */
-  private val opqOracleSql: String = {
+  private val opqVPrefixSql: String = {
     def tdivSql(a: String, b: String) =
       s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
     val iters = (1 to PCA_ITERS).map { k =>
@@ -1287,15 +1305,16 @@ object Similarity {
        |            FROM (SELECT vec_id,
        |                    list_transform(embedding,
        |                      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q3
-       |                  FROM embeddings) e, orot, ovv) s),
-       |$pqChainAfterV""".stripMargin
+       |                  FROM embeddings) e, orot, ovv) s)""".stripMargin
   }
+
+  private val opqOracleSql: String = s"$opqVPrefixSql,\n$pqChainAfterV"
 
   /** DuckDB replay of the IVF × PQ composition: BOTH integer-exact
     * Lloyd fits as chained CTEs (coarse cells under k-prefixed names,
     * PQ codebook under p-prefixed names), then cell-pruned candidates
     * ranked by the summed ADC lookups. */
-  private val ivfPqOracleSql: String = {
+  private def ivfPqChainAfterV: String = {
     val sub = PQ_SUBDIM
     def kdist(v: String, c: String) =
       s"""list_sum(list_transform(range(1, ${DIMS + 1}),
@@ -1332,10 +1351,7 @@ object Similarity {
          |         range(1, ${sub + 1}) t(i)
          |    GROUP BY $assign.m, $assign.cell, t.i) u
          |  GROUP BY m, cid)""".stripMargin
-    s"""WITH v AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |kc0 AS (SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid,
+    s"""kc0 AS (SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid,
        |         list_transform(q, x -> x * 1000) AS c
        |       FROM (SELECT vec_id, q,
        |               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS hk
@@ -1377,6 +1393,17 @@ object Similarity {
        |    ORDER BY adist ASC, vec_id ASC) AS rn FROM adc) t
        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
+
+  private val ivfPqOracleSql: String =
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$ivfPqChainAfterV""".stripMargin
+
+  /** IVF × OPQ: the o-prefixed rotation prefix swaps the rotated `v`
+    * under the UNCHANGED IVF×PQ chain — coarse cells AND codebooks both
+    * fit in the rotated space, the FAISS `OPQ..,IVF..,PQ..` layout. */
+  private val ivfOpqOracleSql: String = s"$opqVPrefixSql,\n$ivfPqChainAfterV"
 
   /** DuckDB replay of the SemDeDup profile: the coarse k-means fit as
     * chained CTEs (same shape as the IVF oracles but with K derived
@@ -1438,6 +1465,7 @@ object Similarity {
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_pq_adc" -> pqOracleSql,
     "q_ann_opq" -> opqOracleSql,
+    "q_ann_ivf_opq" -> ivfOpqOracleSql,
     "q_ann_ivf_pq" -> ivfPqOracleSql,
     "q_embed_outlier" ->
       s"""WITH q AS (SELECT vec_id, label,
