@@ -49,6 +49,86 @@ object Similarity {
     heaps.valuesIterator.flatMap(_.iterator)
   }
 
+  private val BTX_QN = 100L // anchor id bound (en-side)
+  private val BTX_K = 4     // k-NN pool for margin normalization
+  private val BTX_TAU = 1.0 // margin acceptance threshold
+
+  /** Margin-scored bitext mining (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 §3; the CCMatrix/LASER pairing criterion): a
+    * cross-lingual candidate pair (x, y) is accepted not on raw cosine
+    * — absolute similarity varies by neighborhood density — but on the
+    * RATIO margin cos(x,y) / (½·mean_k NN(x) + ½·mean_k NN(y)): "is y
+    * closer to x than x's and y's typical nearest neighbors are".
+    * Anchors are the bounded en-side (vec_id < [[BTX_QN]]); candidates
+    * are every non-en vector; output is each anchor's best candidate
+    * with margin > [[BTX_TAU]], with its language and margin.
+    *
+    * Determinism: cosine is floored to an exact 10⁻⁶-grain long per
+    * pair (the identical sequential dot/norm dag in both engines, so
+    * the floor cannot split); both k-NN means are ratios of exact long
+    * sums over rank-selected rows (ranks tie-break on ids); the margin
+    * is ONE double expression over those exact components, rounded at
+    * the end. Equal margins are exactly equal, so the per-anchor
+    * argmax tie-breaks deterministically on vec_id.
+    *
+    * Scale shape: the pair stream is candidates ⋈ broadcast(anchors)
+    * (bounded anchor set — the production form buckets both sides by
+    * LSH first, same as [[qAnnLshProbe]]); anchor-side k-NN sums ride
+    * the bounded [[partialTopK]] heaps (never a corpus-wide window on
+    * qid); candidate-side k-NN ranks sit in (vec_id)-partitioned
+    * windows of ≤ |anchors| rows each — bounded by construction; the
+    * final margin attach joins the ≤|anchors|-row stats broadcast and
+    * the candidate stats shuffle_hash on the co-keyed vec_id. */
+  val qMineBitext: Q = (s, d) => {
+    import s.implicits._
+    val langs = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val all = Tables.embeddings(s, d).join(langs.hint("shuffle_hash"), "vec_id")
+    val anchors = all.where(col("lang") === "en" && col("vec_id") < BTX_QN)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cands = all.where(col("lang") =!= "en")
+      .select(col("vec_id"), col("lang"), col("embedding"))
+    val pairs = cands.join(broadcast(anchors), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("lang"),
+        floor(cosine(col("qv"), col("embedding")) * 1e6).cast("long").as("ci"))
+    Scoped.withCached(pairs) {
+      val xs = pairs.select(col("qid"), col("vec_id"), col("ci").cast("double"))
+        .as[(Long, Long, Double)]
+        .mapPartitions(partialTopK[(Long, Long, Double)](_, BTX_K, _._1,
+          t => (t._3, t._2)))
+        .toDF("qid", "vec_id", "cid")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cid").desc, col("vec_id").asc)))
+        .where(col("rn") <= BTX_K)
+        .groupBy(col("qid").as("xqid"))
+        .agg(sum(col("cid").cast("long")).as("sx"), count(lit(1)).as("kx"))
+      val ys = pairs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ci").desc, col("qid").asc)))
+        .where(col("rn") <= BTX_K)
+        .groupBy(col("vec_id").as("yid"))
+        .agg(sum("ci").as("sy"), count(lit(1)).as("ky"))
+      val scored = pairs
+        .join(broadcast(xs), col("qid") === col("xqid"))
+        .join(ys.hint("shuffle_hash"), col("vec_id") === col("yid"))
+        .withColumn("margin",
+          col("ci").cast("double") /
+            ((lit(0.5) * (col("sx").cast("double") / col("kx").cast("double")))
+              + (lit(0.5) * (col("sy").cast("double") / col("ky").cast("double")))))
+        .select(col("qid"), col("vec_id"), col("lang"), col("margin"))
+      scored.as[(Long, Long, String, Double)]
+        .mapPartitions(partialTopK[(Long, Long, String, Double)](_, 1, _._1,
+          t => (t._4, t._2)))
+        .toDF("qid", "vec_id", "lang", "margin")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("margin").desc, col("vec_id").asc)))
+        .where(col("rn") === 1 && col("margin") > BTX_TAU)
+        .select(col("qid"), col("vec_id"), col("lang"),
+          round(col("margin"), 4).as("margin"))
+        .orderBy("qid")
+    }
+  }
+
   private val NEG_QN = 4 // anchor count
   private val NEG_K = 5  // negatives per anchor
 
@@ -1129,6 +1209,7 @@ object Similarity {
     "q_ann_ivf_label" -> qAnnIvfLabel,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_pq_adc" -> qAnnPqAdc,
+    "q_mine_bitext" -> qMineBitext,
     "q_ann_opq" -> qAnnOpq,
     "q_ann_ivf_opq" -> qAnnIvfOpq,
     "q_ann_ivf_pq" -> qAnnIvfPq,
@@ -1464,6 +1545,39 @@ object Similarity {
     "q_semdedup" -> semDedupOracleSql,
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_pq_adc" -> pqOracleSql,
+    "q_mine_bitext" -> {
+      val cosRaw =
+        """list_sum(list_transform(range(1, 65),
+          |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+          .stripMargin
+      s"""WITH lg AS (SELECT doc_id AS vec_id, lang FROM documents),
+         |a AS (SELECT e.vec_id AS qid, e.embedding FROM embeddings e JOIN lg USING (vec_id)
+         |      WHERE lg.lang = 'en' AND e.vec_id < $BTX_QN),
+         |c AS (SELECT e.vec_id, lg.lang, e.embedding FROM embeddings e JOIN lg USING (vec_id)
+         |      WHERE lg.lang != 'en'),
+         |p AS (SELECT a.qid, c.vec_id, c.lang,
+         |        CAST(floor(($cosRaw) * 1000000) AS BIGINT) AS ci
+         |      FROM c JOIN a ON c.vec_id != a.qid),
+         |xs AS (SELECT qid, CAST(sum(ci) AS BIGINT) AS sx, count(*) AS kx FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ci DESC, vec_id ASC) AS rn
+         |         FROM p) t
+         |       WHERE rn <= $BTX_K GROUP BY qid),
+         |ys AS (SELECT vec_id, CAST(sum(ci) AS BIGINT) AS sy, count(*) AS ky FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ci DESC, qid ASC) AS rn
+         |         FROM p) t
+         |       WHERE rn <= $BTX_K GROUP BY vec_id),
+         |m AS (SELECT p.qid, p.vec_id, p.lang,
+         |        CAST(p.ci AS DOUBLE) /
+         |          ((0.5 * (CAST(sx AS DOUBLE) / CAST(kx AS DOUBLE)))
+         |           + (0.5 * (CAST(sy AS DOUBLE) / CAST(ky AS DOUBLE)))) AS margin
+         |      FROM p JOIN xs USING (qid) JOIN ys USING (vec_id)),
+         |b AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY margin DESC, vec_id ASC) AS rn
+         |      FROM m)
+         |SELECT qid, vec_id, lang, round(margin, 4) AS margin
+         |FROM b WHERE rn = 1 AND margin > $BTX_TAU ORDER BY qid""".stripMargin
+    },
     "q_ann_opq" -> opqOracleSql,
     "q_ann_ivf_opq" -> ivfOpqOracleSql,
     "q_ann_ivf_pq" -> ivfPqOracleSql,
