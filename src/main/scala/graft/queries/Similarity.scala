@@ -923,7 +923,8 @@ object Similarity {
   /** The OPQ rotation vector: a single data-adaptive Householder
     * reflection H = I − 2vvᵀ/(v·v) with v = 8u − t·1⃗, where u is the
     * integer top eigenvector ([[pcaPowerFit]], grid [[PCA_GRID]]) and
-    * t = ⌊√(64·u·u)⌋ — so H maps the corpus's DOMINANT VARIANCE
+    * t = ⌊√(u·u)⌋ (equal endpoint norms: ‖8u‖² = 64·u·u = ‖t·1⃗‖²) —
+    * so H maps the corpus's DOMINANT VARIANCE
     * direction (approximately, to isqrt rounding) onto the all-ones
     * diagonal, whose energy splits EVENLY across the 8 PQ subspaces.
     * This is the variance-balancing objective of OPQ (Ge et al. 2013,
@@ -936,9 +937,14 @@ object Similarity {
   private[graft] def opqRotationV(s: SparkSession, d: String): (Array[Long], Long) = {
     val (u, _) = pcaPowerFit(s, d)
     val nu2 = u.map(z => z * z).sum
-    // Both engines use correctly-rounded IEEE sqrt of the same exact
-    // double (64·nu2 < 2^53), so ⌊√·⌋ is bit-identical cross-engine.
-    val t = math.floor(math.sqrt((64L * nu2).toDouble)).toLong
+    // ‖8u‖² = 64·nu2 and ‖t·1⃗‖² = 64·t², so equal endpoint norms —
+    // the condition for the reflection to map 8u EXACTLY onto t·1⃗ —
+    // require t² = nu2, i.e. t = ⌊√nu2⌋ (round-9 law-test catch: the
+    // initial ⌊√(64·nu2)⌋ made the diagonal endpoint 8× too long and
+    // the reflection landed nowhere near the diagonal). Both engines
+    // use correctly-rounded IEEE sqrt of the same exact double
+    // (nu2 < 2^53), so ⌊√·⌋ is bit-identical cross-engine.
+    val t = math.floor(math.sqrt(nu2.toDouble)).toLong
     val v = u.map(z => 8L * z - t)
     (v, v.map(z => z * z).sum)
   }
@@ -947,7 +953,7 @@ object Similarity {
     * integers as rᵢ = tdiv((v·v)·qᵢ − 2(v·q)·vᵢ, v·v) — one truncating
     * division per component (error ≤ 1 at the 10³ grain, the same
     * order as the quantization itself), identical in both engines.
-    * Magnitude envelope: |v·v| ≤ 64·(8·1024+2¹⁶)² < 4·10¹¹ and
+    * Magnitude envelope: |v·v| ≤ 64·(8·1024+2¹³)² < 2·10¹⁰ and
     * |q| ≤ 10⁴ keep every product below 10¹⁶ ≪ 2⁶³. Map-side only —
     * the rotation is K ≪ corpus driver state shipped as literals. */
   private[graft] def opqRotatedVecs(s: SparkSession, d: String): DataFrame = {
@@ -1336,7 +1342,7 @@ object Similarity {
 
   /** DuckDB replay of the OPQ search: the o-prefixed power-iteration
     * chain re-derives the integer top eigenvector (same recurrence as
-    * the q_embed_pca oracle), the Householder v = 8u − ⌊√(64·u·u)⌋·1⃗
+    * the q_embed_pca oracle), the Householder v = 8u − ⌊√(u·u)⌋·1⃗
     * rotates the scale-10³ vectors with per-component truncating
     * division, and the UNCHANGED [[pqChainAfterV]] runs on the rotated
     * `v`. */
@@ -1372,7 +1378,7 @@ object Similarity {
        |ou AS (SELECT list(x ORDER BY i) AS u FROM ox$PCA_ITERS),
        |orot AS MATERIALIZED (SELECT
        |        list_transform(u, z -> 8 * z -
-       |          CAST(floor(sqrt(CAST(64 * list_sum(list_transform(u, w -> w * w)) AS DOUBLE)))
+       |          CAST(floor(sqrt(CAST(list_sum(list_transform(u, w -> w * w)) AS DOUBLE)))
        |            AS BIGINT)) AS vvec
        |      FROM ou),
        |ovv AS (SELECT CAST(list_sum(list_transform(vvec, z -> z * z)) AS BIGINT) AS vv FROM orot),
