@@ -589,7 +589,113 @@ object Pipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  private val CUR_Q = 4      // difficulty buckets (competence stages)
+  private val CUR_SHARDS = 4 // data-loader shards (grows with the cluster)
+  private val CUR_HEAD = 2   // schedule head rows pinned per (bucket, shard)
+
+  /** Curriculum-ordered training schedule (Bengio et al. 2009, ICML
+    * "Curriculum Learning"; the block form of Platanios et al. 2019's
+    * competence-based curricula): docs are staged easy→hard by a
+    * difficulty signal (token count — the standard LM length
+    * curriculum), and WITHIN a stage the order is a seeded
+    * deterministic shuffle (hash28("cur_<doc_id>")) so each stage is
+    * i.i.d. internally, reproducible across runs and engines.
+    *
+    * Bucketing is the scalable exact-quantile form, not a global
+    * ntile: difficulty has bounded distinct values (integer token
+    * counts; a continuous signal would be floored to a grain first),
+    * so the quantile cuts come from a partial-aggregated histogram —
+    * bucket(v) = min(Q−1, ⌊docs_strictly_easier(v)·Q / N⌋), computed
+    * with integer arithmetic on the BOUNDED histogram and joined back
+    * as a broadcast. Equal difficulties land in one bucket by
+    * construction (no arbitrary tie split), which is what makes the
+    * assignment engine-independent.
+    *
+    * Scale shape: one map-side-combined histogram pass; windows
+    * partition by (bucket, shard) — shard count scales with the
+    * cluster, so no stage becomes one giant partition; the schedule
+    * is read round-robin across shards per stage, the data-loader
+    * convention. Output pins the first [[CUR_HEAD]] docs of every
+    * (bucket, shard) stream — enough for the oracle to verify both
+    * the bucketing and both permutation seeds. */
+  val qCurriculumOrder: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % CUR_SHARDS).cast("int").as("shard"),
+        size(tokens(col("text"))).as("n_tok"))
+    val wcum = Window.orderBy("n_tok")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bounded table (distinct integer difficulties), so the global
+    // windows here cost nothing at any corpus scale
+    val cuts = base.groupBy("n_tok").agg(count(lit(1)).as("c"))
+      .withColumn("cum_before", coalesce(sum("c").over(wcum), lit(0L)))
+      .withColumn("total", sum("c").over(Window.partitionBy()))
+      .select(col("n_tok").as("ct_tok"),
+        expr(s"least(CAST(${CUR_Q - 1} AS BIGINT), (cum_before * $CUR_Q) div total)")
+          .as("bucket"))
+    val key = hash28(concat(lit("cur_"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("bucket", "shard").orderBy(key.asc, col("doc_id").asc)
+    base.join(broadcast(cuts), col("n_tok") === col("ct_tok"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= CUR_HEAD)
+      .select(col("bucket"), col("shard"), col("rn"), col("doc_id"),
+        col("n_tok").cast("long").as("n_tok"))
+      .orderBy("bucket", "shard", "rn")
+  }
+
+  private val DIFF_DROP = 10            // pct < 10 → removed in v2
+  private val DIFF_EDIT = 20            // 10 ≤ pct < 20 → text revised
+  private val DIFF_ADD = 90             // pct ≥ 90 → spawns one added doc
+  private val DIFF_OFFSET = 1000000000L // added-doc id namespace
+
+  /** Snapshot diff — the dataset-versioning reconciliation every
+    * periodically-recrawled corpus needs (the Delta/Iceberg
+    * change-audit shape): given snapshots v1 and v2 keyed by doc_id,
+    * classify every doc as added / removed / changed / unchanged by
+    * comparing content CHECKSUMS (md5 here), and report the audit a
+    * release ships — per (lang, status): doc count and the exact char
+    * volume on each side. v2 is simulated deterministically from v1
+    * (hash-percentile: drop <[[DIFF_DROP]], revise <[[DIFF_EDIT]],
+    * spawn an added doc ≥[[DIFF_ADD]] under [[DIFF_OFFSET]]) so both
+    * engines derive the identical second snapshot with no extra
+    * fixture.
+    *
+    * Scale shape: checksums are map-side; the diff is ONE full outer
+    * join hash-partitioned on the unique doc_id — co-partitioned,
+    * skew-free by construction; the audit is a partial-aggregated
+    * rollup to ≤ |langs|·4 rows. At 100 TB the same plan emits the
+    * per-doc change feed instead of the rollup. */
+  val qDiffSnapshot: Q = (s, d) => {
+    val v1 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val pctOf = hash28(concat(lit("v2_"), col("doc_id").cast("string"))) % 100
+    val kept = v1.where(pctOf >= DIFF_DROP)
+      .withColumn("text",
+        when(pctOf < DIFF_EDIT, concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val added = v1.where(pctOf >= DIFF_ADD)
+      .select((col("doc_id") + DIFF_OFFSET).as("doc_id"), col("lang"),
+        concat(lit("new "), col("text")).as("text"))
+    val v2 = kept.unionByName(added)
+    val l = v1.select(col("doc_id"), col("lang").as("lang1"),
+      md5(col("text")).as("h1"), length(col("text")).cast("long").as("chars1"))
+    val r = v2.select(col("doc_id"), col("lang").as("lang2"),
+      md5(col("text")).as("h2"), length(col("text")).cast("long").as("chars2"))
+    l.join(r, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang1"), col("lang2")).as("lang"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("chars1"), lit(0L)).as("chars1"),
+        coalesce(col("chars2"), lit(0L)).as("chars2"))
+      .groupBy("lang", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("chars1").cast("long").as("chars_v1"),
+        sum("chars2").cast("long").as("chars_v2"))
+      .orderBy("lang", "status")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_curriculum_order" -> qCurriculumOrder,
+    "q_diff_snapshot" -> qDiffSnapshot,
     "q_chunk_sliding" -> qChunkSliding,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_priority" -> qSamplePriority,
@@ -621,6 +727,54 @@ object Pipeline {
     .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT_BUDGET END")
 
   def oracleSql: Map[String, String] = Map(
+    "q_curriculum_order" ->
+      s"""WITH base AS (SELECT doc_id, CAST(doc_id % $CUR_SHARDS AS INT) AS shard,
+         |                len($toksAll) AS n_tok FROM documents),
+         |h AS (SELECT n_tok, count(*) AS c FROM base GROUP BY n_tok),
+         |cut AS (SELECT n_tok,
+         |          coalesce(sum(c) OVER (ORDER BY n_tok
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         |          sum(c) OVER () AS total FROM h),
+         |b AS (SELECT n_tok,
+         |        CAST(least(${CUR_Q - 1}, (cum_before * $CUR_Q) // total) AS BIGINT) AS bucket
+         |      FROM cut),
+         |j AS (SELECT base.doc_id, base.shard, base.n_tok, b.bucket,
+         |        CAST(concat('0x', substr(md5(
+         |          concat('cur_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) AS k
+         |      FROM base JOIN b USING (n_tok)),
+         |r AS (SELECT bucket, shard, doc_id, n_tok,
+         |        row_number() OVER (PARTITION BY bucket, shard ORDER BY k, doc_id) AS rn
+         |      FROM j)
+         |SELECT bucket, shard, CAST(rn AS INT) AS rn, doc_id,
+         |  CAST(n_tok AS BIGINT) AS n_tok
+         |FROM r WHERE rn <= $CUR_HEAD ORDER BY bucket, shard, rn""".stripMargin,
+    "q_diff_snapshot" ->
+      s"""WITH v1 AS (SELECT doc_id, lang, text FROM documents),
+         |p AS (SELECT doc_id,
+         |        CAST(concat('0x', substr(md5(
+         |          concat('v2_', CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT) % 100 AS pct
+         |      FROM v1),
+         |v2 AS (SELECT v1.doc_id, lang,
+         |         CASE WHEN pct < $DIFF_EDIT THEN concat(text, ' rev2') ELSE text END AS text
+         |       FROM v1 JOIN p ON v1.doc_id = p.doc_id WHERE pct >= $DIFF_DROP
+         |       UNION ALL
+         |       SELECT v1.doc_id + $DIFF_OFFSET, lang, concat('new ', text)
+         |       FROM v1 JOIN p ON v1.doc_id = p.doc_id WHERE pct >= $DIFF_ADD),
+         |l AS (SELECT doc_id, lang AS lang1, md5(text) AS h1,
+         |        CAST(length(text) AS BIGINT) AS chars1 FROM v1),
+         |r AS (SELECT doc_id, lang AS lang2, md5(text) AS h2,
+         |        CAST(length(text) AS BIGINT) AS chars2 FROM v2),
+         |d AS (SELECT coalesce(lang1, lang2) AS lang,
+         |        CASE WHEN h1 IS NULL THEN 'added'
+         |             WHEN h2 IS NULL THEN 'removed'
+         |             WHEN h1 <> h2 THEN 'changed'
+         |             ELSE 'unchanged' END AS status,
+         |        coalesce(chars1, 0) AS chars1, coalesce(chars2, 0) AS chars2
+         |      FROM l FULL OUTER JOIN r USING (doc_id))
+         |SELECT lang, status, count(*) AS n_docs,
+         |  CAST(sum(chars1) AS BIGINT) AS chars_v1,
+         |  CAST(sum(chars2) AS BIGINT) AS chars_v2
+         |FROM d GROUP BY lang, status ORDER BY lang, status""".stripMargin,
     "q_chunk_sliding" ->
       s"""WITH t AS (SELECT doc_id, $toksAll AS w FROM documents
          |           WHERE doc_id % $CHUNK_DOC_MOD = 0),

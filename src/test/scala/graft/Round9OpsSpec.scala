@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side independent reimplementations of the round-9 operators
+  * at sf0.001 — the same law the oracle gate checks at sf0.01/sf0.1,
+  * but against hand-rolled Scala rather than DuckDB, so a shared
+  * misreading of the semantics in BOTH SQL dialects can't slip
+  * through. */
+class Round9OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSessionTestWrapper.spark
+  private val SF = "/root/testdata/sf0.001"
+
+  private def docs(): Seq[(Long, String, String)] =
+    spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "lang", "text")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  private def toks(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  private def hash28(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+  }
+
+  test("q_curriculum_order: equals a naive histogram-bucket + seeded-shuffle schedule") {
+    val Q = 4; val SHARDS = 4; val HEAD = 2
+    val d = docs().map { case (id, _, t) => (id, toks(t).length) }
+    val n = d.size
+    // docs strictly easier than v, from the full histogram
+    val cumBefore: Map[Int, Int] = {
+      val h = d.groupBy(_._2).view.mapValues(_.size).toMap
+      h.keys.map(v => v -> h.filter(_._1 < v).values.sum).toMap
+    }
+    val expect = d
+      .map { case (id, nt) =>
+        val b = math.min(Q - 1, cumBefore(nt).toLong * Q / n)
+        (b, (id % SHARDS).toInt, id, nt)
+      }
+      .groupBy { case (b, sh, _, _) => (b, sh) }
+      .flatMap { case ((b, sh), rows) =>
+        rows.sortBy { case (_, _, id, _) => (hash28(s"cur_$id"), id) }
+          .take(HEAD).zipWithIndex
+          .map { case ((_, _, id, nt), i) => (b, sh, i + 1, id, nt.toLong) }
+      }.toSet
+    val got = SparkEntry.queries("q_curriculum_order")(spark, SF)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    // every (bucket, shard) stream present with exactly HEAD rows
+    // (sf0.001 has >> Q*SHARDS*HEAD docs, no stream can run short)
+    assert(got.groupBy(t => (t._1, t._2)).forall(_._2.size == HEAD))
+    assert(got.map(t => (t._1, t._2)).size == Q * SHARDS)
+    // buckets are ordered by difficulty: max n_tok of bucket b's head
+    // sample cannot undercut min of bucket b+1 by construction of the
+    // cut rule — check on the full assignment instead of the sample
+    val byBucket = d.groupBy { case (id, nt) =>
+      math.min(Q - 1, cumBefore(nt).toLong * Q / n) }
+    for (b <- 0L until (Q - 1).toLong)
+      assert(byBucket(b).map(_._2).max <= byBucket(b + 1).map(_._2).min)
+  }
+
+  test("q_diff_snapshot: equals a naive simulated-v2 reconcile; statuses partition both snapshots") {
+    val DROP = 10; val EDIT = 20; val ADD = 90; val OFF = 1000000000L
+    val v1 = docs()
+    val pct = v1.map { case (id, _, _) => id -> hash28(s"v2_$id") % 100 }.toMap
+    val v2: Map[Long, (String, String)] =
+      (v1.collect { case (id, l, t) if pct(id) >= DROP =>
+        id -> (l, if (pct(id) < EDIT) t + " rev2" else t) } ++
+       v1.collect { case (id, l, t) if pct(id) >= ADD =>
+        (id + OFF) -> (l, "new " + t) }).toMap
+    val v1m = v1.map { case (id, l, t) => id -> (l, t) }.toMap
+    val statuses = (v1m.keySet ++ v2.keySet).toSeq.map { id =>
+      val s = (v1m.get(id), v2.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some((_, t1)), Some((_, t2))) => if (t1 != t2) "changed" else "unchanged"
+        case _ => fail("id in neither snapshot")
+      }
+      val lang = v1m.get(id).orElse(v2.get(id)).get._1
+      val c1 = v1m.get(id).map(_._2.length.toLong).getOrElse(0L)
+      val c2 = v2.get(id).map(_._2.length.toLong).getOrElse(0L)
+      (lang, s, c1, c2)
+    }
+    val expect = statuses.groupBy(t => (t._1, t._2)).map { case ((l, s), rows) =>
+      (l, s, rows.size.toLong, rows.map(_._3).sum, rows.map(_._4).sum)
+    }.toSet
+    val got = SparkEntry.queries("q_diff_snapshot")(spark, SF)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    // audit must conserve both snapshots exactly: per-status doc
+    // counts reassemble |v1| and |v2|
+    def tot(ss: Set[String], side: Int) =
+      got.filter(t => ss(t._2)).toSeq.map(_._3).sum
+    assert(tot(Set("removed", "changed", "unchanged"), 1) == v1.size.toLong)
+    assert(tot(Set("added", "changed", "unchanged"), 2) == v2.size.toLong)
+    // and the edit marker moves every changed doc's char count by +5
+    val chg = got.filter(_._2 == "changed")
+    assert(chg.nonEmpty && chg.forall(t => t._5 - t._4 == 5L * t._3))
+  }
+}
