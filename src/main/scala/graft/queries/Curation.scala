@@ -578,6 +578,42 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  /** Substring dictionary for the Aho–Corasick pass. Deliberately NOT
+    * token-aligned: "in" hits inside "window"/"join"/"line" (substring
+    * vs token semantics), "batch batch" self-overlaps inside "batch
+    * batch batch" runs (pins overlapping-occurrence counting — a
+    * replace-and-measure scan undercounts it), "err" never occurs
+    * (pins the zero path). */
+  private val AC_PATTERNS = Seq("batch batch", "data", "dup", "err", "in", "ine")
+
+  /** Multi-pattern substring audit via the native Aho–Corasick DFA
+    * ([[graft.functions.AhoCorasickCounts]]): per (lang, pattern) —
+    * docs scanned, docs containing the pattern, total OVERLAPPING
+    * occurrences. The token-exact [[qFilterBlocklist]] is the C4 word
+    * filter; this is its substring-lexicon sibling (PII fragments,
+    * brand strings, markup residue — dictionaries where word
+    * boundaries don't hold).
+    *
+    * Scale: the DFA is a fixed plan literal — text is scanned ONCE for
+    * the whole dictionary (n transitions for n bytes, dictionary-size
+    * independent), map-side inside whole-stage codegen; the only
+    * shuffle is the partial-aggregated rollup to (lang, pattern) ≤
+    * |langs|·|dict| rows. The oracle recomputes each pattern's
+    * overlapping count positionally. */
+  val qFilterAc: Q = (s, d) => {
+    val cnts = graft.functions.AhoCorasick.counts(lower(col("text")), AC_PATTERNS)
+    Tables.documents(s, d)
+      .select(col("lang"), posexplode(cnts))
+      .select(col("lang"),
+        element_at(typedLit(AC_PATTERNS), col("pos") + 1).as("pattern"),
+        col("col").as("hits"))
+      .groupBy("lang", "pattern")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum("hits").cast("long").as("n_hits"))
+      .orderBy("lang", "pattern")
+  }
+
   private val CLF_B = DSIR_B // hashed feature buckets
   private val CLF_K = 8      // selected features — the model is K+1 numbers
 
@@ -1000,7 +1036,8 @@ object Curation {
     "q_quality_buckets" -> qQualityBuckets,
     "q_vocab_oov" -> qVocabOov,
     "q_source_stats" -> qSourceStats,
-    "q_filter_blocklist" -> qFilterBlocklist
+    "q_filter_blocklist" -> qFilterBlocklist,
+    "q_filter_ac" -> qFilterAc
   )
 
   private val toksAll =
@@ -1398,6 +1435,21 @@ object Curation {
          |  CAST(sum(hits) AS BIGINT) AS n_hits,
          |  CAST(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    },
+    "q_filter_ac" -> {
+      val patVals = AC_PATTERNS.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $patVals) p(pattern)),
+         |t AS (SELECT lang, lower(text) AS lt FROM documents),
+         |h AS (SELECT lang, pattern,
+         |        CASE WHEN length(lt) >= length(pattern) THEN
+         |          len(list_filter(range(1, length(lt) - length(pattern) + 2),
+         |            i -> substr(lt, i, length(pattern)) = pattern))
+         |        ELSE 0 END AS hits
+         |      FROM t CROSS JOIN pats)
+         |SELECT lang, pattern, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(hits) AS BIGINT) AS n_hits
+         |FROM h GROUP BY lang, pattern ORDER BY lang, pattern""".stripMargin
     }
   )
 }
