@@ -1202,7 +1202,62 @@ object Similarity {
       .orderBy(col("dist2").desc, col("vec_id").asc).limit(10)
   }
 
+  private val RP_K = 16     // target dimension; √16 = 4 keeps the scale exact
+  private val RP_MOD = 5    // dump sample: vec_id % RP_MOD == 0
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003, JCSS
+    * 66(4): database-friendly ±1 sign projections preserve pairwise
+    * distances in expectation) — the dimensionality-reduction front
+    * end billion-vector pipelines run before ANN indexing: 64-dim →
+    * [[RP_K]]-dim via y_j = Σ_d s(j,d)·x_d / √K with s ∈ {±1}
+    * md5-derived (data-independent, engine-reproducible, never
+    * materialized as data — the matrix is 1024 plan literals).
+    *
+    * Determinism: inputs floor to exact 10⁻⁶-grain longs per element
+    * (identical float→double→·10⁶→floor dag in both engines); each
+    * projected grain is an exact ±1-weighted long sum (|Σ| ≤ 64·10⁶ —
+    * five decades under int64); both squared norms are exact long
+    * sums; K=16 makes √K = 4, so the final rescale is one exact
+    * division, rounded once. The norm-preservation ratio
+    * ‖y‖²/‖x‖² — THE JL quantity — is a ratio of exact longs.
+    *
+    * Scale: entirely map-side (transform/aggregate over each row's own
+    * array inside whole-stage codegen); no shuffle, no UDF, no
+    * matrix broadcast. The only exchange is the sampled dump's sort. */
+  val qEmbedRp: Q = (s, d) => {
+    val signs: Seq[Seq[Int]] = Seq.tabulate(RP_K, 64) { (j, dd) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp_${j}_$dd".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 7)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+    Tables.embeddings(s, d)
+      .where(col("vec_id") % RP_MOD === 0)
+      .withColumn("g", transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6).cast("long")))
+      .withColumn("yg", transform(typedLit(signs), sj =>
+        aggregate(zip_with(col("g"), sj, (gv, sv) => gv * sv.cast("long")),
+          lit(0L), (acc, v) => acc + v)))
+      .select(col("vec_id"),
+        // scale 8, not 6: y = v·2.5e-7 sits ON the 8-decimal grid
+        // (25·10⁻⁸), so neither engine ever rounds at a half boundary;
+        // at scale 6 a grain v ≡ 2 (mod 4) lands exactly on …5 and
+        // Spark (HALF_UP on shortest repr) splits from DuckDB
+        round(element_at(col("yg"), 1) / 4e6, 8).as("y0"),
+        round(element_at(col("yg"), 2) / 4e6, 8).as("y1"),
+        round(element_at(col("yg"), 3) / 4e6, 8).as("y2"),
+        round(element_at(col("yg"), 4) / 4e6, 8).as("y3"),
+        expr("aggregate(yg, 0L, (acc, v) -> acc + v * v)").as("yn2"),
+        expr("aggregate(g, 0L, (acc, v) -> acc + v * v)").as("xn2"))
+      .select(col("vec_id"), col("y0"), col("y1"), col("y2"), col("y3"),
+        when(col("xn2") > 0,
+          round(col("yn2").cast("double") / (col("xn2") * lit(RP_K.toLong)), 6))
+          .otherwise(lit(null).cast("double")).as("norm_ratio"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_embed_rp" -> qEmbedRp,
     "q_embed_outlier" -> qEmbedOutlier,
     "q_ann_brute" -> qAnnBrute,
     "q_ann_negatives" -> qAnnNegatives,
@@ -1548,6 +1603,38 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_embed_rp" -> {
+      val sign = "CASE WHEN CAST(concat('0x', substr(md5(" +
+        "concat('rp_', CAST(j AS VARCHAR), '_', CAST(d AS VARCHAR))), 1, 7)) " +
+        "AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+      s"""WITH e AS (SELECT vec_id,
+         |        list_transform(embedding,
+         |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS g
+         |      FROM embeddings WHERE vec_id % $RP_MOD = 0),
+         |yg AS (SELECT vec_id, j, CAST(list_sum(list_transform(range(0, 64),
+         |          d -> g[d + 1] * ($sign))) AS BIGINT) AS v
+         |       FROM e, unnest(range(0, $RP_K)) t(j)),
+         |agg AS (SELECT vec_id,
+         |          CAST(sum(v * v) AS BIGINT) AS yn2,
+         |          CAST(max(CASE WHEN j = 0 THEN v END) AS BIGINT) AS v0,
+         |          CAST(max(CASE WHEN j = 1 THEN v END) AS BIGINT) AS v1,
+         |          CAST(max(CASE WHEN j = 2 THEN v END) AS BIGINT) AS v2,
+         |          CAST(max(CASE WHEN j = 3 THEN v END) AS BIGINT) AS v3
+         |        FROM yg GROUP BY vec_id),
+         |xn AS (SELECT vec_id,
+         |         CAST(list_sum(list_transform(g, v -> v * v)) AS BIGINT) AS xn2
+         |       FROM e)
+         |SELECT agg.vec_id,
+         |  round(v0 / 4000000.0, 8) AS y0,
+         |  round(v1 / 4000000.0, 8) AS y1,
+         |  round(v2 / 4000000.0, 8) AS y2,
+         |  round(v3 / 4000000.0, 8) AS y3,
+         |  CASE WHEN xn2 > 0
+         |       THEN round(CAST(yn2 AS DOUBLE) / (xn2 * $RP_K), 6)
+         |       ELSE NULL END AS norm_ratio
+         |FROM agg JOIN xn ON agg.vec_id = xn.vec_id
+         |ORDER BY agg.vec_id""".stripMargin
+    },
     "q_semdedup" -> semDedupOracleSql,
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_pq_adc" -> pqOracleSql,

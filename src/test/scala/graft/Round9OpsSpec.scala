@@ -62,6 +62,39 @@ class Round9OpsSpec extends AnyFunSuite {
       assert(byBucket(b).map(_._2).max <= byBucket(b + 1).map(_._2).min)
   }
 
+  test("q_embed_rp: equals a naive sign-projection; norm ratios concentrate near 1") {
+    val K = 16; val MOD = 5
+    val signs = Array.tabulate(K, 64) { (j, dd) =>
+      if (hash28(s"rp_${j}_$dd") % 2 == 0) 1L else -1L
+    }
+    val vecs = spark.read.parquet(s"$SF/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter(_._1 % MOD == 0)
+    val expect = vecs.map { case (id, x) =>
+      val g = x.map(v => math.floor(v.toDouble * 1e6).toLong)
+      val yg = signs.map(row => row.zip(g).map { case (s, gv) => s * gv }.sum)
+      val yn2 = yg.map(v => v * v).sum
+      val xn2 = g.map(v => v * v).sum
+      val ys = yg.take(4).map(v => BigDecimal(v / 4e6)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (id, ys(0), ys(1), ys(2), ys(3),
+        if (xn2 > 0) BigDecimal(yn2.toDouble / (xn2 * K))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else Double.NaN)
+    }.toSet
+    val got = SparkEntry.queries("q_embed_rp")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5))).toSet
+    assert(got == expect)
+    // the JL guarantee: E[‖y‖²] = ‖x‖² — sample mean of the ratio must
+    // sit near 1 (loose band; K=16 has ~1/√8 relative std per vector)
+    val ratios = got.toSeq.map(_._6).filterNot(_.isNaN)
+    assert(ratios.nonEmpty)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"JL norm-ratio mean drifted: $mean")
+  }
+
   test("q_diff_snapshot: equals a naive simulated-v2 reconcile; statuses partition both snapshots") {
     val DROP = 10; val EDIT = 20; val ADD = 90; val OFF = 1000000000L
     val v1 = docs()
