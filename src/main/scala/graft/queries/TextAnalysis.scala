@@ -498,7 +498,62 @@ object TextAnalysis {
     }
   }
 
+  private val WP_V = 20      // multi-char vocabulary budget
+  private val WP_MAXP = 4    // max candidate piece length
+
+  /** WordPiece-style subword tokenization (Song et al. 2021, EMNLP —
+    * greedy longest-match-first inference; vocabulary induced by
+    * frequency, the count-based stand-in for the likelihood criterion):
+    * candidate pieces are all substrings of length 2..[[WP_MAXP]] of
+    * corpus word types weighted by token frequency; the vocabulary is
+    * the top-[[WP_V]] pieces (weight desc, piece asc) plus every
+    * single character (totality — no UNK). Each word TYPE segments by
+    * the native greedy scanner
+    * ([[graft.functions.WordPieceSegment]]); output pins every
+    * segmentation: per (lang, word) — occurrences, piece count, and
+    * the pipe-joined pieces.
+    *
+    * Complements [[qTokenizeBpe]] (merge-rule induction, iterative)
+    * with the inference-time algorithm every BERT-family tokenizer
+    * runs, and the third tokenizer family beside BPE and the fertility
+    * audit.
+    *
+    * Scale: candidate weighting is one map-side-combined aggregate
+    * (the Zipf head collapses in partial agg); top-V is a distributed
+    * TakeOrdered; the vocabulary is a BOUNDED model (V + alphabet)
+    * collected once and shipped as a plan reference — the established
+    * tiny-model pattern; segmentation runs on the word-TYPE table
+    * (vocab-bounded), never per corpus row, and the corpus-scale form
+    * applies the same map-side expression to full text. */
+  val qTokenizeWordpiece: Q = (s, d) => {
+    val wt = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("n_occ"))
+    val types = wt.groupBy("w").agg(sum("n_occ").cast("long").as("freq"))
+    val cand = types
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> filter(transform(sequence(2, $WP_MAXP),
+           |    l -> CASE WHEN i + l <= length(w) + 1
+           |              THEN substring(w, i, l) END),
+           |    p -> p IS NOT NULL)))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("wgt"))
+      .orderBy(col("wgt").desc, col("piece").asc).limit(WP_V)
+    val chars = types.select(explode(expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("piece"))
+      .distinct()
+    val vocab = cand.select("piece").union(chars).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val seg = graft.functions.WordPiece.segment(col("w"), vocab)
+    wt.withColumn("pieces", seg)
+      .select(col("lang"), col("w").as("word"), col("n_occ"),
+        size(col("pieces")).as("n_pieces"),
+        concat_ws("|", col("pieces")).as("seg"))
+      .orderBy("lang", "word")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_tokenize_wordpiece" -> qTokenizeWordpiece,
     "q_text_heavyhitters" -> qTextHeavyHitters,
     "q_text_zipf" -> qTextZipf,
     "q_text_stats" -> qTextStats,
@@ -561,6 +616,34 @@ object TextAnalysis {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    "q_tokenize_wordpiece" ->
+      s"""WITH RECURSIVE
+         |tk AS (SELECT lang, unnest($toksAll) AS w FROM documents),
+         |wt AS (SELECT lang, w, count(*) AS n_occ FROM tk GROUP BY 1, 2),
+         |types AS (SELECT w, CAST(sum(n_occ) AS BIGINT) AS freq FROM wt GROUP BY w),
+         |cand AS (SELECT substr(w, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS wgt
+         |         FROM types, unnest(range(1, length(w) + 1)) t(i),
+         |              unnest(range(2, $WP_MAXP + 1)) u(l)
+         |         WHERE i + l <= length(w) + 1 GROUP BY piece),
+         |vm AS (SELECT piece FROM cand ORDER BY wgt DESC, piece LIMIT $WP_V),
+         |ch AS (SELECT DISTINCT substr(w, i, 1) AS piece
+         |       FROM types, unnest(range(1, length(w) + 1)) t(i)),
+         |vocab AS (SELECT piece FROM vm UNION SELECT piece FROM ch),
+         |seg AS (
+         |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS acc, 0 AS np FROM types
+         |  UNION ALL
+         |  SELECT seg.w, seg.pos + length(v.piece),
+         |         CASE WHEN acc = '' THEN v.piece ELSE concat(acc, '|', v.piece) END,
+         |         np + 1
+         |  FROM seg JOIN vocab v ON substr(seg.w, seg.pos, length(v.piece)) = v.piece
+         |  WHERE seg.pos <= length(seg.w)
+         |    AND NOT EXISTS (SELECT 1 FROM vocab v2
+         |                    WHERE length(v2.piece) > length(v.piece)
+         |                      AND substr(seg.w, seg.pos, length(v2.piece)) = v2.piece)
+         |)
+         |SELECT lang, w AS word, n_occ, np AS n_pieces, acc AS seg
+         |FROM wt JOIN (SELECT w, acc, np FROM seg WHERE pos = length(w) + 1) d USING (w)
+         |ORDER BY lang, word""".stripMargin,
     "q_skew_profile" ->
       s"""WITH tk AS (SELECT unnest($toksAll) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
