@@ -142,6 +142,53 @@ object MicroBench {
         val nativeSh = time3s(docs.select(
           explode(GraftFunctions.shingles(col("w"), 8))).count())
         println(f"""{"bench":"shingle","n":8,"composed_sec":$composedSh%.3f,"native_sec":$nativeSh%.3f,"speedup":${composedSh / nativeSh}%.2f}""")
+      case "ac" =>
+        // native Aho-Corasick DFA (one pass for the whole dictionary)
+        // vs the composed per-pattern positional count (a filtered
+        // index sequence per pattern — dictionary-size-linear). Run on
+        // a dictionary scaled to C4-badword-list size to expose the
+        // scan-count asymmetry.
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(lower(col("text")).as("lt")).cache()
+        docs.count()
+        // synthetic badword-list-sized dictionary: corpus fragments +
+        // absent fillers (absent patterns still cost the composed form
+        // a full positional scan each; the DFA absorbs them for free)
+        val dict = Seq("dup", "data", "line", "batch batch", "window", "join") ++
+          (0 until 394).map(i => s"zq${i}x")
+        def compPat(p: String): org.apache.spark.sql.Column = {
+          val pl = p.length
+          size(filter(sequence(lit(1), greatest(length(col("lt")) - (pl - 1), lit(0))),
+            i => col("lt").substr(i.cast("int"), lit(pl)) === lit(p)))
+        }
+        def time3a(f: => Long): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+        val nativeCol = graft.functions.AhoCorasick.counts(col("lt"), dict)
+        docs.select(aggregate(nativeCol, lit(0L), _ + _)).agg(sum("*")).collect()
+        val nativeAc = time3a {
+          docs.select(aggregate(nativeCol, lit(0L), _ + _).as("h"))
+            .agg(sum("h")).collect(); 0L
+        }
+        // composed form priced on a 16-pattern slice then scaled
+        // linearly (running all 400 positional scans takes minutes)
+        val slice = dict.take(16)
+        val compCol = slice.map(compPat).reduce(_ + _)
+        docs.select(compCol.as("h")).agg(sum("h")).collect()
+        val compSlice = time3a { docs.select(compCol.as("h")).agg(sum("h")).collect(); 0L }
+        val compScaled = compSlice * dict.size / slice.size
+        // throughput reference only — a 400-way regex alternation
+        // counts NON-overlapping leftmost matches (different
+        // semantics), but it's what a user would reach for first
+        val rx = dict.map(java.util.regex.Pattern.quote).mkString("|")
+        docs.select(size(regexp_extract_all(col("lt"), lit(rx), lit(0))).as("h"))
+          .agg(sum("h")).collect()
+        val regexSec = time3a {
+          docs.select(size(regexp_extract_all(col("lt"), lit(rx), lit(0))).as("h"))
+            .agg(sum("h")).collect(); 0L
+        }
+        println(f"""{"bench":"ac","dict":${dict.size},"native_sec":$nativeAc%.3f,"composed16_sec":$compSlice%.3f,"composed_scaled_sec":$compScaled%.3f,"speedup_scaled":${compScaled / nativeAc}%.1f,"regex_alt_sec":$regexSec%.3f,"speedup_vs_regex":${regexSec / nativeAc}%.1f}""")
       case "blosc" =>
         // codec throughput on a realistic 4 MiB uint16 chunk (smooth
         // imagery — the shuffle filter's target case)
