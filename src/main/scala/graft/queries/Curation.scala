@@ -848,6 +848,53 @@ object Curation {
       .orderBy("bucket")
   }
 
+  /** Hilbert vs Morton clustering quality on the same (partkey,
+    * suppkey) plane — the layout decision data-skipping engines
+    * actually face (Delta's OPTIMIZE moved from z-order toward Hilbert
+    * for exactly this measurement): range-bucket each curve value into
+    * 64 tiles and compare per-tile bounding-box areas. Hilbert's
+    * unit-step continuity (consecutive indices are ALWAYS adjacent
+    * cells — pinned in GraftFunctionsSpec) yields strictly tighter
+    * boxes than Morton's quadrant jumps; smaller summed area = fewer
+    * false-positive file reads per 2-D range predicate.
+    *
+    * Scale: both curve values are pure map-side column arithmetic
+    * (codegen'd, in-register); the plan is one partial-aggregated
+    * shuffle to (curve, bucket) ≤ 128 rows, then a 2-row contraction.
+    * At 100 TB the same hilbert column is the repartitionByRange /
+    * file-sort key — the profile here is the evidence for choosing
+    * it.
+    *
+    * Tiles are 1000 curve positions wide DELIBERATELY: at
+    * power-of-4-aligned widths every tile of either curve is an exact
+    * 2ᵏ×2ᵏ quadrant block (both profiles tie — measured), but real
+    * file boundaries are row-count-aligned, not curve-aligned, and on
+    * non-aligned tiles Morton's quadrant jumps inflate the boxes
+    * while Hilbert's unit-step continuity keeps them tight. */
+  private val HIL_TILE = 1000
+
+  val qHilbertLocality: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .select(pmod(col("l_partkey"), lit(256)).cast("int").as("x"),
+        pmod(col("l_suppkey"), lit(256)).cast("int").as("y"))
+      .withColumn("hv", hilbert8(col("x"), col("y")))
+      .withColumn("zv", zorder8(col("x"), col("y")))
+      .select(col("x"), col("y"), explode(array(
+        struct(lit("hilbert").as("curve"), col("hv").cast("long").as("v")),
+        struct(lit("morton").as("curve"), col("zv").cast("long").as("v")))).as("cv"))
+      .select(col("x"), col("y"), col("cv.curve").as("curve"),
+        (col("cv.v") / HIL_TILE).cast("int").as("bucket"))
+      .groupBy("curve", "bucket")
+      .agg(count(lit(1)).as("n"),
+        ((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).cast("long").as("area"))
+      .groupBy("curve")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("n").cast("long").as("n_rows"),
+        sum("area").cast("long").as("area_sum"),
+        max("area").cast("long").as("area_max"))
+      .orderBy("curve")
+  }
+
   // ---- per-source caps + adaptive quality threshold -------------------
 
   private val CAP_PER_SOURCE = 10
@@ -1031,6 +1078,7 @@ object Curation {
     "q_text_repetition" -> qTextRepetition,
     "q_pii_redact" -> qPiiRedact,
     "q_zorder_curve" -> qZorderCurve,
+    "q_hilbert_locality" -> qHilbertLocality,
     "q_cap_per_source" -> qCapPerSource,
     "q_quality_quantile" -> qQualityQuantile,
     "q_quality_buckets" -> qQualityBuckets,
@@ -1061,6 +1109,32 @@ object Curation {
     (0 until 8).flatMap { i =>
       Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})")
     }.mkString(" + ")
+
+  /** 8-stage CTE chain mirroring [[GraftFunctions.hilbert8Ref]]'s exact
+    * iteration (generated from the same s-loop so the three
+    * implementations cannot drift): stage k holds (x, y, hx, hy, hd)
+    * after consuming bit s = 128 >> k. */
+  private val hilbertCtes: String = {
+    // inner subquery with fresh names (hd2/hx2/hy2) — DuckDB's lateral
+    // column aliases would otherwise bind the hy-CASE's `hx` to the
+    // NEW hx alias defined just before it in the same SELECT list
+    val stages = Iterator.iterate(128)(_ >> 1).takeWhile(_ > 0).zipWithIndex.map {
+      case (s, k) =>
+        s"""hil${k + 1} AS (SELECT x, y, hd2 AS hd, hx2 AS hx, hy2 AS hy FROM (
+           |  SELECT x, y,
+           |    hd + ${s.toLong * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+           |                               (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd2,
+           |    CASE WHEN (hy & $s) = 0
+           |         THEN (CASE WHEN (hx & $s) > 0 THEN 255 - hy ELSE hy END)
+           |         ELSE hx END AS hx2,
+           |    CASE WHEN (hy & $s) = 0
+           |         THEN (CASE WHEN (hx & $s) > 0 THEN 255 - hx ELSE hx END)
+           |         ELSE hy END AS hy2
+           |  FROM hil$k) t${k + 1})""".stripMargin
+    }
+    (Seq("hil0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM c)") ++
+      stages).mkString(",\n")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_profile_drift" ->
@@ -1218,6 +1292,22 @@ object Curation {
          |SELECT CAST(z >> $Z_BUCKET_SHIFT AS INT) AS bucket, count(*) AS n,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_hilbert_locality" ->
+      s"""WITH c AS (SELECT CAST(l_partkey % 256 AS INT) AS x,
+         |             CAST(l_suppkey % 256 AS INT) AS y FROM lineitem),
+         |$hilbertCtes,
+         |curves AS (SELECT 'hilbert' AS curve, x, y, hd AS v FROM hil8
+         |           UNION ALL
+         |           SELECT 'morton' AS curve, x, y, CAST($zorderSql AS BIGINT) AS v FROM c),
+         |tiles AS (SELECT curve, CAST(v // $HIL_TILE AS INT) AS bucket,
+         |            count(*) AS n,
+         |            CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT) AS area
+         |          FROM curves GROUP BY curve, bucket)
+         |SELECT curve, count(*) AS n_buckets,
+         |  CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(sum(area) AS BIGINT) AS area_sum,
+         |  CAST(max(area) AS BIGINT) AS area_max
+         |FROM tiles GROUP BY curve ORDER BY curve""".stripMargin,
     "q_cap_per_source" ->
       s"""WITH r AS (SELECT source, doc_id, n_chars,
          |  row_number() OVER (PARTITION BY source

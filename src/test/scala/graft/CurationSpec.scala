@@ -40,6 +40,51 @@ class CurationSpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  test("hilbert8Ref: bijective on the full 256x256 plane") {
+    val all = for (x <- 0 until 256; y <- 0 until 256)
+      yield GraftFunctions.hilbert8Ref(x, y)
+    assert(all.min == 0L && all.max == 65535L && all.distinct.size == 65536)
+  }
+
+  test("hilbert8Ref: unit-step continuity — consecutive indices are adjacent cells") {
+    // THE Hilbert property (Morton order lacks it): walking the curve
+    // never jumps. Invert by exhaustive tabulation, then check every
+    // consecutive pair is Manhattan-distance 1.
+    val inv = new Array[(Int, Int)](65536)
+    for (x <- 0 until 256; y <- 0 until 256)
+      inv(GraftFunctions.hilbert8Ref(x, y).toInt) = (x, y)
+    for (d <- 0 until 65535) {
+      val (x1, y1) = inv(d); val (x2, y2) = inv(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbert8 column agrees with the reference implementation") {
+    val rows = for (x <- 0 until 256 by 7; y <- 0 until 256 by 11) yield (x.toLong, y.toLong)
+    val got = rows.toDF("x", "y")
+      .select($"x", $"y", GraftFunctions.hilbert8($"x", $"y").as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === GraftFunctions.hilbert8Ref(r.getLong(0).toInt, r.getLong(1).toInt))
+    }
+  }
+
+  test("hilbert beats morton on non-aligned tiles, ties on aligned ones (full plane)") {
+    def areaSum(curve: (Int, Int) => Long, tile: Long): Long =
+      (for (x <- 0 until 256; y <- 0 until 256) yield (curve(x, y) / tile, x, y))
+        .groupBy(_._1).values.map { pts =>
+          val xs = pts.map(_._2); val ys = pts.map(_._3)
+          (xs.max - xs.min + 1).toLong * (ys.max - ys.min + 1)
+        }.sum
+    val h1000 = areaSum(GraftFunctions.hilbert8Ref, 1000)
+    val z1000 = areaSum(GraftFunctions.zorder8Ref, 1000)
+    assert(h1000 < z1000, s"hilbert $h1000 must beat morton $z1000 at tile 1000")
+    // aligned power-of-4 tiles: both are exact 32x32 quadrant blocks
+    assert(areaSum(GraftFunctions.hilbert8Ref, 1024) ==
+      areaSum(GraftFunctions.zorder8Ref, 1024))
+  }
+
   test("zorder locality: every 1024-wide curve bucket spans a bbox of at most 32x32") {
     // exhaustive over the full 256x256 plane — the property file-level
     // min/max pruning relies on at scale
