@@ -278,6 +278,70 @@ object Curation {
       .orderBy("rn")
   }
 
+  private val RHO_TOPK = 16
+
+  /** Excess-loss (learnability) data selection — the RHO-1 criterion
+    * (Lin et al. 2024, arXiv:2404.07965: select where a REFERENCE
+    * model's loss sits far below the current model's — high excess =
+    * learnable signal; low excess = noise or already-learned) lifted
+    * to document grain with the engine's own corpus-self proxy pair:
+    * the context-free unigram LM ([[qQualityLm]]'s model) as the
+    * "current" scorer and the transition-aware bigram MLE
+    * ([[qQualityBigram]]'s model) as the stronger reference. excess =
+    * mean unigram surprise − mean bigram surprise: large where word
+    * ORDER carries structure the weaker model can't see (exactly the
+    * documents sequence training extracts signal from), near zero
+    * where tokens are unpredictable regardless of context. Output:
+    * the [[RHO_TOPK]] most-learnable documents. Single-token
+    * documents carry no transition evidence and are excluded by the
+    * inner join (they have no bigram row).
+    *
+    * Determinism: both per-doc sums are the established floor(·10⁶)
+    * exact-long machinery — the identical dags of the two parent
+    * queries — and excess is ONE double expression over exact longs,
+    * rounded once; ties at 4 decimals break on doc_id.
+    *
+    * Scale shape: inherits both parents' postures unchanged (unigram
+    * heavy-hitter split; bigram model table + one heavy-hitter
+    * attach); the only NEW exchange is the per-doc join of two
+    * doc-keyed aggregates — co-partitioned on the unique doc_id,
+    * skew-free; top-K is a distributed TakeOrdered. */
+  val qSelectRho: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tk = docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val uni = HeavyHitters.attachKeyCount(tk, "tok", "c", totalOut = Some("total"))
+      .withColumn("surp",
+        floor(-log(col("c").cast("double") / col("total").cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"), sum("surp").as("us"))
+    val bg = docs.select(col("doc_id"),
+      explode(graft.functions.TextExpressions
+        .shinglesAllFast(tokens(col("text")), 2)).as("bg"))
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cw1 = cb.groupBy(col("w1").as("u1")).agg(sum("cbg").as("cw1"))
+    val model = cb.join(cw1.hint("shuffle_hash"), col("w1") === col("u1"))
+      .withColumn("surp",
+        floor(-log(col("cbg").cast("double") / col("cw1").cast("double")) * 1e6)
+          .cast("long"))
+      .select("bg", "cbg", "surp")
+    val big = HeavyHitters.attachModel(bg, "bg", model, "cbg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum("surp").as("bs"))
+    uni.join(big, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        round(col("us").cast("double") / (col("n_tok") * lit(1000000.0)), 4).as("u_surprise"),
+        round(col("bs").cast("double") / (col("n_bg") * lit(1000000.0)), 4).as("b_surprise"),
+        round(col("us").cast("double") / (col("n_tok") * lit(1000000.0)) -
+          col("bs").cast("double") / (col("n_bg") * lit(1000000.0)), 4).as("excess"))
+      .orderBy(col("excess").desc, col("doc_id").asc).limit(RHO_TOPK)
+      .withColumn("rn", row_number().over(
+        boundedWindow(col("excess").desc, col("doc_id").asc)))
+      .select("rn", "doc_id", "lang", "n_tok", "u_surprise", "b_surprise", "excess")
+      .orderBy("rn")
+  }
+
   private val KN_TOPK = 10
   private val KN_D = 0.75 // the standard absolute discount
 
@@ -1079,6 +1143,7 @@ object Curation {
     "q_pii_redact" -> qPiiRedact,
     "q_zorder_curve" -> qZorderCurve,
     "q_hilbert_locality" -> qHilbertLocality,
+    "q_select_rho" -> qSelectRho,
     "q_cap_per_source" -> qCapPerSource,
     "q_quality_quantile" -> qQualityQuantile,
     "q_quality_buckets" -> qQualityBuckets,
@@ -1343,6 +1408,34 @@ object Curation {
          |  round(any_value(thr), 4) AS p25_chars
          |FROM documents JOIN thr ON lang = t_lang
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_select_rho" ->
+      s"""WITH tk AS (SELECT doc_id, lang, unnest($toksAll) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |tt AS (SELECT sum(c) AS total FROM c),
+         |usp AS (SELECT tok,
+         |          CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT) AS surp
+         |        FROM c, tt),
+         |uni AS (SELECT tk.doc_id, tk.lang, count(*) AS n_tok, sum(surp) AS us
+         |        FROM tk JOIN usp USING (tok) GROUP BY 1, 2),
+         |t AS (SELECT doc_id, $toksAll AS w FROM documents),
+         |bg AS (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg
+         |       FROM t, unnest(range(1, len(w))) u(i)),
+         |cb AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg),
+         |cu AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY w1),
+         |bsp AS (SELECT bg.doc_id,
+         |          CAST(floor(-ln(CAST(cbg AS DOUBLE) / cw1) * 1000000) AS BIGINT) AS surp
+         |        FROM bg JOIN cb USING (bg) JOIN cu USING (w1)),
+         |big AS (SELECT doc_id, count(*) AS n_bg, sum(surp) AS bs
+         |        FROM bsp GROUP BY 1),
+         |r AS (SELECT uni.doc_id, lang, n_tok,
+         |        round(CAST(us AS DOUBLE) / (n_tok * 1000000.0), 4) AS u_surprise,
+         |        round(CAST(bs AS DOUBLE) / (n_bg * 1000000.0), 4) AS b_surprise,
+         |        round(CAST(us AS DOUBLE) / (n_tok * 1000000.0)
+         |              - CAST(bs AS DOUBLE) / (n_bg * 1000000.0), 4) AS excess
+         |      FROM uni JOIN big ON uni.doc_id = big.doc_id)
+         |SELECT rn, doc_id, lang, n_tok, u_surprise, b_surprise, excess FROM (
+         |  SELECT *, row_number() OVER (ORDER BY excess DESC, doc_id ASC) AS rn FROM r) q
+         |WHERE rn <= $RHO_TOPK ORDER BY rn""".stripMargin,
     "q_quality_bigram" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
          |bg AS (SELECT doc_id, lang, w[i] AS w1, w[i] || ' ' || w[i+1] AS bg

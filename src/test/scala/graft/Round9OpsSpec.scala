@@ -62,6 +62,44 @@ class Round9OpsSpec extends AnyFunSuite {
       assert(byBucket(b).map(_._2).max <= byBucket(b + 1).map(_._2).min)
   }
 
+  test("q_select_rho: equals a naive two-model excess-loss selection") {
+    val TOPK = 16
+    val d = docs().map { case (id, l, t) => (id, l, toks(t)) }
+    val allToks = d.flatMap(_._3)
+    val total = allToks.size.toDouble
+    val cTok = allToks.groupBy(identity).view.mapValues(_.size).toMap
+    val uniSurp: Map[String, Long] =
+      cTok.map { case (w, c) => w -> math.floor(-math.log(c / total) * 1e6).toLong }
+    val allBg = d.flatMap { case (_, _, w) => w.sliding(2).filter(_.length == 2).map(_.mkString(" ")) }
+    val cBg = allBg.groupBy(identity).view.mapValues(_.size).toMap
+    val cW1 = allBg.groupBy(_.split(" ")(0)).view.mapValues(_.size).toMap
+    val bgSurp: Map[String, Long] = cBg.map { case (b, c) =>
+      b -> math.floor(-math.log(c.toDouble / cW1(b.split(" ")(0))) * 1e6).toLong
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = d.filter(_._3.length >= 2).map { case (id, l, w) =>
+      val us = w.map(uniSurp).sum
+      val bgs = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val bs = bgs.map(bgSurp).sum
+      val u = us.toDouble / (w.length * 1e6)
+      val b = bs.toDouble / (bgs.size * 1e6)
+      (id, l, w.length.toLong, r4(u), r4(b), r4(u - b))
+    }
+    val expect = scored.sortBy { case (id, _, _, _, _, ex) => (-ex, id) }
+      .take(TOPK).zipWithIndex
+      .map { case ((id, l, nt, u, b, ex), i) => (i + 1, id, l, nt, u, b, ex) }.toSet
+    val got = SparkEntry.queries("q_select_rho")(spark, SF)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(got == expect)
+    // the selection law: excess is always >= 0 up to rounding (the
+    // bigram conditional can only sharpen the unigram marginal on
+    // self-scored data in aggregate... not per-doc — but the TOP
+    // selections must be strictly positive for the criterion to mean
+    // anything on this corpus)
+    assert(got.forall(_._7 > 0), "top-RHO docs must have positive excess")
+  }
+
   test("q_embed_rp: equals a naive sign-projection; norm ratios concentrate near 1") {
     val K = 16; val MOD = 5
     val signs = Array.tabulate(K, 64) { (j, dd) =>
