@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
@@ -202,6 +203,42 @@ object Multimodal {
     * reporting per-frame byte energy. Exercises the stub video
     * container path with a char-arithmetic oracle (corpus is ASCII,
     * so bytes ≡ chars). */
+  private val SC_THRESH = 110L // ~P90 of inter-frame deltas on this corpus
+
+  /** Shot-boundary (scene-cut) detection — the frame-selection step a
+    * video training pipeline runs before sampling (one keyframe per
+    * shot beats uniform stride on redundant footage): per-frame energy
+    * deltas against the previous frame, cut where |Δ| ≥ [[SC_THRESH]].
+    * Frames ride the STUB fixed-size sampler ([[MediaColumns
+    * .sampleFrames]], every frame) over the text-as-bytes fake video —
+    * the Spark-side plumbing (typed Dataset pipeline, per-doc lag
+    * window, audit rollup) is the real product shape; a codec-bearing
+    * container swaps in [[MediaColumns.sampleFramesAvi]].
+    *
+    * Scale: frame explosion is map-side; the delta is a lag window
+    * partitioned by doc_id (per-video groups, bounded by frame count —
+    * the allowlisted per-entity key); the audit is one partial-agg
+    * rollup. Energies and deltas are exact integers end to end. */
+  val qMmScenecut: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    val docs = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(col("doc_id").cast("long").as[Long],
+        col("text").cast("binary").as[Array[Byte]])
+      .map { case (id, bytes) => MediaColumns.MediaRow(id, "video/fake", bytes) }
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    MediaColumns.sampleFrames(docs, frameBytes = 8, everyN = 1)
+      .map(f => (f.id, f.frameIdx, f.bytes.map(b => (b & 0xFF).toLong).sum))
+      .toDF("doc_id", "frame_idx", "energy")
+      .withColumn("delta", abs(col("energy") - lag("energy", 1).over(w)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") >= SC_THRESH, 1L).otherwise(0L)).as("n_cuts"),
+        max("delta").as("max_delta"),
+        min(when(col("delta") >= SC_THRESH, col("frame_idx"))).as("first_cut"))
+      .orderBy("doc_id")
+  }
+
   val qMmFrames: Q = (s, d) => {
     import s.implicits._
     import graft.multimodal.MediaColumns
@@ -317,7 +354,8 @@ object Multimodal {
     "q_mm_resize" -> qMmResize,
     "q_mm_phash" -> qMmPhash,
     "q_mm_audiofp" -> qMmAudioFp,
-    "q_mm_frames" -> qMmFrames
+    "q_mm_frames" -> qMmFrames,
+    "q_mm_scenecut" -> qMmScenecut
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -415,6 +453,21 @@ object Multimodal {
         |  + (p_partkey * 31 + (2*y+1) * 17 + (2*x) * 7) % 65536
         |  + (p_partkey * 31 + (2*y+1) * 17 + (2*x+1) * 7) % 65536) // 4 AS INT) AS v
         |FROM grid ORDER BY p_partkey, y, x""".stripMargin,
+    "q_mm_scenecut" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) // 8 AS nf
+         |           FROM documents WHERE doc_id % 20 = 0),
+         |f AS (SELECT doc_id, CAST(i AS INT) AS fi,
+         |        CAST(list_sum(list_transform(range(1, 9),
+         |          j -> ascii(substr(text, CAST(i * 8 + j AS INT), 1)))) AS BIGINT) AS e
+         |      FROM d, unnest(range(0, nf)) t(i)),
+         |dl AS (SELECT doc_id, fi,
+         |         abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY fi)) AS de
+         |       FROM f)
+         |SELECT doc_id, count(*) AS n_frames,
+         |  CAST(sum(CASE WHEN de >= $SC_THRESH THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  max(de) AS max_delta,
+         |  min(CASE WHEN de >= $SC_THRESH THEN fi END) AS first_cut
+         |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_mm_frames" ->
       """WITH d AS (SELECT doc_id, text, length(text) // 8 AS nf
         |           FROM documents WHERE doc_id % 20 = 0),

@@ -133,6 +133,28 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(mean > 0.8 && mean < 1.2, s"JL norm-ratio mean drifted: $mean")
   }
 
+  test("q_mm_scenecut: equals a naive frame-delta scan") {
+    val THRESH = 110L; val FB = 8; val MOD = 20
+    val expect = docs().filter(_._1 % MOD == 0).map { case (id, _, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val energies = (0 until bytes.length / FB).map { i =>
+        (0 until FB).map(j => (bytes(i * FB + j) & 0xFF).toLong).sum
+      }
+      val deltas = energies.sliding(2).collect { case Seq(a, b) => math.abs(b - a) }.toSeq
+      val cuts = deltas.zipWithIndex.collect { case (d, i) if d >= THRESH => i + 1 }
+      (id, energies.size.toLong, cuts.size.toLong,
+        if (deltas.isEmpty) None else Some(deltas.max),
+        cuts.headOption.map(_.toLong))
+    }.filter(_._2 > 0).toSet
+    val got = SparkEntry.queries("q_mm_scenecut")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4).toLong))).toSet
+    assert(got == expect)
+    assert(got.exists(_._3 > 0) && got.exists(_._3 == 0),
+      "threshold must split the corpus into cut and cut-free videos")
+  }
+
   test("q_diff_snapshot: equals a naive simulated-v2 reconcile; statuses partition both snapshots") {
     val DROP = 10; val EDIT = 20; val ADD = 90; val OFF = 1000000000L
     val v1 = docs()
