@@ -136,8 +136,51 @@ object Graph {
     }
   }
 
+  private val GJ_TOPK = 16
+
+  /** Neighbor-set Jaccard similarity — the classic link-prediction /
+    * node-similarity score (Liben-Nowell & Kleinberg 2003, "The Link
+    * Prediction Problem"): for source nodes of the part→supplier
+    * graph, J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| over out-neighbor
+    * sets; output the [[GJ_TOPK]] most-similar pairs. Candidate pairs
+    * come ONLY from co-neighbor generation (a shared dst) — a pair
+    * with J > 0 shares a neighbor by definition, so the equi-join on
+    * dst enumerates exactly the nonzero-J pairs, never all pairs.
+    *
+    * Scale: the co-pair stream is keyed on dst with per-key fan-out
+    * deg(dst)² — the hub-node blowup every production system caps
+    * (drop or sketch dsts above a degree bound; this engine's minhash
+    * machinery IS the sketch path — [[Dedup]] builds exactly these
+    * neighbor-set signatures for documents). Here dst degrees are
+    * bounded by the 100-node value domain, so the exact form is the
+    * right plan; counts/degrees are exact longs and J is one rounded
+    * divide, ties broken on the pair. */
+  val qGraphJaccard: Q = (s, d) => {
+    val e = Tables.lineitem(s, d)
+      .select((col("l_partkey") % PR_NODES_MOD).as("src"),
+        (col("l_suppkey") % PR_NODES_MOD).as("dst"))
+      .distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val common = e.select(col("src").as("a"), col("dst"))
+      .join(e.select(col("src").as("b"), col("dst")), Seq("dst"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        round(col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a").asc, col("b").asc).limit(GJ_TOPK)
+      .withColumn("rn", row_number().over(graft.functions.GraftFunctions
+        .boundedWindow(col("jaccard").desc, col("a").asc, col("b").asc)))
+      .select("rn", "a", "b", "common", "deg_a", "deg_b", "jaccard")
+      .orderBy("rn")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qPageRank,
+    "q_graph_jaccard" -> qGraphJaccard,
     "q_graph_triangles" -> qTriangles)
 
   def oracleSql: Map[String, String] = {
@@ -152,7 +195,22 @@ object Graph {
          |    FROM $prev r JOIN e ON r.node = e.src
          |    JOIN outd o ON o.src = r.node
          |    GROUP BY e.dst) s ON s.dst = nodes.node)""".stripMargin
-    Map("q_graph_pagerank" ->
+    Map(
+    "q_graph_jaccard" ->
+      s"""WITH e AS (SELECT DISTINCT l_partkey % $PR_NODES_MOD AS src,
+         |                  l_suppkey % $PR_NODES_MOD AS dst FROM lineitem),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |cm AS (SELECT x.src AS a, y.src AS b, count(*) AS common
+         |       FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+         |       GROUP BY 1, 2),
+         |j AS (SELECT a, b, common, da.deg AS deg_a, db.deg AS deg_b,
+         |        round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 4) AS jaccard
+         |      FROM cm JOIN deg da ON cm.a = da.src JOIN deg db ON cm.b = db.src)
+         |SELECT rn, a, b, common, deg_a, deg_b, jaccard FROM (
+         |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, a ASC, b ASC) AS rn
+         |  FROM j) q
+         |WHERE rn <= $GJ_TOPK ORDER BY rn""".stripMargin,
+    "q_graph_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT l_partkey % $PR_NODES_MOD AS src,
          |                  l_suppkey % $PR_NODES_MOD AS dst FROM lineitem),
          |nodes AS (SELECT DISTINCT node FROM (
