@@ -552,8 +552,40 @@ object TextAnalysis {
       .orderBy("lang", "word")
   }
 
+  /** Flesch reading-ease profile (Flesch 1948; Kincaid et al. 1975 —
+    * the readability gate document-quality pipelines run beside
+    * Gopher rules): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/word), with the syllable proxy = vowel-run count
+    * ([aeiouy]+ matches — runs never span words, so one regex pass
+    * over the whole text counts them) and sentences = 1 on this
+    * punctuation-free fixture (real text splits on terminators
+    * first). Per-language audit: doc count, mean words, exact
+    * syllables-per-word ratio, mean score.
+    *
+    * Determinism: words and syllables are exact integer counts; the
+    * per-doc score floors to a 10⁻⁴-grain long (identical double dag
+    * both engines), so language means are ratios of exact long sums
+    * rounded once. Scale: two codegen'd regex passes map-side, one
+    * partial-agg rollup to |langs| rows — nothing else. */
+  val qTextReadability: Q = (s, d) => {
+    Tables.documents(s, d)
+      .select(col("lang"), size(tokens(col("text"))).as("words"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).as("syl"))
+      .where(col("words") > 0)
+      .withColumn("fg",
+        floor((lit(206.835) - lit(1.015) * col("words") -
+          lit(84.6) * (col("syl").cast("double") / col("words"))) * 1e4).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("words").cast("double") / count(lit(1)), 4).as("avg_words"),
+        round(sum("syl").cast("double") / sum("words"), 4).as("syl_per_word"),
+        round(sum("fg").cast("double") / (count(lit(1)) * lit(10000.0)), 4).as("mean_flesch"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_tokenize_wordpiece" -> qTokenizeWordpiece,
+    "q_text_readability" -> qTextReadability,
     "q_text_heavyhitters" -> qTextHeavyHitters,
     "q_text_zipf" -> qTextZipf,
     "q_text_stats" -> qTextStats,
@@ -616,6 +648,19 @@ object TextAnalysis {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_readability" ->
+      s"""WITH t AS (SELECT lang, len($toksAll) AS words,
+         |             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+         |           FROM documents),
+         |s AS (SELECT lang, words, syl,
+         |        CAST(floor((206.835 - 1.015 * words
+         |          - 84.6 * (CAST(syl AS DOUBLE) / words)) * 10000) AS BIGINT) AS fg
+         |      FROM t WHERE words > 0)
+         |SELECT lang, count(*) AS n_docs,
+         |  round(CAST(sum(words) AS DOUBLE) / count(*), 4) AS avg_words,
+         |  round(CAST(sum(syl) AS DOUBLE) / sum(words), 4) AS syl_per_word,
+         |  round(CAST(sum(fg) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_flesch
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "q_tokenize_wordpiece" ->
       s"""WITH RECURSIVE
          |tk AS (SELECT lang, unnest($toksAll) AS w FROM documents),
