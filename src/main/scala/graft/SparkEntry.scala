@@ -26,6 +26,7 @@ object SparkEntry {
       (q.Multimodal.queries, q.Multimodal.oracleSql),
       (q.Streaming.queries, q.Streaming.oracleSql),
       (q.Imaging.queries, q.Imaging.oracleSql),
+      (q.Events.queries, q.Events.oracleSql),
       (q.Sql.queries, q.Sql.oracleSql)
     )
 

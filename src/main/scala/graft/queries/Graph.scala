@@ -136,6 +136,57 @@ object Graph {
     }
   }
 
+  private val LP_ITERS = 3
+
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007, "Near linear time algorithm to detect community
+    * structures"): every node starts with its own id as label; each
+    * round it adopts the most frequent label among its neighbors,
+    * ties broken toward the smallest label so the algorithm is fully
+    * deterministic (the async/random-order variant of the paper is
+    * not reproducible, which disqualifies it for a data pipeline).
+    * [[LP_ITERS]] synchronous rounds over the undirected
+    * part→supplier graph; output is every node's final label.
+    *
+    * The deterministic mode is computed without a per-node sort:
+    * count (node, label) pairs, then one `min(struct(-cnt, label))`
+    * aggregate — both partial-aggregable map-side. Each round is one
+    * equi-join keyed on node + two hash aggregates; like the
+    * PageRank loop the per-round tables are repartitioned small for
+    * this ≤100-node demo graph (sized to |edges| on a real graph),
+    * and with a fixed round count the lineage stays shallow enough
+    * that no checkpoint truncation is needed (the open-ended
+    * propagate-to-fixpoint variant is [[Dedup]]'s connected-components
+    * loop, which does truncate per round). */
+  val qLabelProp: Q = (s, d) => {
+    val e = Tables.lineitem(s, d)
+      .select((col("l_partkey") % PR_NODES_MOD).as("a"),
+        (col("l_suppkey") % PR_NODES_MOD).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val loopParts = 4
+    val und = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .repartition(loopParts, col("src"))
+    Scoped.withCached(und) {
+      var labels = und.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .repartition(loopParts, col("node"))
+      for (_ <- 1 to LP_ITERS) {
+        labels = labels.join(und, col("node") === col("src"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("lb"))).as("m"))
+          .select(col("dst").as("node"), col("m.lb").as("label"))
+          .repartition(loopParts, col("node"))
+      }
+      labels.select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"))
+        .orderBy("node")
+    }
+  }
+
   private val GJ_TOPK = 16
 
   /** Neighbor-set Jaccard similarity — the classic link-prediction /
@@ -181,6 +232,7 @@ object Graph {
   def queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qPageRank,
     "q_graph_jaccard" -> qGraphJaccard,
+    "q_graph_labelprop" -> qLabelProp,
     "q_graph_triangles" -> qTriangles)
 
   def oracleSql: Map[String, String] = {
@@ -195,7 +247,31 @@ object Graph {
          |    FROM $prev r JOIN e ON r.node = e.src
          |    JOIN outd o ON o.src = r.node
          |    GROUP BY e.dst) s ON s.dst = nodes.node)""".stripMargin
+    def lpIter(name: String, prev: String) =
+      s"""$name AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst
+         |                         ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (SELECT u.dst, r.label, count(*) AS cnt
+         |          FROM $prev r JOIN und u ON r.node = u.src
+         |          GROUP BY u.dst, r.label) c) q
+         |  WHERE rn = 1)""".stripMargin
     Map(
+    "q_graph_labelprop" ->
+      s"""WITH e AS (SELECT DISTINCT l_partkey % $PR_NODES_MOD AS a,
+         |                  l_suppkey % $PR_NODES_MOD AS b
+         |           FROM lineitem
+         |           WHERE l_partkey % $PR_NODES_MOD <> l_suppkey % $PR_NODES_MOD),
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT a AS src, b AS dst FROM e
+         |  UNION ALL SELECT b, a FROM e) u),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |${lpIter("l1", "l0")},
+         |${lpIter("l2", "l1")},
+         |${lpIter("l3", "l2")}
+         |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+         |FROM l3 ORDER BY node""".stripMargin,
     "q_graph_jaccard" ->
       s"""WITH e AS (SELECT DISTINCT l_partkey % $PR_NODES_MOD AS src,
          |                  l_suppkey % $PR_NODES_MOD AS dst FROM lineitem),

@@ -1256,7 +1256,51 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  private val KC_K = 4 // centers selected (seed + 3 greedy rounds)
+
+  /** Greedy farthest-point (k-center) selection — Gonzalez 1985's
+    * 2-approximation, the standard diverse-coreset picker for training
+    * -data selection (pick the K most mutually-distant examples):
+    * seed with the smallest vec_id, then K−1 rounds of "add the point
+    * farthest from the chosen set", ties toward the smaller vec_id.
+    * Output: (step, vec_id, dist) — dist is the point's exact integer
+    * squared distance to the previously-chosen set at selection time
+    * (the monotone non-increasing "coverage radius" curve).
+    *
+    * All distances are exact longs on the 10³ quantization grid
+    * ([[quantizedVecs]]; [[graft.functions.CodebookExpressions]]'
+    * codegen'd sq-dist with scale 1 — both sides same grid), so the
+    * argmax is grain-exact and the DuckDB oracle replays it
+    * bit-for-bit. Scale: each round is one broadcast-literal map pass
+    * over the cached corpus (the chosen set rides as ≤K·64 plan
+    * literals) + a distributed top-1 (TakeOrdered) — the corpus never
+    * shuffles and the model reaching the driver is K rows, the same
+    * tiny-model posture as the k-means fit. */
+  val qSelectKcenter: Q = (s, d) => {
+    import s.implicits._
+    val vecs = quantizedVecs(s, d).select(col("vec_id"), col("q"))
+    graft.queries.Scoped.withCached(vecs) {
+      val seed = vecs.orderBy(col("vec_id").asc).limit(1).head()
+      val seedId = seed.getLong(0)
+      val seedQ = seed.getSeq[Long](1).toArray
+      val picked = scala.collection.mutable.ArrayBuffer((0, seedId, 0L))
+      var md = vecs.withColumn("md", graft.functions.CodebookExpressions
+        .scaledSqDist(col("q"), typedlit(seedQ), 1L))
+      for (step <- 1 until KC_K) {
+        val top = md.orderBy(col("md").desc, col("vec_id").asc).limit(1).head()
+        val cid = top.getLong(0)
+        val cq = top.getSeq[Long](1).toArray
+        picked += ((step, cid, top.getLong(2)))
+        md = md.withColumn("md", least(col("md"),
+          graft.functions.CodebookExpressions
+            .scaledSqDist(col("q"), typedlit(cq), 1L)))
+      }
+      picked.toSeq.toDF("step", "vec_id", "dist").orderBy("step")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_select_kcenter" -> qSelectKcenter,
     "q_embed_rp" -> qEmbedRp,
     "q_embed_outlier" -> qEmbedOutlier,
     "q_ann_brute" -> qAnnBrute,
@@ -1603,6 +1647,26 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_select_kcenter" -> {
+      val sq = "list_sum(list_transform(range(1, 65), " +
+        "i -> (m.q[i] - c.q[i]) * (m.q[i] - c.q[i])))"
+      s"""WITH v AS (SELECT vec_id,
+         |        list_transform(embedding,
+         |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |      FROM embeddings),
+         |c0 AS (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 1),
+         |m1 AS (SELECT m.vec_id, m.q, $sq AS md FROM v m, c0 c),
+         |s1 AS (SELECT vec_id, q, md FROM m1 ORDER BY md DESC, vec_id ASC LIMIT 1),
+         |m2 AS (SELECT m.vec_id, m.q, least(m.md, $sq) AS md FROM m1 m, s1 c),
+         |s2 AS (SELECT vec_id, q, md FROM m2 ORDER BY md DESC, vec_id ASC LIMIT 1),
+         |m3 AS (SELECT m.vec_id, m.q, least(m.md, $sq) AS md FROM m2 m, s2 c),
+         |s3 AS (SELECT vec_id, q, md FROM m3 ORDER BY md DESC, vec_id ASC LIMIT 1)
+         |SELECT CAST(0 AS INT) AS step, vec_id, CAST(0 AS BIGINT) AS dist FROM c0
+         |UNION ALL SELECT 1, vec_id, CAST(md AS BIGINT) FROM s1
+         |UNION ALL SELECT 2, vec_id, CAST(md AS BIGINT) FROM s2
+         |UNION ALL SELECT 3, vec_id, CAST(md AS BIGINT) FROM s3
+         |ORDER BY step""".stripMargin
+    },
     "q_embed_rp" -> {
       val sign = "CASE WHEN CAST(concat('0x', substr(md5(" +
         "concat('rp_', CAST(j AS VARCHAR), '_', CAST(d AS VARCHAR))), 1, 7)) " +

@@ -98,6 +98,48 @@ object Sql {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
 
+  /** NOT EXISTS anti-semi subquery — Catalyst decorrelates it into a
+    * LEFT ANTI hash join (RewritePredicateSubquery), so the per-row
+    * existence probe is one equi-join at any scale; DuckDB plans the
+    * same anti-join. Counting customers with no orders exercises the
+    * null-safe side of the rewrite. Counts customers with no
+    * large order (every customer has SOME order in the fixture, so
+    * the price predicate is what makes the anti-set non-empty). */
+  private val sqlExists: String =
+    """SELECT c_mktsegment, count(*) AS n_no_big_orders
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 250000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
+  /** Recursive CTE — Spark 4 compiles WITH RECURSIVE to a UnionLoop
+    * that materializes each frontier and feeds it back (the iterative
+    * BFS shape every graph walk compiles to); DuckDB runs its own
+    * recursive-union executor on the identical string. The walk is a
+    * depth-bounded traversal of the deterministic functional graph
+    * v → (7v+3) mod 25 over nation keys, with the successor resolved
+    * through a JOIN so the recursive step is a real per-level
+    * equi-join (frontier shuffles on the join key each level — the
+    * 100 TB posture for any frontier algorithm), and DISTINCT
+    * aggregation applied outside the loop so both engines use plain
+    * UNION ALL recursion semantics. */
+  private val sqlRecursive: String =
+    """WITH RECURSIVE walk(root, node, depth) AS (
+      |  SELECT n_nationkey, n_nationkey, 0 FROM nation WHERE n_nationkey < 5
+      |  UNION ALL
+      |  SELECT w.root, n.n_nationkey, w.depth + 1
+      |  FROM walk w
+      |  JOIN nation n ON n.n_nationkey = (w.node * 7 + 3) % 25
+      |  WHERE w.depth < 6
+      |)
+      |SELECT root, CAST(count(DISTINCT node) AS BIGINT) AS n_reach,
+      |       CAST(max(depth) AS INT) AS max_depth
+      |FROM walk
+      |GROUP BY root
+      |ORDER BY root""".stripMargin
+
   private def runSql(sql: String): Q = (s, d) => {
     registerViews(s, d)
     s.sql(sql)
@@ -108,7 +150,9 @@ object Sql {
     "q_sql_window"   -> runSql(sqlWindow),
     "q_sql_rollup"   -> runSql(sqlRollup),
     "q_sql_subquery" -> runSql(sqlSubquery),
-    "q_sql_cte"      -> runSql(sqlCte)
+    "q_sql_cte"      -> runSql(sqlCte),
+    "q_sql_exists"   -> runSql(sqlExists),
+    "q_sql_recursive" -> runSql(sqlRecursive)
   )
 
   /** Identical strings — the whole point of the parity gate. */
@@ -117,6 +161,8 @@ object Sql {
     "q_sql_window"   -> sqlWindow,
     "q_sql_rollup"   -> sqlRollup,
     "q_sql_subquery" -> sqlSubquery,
-    "q_sql_cte"      -> sqlCte
+    "q_sql_cte"      -> sqlCte,
+    "q_sql_exists"   -> sqlExists,
+    "q_sql_recursive" -> sqlRecursive
   )
 }

@@ -405,6 +405,7 @@ class PlanSpec extends AnyFunSuite {
     val safeKeys = Set(
       "doc_id", "lang", "shard", "epoch", "source",      // corpus entities
       "user_id", "qid", "vec_id", "cid",                 // event / vector entities
+      "event_type",  // bounded type id — only ever composed with user_id
       "band_id", "sig", "src", "grp", "bucket",          // bounded band/cell/demo ids
       "o_orderpriority", "c_nationkey", "o_custkey",     // TPC-H dimensions
       "l_orderkey", "key")

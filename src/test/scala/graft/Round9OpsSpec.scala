@@ -194,4 +194,125 @@ class Round9OpsSpec extends AnyFunSuite {
     val chg = got.filter(_._2 == "changed")
     assert(chg.nonEmpty && chg.forall(t => t._5 - t._4 == 5L * t._3))
   }
+
+  test("q_graph_labelprop: equals naive synchronous min-tie-break label propagation") {
+    val edges = spark.read.parquet(s"$SF/lineitem.parquet")
+      .selectExpr("l_partkey % 100 AS a", "l_suppkey % 100 AS b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }.toSet
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var labels: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (v, ns) =>
+        val counts = ns.map(labels).groupBy(identity).view.mapValues(_.size)
+        v -> counts.toSeq.minBy { case (lb, c) => (-c, lb) }._1
+      }
+    }
+    val got = SparkEntry.queries("q_graph_labelprop")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == labels)
+    // propagation actually merged communities: fewer labels than nodes
+    assert(got.values.toSet.size < got.size)
+  }
+
+  test("q_select_kcenter: equals naive greedy farthest-point selection") {
+    val vecs = spark.read.parquet(s"$SF/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val picked = scala.collection.mutable.ArrayBuffer((0, vecs.head._1, 0L))
+    var md: Map[Long, Long] = vecs.map { case (id, q) => id -> sq(q, vecs.head._2) }.toMap
+    for (step <- 1 until 4) {
+      val (cid, dist) = md.toSeq.minBy { case (id, m) => (-m, id) }
+      picked += ((step, cid, dist))
+      val cq = vecs.find(_._1 == cid).get._2
+      md = vecs.map { case (id, q) => id -> math.min(md(id), sq(q, cq)) }.toMap
+    }
+    val got = SparkEntry.queries("q_select_kcenter")(spark, SF)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == picked.toSeq)
+    // coverage radius is monotone non-increasing after the seed
+    val d = got.drop(1).map(_._3)
+    assert(d.zip(d.drop(1)).forall { case (x, y) => y <= x })
+  }
+
+  test("q_sql_recursive: equals a naive depth-bounded functional-graph walk") {
+    val keys = spark.read.parquet(s"$SF/nation.parquet")
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    val expect = (0 until 5).filter(keys).map { root =>
+      // UNION ALL recursion: one frontier ROW per walk per level while
+      // any successor resolves; n_reach counts DISTINCT nodes touched
+      var frontier = Set(root); var depth = 0; var maxd = 0
+      val seen = scala.collection.mutable.Set(root)
+      while (frontier.nonEmpty && depth < 6) {
+        depth += 1
+        frontier = frontier.map(v => (v * 7 + 3) % 25).filter(keys)
+        if (frontier.nonEmpty) { maxd = depth; seen ++= frontier }
+      }
+      (root, seen.size.toLong, maxd)
+    }.toSet
+    val got = SparkEntry.queries("q_sql_recursive")(spark, SF)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect)
+  }
+
+  test("q_events_funnel: equals a naive staged re-anchoring window walk") {
+    val W = 7L * 24 * 3600 * 1000000
+    val ev = Tables.events(spark, SF)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def firstAfter(tpe: String, anchor: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._2 == tpe && anchor.get(e._1).exists(a =>
+          e._3 >= a && e._3 <= a + W))
+        .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val tv = ev.filter(_._2 == "view").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val tc = firstAfter("click", tv)
+    val tp = firstAfter("purchase", tc)
+    val meanSecs = tp.keys.toSeq.map(u => tp(u) - tv(u)).sum / (tp.size.toLong * 1000000)
+    val got = SparkEntry.queries("q_events_funnel")(spark, SF).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      (tv.size.toLong, tc.size.toLong, tp.size.toLong, meanSecs))
+    // funnel populations are monotone by construction
+    assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
+  }
+
+  test("q_events_anomaly: equals a naive exact-integer trailing z-test") {
+    val W = 5; val Z2 = 9L
+    val ev = Tables.events(spark, SF)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us",
+        "CAST(floor(value * 100) AS BIGINT) AS vg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val expect = ev.groupBy(e => (e._2, e._3)).toSeq.flatMap { case ((_, tpe), es) =>
+      val sorted = es.sortBy(e => (e._4, e._1)).map(_._5)
+      sorted.indices.filter(_ >= W).map { i =>
+        val prev = sorted.slice(i - W, i)
+        val s = prev.sum; val q = prev.map(v => v * v).sum; val v = sorted(i)
+        (tpe, if ((v * W - s) * (v * W - s) > Z2 * (W * q - s * s)) 1L else 0L)
+      }
+    }.groupBy(_._1).map { case (tpe, fs) =>
+      (tpe, fs.size.toLong, fs.map(_._2).sum) }.toSet
+    val got = SparkEntry.queries("q_events_anomaly")(spark, SF)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // the exact test does flag something at sf0.001 (non-vacuous gate)
+    assert(got.exists(_._3 > 0))
+  }
+
+  test("q_sql_exists: equals a naive anti-join on the big-order set") {
+    val big = spark.read.parquet(s"$SF/orders.parquet")
+      .where("o_totalprice > 250000").select("o_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val cust = spark.read.parquet(s"$SF/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = cust.filterNot(c => big(c._1)).groupBy(_._2)
+      .map { case (seg, rows) => (seg, rows.size.toLong) }.toSet
+    val got = SparkEntry.queries("q_sql_exists")(spark, SF)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
 }
