@@ -309,6 +309,69 @@ object Multimodal {
       .orderBy("p_partkey", "frame_idx")
   }
 
+  /** The SSIM ratio over exact integer frame sums, shared VERBATIM
+    * between the Spark plan and the DuckDB oracle so the only FP in
+    * the operator is this one identically-structured expression.
+    * Constants are the standard SSIM stabilizers C1=(0.01·255)²,
+    * C2=(0.03·255)² carried ×10⁴ so they stay integers; every factor
+    * is < 2⁵³ (see scaladoc bound on [[qMmSsim]]), hence exactly
+    * representable, and the double multiply/divide round identically
+    * on both engines. */
+  private val ssimExpr: String =
+    "round((CAST(2 * sx * sy * 10000 + 65025 * 256 AS DOUBLE) * " +
+      "(2 * (16 * pp - sx * sy) * 10000 + 585225 * 256)) / " +
+      "(CAST((sx * sx + sy * sy) * 10000 + 65025 * 256 AS DOUBLE) * " +
+      "((16 * qx - sx * sx + 16 * qy - sy * sy) * 10000 + 585225 * 256)), 6)"
+
+  /** Structural similarity (SSIM, Wang et al. 2004) between each
+    * consecutive pair of DECODED video frames — the perceptual
+    * near-duplicate / quality metric run frame-to-frame (global
+    * single-window form; windowed SSIM tiles this same formula). The
+    * video path is real: frames are RIFF-encoded into an AVI and read
+    * back through the container walk, so a codec bug shifts every sum.
+    *
+    * All moments (Sx, Sy, Qx, Qy, ΣXY) are exact longs; the one FP
+    * expression is [[ssimExpr]], identical on both engines. Bound:
+    * pixels ≤ 250, n=16 → every ssim factor ≤ 2·4000²·10⁴ + C·256
+    * ≈ 3.2·10¹¹ < 2⁵³, so each factor is an exactly-represented
+    * double and cross-engine IEEE parity is structural, not luck.
+    * Scale: frame explosion is map-side typed code; the only shuffle
+    * is the (video, frame) self-join co-partitioned on the video key
+    * (adjacent-frame pairing — group size = frame count, the
+    * per-entity posture shared with q_mm_scenecut). */
+  val qMmSsim: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    val FW = 4; val FH = 4; val NF = 6
+    val keys = Tables.part(s, d).where(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey")).as[Long]
+    val media = keys.mapPartitions { it =>
+      it.map { pk =>
+        val frames = (0 until NF).map { i =>
+          Array.tabulate[Byte](FW * FH)(j => ((pk * 7 + i * 13 + j) % 251).toByte)
+        }
+        MediaColumns.MediaRow(pk, "video/avi", MediaColumns.encodeAvi(FW, FH, frames))
+      }
+    }
+    val fr = MediaColumns.sampleFramesAvi(media, everyN = 1)
+      .map(f => (f.id, f.frameIdx, f.bytes.map(b => (b & 0xFF).toLong)))
+      .toDF("pk", "idx", "px")
+    val nxt = fr.select(col("pk").as("pk2"), (col("idx") - 1).as("idx2"),
+      col("px").as("py"))
+    fr.join(nxt, col("pk") === col("pk2") && col("idx") === col("idx2"))
+      .select(col("pk").as("p_partkey"), col("idx").as("frame_idx"),
+        expr("aggregate(px, 0L, (acc, x) -> acc + x)").as("sx"),
+        expr("aggregate(py, 0L, (acc, x) -> acc + x)").as("sy"),
+        expr("aggregate(px, 0L, (acc, x) -> acc + x * x)").as("qx"),
+        expr("aggregate(py, 0L, (acc, x) -> acc + x * x)").as("qy"),
+        expr("aggregate(zip_with(px, py, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+          .as("pp"))
+      .select(col("p_partkey"), col("frame_idx"),
+        (lit(16L) * col("pp") - col("sx") * col("sy")).as("cov_grain"),
+        expr(ssimExpr).as("ssim"))
+      .orderBy("p_partkey", "frame_idx")
+  }
+
   /** Compressed video frames, end to end: synthesize 8×4 frames mixing
     * constant 4-pixel blocks (RLE encoded-mode runs) with varying
     * blocks (absolute-mode literals), RLE8-compress them into a real
@@ -355,10 +418,33 @@ object Multimodal {
     "q_mm_phash" -> qMmPhash,
     "q_mm_audiofp" -> qMmAudioFp,
     "q_mm_frames" -> qMmFrames,
-    "q_mm_scenecut" -> qMmScenecut
+    "q_mm_scenecut" -> qMmScenecut,
+    "q_mm_ssim" -> qMmSsim
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_mm_ssim" ->
+      s"""WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 100 = 0),
+         |f AS (SELECT p_partkey, CAST(i AS INT) AS i FROM p, unnest(range(0, 6)) t(i)),
+         |px AS (SELECT p_partkey, i,
+         |         list_transform(range(0, 16),
+         |           j -> (p_partkey * 7 + i * 13 + j) % 251) AS v
+         |       FROM f),
+         |pairs AS (SELECT a.p_partkey, a.i AS frame_idx, a.v AS vx, b.v AS vy
+         |          FROM px a JOIN px b
+         |            ON a.p_partkey = b.p_partkey AND b.i = a.i + 1),
+         |sums AS (SELECT p_partkey, frame_idx,
+         |           CAST(list_sum(vx) AS BIGINT) AS sx,
+         |           CAST(list_sum(vy) AS BIGINT) AS sy,
+         |           CAST(list_sum(list_transform(vx, x -> x * x)) AS BIGINT) AS qx,
+         |           CAST(list_sum(list_transform(vy, x -> x * x)) AS BIGINT) AS qy,
+         |           CAST(list_sum(list_transform(range(1, 17),
+         |             k -> vx[k] * vy[k])) AS BIGINT) AS pp
+         |         FROM pairs)
+         |SELECT p_partkey, frame_idx,
+         |  CAST(16 * pp - sx * sy AS BIGINT) AS cov_grain,
+         |  $ssimExpr AS ssim
+         |FROM sums ORDER BY p_partkey, frame_idx""".stripMargin,
     "q_mm_avi_rle" ->
       """WITH p AS (SELECT p_partkey FROM part WHERE p_partkey % 100 = 0),
         |f AS (SELECT p_partkey, CAST(i AS INT) AS frame_idx

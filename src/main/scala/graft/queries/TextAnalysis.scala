@@ -583,7 +583,58 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  private val RAKE_STOPS = Seq("the", "a", "of", "and") // Curation's lexicon
+  private val RAKE_MAXLEN = 4 // RAKE's phrase-length cap
+  private val RAKE_TOPK = 15
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal stopword-free token runs (length ≤ [[RAKE_MAXLEN]]);
+    * each word scores deg/freq-style — here the exact integer grain
+    * floor(10⁶·(freq+deg)/freq), freq = phrase-occurrence count,
+    * deg = Σ(len−1) over occurrences — and a phrase TYPE scores the
+    * sum of its member words' grains (with multiplicity). Output: the
+    * corpus top-[[RAKE_TOPK]] phrases by (score desc, phrase asc).
+    *
+    * Everything on the boundary is exact: freq/deg are longs, the
+    * word grain is one integer division, the phrase score a long sum.
+    * Scale: phrase splitting is one map-side regex pass; word stats
+    * are a vocabulary-sized map-side-combined aggregate; the
+    * phrase-word ⋈ word-grain join keys on the word (the BM25
+    * posting-join posture — vocabulary-sized build side, never the
+    * corpus); top-K is a TakeOrdered. Stopword-adjacency means the
+    * phrase inventory is df-capped by construction (no phrase spans a
+    * stopword, so no mega-phrase key exists). */
+  val qTextRake: Q = (s, d) => {
+    val stopAlt = RAKE_STOPS.mkString("\\b(?:", "|", ")\\b")
+    val phrases = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), stopAlt)).as("raw"))
+      .select(trim(col("raw")).as("phrase"))
+      .where(col("phrase") =!= "")
+      .withColumn("w", split(col("phrase"), " +"))
+      .where(size(col("w")) <= RAKE_MAXLEN)
+    Scoped.withCached(phrases) {
+      val wstat = phrases
+        .select(explode(col("w")).as("word"), (size(col("w")) - 1).cast("long").as("dl"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("freq"), sum("dl").as("deg"))
+        .withColumn("grain", expr("(1000000 * (freq + deg)) div freq"))
+        .select("word", "grain")
+      phrases.select(col("phrase"), col("w")).distinct()
+        .select(col("phrase"), size(col("w")).as("n_words"), explode(col("w")).as("word"))
+        .join(wstat, "word")
+        .groupBy("phrase", "n_words")
+        .agg(sum("grain").as("score"))
+        .orderBy(col("score").desc, col("phrase").asc).limit(RAKE_TOPK)
+        .withColumn("rn", row_number().over(graft.functions.GraftFunctions
+          .boundedWindow(col("score").desc, col("phrase").asc)))
+        .select("rn", "phrase", "n_words", "score")
+        .orderBy("rn")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_text_rake" -> qTextRake,
     "q_tokenize_wordpiece" -> qTokenizeWordpiece,
     "q_text_readability" -> qTextReadability,
     "q_text_heavyhitters" -> qTextHeavyHitters,
@@ -648,6 +699,29 @@ object TextAnalysis {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_rake" -> {
+      val alt = RAKE_STOPS.mkString("\\b(?:", "|", ")\\b")
+      s"""WITH ph AS (SELECT trim(p) AS phrase FROM (
+         |        SELECT unnest(string_split_regex(lower(text), '$alt')) AS p
+         |        FROM documents) r
+         |      WHERE trim(p) <> ''),
+         |pw AS (SELECT phrase, string_split_regex(phrase, ' +') AS w FROM ph
+         |       WHERE len(string_split_regex(phrase, ' +')) <= $RAKE_MAXLEN),
+         |ws AS (SELECT word, count(*) AS freq, sum(dl) AS deg
+         |       FROM (SELECT unnest(w) AS word, len(w) - 1 AS dl FROM pw) x
+         |       GROUP BY word),
+         |wg AS (SELECT word, (1000000 * (freq + deg)) // freq AS grain FROM ws),
+         |px AS (SELECT phrase,
+         |         len(string_split_regex(phrase, ' +')) AS n_words,
+         |         unnest(string_split_regex(phrase, ' +')) AS word
+         |       FROM (SELECT DISTINCT phrase FROM pw) q),
+         |sc AS (SELECT phrase, n_words, CAST(sum(g.grain) AS BIGINT) AS score
+         |       FROM px JOIN wg g USING (word) GROUP BY phrase, n_words)
+         |SELECT rn, phrase, CAST(n_words AS INT) AS n_words, score FROM (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, phrase ASC) AS rn
+         |  FROM sc) q
+         |WHERE rn <= $RAKE_TOPK ORDER BY rn""".stripMargin
+    },
     "q_text_readability" ->
       s"""WITH t AS (SELECT lang, len($toksAll) AS words,
          |             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl

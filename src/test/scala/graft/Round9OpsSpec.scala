@@ -302,6 +302,60 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0))
   }
 
+  test("q_mm_ssim: equals a naive pixel-formula SSIM over consecutive frames") {
+    val keys = spark.read.parquet(s"$SF/part.parquet")
+      .where("p_partkey % 100 = 0").select("p_partkey")
+      .collect().map(_.getLong(0)).sorted
+    def frame(pk: Long, i: Int): Array[Long] =
+      Array.tabulate(16)(j => (pk * 7 + i * 13 + j) % 251)
+    val expect = keys.flatMap { pk =>
+      (0 until 5).map { i =>
+        val x = frame(pk, i); val y = frame(pk, i + 1)
+        val sx = x.sum; val sy = y.sum
+        val qx = x.map(v => v * v).sum; val qy = y.map(v => v * v).sum
+        val pp = x.zip(y).map { case (a, b) => a * b }.sum
+        val cov = 16 * pp - sx * sy
+        val a = (2 * sx * sy * 10000 + 65025L * 256).toDouble
+        val b = (2 * (16 * pp - sx * sy) * 10000 + 585225L * 256).toDouble
+        val c = ((sx * sx + sy * sy) * 10000 + 65025L * 256).toDouble
+        val e = ((16 * qx - sx * sx + 16 * qy - sy * sy) * 10000 + 585225L * 256).toDouble
+        val ssim = BigDecimal(a * b / (c * e))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (pk, i, cov, ssim)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_mm_ssim")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect)
+    // SSIM lives in [-1, 1]; anticorrelated frame pairs (negative
+    // covariance — the %251 wrap produces them) legitimately go
+    // negative, but the luminance term keeps some pairs positive
+    assert(got.forall { case (_, _, _, v) => v >= -1.0 && v <= 1.0 })
+    assert(got.exists { case (_, _, cov, v) => cov > 0 && v > 0.0 })
+  }
+
+  test("q_text_rake: equals a naive RAKE scorer") {
+    val stops = Set("the", "a", "of", "and")
+    val texts = docs().map(_._3)
+    val phrases = texts.flatMap { t =>
+      t.toLowerCase.split("\\b(?:the|a|of|and)\\b").map(_.trim).filter(_.nonEmpty)
+    }.map(p => (p, p.split(" +"))).filter(_._2.length <= 4)
+    val wstat = phrases.flatMap { case (_, w) => w.map(x => (x, w.length - 1L)) }
+      .groupBy(_._1).map { case (word, xs) =>
+        val freq = xs.size.toLong; val deg = xs.map(_._2).sum
+        word -> 1000000L * (freq + deg) / freq
+      }
+    val scored = phrases.map(_._1).distinct.map { p =>
+      val w = p.split(" +")
+      (p, w.length, w.map(wstat).sum)
+    }
+    val top = scored.sortBy { case (p, _, s) => (-s, p) }.take(15).zipWithIndex
+      .map { case ((p, nw, s), i) => (i + 1, p, nw, s) }
+    val got = SparkEntry.queries("q_text_rake")(spark, SF)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == top.toSeq)
+  }
+
   test("q_sql_exists: equals a naive anti-join on the big-order set") {
     val big = spark.read.parquet(s"$SF/orders.parquet")
       .where("o_totalprice > 250000").select("o_custkey")
