@@ -633,7 +633,63 @@ object TextAnalysis {
     }
   }
 
+  private val UG_MAXP = 6   // max piece length considered
+  private val UG_V = 120    // multi-char vocab size kept
+  private val UG_MAXW = 12  // word-length bound (both engines)
+
+  /** Unigram-LM tokenization (Kudo 2018 — the SentencePiece model;
+    * fourth tokenizer family beside BPE, WordPiece and fertility):
+    * pieces are scored by a one-shot frequency-normalized unigram
+    * cost −ln(wgt/Σwgt) on the exact 10⁻⁶ grain (the deterministic
+    * M-step of Kudo's EM with uniform responsibilities — iterating EM
+    * would re-run the same two bounded passes), and each word TYPE is
+    * segmented by Viterbi to the MINIMUM total cost, ties to fewer
+    * pieces — so the reported (cost, n_pieces) value pair is unique
+    * even where the piece sequence ties. The oracle replays the DP by
+    * recursively enumerating ALL segmentation paths (pos strictly
+    * advances — terminating; path count is compositions of ≤12
+    * bounded by piece membership) and taking the same lexicographic
+    * min OUTSIDE the loop.
+    *
+    * Scale posture: candidate weighting is one map-side-combined
+    * vocabulary aggregate; top-V is TakeOrdered; the model (V +
+    * alphabet with costs) is a bounded collect shipped as a plan
+    * reference into [[graft.functions.UnigramLm]]'s codegen'd DP;
+    * segmentation touches only the word-TYPE table. The ln grains
+    * reuse the inventory's established cross-engine log-parity
+    * posture (identical double dag from exact longs, floored once). */
+  val qTokenizeUnigram: Q = (s, d) => {
+    val wt = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .where(length(col("w")) <= UG_MAXW)
+      .groupBy("lang", "w").agg(count(lit(1)).as("n_occ"))
+    val types = wt.groupBy("w").agg(sum("n_occ").cast("long").as("freq"))
+    val pieceWgt = types
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> filter(transform(sequence(1, $UG_MAXP),
+           |    l -> CASE WHEN i + l <= length(w) + 1
+           |              THEN substring(w, i, l) END),
+           |    p -> p IS NOT NULL)))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("wgt"))
+    val kept = pieceWgt.where(length(col("piece")) >= 2)
+      .orderBy(col("wgt").desc, col("piece").asc).limit(UG_V)
+      .unionByName(pieceWgt.where(length(col("piece")) === 1))
+    val model = kept.select("piece", "wgt").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tot = model.map(_._2).sum
+    val costs = model.toSeq.map { case (p, w) =>
+      p -> math.floor(-math.log(w.toDouble / tot) * 1e6).toLong
+    }
+    wt.withColumn("v", graft.functions.UnigramLm.viterbi(col("w"), costs))
+      .select(col("lang"), col("w").as("word"), col("n_occ"),
+        element_at(col("v"), 2).cast("int").as("n_pieces"),
+        element_at(col("v"), 1).as("cost_grain"))
+      .orderBy("lang", "word")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_tokenize_unigram" -> qTokenizeUnigram,
     "q_text_rake" -> qTextRake,
     "q_tokenize_wordpiece" -> qTokenizeWordpiece,
     "q_text_readability" -> qTextReadability,
@@ -699,6 +755,39 @@ object TextAnalysis {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    "q_tokenize_unigram" ->
+      s"""WITH RECURSIVE
+         |tk AS (SELECT lang, unnest($toksAll) AS w FROM documents),
+         |wt AS (SELECT lang, w, count(*) AS n_occ FROM tk
+         |       WHERE length(w) <= $UG_MAXW GROUP BY 1, 2),
+         |types AS (SELECT w, CAST(sum(n_occ) AS BIGINT) AS freq FROM wt GROUP BY w),
+         |pw AS (SELECT substr(w, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS wgt
+         |       FROM types, unnest(range(1, length(w) + 1)) t(i),
+         |            unnest(range(1, $UG_MAXP + 1)) u(l)
+         |       WHERE i + l <= length(w) + 1 GROUP BY piece),
+         |vocab AS (SELECT piece, wgt FROM
+         |            (SELECT piece, wgt FROM pw WHERE length(piece) >= 2
+         |             ORDER BY wgt DESC, piece LIMIT $UG_V) vm
+         |          UNION ALL
+         |          SELECT piece, wgt FROM pw WHERE length(piece) = 1),
+         |tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS t FROM vocab),
+         |vc AS (SELECT piece,
+         |         CAST(floor(-ln(CAST(wgt AS DOUBLE) / (SELECT t FROM tot))
+         |              * 1000000) AS BIGINT) AS cost
+         |       FROM vocab),
+         |paths AS (
+         |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np FROM types
+         |  UNION ALL
+         |  SELECT p.w, p.pos + length(v.piece), p.cost + v.cost, p.np + 1
+         |  FROM paths p JOIN vc v ON substr(p.w, p.pos, length(v.piece)) = v.piece
+         |  WHERE p.pos <= length(p.w)),
+         |done AS (SELECT w, cost, np FROM paths WHERE pos = length(w) + 1),
+         |b1 AS (SELECT w, min(cost) AS bc FROM done GROUP BY w),
+         |b2 AS (SELECT d.w, d.cost AS cost_grain, CAST(min(d.np) AS INT) AS n_pieces
+         |       FROM done d JOIN b1 ON d.w = b1.w AND d.cost = b1.bc
+         |       GROUP BY d.w, d.cost)
+         |SELECT lang, w AS word, n_occ, n_pieces, cost_grain
+         |FROM wt JOIN b2 USING (w) ORDER BY lang, word""".stripMargin,
     "q_text_rake" -> {
       val alt = RAKE_STOPS.mkString("\\b(?:", "|", ")\\b")
       s"""WITH ph AS (SELECT trim(p) AS phrase FROM (

@@ -356,6 +356,44 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.toSeq == top.toSeq)
   }
 
+  test("q_tokenize_unigram: equals a naive induce + Viterbi") {
+    val MAXP = 6; val V = 120; val MAXW = 12
+    val d = docs()
+    val occ = d.flatMap { case (_, lang, t) => toks(t).filter(_.length <= MAXW).map((lang, _)) }
+      .groupBy(identity).map { case ((lang, w), xs) => (lang, w, xs.size.toLong) }
+    val types = occ.groupBy(_._2).map { case (w, xs) => (w, xs.map(_._3).sum) }
+    val pw = types.toSeq.flatMap { case (w, f) =>
+      (0 until w.length).flatMap(i =>
+        (1 to MAXP).withFilter(l => i + l <= w.length).map(l => (w.substring(i, i + l), f)))
+    }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+    val kept = pw.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, wg) => (-wg, p) }.take(V) ++ pw.filter(_._1.length == 1)
+    val tot = kept.map(_._2).sum
+    val cost = kept.map { case (p, wg) =>
+      p -> math.floor(-math.log(wg.toDouble / tot) * 1e6).toLong }.toMap
+    def vit(w: String): (Long, Int) = {
+      val n = w.length
+      val dp = Array.fill(n + 1)((Long.MaxValue, Int.MaxValue))
+      dp(0) = (0L, 0)
+      for (i <- 1 to n; l <- 1 to math.min(MAXP, i); if dp(i - l)._1 != Long.MaxValue)
+        cost.get(w.substring(i - l, i)).foreach { c =>
+          val cand = (dp(i - l)._1 + c, dp(i - l)._2 + 1)
+          if (cand._1 < dp(i)._1 || (cand._1 == dp(i)._1 && cand._2 < dp(i)._2))
+            dp(i) = cand
+        }
+      dp(n)
+    }
+    val expect = occ.map { case (lang, w, n) =>
+      val (c, np) = vit(w); (lang, w, n, np, c) }.toSet
+    val got = SparkEntry.queries("q_tokenize_unigram")(spark, SF)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4))).toSet
+    assert(got == expect)
+    // the LM prefers few frequent pieces: nothing segments to per-char
+    // unless the word IS rare; common words take ≤ 3 pieces
+    assert(got.forall { case (_, w, _, np, _) => np >= 1 && np <= w.length })
+  }
+
   test("q_sql_exists: equals a naive anti-join on the big-order set") {
     val big = spark.read.parquet(s"$SF/orders.parquet")
       .where("o_totalprice > 250000").select("o_custkey")
