@@ -97,8 +97,40 @@ object Events {
       .orderBy("event_type")
   }
 
+  private val RET_MAX_OFFSET = 3 // weeks tracked per cohort
+
+  /** Cohort retention — the product-analytics staple, here on the
+    * repeat-PURCHASE definition (the all-events variant is vacuous on
+    * this fixture — every user fires some event every week; purchase
+    * cadence actually varies): users cohort by first-purchase epoch
+    * week; for offsets 0..[[RET_MAX_OFFSET]] count cohort members
+    * purchasing again in cohort_week + offset. All grain arithmetic
+    * is exact integer epoch math (µs → week), so cohort boundaries
+    * cannot drift between engines.
+    *
+    * Shape: one groupBy(user) for cohorts, one distinct over (user,
+    * week), one equi-join co-partitioned on user_id, one rollup to
+    * (cohort, offset) — the same single-shuffle-family posture as the
+    * funnel. Retention at 100 TB is exactly this plan with the rollup
+    * output still tiny (weeks × offsets). */
+  val qEventsRetention: Q = (s, d) => {
+    val wk = Tables.events(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk")) // 7·86400·10⁶
+    val cohort = wk.groupBy("user_id").agg(min("wk").as("cw"))
+    val active = wk.distinct()
+    active.join(cohort, "user_id")
+      .withColumn("offset", (col("wk") - col("cw")).cast("int"))
+      .where(col("offset") <= RET_MAX_OFFSET)
+      .groupBy(col("cw").as("cohort_week"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "offset")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_events_funnel" -> qEventsFunnel,
+    "q_events_retention" -> qEventsRetention,
     "q_events_anomaly" -> qEventsAnomaly)
 
   def oracleSql: Map[String, String] = Map(
@@ -121,6 +153,16 @@ object Events {
          |       (SELECT count(*) FROM p) AS n_purchase,
          |       (SELECT CAST(sum(tp - tv) // (count(*) * 1000000) AS BIGINT) FROM p)
          |         AS mean_convert_secs""".stripMargin,
+    "q_events_retention" ->
+      s"""WITH wk AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+         |           FROM events WHERE event_type = 'purchase'),
+         |cohort AS (SELECT user_id, min(wk) AS cw FROM wk GROUP BY user_id),
+         |active AS (SELECT DISTINCT user_id, wk FROM wk)
+         |SELECT c.cw AS cohort_week, CAST(a.wk - c.cw AS INT) AS "offset",
+         |       count(*) AS n_users
+         |FROM active a JOIN cohort c ON a.user_id = c.user_id
+         |WHERE a.wk - c.cw <= $RET_MAX_OFFSET
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_anomaly" ->
       s"""WITH g AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
          |        CAST(floor("value" * 100) AS BIGINT) AS vg

@@ -187,6 +187,62 @@ object Graph {
     }
   }
 
+  private val KC_MOD = 500   // sparser derived graph than PageRank's
+  private val KC_ROUNDS = 3
+
+  /** k-core peeling (Seidman 1983, "Network structure and minimum
+    * degree"): iteratively remove nodes of degree < k; the surviving
+    * subgraph after convergence is the k-core, the standard
+    * dense-community / spam-farm filter. k is CORPUS-ADAPTIVE — the
+    * exact lower-median initial degree (an integer picked by rank, so
+    * both engines choose identically at every scale; a fixed k is
+    * vacuous on a graph whose density moves with SF). Output: node
+    * and directed-edge counts after each of [[KC_ROUNDS]] peel rounds
+    * (round 0 = the input graph).
+    *
+    * Scale: each round is one degree aggregate + two semi-join-shaped
+    * equi-joins keyed on the endpoints (the triangle query's posture);
+    * the median-k pick sorts only the NODE-degree table (bounded by
+    * the node-id domain, never edges); per-round counts are scalar
+    * actions on monotonically shrinking tables. Fixed round count
+    * keeps lineage shallow (the to-fixpoint variant would checkpoint
+    * per round like Dedup's components loop). */
+  val qGraphKcore: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.lineitem(s, d)
+      .select((col("l_partkey") % KC_MOD).as("a"), (col("l_suppkey") % KC_MOD).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val loopParts = 4
+    val und0 = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .repartition(loopParts, col("src"))
+    Scoped.withCached(und0) {
+      val deg0 = und0.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nNodes0 = deg0.count()
+      // exact lower-median degree by rank — deg0 is node-domain-sized
+      val k = deg0.orderBy(col("deg").asc, col("src").asc)
+        .limit(((nNodes0 + 1) / 2).toInt)
+        .agg(max("deg")).head().getLong(0)
+      val rows = scala.collection.mutable.ArrayBuffer(
+        (0, nNodes0, und0.count()))
+      var edges = und0
+      for (r <- 1 to KC_ROUNDS) {
+        val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select("src")
+          .repartition(loopParts, col("src"))
+        edges = edges
+          .join(keep, "src")
+          .join(keep.select(col("src").as("dst")), "dst")
+          .select("src", "dst")
+          .repartition(loopParts, col("src"))
+        rows += ((r, keep.count(), edges.count()))
+      }
+      rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
+    }
+  }
+
   private val GJ_TOPK = 16
 
   /** Neighbor-set Jaccard similarity — the classic link-prediction /
@@ -233,6 +289,7 @@ object Graph {
     "q_graph_pagerank" -> qPageRank,
     "q_graph_jaccard" -> qGraphJaccard,
     "q_graph_labelprop" -> qLabelProp,
+    "q_graph_kcore" -> qGraphKcore,
     "q_graph_triangles" -> qTriangles)
 
   def oracleSql: Map[String, String] = {
@@ -257,7 +314,33 @@ object Graph {
          |          FROM $prev r JOIN und u ON r.node = u.src
          |          GROUP BY u.dst, r.label) c) q
          |  WHERE rn = 1)""".stripMargin
+    def kcRound(n: Int) = {
+      val prev = if (n == 1) "e0" else s"e${n - 1}"
+      s"""s$n AS (SELECT src FROM (SELECT src, count(*) AS deg FROM $prev GROUP BY src) q
+         |        WHERE deg >= (SELECT k FROM kv)),
+         |e$n AS (SELECT x.src, x.dst FROM $prev x
+         |        JOIN s$n a ON x.src = a.src JOIN s$n b ON x.dst = b.src)""".stripMargin
+    }
     Map(
+    "q_graph_kcore" ->
+      s"""WITH e AS (SELECT DISTINCT l_partkey % $KC_MOD AS a,
+         |                  l_suppkey % $KC_MOD AS b FROM lineitem
+         |           WHERE l_partkey % $KC_MOD <> l_suppkey % $KC_MOD),
+         |e0 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e) u),
+         |d0 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+         |kv AS (SELECT deg AS k FROM (
+         |  SELECT deg, row_number() OVER (ORDER BY deg, src) AS rn FROM d0) q
+         |  WHERE rn = (SELECT (count(*) + 1) // 2 FROM d0)),
+         |${kcRound(1)},
+         |${kcRound(2)},
+         |${kcRound(3)}
+         |SELECT 0 AS round, (SELECT count(*) FROM d0) AS n_nodes,
+         |       (SELECT count(*) FROM e0) AS n_edges
+         |UNION ALL SELECT 1, (SELECT count(*) FROM s1), (SELECT count(*) FROM e1)
+         |UNION ALL SELECT 2, (SELECT count(*) FROM s2), (SELECT count(*) FROM e2)
+         |UNION ALL SELECT 3, (SELECT count(*) FROM s3), (SELECT count(*) FROM e3)
+         |ORDER BY round""".stripMargin,
     "q_graph_labelprop" ->
       s"""WITH e AS (SELECT DISTINCT l_partkey % $PR_NODES_MOD AS a,
          |                  l_suppkey % $PR_NODES_MOD AS b

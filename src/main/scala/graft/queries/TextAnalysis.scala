@@ -688,7 +688,66 @@ object TextAnalysis {
       .orderBy("lang", "word")
   }
 
+  private val LLR_TOPK = 20
+
+  /** The G² log-likelihood sum over the 2×2 bigram contingency table,
+    * shared VERBATIM between the Spark plan and the DuckDB oracle —
+    * exact long inputs (k11, row/col totals ca/cb, grand total n),
+    * identical double dag, one final round. Each O·n product stays
+    * < 2⁵³ up to n ≈ 3·10⁹ bigrams per the scaladoc envelope; beyond
+    * that the term rewrites to O·(ln O + ln n − ln R − ln C). */
+  private val llrExpr: String = {
+    def t(o: String, r: String, c: String) =
+      s"(CASE WHEN $o > 0 THEN CAST($o AS DOUBLE) * ln(CAST($o AS DOUBLE) * n / (CAST($r AS DOUBLE) * $c)) ELSE 0.0 END)"
+    "round(2 * (" +
+      t("k11", "ca", "cb") + " + " +
+      t("(ca - k11)", "ca", "(n - cb)") + " + " +
+      t("(cb - k11)", "(n - ca)", "cb") + " + " +
+      t("(n - ca - cb + k11)", "(n - ca)", "(n - cb)") + "), 4)"
+  }
+
+  /** Collocation strength by Dunning's log-likelihood ratio (Dunning
+    * 1993, "Accurate Methods for the Statistics of Surprise and
+    * Coincidence") — the standard G² test that, unlike [[qTextPmi]]'s
+    * PMI, does not over-rank rare pairs: the full 2×2 contingency
+    * table of each adjacent bigram against its marginals, G² =
+    * 2·Σ O·ln(O·N/(R·C)). Output: top-[[LLR_TOPK]] bigrams by
+    * (G² desc, pair asc) with their exact counts.
+    *
+    * Counts are exact longs from two vocabulary-sized aggregates; the
+    * only FP is [[llrExpr]], one identically-structured expression on
+    * both engines. Scale: bigram extraction is map-side; the pair
+    * count is a map-side-combined aggregate on the pair key; marginal
+    * joins key on single words (vocabulary-sized, the heavy-hitter
+    * caveat documented in [[HeavyHitters]] applies if a stopword-like
+    * token dominates — marginals here are aggregates, not row
+    * explosions, so the join fan-out is 1:1); top-K is TakeOrdered. */
+  val qTextLlr: Q = (s, d) => {
+    val toksDf = Tables.documents(s, d).select(tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val pairs = toksDf.select(explode(expr(
+      """transform(sequence(1, size(w) - 1),
+        |  i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"""
+        .stripMargin)).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+    Scoped.withCached(pairs) {
+      val k = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+      val ma = pairs.groupBy("w1").agg(count(lit(1)).as("ca"))
+      val mb = pairs.groupBy("w2").agg(count(lit(1)).as("cb"))
+      val n = pairs.agg(count(lit(1)).as("n"))
+      k.join(ma, "w1").join(mb, "w2")
+        .crossJoin(broadcast(n)) // 1-row scalar attach
+        .withColumn("g2", expr(llrExpr))
+        .orderBy(col("g2").desc, col("w1").asc, col("w2").asc).limit(LLR_TOPK)
+        .withColumn("rn", row_number().over(graft.functions.GraftFunctions
+          .boundedWindow(col("g2").desc, col("w1").asc, col("w2").asc)))
+        .select("rn", "w1", "w2", "k11", "ca", "cb", "g2")
+        .orderBy("rn")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_text_llr" -> qTextLlr,
     "q_tokenize_unigram" -> qTokenizeUnigram,
     "q_text_rake" -> qTextRake,
     "q_tokenize_wordpiece" -> qTokenizeWordpiece,
@@ -755,6 +814,21 @@ object TextAnalysis {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_llr" ->
+      s"""WITH tk AS (SELECT $toksAll AS w FROM documents
+         |           WHERE len($toksAll) >= 2),
+         |pairs AS (SELECT w[i] AS w1, w[i + 1] AS w2
+         |          FROM tk, unnest(range(1, len(w))) t(i)),
+         |k AS (SELECT w1, w2, count(*) AS k11 FROM pairs GROUP BY 1, 2),
+         |ma AS (SELECT w1, count(*) AS ca FROM pairs GROUP BY 1),
+         |mb AS (SELECT w2, count(*) AS cb FROM pairs GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM pairs),
+         |g AS (SELECT k.w1, k.w2, k11, ca, cb, $llrExpr AS g2
+         |      FROM k JOIN ma USING (w1) JOIN mb USING (w2), nn)
+         |SELECT rn, w1, w2, k11, ca, cb, g2 FROM (
+         |  SELECT *, row_number() OVER (ORDER BY g2 DESC, w1 ASC, w2 ASC) AS rn
+         |  FROM g) q
+         |WHERE rn <= $LLR_TOPK ORDER BY rn""".stripMargin,
     "q_tokenize_unigram" ->
       s"""WITH RECURSIVE
          |tk AS (SELECT lang, unnest($toksAll) AS w FROM documents),

@@ -394,6 +394,78 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got.forall { case (_, w, _, np, _) => np >= 1 && np <= w.length })
   }
 
+  test("q_text_llr: equals a naive Dunning G2 over the bigram contingency table") {
+    val pairs = docs().map(_._3).map(toks).filter(_.length >= 2)
+      .flatMap(w => w.zip(w.tail))
+    val k = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cb = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = pairs.size.toLong
+    def t(o: Long, r: Long, c: Long): Double =
+      if (o > 0) o.toDouble * math.log(o.toDouble * n / (r.toDouble * c)) else 0.0
+    val scored = k.toSeq.map { case ((a, b), k11) =>
+      val g = 2 * (t(k11, ca(a), cb(b)) + t(ca(a) - k11, ca(a), n - cb(b)) +
+        t(cb(b) - k11, n - ca(a), cb(b)) + t(n - ca(a) - cb(b) + k11, n - ca(a), n - cb(b)))
+      val g4 = BigDecimal(g).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, k11, ca(a), cb(b), g4)
+    }
+    val top = scored.sortBy { case (a, b, _, _, _, g) => (-g, a, b) }.take(20)
+      .zipWithIndex.map { case ((a, b, k11, x, y, g), i) => (i + 1, a, b, k11, x, y, g) }
+    val got = SparkEntry.queries("q_text_llr")(spark, SF)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == top.toSeq)
+    // G2 is non-negative up to the 1e-4 rounding grain
+    assert(got.forall(_._7 >= -0.0001))
+  }
+
+  test("q_events_retention: equals a naive first-purchase cohort walk") {
+    val wk = Tables.events(spark, SF)
+      .where("event_type = 'purchase'")
+      .selectExpr("user_id", "unix_micros(ts) div 604800000000 AS wk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cohort = wk.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = wk.distinct
+      .map { case (u, w) => (cohort(u), (w - cohort(u)).toInt) }
+      .filter(_._2 <= 3)
+      .groupBy(identity).map { case ((cw, off), xs) => (cw, off, xs.size.toLong) }.toSet
+    val got = SparkEntry.queries("q_events_retention")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // offset-0 row of each cohort counts the whole cohort, and is the
+    // max across its offsets (retention can only lose members)
+    val byC = got.groupBy(_._1)
+    assert(byC.forall { case (_, rows) =>
+      val o0 = rows.find(_._2 == 0).map(_._3).getOrElse(0L)
+      rows.forall(_._3 <= o0)
+    })
+  }
+
+  test("q_graph_kcore: equals a naive median-k peel") {
+    val e = spark.read.parquet(s"$SF/lineitem.parquet")
+      .selectExpr("l_partkey % 500 AS a", "l_suppkey % 500 AS b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }.toSet
+    var und = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    def degs(es: Set[(Long, Long)]) = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val d0 = degs(und)
+    val sorted = d0.toSeq.sortBy { case (s, dg) => (dg, s) }
+    val k = sorted((sorted.size + 1) / 2 - 1)._2
+    val rows = scala.collection.mutable.ArrayBuffer((0, d0.size.toLong, und.size.toLong))
+    for (r <- 1 to 3) {
+      val keep = degs(und).filter(_._2 >= k).keySet
+      und = und.filter { case (s, t) => keep(s) && keep(t) }
+      rows += ((r, keep.size.toLong, und.size.toLong))
+    }
+    val got = SparkEntry.queries("q_graph_kcore")(spark, SF)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == rows.toSeq)
+    // peeling is monotone: nodes and edges never grow
+    val ns = got.map(_._2); val es2 = got.map(_._3)
+    assert(ns.zip(ns.tail).forall { case (x, y) => y <= x })
+    assert(es2.zip(es2.tail).forall { case (x, y) => y <= x })
+  }
+
   test("q_sql_exists: equals a naive anti-join on the big-order set") {
     val big = spark.read.parquet(s"$SF/orders.parquet")
       .where("o_totalprice > 250000").select("o_custkey")
