@@ -128,9 +128,37 @@ object Events {
       .orderBy("cohort_week", "offset")
   }
 
+  /** First-order Markov transition matrix between consecutive event
+    * types within each user's stream — the behavioral-model complement
+    * of the staged funnel (every transition, not a chosen path).
+    * Output: (prev, cur, n, p) with p the row-normalized probability —
+    * an exact long ratio divided once and rounded, so the only FP is
+    * one divide of exact integers.
+    *
+    * Scale: the lag window partitions on user_id (per-entity streams);
+    * transition counting is a map-side-combined aggregate on a
+    * |types|² key domain; row totals join 1:1 on a |types|-row
+    * aggregate. */
+  val qEventsTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val pairs = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev").agg(sum("n").as("tot"))
+    pairs.join(totals, "prev")
+      .select(col("prev"), col("cur"), col("n"),
+        round(col("n").cast("double") / col("tot"), 4).as("p"))
+      .orderBy("prev", "cur")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_events_funnel" -> qEventsFunnel,
     "q_events_retention" -> qEventsRetention,
+    "q_events_transitions" -> qEventsTransitions,
     "q_events_anomaly" -> qEventsAnomaly)
 
   def oracleSql: Map[String, String] = Map(
@@ -163,6 +191,17 @@ object Events {
          |FROM active a JOIN cohort c ON a.user_id = c.user_id
          |WHERE a.wk - c.cw <= $RET_MAX_OFFSET
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_transitions" ->
+      """WITH lagd AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY epoch_us(ts), event_id) AS prev
+        |      FROM events),
+        |pairs AS (SELECT prev, event_type AS cur, count(*) AS n
+        |          FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY prev)
+        |SELECT p.prev, p.cur, p.n, round(CAST(p.n AS DOUBLE) / t.tot, 4) AS p
+        |FROM pairs p JOIN tot t ON p.prev = t.prev
+        |ORDER BY p.prev, p.cur""".stripMargin,
     "q_events_anomaly" ->
       s"""WITH g AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
          |        CAST(floor("value" * 100) AS BIGINT) AS vg

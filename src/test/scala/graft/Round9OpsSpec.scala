@@ -466,6 +466,29 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(es2.zip(es2.tail).forall { case (x, y) => y <= x })
   }
 
+  test("q_events_transitions: equals a naive per-user lag walk; rows sum to 1") {
+    val ev = Tables.events(spark, SF)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._1)).map(_._3)
+      sorted.zip(sorted.tail)
+    }
+    val cnt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expect = cnt.map { case ((a, b), n) =>
+      (a, b, n, BigDecimal(n.toDouble / tot(a))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = SparkEntry.queries("q_events_transitions")(spark, SF)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect)
+    // each prev row's probabilities sum to ~1 (rounding grain x |types|)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.toSeq.map(_._4).sum - 1.0) < 0.001)
+    }
+  }
+
   test("q_sql_exists: equals a naive anti-join on the big-order set") {
     val big = spark.read.parquet(s"$SF/orders.parquet")
       .where("o_totalprice > 250000").select("o_custkey")
