@@ -155,7 +155,41 @@ object Events {
       .orderBy("prev", "cur")
   }
 
+  /** Peak concurrency by sweep-line — the interval-overlap pattern
+    * (room occupancy, concurrent sessions, license seats): each user's
+    * per-day activity span [first, last event] becomes a +1/−1
+    * endpoint pair; the running endpoint sum ordered by
+    * (time, delta) — ends BEFORE starts at the same instant, i.e.
+    * end-exclusive intervals — peaks at the day's max concurrency.
+    * Output per epoch day: active users and peak concurrent spans.
+    *
+    * Determinism: ties beyond (t, delta) permute only IDENTICAL
+    * deltas, so the partial-sum multiset — hence the max — is
+    * invariant; everything is exact integer µs. Scale: the sweep
+    * partitions per day; at 100 TB/day the posture is hierarchical —
+    * shard-local sweeps plus a boundary merge on shard base counts
+    * (same two-phase shape as the scalable ntile) — while the
+    * per-day demo keeps the one-partition-per-day form the data
+    * volume here warrants. */
+  val qEventsConcurrency: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+    val spans = ev.groupBy("day", "user_id")
+      .agg(min("us").as("t0"), max("us").as("t1"))
+    val deltas = spans.select(col("day"), col("t0").as("t"), lit(1L).as("delta"))
+      .unionAll(spans.select(col("day"), col("t1").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy("day").orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("run", sum("delta").over(w))
+      .groupBy("day")
+      .agg(expr("count(1) div 2").as("n_users"),
+        max("run").as("peak"))
+      .orderBy("day")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_events_concurrency" -> qEventsConcurrency,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_retention" -> qEventsRetention,
     "q_events_transitions" -> qEventsTransitions,
@@ -191,6 +225,23 @@ object Events {
          |FROM active a JOIN cohort c ON a.user_id = c.user_id
          |WHERE a.wk - c.cw <= $RET_MAX_OFFSET
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_concurrency" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |        epoch_us(ts) // 86400000000 AS day FROM events),
+        |spans AS (SELECT day, user_id, min(us) AS t0, max(us) AS t1
+        |          FROM ev GROUP BY 1, 2),
+        |deltas AS (SELECT day, t0 AS t, CAST(1 AS BIGINT) AS delta FROM spans
+        |           UNION ALL
+        |           SELECT day, t1, CAST(-1 AS BIGINT) FROM spans),
+        |sweep AS (SELECT day,
+        |    sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM deltas)
+        |SELECT s.day, CAST(c.n2 // 2 AS BIGINT) AS n_users,
+        |       CAST(max(s.run) AS BIGINT) AS peak
+        |FROM sweep s JOIN (SELECT day, count(*) AS n2 FROM deltas GROUP BY day) c
+        |  USING (day)
+        |GROUP BY s.day, c.n2 ORDER BY s.day""".stripMargin,
     "q_events_transitions" ->
       """WITH lagd AS (SELECT user_id, event_type,
         |        lag(event_type) OVER (PARTITION BY user_id

@@ -406,6 +406,7 @@ class PlanSpec extends AnyFunSuite {
       "doc_id", "lang", "shard", "epoch", "source",      // corpus entities
       "user_id", "qid", "vec_id", "cid",                 // event / vector entities
       "event_type",  // bounded type id — only ever composed with user_id
+      "day",  // sweep-line partition; hierarchical shard-merge posture at scale (Events.scala)
       "band_id", "sig", "src", "grp", "bucket",          // bounded band/cell/demo ids
       "o_orderpriority", "c_nationkey", "o_custkey",     // TPC-H dimensions
       "l_orderkey", "key")
