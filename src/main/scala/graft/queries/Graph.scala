@@ -285,9 +285,95 @@ object Graph {
       .orderBy("rn")
   }
 
+  private val RA_TOPK = 16
+  private val RA_GRAIN = 1000000L // 10^6 — 1/deg at micro grain
+
+  /** Resource-Allocation link prediction (Zhou, Lü & Zhang 2009,
+    * "Predicting missing links via local information" — the
+    * exact-arithmetic sibling of Adamic-Adar): for source pairs of
+    * the part→supplier graph, RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/indeg(z)
+    * — shared neighbors count LESS when they are hubs. Scored at an
+    * exact integer grain (Σ 10⁶ div indeg(z)) so ranking ties break
+    * bit-identically in both engines — no FP log/divide on the
+    * decision edge, unlike a literal Adamic-Adar 1/ln(deg).
+    *
+    * Shape: identical candidate generation to [[qGraphJaccard]] —
+    * co-neighbor equi-join on dst (only nonzero-RA pairs exist
+    * there), indeg attached ON THE DST STREAM before pairing so the
+    * weight rides the join instead of re-joining per pair. Same
+    * hub-cap posture at scale (deg-bounded dsts or minhash sketches);
+    * grain envelope: Σ ≤ |N∩| · 10⁶ ≤ 10⁶·10⁶ at a million shared
+    * neighbors — 9×10³ headroom under int64. */
+  val qGraphRa: Q = (s, d) => {
+    val e = Tables.lineitem(s, d)
+      .select((col("l_partkey") % PR_NODES_MOD).as("src"),
+        (col("l_suppkey") % PR_NODES_MOD).as("dst"))
+      .distinct()
+    val indeg = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
+    val ew = e.join(indeg, "dst") // co-partitioned: indeg came from e keyed on dst
+      .select(col("src"), col("dst"), expr(s"${RA_GRAIN}L div indeg").as("w"))
+    val pairs = ew.select(col("src").as("a"), col("dst"), col("w"))
+      .join(ew.select(col("src").as("b"), col("dst")), Seq("dst"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum("w").as("ra_grain"))
+    pairs
+      .orderBy(col("ra_grain").desc, col("a").asc, col("b").asc).limit(RA_TOPK)
+      .withColumn("rn", row_number().over(graft.functions.GraftFunctions
+        .boundedWindow(col("ra_grain").desc, col("a").asc, col("b").asc)))
+      .select("rn", "a", "b", "common", "ra_grain")
+      .orderBy("rn")
+  }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of (outdeg(src), indeg(dst))
+    * across directed edges — do well-connected sources link to
+    * well-connected targets? One scalar per corpus; a standard
+    * health metric for link graphs feeding PageRank-style quality
+    * signals.
+    *
+    * All five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * integer map-side-combined aggregates over the edge stream with
+    * degrees attached by two co-partitioned equi-joins (each degree
+    * table derives from the same edge set, keyed on its join key) —
+    * no window, no driver loop; the only FP op is the final
+    * correlation divide, rounded to 6 and never compared or ordered
+    * on. Uses the sparser mod-[[KC_MOD]] graph (the PageRank mod-100
+    * graph is quasi-complete at sf0.1 — constant degrees, zero
+    * variance) and still guards the degenerate regular-graph case
+    * with NULL, since ANSI mode faults even double÷0. Envelope:
+    * the variance terms n·Σx²−(Σx)² reach |E|²·deg² (~10¹⁴ here) —
+    * their PRODUCT would wrap int64, so the denominator stays as two
+    * long factors multiplied only after each sqrt is a double
+    * (sqrt(dx)·sqrt(dy): each step correctly-rounded IEEE, identical
+    * in both engines); at 10⁹ edges the moment sums themselves move
+    * to decimal(38,0) (documented posture). */
+  val qGraphAssort: Q = (s, d) => {
+    val e = Tables.lineitem(s, d)
+      .select((col("l_partkey") % KC_MOD).as("src"),
+        (col("l_suppkey") % KC_MOD).as("dst"))
+      .distinct()
+    val outd = e.groupBy("src").agg(count(lit(1)).as("x"))
+    val ind = e.groupBy("dst").agg(count(lit(1)).as("y"))
+    e.join(outd, "src").join(ind, "dst")
+      .agg(count(lit(1)).as("n_edges"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("dx", col("n_edges") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n_edges") * col("syy") - col("sy") * col("sy"))
+      .select(col("n_edges"), col("sx"), col("sy"), col("sxy"),
+        when(col("dx") > 0 && col("dy") > 0,
+          round((col("n_edges") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))), 6))
+          .as("assortativity"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> qPageRank,
     "q_graph_jaccard" -> qGraphJaccard,
+    "q_graph_ra" -> qGraphRa,
+    "q_graph_assort" -> qGraphAssort,
     "q_graph_labelprop" -> qLabelProp,
     "q_graph_kcore" -> qGraphKcore,
     "q_graph_triangles" -> qTriangles)
@@ -369,6 +455,36 @@ object Graph {
          |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, a ASC, b ASC) AS rn
          |  FROM j) q
          |WHERE rn <= $GJ_TOPK ORDER BY rn""".stripMargin,
+    "q_graph_ra" ->
+      s"""WITH e AS (SELECT DISTINCT l_partkey % $PR_NODES_MOD AS src,
+         |                  l_suppkey % $PR_NODES_MOD AS dst FROM lineitem),
+         |indeg AS (SELECT dst, count(*) AS indeg FROM e GROUP BY dst),
+         |ew AS (SELECT e.src, e.dst, $RA_GRAIN // i.indeg AS w
+         |       FROM e JOIN indeg i ON e.dst = i.dst),
+         |pairs AS (SELECT x.src AS a, y.src AS b,
+         |            count(*) AS common, sum(x.w) AS ra_grain
+         |          FROM ew x JOIN ew y ON x.dst = y.dst AND x.src < y.src
+         |          GROUP BY 1, 2)
+         |SELECT rn, a, b, common, CAST(ra_grain AS BIGINT) AS ra_grain FROM (
+         |  SELECT *, row_number() OVER (ORDER BY ra_grain DESC, a ASC, b ASC) AS rn
+         |  FROM pairs) q
+         |WHERE rn <= $RA_TOPK ORDER BY rn""".stripMargin,
+    "q_graph_assort" ->
+      s"""WITH e AS (SELECT DISTINCT l_partkey % $KC_MOD AS src,
+         |                  l_suppkey % $KC_MOD AS dst FROM lineitem),
+         |outd AS (SELECT src, count(*) AS x FROM e GROUP BY src),
+         |ind AS (SELECT dst, count(*) AS y FROM e GROUP BY dst),
+         |m AS (SELECT count(*) AS n_edges, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |      FROM e JOIN outd o ON e.src = o.src JOIN ind i ON e.dst = i.dst)
+         |SELECT CAST(n_edges AS BIGINT) AS n_edges, CAST(sx AS BIGINT) AS sx,
+         |  CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
+         |  CASE WHEN n_edges * sxx - sx * sx > 0 AND n_edges * syy - sy * sy > 0
+         |    THEN round(CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+         |      (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)) *
+         |       sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))), 6)
+         |  END AS assortativity
+         |FROM m""".stripMargin,
     "q_graph_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT l_partkey % $PR_NODES_MOD AS src,
          |                  l_suppkey % $PR_NODES_MOD AS dst FROM lineitem),
