@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -188,8 +188,122 @@ object Events {
       .orderBy("day")
   }
 
+  // Fixed-bin RFM edges (business-rule thresholds, NOT quantiles — no
+  // global sort at scale; sized to the fixture's purchase cadence so
+  // all score levels populate at both SFs)
+  private val RFM_R_DAYS = Seq(3L, 7L, 14L)     // recency: ≤3d→4 … else 1
+  private val RFM_F = Seq(16L, 13L, 11L)        // frequency: ≥16→4 … else 1
+  private val RFM_M = Seq(90000L, 60000L, 40000L) // monetary cents
+
+  /** RFM segmentation (Hughes 1994 — the classic customer-value
+    * grid): per user, Recency = days since last purchase vs the
+    * corpus max-event anchor, Frequency = purchase count, Monetary =
+    * Σ floor(value·100) cents; each scored 1–4 by FIXED business
+    * thresholds and rolled up to segment populations. Fixed bins
+    * rather than quantile bins on purpose: quantile RFM needs three
+    * global sorts, fixed-bin RFM is one map-side-combined
+    * groupBy(user) plus a 64-row rollup — the form that survives
+    * 100 TB unchanged (the engine's quantile machinery exists
+    * separately in q_quality_quantile / q_ntile_scalable for when
+    * data-driven edges are wanted).
+    *
+    * Determinism: the anchor is an exact max over long µs, recency
+    * days an integer divide, cents an exact floor grain — every bin
+    * edge is integer-exact in both engines. */
+  val qEventsRfm: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val anchor = ev.agg(max("us").as("anchor")) // 1-row scalar: broadcast attach
+    def score(c: Column, edges: Seq[Long], asc: Boolean): Column = {
+      val cmp: (Column, Long) => Column = if (asc) (x, e) => x <= e else (x, e) => x >= e
+      when(cmp(c, edges(0)), 4).when(cmp(c, edges(1)), 3)
+        .when(cmp(c, edges(2)), 2).otherwise(1)
+    }
+    ev.where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max("us").as("last_us"), count(lit(1)).as("f"), sum("cents").as("m"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("r_days", expr("(anchor - last_us) div 86400000000"))
+      .select(score(col("r_days"), RFM_R_DAYS, asc = true).as("r_score"),
+        score(col("f"), RFM_F, asc = false).as("f_score"),
+        score(col("m"), RFM_M, asc = false).as("m_score"),
+        col("m"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("m").as("sum_m_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val TWAP_BUCKET = 500L // cent-bucket width for the rollup
+
+  /** Per-user time-weighted average value (the TWAP/duration-weighted
+    * mean — metering, pricing, engagement-intensity): each event's
+    * value holds until the user's next event; TWAP = Σ cents·Δt /
+    * Σ Δt over closed intervals, then users roll up into
+    * [[TWAP_BUCKET]]-cent histogram buckets. Exact integer end to
+    * end: cents grain × floored Δt seconds, one integer divide per
+    * user — no FP on any bucket edge.
+    *
+    * Envelope: cents ≤ 10⁵ (value < 1000 on this fixture's schema),
+    * Δt_s ≤ 2.6×10⁶ (the 30-day span; ≤ 3.2×10⁷ at a year), so a
+    * per-user term is ≤ 3×10¹² and even 10⁵ events/user stays ~30×
+    * under int64 — headroom documented, no decimal needed. Shape:
+    * one lead-window per user stream (entity-keyed partition), one
+    * groupBy(user), one bounded histogram rollup. */
+  val qEventsTwap: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("next_us", lead("us", 1).over(w))
+      .where(col("next_us").isNotNull)
+      .withColumn("dt_s", expr("(next_us - us) div 1000000"))
+      .groupBy("user_id")
+      .agg(sum(col("cents") * col("dt_s")).as("wsum"), sum("dt_s").as("dsum"))
+      .where(col("dsum") > 0)
+      .withColumn("twap", expr("wsum div dsum"))
+      .groupBy(expr(s"twap div $TWAP_BUCKET").as("bucket"))
+      .agg(count(lit(1)).as("n_users"), min("twap").as("min_twap"), max("twap").as("max_twap"))
+      .orderBy("bucket")
+  }
+
+  /** SCD Type-2 versioning of a mutating attribute (Kimball's
+    * slowly-changing-dimension pattern, built from the event log the
+    * way a warehouse derives dim history from CDC): within each
+    * user's time-ordered stream, every CHANGE of event_type opens a
+    * new version row [valid_from, valid_to) closed by the next
+    * change; the last version per user stays open. Output per
+    * attribute value: versions opened, closed, and total closed
+    * duration in floored seconds.
+    *
+    * Shape: a lag window to find change rows, a lead window over the
+    * (much smaller) change stream to close versions — both partition
+    * on user_id, one per-entity-stream shuffle family and a 5-row
+    * rollup; nothing global at any scale. */
+  val qEventsScd2: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+    // version starts only; the next start CLOSES this version
+    ev.withColumn("valid_to", lead("us", 1).over(w))
+      .select(col("event_type"),
+        col("valid_to").isNotNull.cast("long").as("closed"),
+        when(col("valid_to").isNotNull,
+          expr("(valid_to - us) div 1000000")).otherwise(0L).as("dur_s"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_versions"), sum("closed").as("n_closed"),
+        sum("dur_s").as("closed_dur_s"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_events_concurrency" -> qEventsConcurrency,
+    "q_events_rfm" -> qEventsRfm,
+    "q_events_twap" -> qEventsTwap,
+    "q_events_scd2" -> qEventsScd2,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_retention" -> qEventsRetention,
     "q_events_transitions" -> qEventsTransitions,
@@ -225,6 +339,63 @@ object Events {
          |FROM active a JOIN cohort c ON a.user_id = c.user_id
          |WHERE a.wk - c.cw <= $RET_MAX_OFFSET
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_rfm" -> {
+      val (r4, r3, r2) = (RFM_R_DAYS(0), RFM_R_DAYS(1), RFM_R_DAYS(2))
+      val (f4, f3, f2) = (RFM_F(0), RFM_F(1), RFM_F(2))
+      val (m4, m3, m2) = (RFM_M(0), RFM_M(1), RFM_M(2))
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |        CAST(floor("value" * 100) AS BIGINT) AS cents FROM events),
+         |anchor AS (SELECT max(us) AS anchor FROM ev),
+         |u AS (SELECT user_id, max(us) AS last_us, count(*) AS f,
+         |        sum(cents) AS m FROM ev WHERE event_type = 'purchase'
+         |      GROUP BY 1),
+         |sc AS (SELECT
+         |    CASE WHEN (a.anchor - u.last_us) // 86400000000 <= $r4 THEN 4
+         |         WHEN (a.anchor - u.last_us) // 86400000000 <= $r3 THEN 3
+         |         WHEN (a.anchor - u.last_us) // 86400000000 <= $r2 THEN 2
+         |         ELSE 1 END AS r_score,
+         |    CASE WHEN f >= $f4 THEN 4 WHEN f >= $f3 THEN 3
+         |         WHEN f >= $f2 THEN 2 ELSE 1 END AS f_score,
+         |    CASE WHEN m >= $m4 THEN 4 WHEN m >= $m3 THEN 3
+         |         WHEN m >= $m2 THEN 2 ELSE 1 END AS m_score,
+         |    m FROM u CROSS JOIN anchor a)
+         |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+         |  CAST(m_score AS INT) AS m_score, count(*) AS n_users,
+         |  CAST(sum(m) AS BIGINT) AS sum_m_cents
+         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    },
+    "q_events_twap" ->
+      s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+         |        CAST(floor("value" * 100) AS BIGINT) AS cents FROM events),
+         |d AS (SELECT user_id, cents,
+         |        (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |         - us) // 1000000 AS dt_s FROM ev),
+         |t AS (SELECT user_id, sum(cents * dt_s) AS wsum, sum(dt_s) AS dsum
+         |      FROM d WHERE dt_s IS NOT NULL GROUP BY 1 HAVING sum(dt_s) > 0),
+         |tw AS (SELECT wsum // dsum AS twap FROM t)
+         |SELECT CAST(twap // $TWAP_BUCKET AS BIGINT) AS bucket,
+         |  count(*) AS n_users, CAST(min(twap) AS BIGINT) AS min_twap,
+         |  CAST(max(twap) AS BIGINT) AS max_twap
+         |FROM tw GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_scd2" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |            FROM events),
+        |ch AS (SELECT * FROM (
+        |  SELECT event_id, user_id, event_type, us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY us, event_id) AS prev
+        |  FROM ev) q WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT event_type, us,
+        |        lead(us) OVER (PARTITION BY user_id
+        |                       ORDER BY us, event_id) AS valid_to
+        |      FROM ch)
+        |SELECT event_type, count(*) AS n_versions,
+        |  CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_closed,
+        |  CAST(sum(CASE WHEN valid_to IS NOT NULL
+        |           THEN (valid_to - us) // 1000000 ELSE 0 END) AS BIGINT)
+        |    AS closed_dur_s
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_concurrency" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
         |        epoch_us(ts) // 86400000000 AS day FROM events),
