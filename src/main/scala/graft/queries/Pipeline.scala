@@ -693,7 +693,50 @@ object Pipeline {
       .orderBy("lang", "status")
   }
 
+  private val RV_SHARDS = 8 // baseline shard count; the growth case adds one
+
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1998, the consistent-placement scheme behind cache
+    * rings and shard routers: each doc goes to the shard with the
+    * highest deterministic weight hash28("rv<shard>_<doc_id>"), so
+    * when the fleet grows [[RV_SHARDS]]→+1 ONLY docs whose new
+    * shard wins move (expected 1/(N+1) of the corpus) — versus
+    * `doc_id % N` placement where N/(N+1) of all docs relocate.
+    * Output per shard: population before, after, and docs that moved
+    * IN — the rendezvous invariant makes moved_in provably zero for
+    * every pre-existing shard, which the oracle hash pins.
+    *
+    * Shape: a constant-factor explode (N+1 weights per doc, computed
+    * in the same task that read the doc — no shuffle), then ONE
+    * map-side-combined groupBy(doc_id) where both assignments fall
+    * out of two conditional max aggregates over the packed key
+    * w·16+shard (w < 2²⁸ keeps the pack < 2³², argmax-with-tiebreak
+    * without any window or sort), then a ≤N+1-row rollup. At 100 TB
+    * the per-doc work is N hashes and the only shuffle is the
+    * |docs|-row partial-aggregated groupBy. */
+  val qShardRendezvous: Q = (s, d) => {
+    val assigned = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(RV_SHARDS))).as("shard"))
+      .withColumn("key", hash28(concat(lit("rv"), col("shard").cast("string"),
+        lit("_"), col("doc_id").cast("string"))) * 16 + col("shard"))
+      .groupBy("doc_id")
+      .agg((max(when(col("shard") < RV_SHARDS, col("key"))) % 16).as("a8"),
+        (max(col("key")) % 16).as("a9"))
+    val before = assigned.groupBy(col("a8").as("shard"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = assigned.groupBy(col("a9").as("shard"))
+      .agg(count(lit(1)).as("n_after"),
+        sum((col("a8") =!= col("a9")).cast("long")).as("moved_in"))
+    after.join(before, Seq("shard"), "full_outer")
+      .select(col("shard"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+      .orderBy("shard")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_shard_rendezvous" -> qShardRendezvous,
     "q_curriculum_order" -> qCurriculumOrder,
     "q_diff_snapshot" -> qDiffSnapshot,
     "q_chunk_sliding" -> qChunkSliding,
@@ -826,6 +869,26 @@ object Pipeline {
          |  round(CAST(CASE WHEN saturated = 1 THEN cap
          |                  ELSE (n - s_sat) // (k - n_sat) END AS DOUBLE) / c, 6) AS epochs
          |FROM flagged CROSS JOIN sat ORDER BY lang""".stripMargin,
+    "q_shard_rendezvous" ->
+      s"""WITH w AS (SELECT doc_id, shard,
+         |             CAST(concat('0x', substr(md5(
+         |               concat('rv', shard, '_', CAST(doc_id AS VARCHAR))), 1, 7))
+         |               AS BIGINT) * 16 + shard AS key
+         |           FROM documents,
+         |             unnest(range(0, ${RV_SHARDS + 1})) t(shard)),
+         |a AS (SELECT doc_id,
+         |        max(CASE WHEN shard < $RV_SHARDS THEN key END) % 16 AS a8,
+         |        max(key) % 16 AS a9
+         |      FROM w GROUP BY doc_id),
+         |bef AS (SELECT a8 AS shard, count(*) AS n_before FROM a GROUP BY 1),
+         |aft AS (SELECT a9 AS shard, count(*) AS n_after,
+         |          sum(CASE WHEN a8 <> a9 THEN 1 ELSE 0 END) AS moved_in
+         |        FROM a GROUP BY 1)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+         |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+         |  CAST(coalesce(moved_in, 0) AS BIGINT) AS moved_in
+         |FROM aft FULL OUTER JOIN bef USING (shard) ORDER BY shard""".stripMargin,
     "q_epoch_shuffle" ->
       s"""WITH e AS (SELECT doc_id, CAST(doc_id % $EPOCH_SHARDS AS INT) AS shard, epoch,
          |             CAST(concat('0x', substr(md5(
