@@ -140,6 +140,26 @@ object Sql {
       |GROUP BY root
       |ORDER BY root""".stripMargin
 
+  /** LATERAL correlated derived table — the per-row top-k join shape
+    * (ANSI <lateral derived table>): for each nation, the two
+    * highest-balance customers. Catalyst decorrelates the LIMITed
+    * correlated subquery into a rank-window over the join
+    * (DecorrelateInnerQuery + RewriteLateralSubquery), i.e. the same
+    * physical per-group top-k as q_topk_per_group — no nested loop at
+    * any scale; DuckDB executes its own lateral-join operator on the
+    * identical string. Balances pass through unmodified (no FP
+    * arithmetic), ties broken on c_name. */
+  private val sqlLateral: String =
+    """SELECT n_name, top2.c_name, top2.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal
+      |  FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name
+      |  LIMIT 2
+      |) top2
+      |ORDER BY n_name NULLS FIRST, top2.c_acctbal DESC, top2.c_name""".stripMargin
+
   private def runSql(sql: String): Q = (s, d) => {
     registerViews(s, d)
     s.sql(sql)
@@ -152,7 +172,8 @@ object Sql {
     "q_sql_subquery" -> runSql(sqlSubquery),
     "q_sql_cte"      -> runSql(sqlCte),
     "q_sql_exists"   -> runSql(sqlExists),
-    "q_sql_recursive" -> runSql(sqlRecursive)
+    "q_sql_recursive" -> runSql(sqlRecursive),
+    "q_sql_lateral"  -> runSql(sqlLateral)
   )
 
   /** Identical strings — the whole point of the parity gate. */
@@ -163,6 +184,7 @@ object Sql {
     "q_sql_subquery" -> sqlSubquery,
     "q_sql_cte"      -> sqlCte,
     "q_sql_exists"   -> sqlExists,
-    "q_sql_recursive" -> sqlRecursive
+    "q_sql_recursive" -> sqlRecursive,
+    "q_sql_lateral"  -> sqlLateral
   )
 }
