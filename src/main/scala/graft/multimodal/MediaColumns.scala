@@ -181,6 +181,30 @@ object MediaColumns {
     }
   }
 
+  final case class FrameEnergy(id: Long, frameIdx: Int, energy: Long)
+
+  /** Per-frame exact integer energies of a PCM16 clip: frames of
+    * `frameLen` samples (trailing partial frame kept), energy =
+    * Σ s² as a long — the front half of every energy-based audio
+    * operator (fingerprinting keeps it fused below; VAD consumes the
+    * frame stream relationally). Envelope: |s| ≤ 2¹⁵ so a frame term
+    * ≤ 2³⁰; a long holds 2³³ frames' worth. */
+  def audioFrameEnergies(media: Dataset[MediaRow], frameLen: Int): Dataset[FrameEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val (_, _, s) = parsePcm16(m.bytes)
+      val nf = (s.length + frameLen - 1) / frameLen
+      (0 until nf).map { f =>
+        var e = 0L
+        var i = f * frameLen
+        val end = math.min(s.length, i + frameLen)
+        while (i < end) { e += s(i).toLong * s(i); i += 1 }
+        FrameEnergy(m.id, f, e)
+      }
+    }
+  }
+
   final case class AudioFingerprint(id: Long, afp: Long)
 
   /** Shazam-style time-domain audio fingerprint: successive 2-sample

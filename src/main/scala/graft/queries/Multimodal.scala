@@ -408,7 +408,55 @@ object Multimodal {
       .orderBy("p_partkey", "frame_idx")
   }
 
+  private val VAD_NVEC = 40
+  private val VAD_FRAME = 4         // samples per energy frame
+  private val VAD_THRESH = 60000L    // Σ s² activity threshold per frame (~55th pctile of fixture energies)
+
+  /** Energy-threshold voice-activity detection — the classic VAD
+    * front-end (ITU G.729B's energy gate, minus the codec): clips go
+    * through the REAL WAV encode→RIFF-parse path, per-frame exact
+    * integer energies ([[graft.multimodal.MediaColumns
+    * .audioFrameEnergies]]), frames at energy ≥ [[VAD_THRESH]] are
+    * active, and maximal active runs become speech segments via the
+    * gaps-and-islands grouping (f − row_number per clip). Output per
+    * clip: active frames, segment count, longest segment.
+    *
+    * Everything after the decode is relational — the frame stream is
+    * rows, the islands window partitions on vec_id (a per-entity
+    * stream, sessionizer posture), and energies/thresholds are exact
+    * longs so segment boundaries cannot drift between engines. At
+    * scale the per-clip frame fan-out is a constant factor and
+    * nothing leaves its entity partition. */
+  val qMmVad: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.MediaColumns
+    val e = Tables.embeddings(s, d).where(col("vec_id") < VAD_NVEC)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val media = e.mapPartitions { it =>
+      it.map { case (id, emb) =>
+        val samples = emb.map { x =>
+          math.max(-32768L,
+            math.min(32767L, math.floor(x.toDouble * 1000).toLong)).toShort
+        }
+        MediaColumns.MediaRow(id, "audio/wav",
+          MediaColumns.encodeWavPcm16(8000, samples))
+      }
+    }
+    val frames = MediaColumns.audioFrameEnergies(media, VAD_FRAME)
+      .toDF("vec_id", "f", "energy")
+    val w = Window.partitionBy("vec_id").orderBy(col("f").asc)
+    frames.where(col("energy") >= VAD_THRESH)
+      .withColumn("grp", col("f") - row_number().over(w))
+      .groupBy("vec_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("vec_id")
+      .agg(sum("run").as("n_active"), count(lit(1)).as("n_segments"),
+        max("run").as("longest_run"))
+      .orderBy("vec_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_mm_vad" -> qMmVad,
     "q_mm_avi" -> qMmAvi,
     "q_mm_avi_rle" -> qMmAviRle,
     "q_mm_wav" -> qMmWav,
@@ -487,6 +535,21 @@ object Multimodal {
         |  round(CAST(list_sum(p) AS DOUBLE) / 32.0, 6) AS mean_px,
         |  CAST(list_max(p) AS INT) AS max_px, CAST(list_min(p) AS INT) AS min_px
         |FROM px ORDER BY doc_id""".stripMargin,
+    "q_mm_vad" ->
+      s"""WITH s AS (SELECT vec_id, CAST(i AS INT) AS i,
+         |        greatest(-32768, least(32767,
+         |          CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT))) AS v
+         |      FROM embeddings, unnest(range(0, 64)) t(i)
+         |      WHERE vec_id < $VAD_NVEC),
+         |en AS (SELECT vec_id, i // $VAD_FRAME AS f, sum(v * v) AS energy
+         |       FROM s GROUP BY 1, 2),
+         |act AS (SELECT vec_id, f,
+         |          f - row_number() OVER (PARTITION BY vec_id ORDER BY f) AS grp
+         |        FROM en WHERE energy >= $VAD_THRESH),
+         |seg AS (SELECT vec_id, grp, count(*) AS run FROM act GROUP BY 1, 2)
+         |SELECT vec_id, CAST(sum(run) AS BIGINT) AS n_active,
+         |  count(*) AS n_segments, CAST(max(run) AS BIGINT) AS longest_run
+         |FROM seg GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_mm_audiofp" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $AFP_NVEC),
          |c AS (SELECT vec_id AS id, 0 AS pert, embedding FROM e
