@@ -746,7 +746,60 @@ object Dedup {
       .orderBy("lang")
   }
 
+  private val SYM_MIN_LEN = 3   // tokens shorter than this skip typo pairing
+  private val SYM_TYPO_DF = 100 // df floor for synthesizing a typo twin
+
+  /** SymSpell typo-pair detection (Garbe 2012's symmetric-delete
+    * blocking — the vocabulary-normalization pass OCR/user-generated
+    * corpora run before counting): candidate pairs come ONLY from an
+    * equi-join on single-deletion keys, then exact
+    * levenshtein ≤ 1 confirms. The blocking is provably complete at
+    * distance 1: a substitution pair shares the key that deletes the
+    * differing position, an insert/delete pair shares the shorter
+    * token itself — so the join enumerates a superset of every true
+    * pair and NEVER goes all-pairs (|keys| = len+1 per token; hub
+    * keys are short strings, cap-able by key length exactly like LSH
+    * band caps). The fixture vocabulary has no natural distance-1
+    * pair, so frequent tokens (df ≥ [[SYM_TYPO_DF]]) synthesize one
+    * deletion twin and one substitution twin in-plan at the
+    * md5-derived position (the perturbed-twin pattern of
+    * q_mm_audiofp) — both engines derive identical variants, and the
+    * oracle hash pins that blocking+confirm finds exactly them.
+    * Output: confirmed pairs with their corpus df (0 = synthetic). */
+  val qDedupSymspell: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .where(length(col("tok")) >= SYM_MIN_LEN)
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val p = (hash28(col("tok")) % length(col("tok"))).cast("int") + 1 // 1-based
+    def delAt(t: Column, pos: Column): Column =
+      concat(t.substr(lit(1), pos - 1), t.substr(pos + 1, lit(10000)))
+    def subAt(t: Column, pos: Column): Column =
+      concat(t.substr(lit(1), pos - 1), lit("z"), t.substr(pos + 1, lit(10000)))
+    val variants = toks.where(col("df") >= SYM_TYPO_DF)
+      .select(explode(array(delAt(col("tok"), p), subAt(col("tok"), p))).as("tok"),
+        lit(0L).as("df"))
+    val vocab = toks.unionAll(variants)
+      .groupBy("tok").agg(max("df").as("df")) // variant colliding with a real token keeps its df
+    val keyed = Scoped.withCached(vocab) {
+      vocab.select(col("tok"), col("df"), explode(array_union(
+        array(col("tok")),
+        transform(sequence(lit(1), length(col("tok"))),
+          i => delAt(col("tok"), i)))).as("key"))
+    }
+    keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.tok") < col("b.tok"))
+      .select(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .where(col("dist") <= 1)
+      .select("tok_a", "tok_b", "dist", "df_a", "df_b")
+      .orderBy("tok_a", "tok_b")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_dedup_symspell" -> qDedupSymspell,
     "q_memorization" -> qMemorization,
     "q_split_leakage" -> qSplitLeakage,
     "q_dedup_lines" -> qDedupLines,
@@ -816,6 +869,35 @@ object Dedup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_symspell" -> {
+      val h28 = "CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT)"
+      s"""WITH toks AS (SELECT tok, count(*) AS df FROM (
+         |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      t -> t != '')) AS tok FROM documents) u
+         |  WHERE len(tok) >= $SYM_MIN_LEN GROUP BY 1),
+         |tp AS (SELECT tok, df, CAST($h28 % len(tok) AS INT) + 1 AS p
+         |       FROM toks WHERE df >= $SYM_TYPO_DF),
+         |vars AS (SELECT concat(substr(tok, 1, p - 1), substr(tok, p + 1, 10000)) AS tok,
+         |           CAST(0 AS BIGINT) AS df FROM tp
+         |         UNION ALL
+         |         SELECT concat(substr(tok, 1, p - 1), 'z', substr(tok, p + 1, 10000)),
+         |           CAST(0 AS BIGINT) FROM tp),
+         |vocab AS (SELECT tok, max(df) AS df FROM (
+         |  SELECT tok, df FROM toks UNION ALL SELECT tok, df FROM vars) v GROUP BY 1),
+         |keyed AS (SELECT tok, df, unnest(list_distinct(list_append(
+         |    list_transform(range(1, len(tok) + 1),
+         |      i -> concat(substr(tok, 1, CAST(i AS INT) - 1),
+         |                  substr(tok, CAST(i AS INT) + 1, 10000))),
+         |    tok))) AS key FROM vocab),
+         |pairs AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+         |            a.df AS df_a, b.df AS df_b
+         |          FROM keyed a JOIN keyed b
+         |            ON a.key = b.key AND a.tok < b.tok)
+         |SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist,
+         |  CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b
+         |FROM pairs WHERE levenshtein(tok_a, tok_b) <= 1
+         |ORDER BY tok_a, tok_b""".stripMargin
+    },
     "q_memorization" -> {
       val gram = (0 until MEM_N)
         .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
