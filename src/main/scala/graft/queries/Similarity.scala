@@ -1299,7 +1299,60 @@ object Similarity {
     }
   }
 
+  private val SPARSE_RARE_DF = 300 // rare-term blocking: term appears in ≤ this many docs
+  private val SPARSE_K = 15
+  private val SPARSE_G = 100000000L // cosine² integer grain (10^8)
+
+  /** Sparse lexical similarity join — the TF-vector complement of the
+    * dense ANN suite (near-dup detection over bag-of-words space, the
+    * shape BM25-era dedup and plagiarism systems use): candidate doc
+    * pairs come ONLY from co-occurrence in a RARE term's posting list
+    * (df ≤ [[SPARSE_RARE_DF]] docs — the standard prefix/rare-term
+    * blocking of Bayardo et al. 2007's all-pairs algorithm), then
+    * each candidate's FULL TF-cosine is computed exactly and the
+    * top-[[SPARSE_K]] pairs emitted.
+    *
+    * Ranking is integer-exact: cos²·10⁸ = (dot²·G) div (‖a‖²·‖b‖²)
+    * — a monotone transform of cosine over nonneg TF vectors — so
+    * ordering/tie decisions never touch FP. Envelope: tf ≤ doc
+    * length (~10² here), dot ≤ |V|·tf² ~ 10⁴, dot²·G ~ 10¹⁶ — 10²
+    * headroom under int64; at larger tf the grain drops a decade.
+    * Scale: posting lists of rare terms are the ONLY pair generator
+    * (never all-pairs); hub terms are excluded by the df cap exactly
+    * as LSH caps band buckets. The dot product is a co-partitioned
+    * 3-way join keyed on (doc, term) against the same TF table. */
+  val qSimSparse: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    Scoped.withCached(tf) {
+      val norms = tf.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df_docs"))
+      val rare = tf.join(df.where(col("df_docs") <= SPARSE_RARE_DF), "tok")
+      val cand = rare.select(col("tok"), col("doc_id").as("da"))
+        .join(rare.select(col("tok"), col("doc_id").as("db")), "tok")
+        .where(col("da") < col("db"))
+        .select("da", "db").distinct()
+      val dot = cand
+        .join(tf.select(col("doc_id").as("da"), col("tok"), col("tf").as("tfa")), "da")
+        .join(tf.select(col("doc_id").as("db"), col("tok"), col("tf").as("tfb")),
+          Seq("db", "tok"))
+        .groupBy("da", "db").agg(sum(col("tfa") * col("tfb")).as("dot"))
+      dot
+        .join(norms.select(col("doc_id").as("da"), col("n2").as("na")), "da")
+        .join(norms.select(col("doc_id").as("db"), col("n2").as("nb")), "db")
+        .withColumn("cos2_g",
+          expr(s"(dot * dot * $SPARSE_G) div (na * nb)"))
+        .orderBy(col("cos2_g").desc, col("da").asc, col("db").asc).limit(SPARSE_K)
+        .withColumn("rn", row_number().over(graft.functions.GraftFunctions
+          .boundedWindow(col("cos2_g").desc, col("da").asc, col("db").asc)))
+        .select("rn", "da", "db", "dot", "cos2_g")
+        .orderBy("rn")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_sim_sparse" -> qSimSparse,
     "q_select_kcenter" -> qSelectKcenter,
     "q_embed_rp" -> qEmbedRp,
     "q_embed_outlier" -> qEmbedOutlier,
@@ -1321,6 +1374,33 @@ object Similarity {
     "q_ann_quantized" -> qAnnQuantized,
     "q_semdedup" -> qSemDedup
   )
+
+  private val sparseSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+       |dfs AS (SELECT tok, count(*) AS df_docs FROM tf GROUP BY 1),
+       |rare AS (SELECT tf.tok, tf.doc_id FROM tf
+       |         JOIN dfs ON tf.tok = dfs.tok WHERE dfs.df_docs <= $SPARSE_RARE_DF),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM rare a JOIN rare b
+       |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+       |dot AS (SELECT c.da, c.db, sum(x.tf * y.tf) AS dot
+       |        FROM cand c
+       |        JOIN tf x ON x.doc_id = c.da
+       |        JOIN tf y ON y.doc_id = c.db AND y.tok = x.tok
+       |        GROUP BY 1, 2),
+       |scored AS (SELECT d.da, d.db, d.dot,
+       |    (d.dot * d.dot * $SPARSE_G) // (na.n2 * nb.n2) AS cos2_g
+       |  FROM dot d JOIN norms na ON d.da = na.doc_id
+       |  JOIN norms nb ON d.db = nb.doc_id)
+       |SELECT rn, da, db, CAST(dot AS BIGINT) AS dot,
+       |  CAST(cos2_g AS BIGINT) AS cos2_g FROM (
+       |  SELECT *, row_number() OVER (ORDER BY cos2_g DESC, da ASC, db ASC) AS rn
+       |  FROM scored) q
+       |WHERE rn <= $SPARSE_K ORDER BY rn""".stripMargin
 
   private val cosSql =
     """round(list_sum(list_transform(range(1, 65),
@@ -1647,6 +1727,7 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_sim_sparse" -> sparseSql,
     "q_select_kcenter" -> {
       val sq = "list_sum(list_transform(range(1, 65), " +
         "i -> (m.q[i] - c.q[i]) * (m.q[i] - c.q[i])))"
