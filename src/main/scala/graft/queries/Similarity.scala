@@ -920,6 +920,59 @@ object Similarity {
     }
   }
 
+  private val RERANK_R = 20 // ADC shortlist size refined by exact cosine
+
+  /** Two-stage retrieve-and-rerank — THE production ANN serving
+    * pattern (and how hard-negative mining pipelines run): stage 1
+    * shortlists [[RERANK_R]] candidates per query by compressed
+    * ADC distance (bytes-only scan, [[qAnnPqAdc]]'s plan verbatim);
+    * stage 2 re-scores ONLY the shortlist with exact cosine over raw
+    * vectors and keeps the top 3. At 100 TB the raw vectors are
+    * touched for |queries|·R rows instead of the corpus — the whole
+    * point of the pattern; the shortlist is broadcast against the
+    * embedding table (two tiny-side equi-joins), so stage 2 adds no
+    * corpus shuffle. The oracle replays the full composition:
+    * integer-exact PQ fit/encode/ADC chain, then the same rounded
+    * cosine rerank. */
+  val qAnnRerank: Q = (s, d) => {
+    import s.implicits._
+    val sv = pqSubvecs(s, d)
+    Scoped.withCachedEager(sv) {
+      val cb = pqFit(sv)
+      val codes = pqAssign(sv, cb)
+      val dt = sv.where(col("vec_id") < PQ_NQ)
+        .join(broadcast(cb), "m")
+        .select(col("vec_id").as("dqid"), col("m").as("dm"),
+          col("cid").as("dcid"), pqDist.as("dt"))
+      val short = codes.join(broadcast(dt),
+          col("m") === col("dm") && col("cell") === col("dcid") &&
+            col("vec_id") =!= col("dqid"))
+        .groupBy("dqid", "vec_id")
+        .agg(sum("dt").as("adist"))
+        .select(col("dqid").cast("long").as("qid"), col("vec_id").cast("long"),
+          col("adist").cast("long"))
+        .as[(Long, Long, Long)]
+        .mapPartitions(partialTopK[(Long, Long, Long)](_, RERANK_R, _._1,
+          t => (-t._3.toDouble, t._2)))
+        .toDF("qid", "vec_id", "adist")
+        .withColumn("sr", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)))
+        .where(col("sr") <= RERANK_R)
+        .select("qid", "vec_id")
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      broadcast(emb.withColumnRenamed("vec_id", "qid").withColumnRenamed("embedding", "qv")
+          .join(broadcast(short), "qid"))
+        .join(emb, "vec_id")
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rn") <= 3)
+        .select("qid", "rn", "vec_id", "cos")
+        .orderBy("qid", "rn")
+    }
+  }
+
   /** The OPQ rotation vector: a single data-adaptive Householder
     * reflection H = I − 2vvᵀ/(v·v) with v = 8u − t·1⃗, where u is the
     * integer top eigenvector ([[pcaPowerFit]], grid [[PCA_GRID]]) and
@@ -1367,6 +1420,7 @@ object Similarity {
     "q_ann_ivf_label" -> qAnnIvfLabel,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_pq_adc" -> qAnnPqAdc,
+    "q_ann_rerank" -> qAnnRerank,
     "q_mine_bitext" -> qMineBitext,
     "q_ann_opq" -> qAnnOpq,
     "q_ann_ivf_opq" -> qAnnIvfOpq,
@@ -1464,9 +1518,10 @@ object Similarity {
   }
 
   /** The PQ fit/encode/ADC chain given a preceding CTE `v(vec_id, q)`
-    * with q the scale-10³ vectors — shared verbatim by the plain PQ
-    * oracle and the OPQ oracle (which swaps in ROTATED q). */
-  private def pqChainAfterV: String = {
+    * with q the scale-10³ vectors, ending at the `adc` CTE — shared by
+    * the plain PQ oracle, the OPQ oracle (which swaps in ROTATED q),
+    * and the rerank oracle (which appends a cosine-refine tail). */
+  private def pqChainCtes: String = {
     val sub = PQ_SUBDIM
     def dist(svA: String, cbA: String) =
       s"""list_sum(list_transform(range(1, ${sub + 1}),
@@ -1503,12 +1558,16 @@ object Similarity {
        |adc AS (SELECT dt.qid, codes.vec_id, CAST(sum(dt.dt) AS BIGINT) AS adist
        |        FROM codes JOIN dt ON codes.m = dt.m AND codes.cell = dt.cid
        |          AND codes.vec_id != dt.qid
-       |        GROUP BY dt.qid, codes.vec_id)
+       |        GROUP BY dt.qid, codes.vec_id)""".stripMargin
+  }
+
+  /** [[pqChainCtes]] plus the plain top-3-by-ADC tail. */
+  private def pqChainAfterV: String =
+    s"""$pqChainCtes
        |SELECT qid, rn, vec_id, adist FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY adist ASC, vec_id ASC) AS rn FROM adc) t
        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
-  }
 
   /** DuckDB replay of the PQ/ADC search: identical integer-exact
     * per-subspace Lloyd fit (md5-seeded init, PQ_ITERS rounds), corpus
@@ -1518,6 +1577,34 @@ object Similarity {
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |$pqChainAfterV""".stripMargin
+
+  /** DuckDB replay of the two-stage search: the full PQ chain down to
+    * ADC distances, a per-query R-shortlist, then the exact rounded
+    * cosine rerank over raw embeddings. */
+  private val rerankOracleSql: String = {
+    def csum(a: String) =
+      s"list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    val cos =
+      s"""round(list_sum(list_transform(range(1, ${DIMS + 1}),
+         |    i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
+         |  / (sqrt(${csum("qv")}) * sqrt(${csum("cv")})), 4)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$pqChainCtes,
+       |short AS (SELECT qid, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adist ASC, vec_id ASC) AS sr FROM adc) t
+       |  WHERE sr <= $RERANK_R),
+       |rr AS (SELECT s.qid, s.vec_id, $cos AS cos
+       |       FROM short s
+       |       JOIN v qv ON qv.vec_id = s.qid
+       |       JOIN v cv ON cv.vec_id = s.vec_id)
+       |SELECT qid, rn, vec_id, cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, vec_id ASC) AS rn FROM rr) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
 
   /** DuckDB replay of the OPQ search: the o-prefixed power-iteration
     * chain re-derives the integer top eigenvector (same recurrence as
@@ -1783,6 +1870,7 @@ object Similarity {
     "q_semdedup" -> semDedupOracleSql,
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_pq_adc" -> pqOracleSql,
+    "q_ann_rerank" -> rerankOracleSql,
     "q_mine_bitext" -> {
       val cosRaw =
         """list_sum(list_transform(range(1, 65),
