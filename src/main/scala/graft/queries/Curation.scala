@@ -1128,6 +1128,42 @@ object Curation {
       .orderBy("source")
   }
 
+  private val OVL_N = 8 // word-gram order for the cross-source overlap
+
+  /** Cross-source duplication matrix — the inter-source counterpart of
+    * [[qSourceStats]]'s intra-source dup rate (the question mixture
+    * design asks BEFORE weighting sources: how much of src_a is
+    * already inside src_b? Soldaini et al. 2024's Dolma reports
+    * exactly this before dedup): distinct word-[[OVL_N]]-gram
+    * shingles per source, pairwise shared-shingle counts, and the
+    * containment ratio shared/min(|A|,|B|).
+    *
+    * Shape: docs never pair — the plan is (source, shingle) distinct
+    * (two-phase partial dedup), a self-equi-join ON SHINGLE whose
+    * per-key fan-out is bounded by the SOURCE COUNT squared (sources
+    * are bounded entities — 20 here, hundreds in production — so the
+    * hub-key blowup that forces banding in doc-level dedup cannot
+    * occur), and a K²-row rollup joined to per-source totals.
+    * Counts exact; one rounded divide per pair. */
+  val qSourceOverlap: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("source"), explode(shingles(tokens(col("text")), OVL_N)).as("sp"))
+      .distinct()
+    Scoped.withCached(sh) {
+      val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      sh.select(col("source").as("src_a"), col("sp"))
+        .join(sh.select(col("source").as("src_b"), col("sp")), "sp")
+        .where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(tot.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+        .join(tot.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+          round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 4)
+            .as("containment"))
+        .orderBy("src_a", "src_b")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
     "q_profile_drift" -> qProfileDrift,
     "q_select_dsir" -> qSelectDsir,
@@ -1149,6 +1185,7 @@ object Curation {
     "q_quality_buckets" -> qQualityBuckets,
     "q_vocab_oov" -> qVocabOov,
     "q_source_stats" -> qSourceStats,
+    "q_source_overlap" -> qSourceOverlap,
     "q_filter_blocklist" -> qFilterBlocklist,
     "q_filter_ac" -> qFilterAc
   )
@@ -1608,6 +1645,23 @@ object Curation {
          |  n_langs, tok_total, mean_chars,
          |  round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4) <= $SRC_MAX_DUP AS keep
          |FROM g ORDER BY source""".stripMargin,
+    "q_source_overlap" -> {
+      val gram = (0 until OVL_N)
+        .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT source, $toksAll AS w FROM documents),
+         |g AS (SELECT DISTINCT source, $gram AS sp
+         |      FROM t, unnest(range(1, len(w) + 2 - $OVL_N)) u(i)),
+         |tot AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         count(*) AS n_shared
+         |       FROM g a JOIN g b ON a.sp = b.sp AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+         |  round(CAST(n_shared AS DOUBLE) / least(ta.n, tb.n), 4) AS containment
+         |FROM pr JOIN tot ta ON pr.src_a = ta.source
+         |JOIN tot tb ON pr.src_b = tb.source
+         |ORDER BY src_a, src_b""".stripMargin
+    },
     "q_filter_blocklist" -> {
       val blockIn = BLOCKLIST.map(w => s"'$w'").mkString("(", ",", ")")
       s"""WITH t AS (SELECT lang, source,
