@@ -299,7 +299,41 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Last-touch attribution — the marketing-analytics staple (which
+    * touchpoint gets credit for a conversion): each purchase is
+    * attributed to the user's most recent PRECEDING non-purchase
+    * event type, via an IGNORE NULLS last_value window over the
+    * per-user stream (non-purchase rows project their type, purchase
+    * rows project NULL, so the window's last non-null IS the last
+    * touch; purchases with no prior touch attribute to 'none').
+    * Output: per touch type, conversions credited and exact share of
+    * all purchases at a rounded-once ratio.
+    *
+    * Shape: ONE window over the (user_id, us, event_id) sort — the
+    * same per-entity-stream shuffle family as the sessionizer — then
+    * a ≤|types|+1-row rollup joined to a 1-row total; nothing global
+    * at any scale. */
+  val qEventsAttrib: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("none")).as("touch"))
+    val counts = attributed.groupBy("touch").agg(count(lit(1)).as("n_conv"))
+    val tot = counts.agg(sum("n_conv").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("touch"), col("n_conv"),
+        round(col("n_conv").cast("double") / col("tot"), 4).as("share"))
+      .orderBy("touch")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_events_attrib" -> qEventsAttrib,
     "q_events_concurrency" -> qEventsConcurrency,
     "q_events_rfm" -> qEventsRfm,
     "q_events_twap" -> qEventsTwap,
@@ -339,6 +373,21 @@ object Events {
          |FROM active a JOIN cohort c ON a.user_id = c.user_id
          |WHERE a.wk - c.cw <= $RET_MAX_OFFSET
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_attrib" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |            FROM events),
+        |a AS (SELECT event_type,
+        |        last_value(CASE WHEN event_type <> 'purchase'
+        |                   THEN event_type END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |      FROM ev),
+        |c AS (SELECT coalesce(touch, 'none') AS touch, count(*) AS n_conv
+        |      FROM a WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT sum(n_conv) AS tot FROM c)
+        |SELECT touch, n_conv,
+        |  round(CAST(n_conv AS DOUBLE) / tot, 4) AS share
+        |FROM c CROSS JOIN t ORDER BY touch""".stripMargin,
     "q_events_rfm" -> {
       val (r4, r3, r2) = (RFM_R_DAYS(0), RFM_R_DAYS(1), RFM_R_DAYS(2))
       val (f4, f3, f2) = (RFM_F(0), RFM_F(1), RFM_F(2))
