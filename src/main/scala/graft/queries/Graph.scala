@@ -369,7 +369,54 @@ object Graph {
           .as("assortativity"))
   }
 
+  private val BFS_MOD = 2000 // sparser derived graph: distances actually spread
+  private val BFS_SEEDS = 5  // seed set: nodes < this
+  private val BFS_DEPTH = 3  // fixed frontier rounds
+
+  /** Multi-source BFS distance profile — the frontier-expansion
+    * primitive under every reachability / influence-radius question
+    * (and the DataFrame twin of q_sql_recursive's walk): nodes at
+    * minimum hop distance ≤ [[BFS_DEPTH]] from the seed set over the
+    * undirected mod-[[BFS_MOD]] part→supplier graph, unreached nodes
+    * reported at dist −1. Each round is ONE frontier ⋈ edges
+    * equi-join (both sides keyed on node) plus a left-anti join
+    * against the assigned set — the Pregel superstep shape, with the
+    * frontier `localCheckpoint`ed per round so lineage stays flat
+    * (the q_dedup_cluster treatment). Set-BFS (min over seeds) keeps
+    * state one row per node; the per-root variant multiplies state by
+    * |roots| and is the same plan with root in the key. */
+  val qGraphBfs: Q = (s, d) => {
+    val e = Tables.lineitem(s, d)
+      .select((col("l_partkey") % BFS_MOD).as("a"),
+        (col("l_suppkey") % BFS_MOD).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val und = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    Scoped.withCached(und) {
+      val nodes = und.select(col("src").as("node")).distinct()
+      var assigned = nodes.where(col("node") < BFS_SEEDS)
+        .withColumn("dist", lit(0)).localCheckpoint(true)
+      var frontier = assigned.select("node")
+      for (k <- 1 to BFS_DEPTH) {
+        frontier = frontier.join(und, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(assigned, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        assigned = assigned
+          .unionAll(frontier.withColumn("dist", lit(k)))
+          .localCheckpoint(true)
+      }
+      nodes.join(assigned, Seq("node"), "left_outer")
+        .groupBy(coalesce(col("dist"), lit(-1)).as("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_graph_bfs" -> qGraphBfs,
     "q_graph_pagerank" -> qPageRank,
     "q_graph_jaccard" -> qGraphJaccard,
     "q_graph_ra" -> qGraphRa,
@@ -455,6 +502,31 @@ object Graph {
          |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, a ASC, b ASC) AS rn
          |  FROM j) q
          |WHERE rn <= $GJ_TOPK ORDER BY rn""".stripMargin,
+    "q_graph_bfs" -> {
+      def level(k: Int) = {
+        val prevA = s"a${k - 1}"
+        s"""f$k AS (SELECT DISTINCT u.dst AS node
+           |        FROM f${k - 1} f JOIN und u ON f.node = u.src
+           |        WHERE u.dst NOT IN (SELECT node FROM $prevA)),
+           |a$k AS (SELECT node, dist FROM $prevA
+           |        UNION ALL SELECT node, $k FROM f$k)""".stripMargin
+      }
+      s"""WITH e AS (SELECT DISTINCT l_partkey % $BFS_MOD AS a,
+         |                  l_suppkey % $BFS_MOD AS b FROM lineitem
+         |           WHERE l_partkey % $BFS_MOD <> l_suppkey % $BFS_MOD),
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e) u),
+         |nodes AS (SELECT DISTINCT src AS node FROM und),
+         |a0 AS (SELECT node, 0 AS dist FROM nodes WHERE node < $BFS_SEEDS),
+         |f0 AS (SELECT node FROM a0),
+         |${level(1)},
+         |${level(2)},
+         |${level(3)}
+         |SELECT CAST(coalesce(a.dist, -1) AS INT) AS dist,
+         |  count(*) AS n_nodes
+         |FROM nodes n LEFT JOIN a$BFS_DEPTH a ON n.node = a.node
+         |GROUP BY 1 ORDER BY dist""".stripMargin
+    },
     "q_graph_ra" ->
       s"""WITH e AS (SELECT DISTINCT l_partkey % $PR_NODES_MOD AS src,
          |                  l_suppkey % $PR_NODES_MOD AS dst FROM lineitem),
