@@ -392,6 +392,31 @@ class PlanSpec extends AnyFunSuite {
     assert(apply("a b", "a b") == "ab")
   }
 
+  test("round-9 third wave: candidates stay equi-join, shortlist broadcasts, no cartesians") {
+    // q_sim_sparse: pairs come from the rare-term posting equi-join
+    val sp = plan("q_sim_sparse")
+    assert(!sp.contains("CartesianProduct"),
+      "sparse similarity must pair via posting lists, never all-pairs")
+    // q_dedup_symspell: pairs come from the deletion-key equi-join
+    val sy = plan("q_dedup_symspell")
+    assert(!sy.contains("CartesianProduct"),
+      "symspell must pair via deletion keys, never all-pairs")
+    // q_ann_rerank: stage-2 exact rerank joins the raw vectors via
+    // broadcast of the shortlist — the corpus never shuffles for it
+    val rr = plan("q_ann_rerank")
+    assert(rr.contains("BroadcastHashJoin"),
+      "rerank shortlist must broadcast against the embedding table")
+    // q_shard_rendezvous: two conditional-max aggregates, no window
+    val rv = plan("q_shard_rendezvous")
+    assert(!rv.contains("WindowExec") && !rv.contains("Window "),
+      "rendezvous argmax must be packed-key max aggregates, not a window sort")
+    // graph additions: candidate/frontier generation never cartesians
+    Seq("q_graph_ra", "q_graph_assort", "q_graph_bfs", "q_source_overlap")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"), s"$q must not cartesian")
+      }
+  }
+
   test("window sweep: no inventory window partitions on a raw token/shingle key") {
     // Partitioned-or-bounded (the sweep above) is necessary but not
     // sufficient: a window hash-partitioned by an exploded token or
