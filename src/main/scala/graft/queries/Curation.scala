@@ -1128,6 +1128,48 @@ object Curation {
       .orderBy("source")
   }
 
+  private val WIN_LO = 5  // winsorization percentile edges (P5 / P95)
+  private val WIN_HI = 95
+
+  /** Winsorized mean — the robust-statistics companion of
+    * [[qQualityMad]] (Tukey's recipe for heavy-tailed quality
+    * metrics: clamp, don't drop): per language, doc lengths clamp
+    * into the exact [P[[WIN_LO]], P[[WIN_HI]]] band before averaging,
+    * so a handful of monster documents stops dominating the mean the
+    * mixture planner reads.
+    *
+    * Exact percentile edges WITHOUT a corpus sort — the
+    * q_quality_buckets histogram posture: group to a (lang, n_chars)
+    * histogram (partial-agg), run the cumulative window over the
+    * HISTOGRAM (per-lang partition bounded by the value range, not
+    * the corpus), take the smallest value whose cumulative count
+    * reaches ceil(p·n) (exact integer rank arithmetic, ties land
+    * deterministically on the lower value), broadcast the two edges
+    * per language back, clamp map-side. */
+  val qQualityWinsor: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("lang"), col("n_chars"))
+    val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cn",
+      sum("n").over(Window.partitionBy("lang").orderBy("n_chars")))
+    val tot = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val edges = cum.join(tot, "lang")
+      .groupBy("lang")
+      .agg(first("n_docs").as("n_docs"),
+        min(when(col("cn") >= expr(s"(n_docs * $WIN_LO + 99) div 100"),
+          col("n_chars"))).as("lo"),
+        min(when(col("cn") >= expr(s"(n_docs * $WIN_HI + 99) div 100"),
+          col("n_chars"))).as("hi"))
+    docs.join(broadcast(edges), "lang")
+      .groupBy("lang")
+      .agg(first("n_docs").as("n_docs"), first("lo").as("p_lo"),
+        first("hi").as("p_hi"),
+        round(avg("n_chars"), 4).as("mean_raw"),
+        round(avg(greatest(col("lo"), least(col("hi"), col("n_chars")))
+          .cast("double")), 4).as("mean_winsor"))
+      .orderBy("lang")
+  }
+
   private val OVL_N = 8 // word-gram order for the cross-source overlap
 
   /** Cross-source duplication matrix — the inter-source counterpart of
@@ -1186,6 +1228,7 @@ object Curation {
     "q_vocab_oov" -> qVocabOov,
     "q_source_stats" -> qSourceStats,
     "q_source_overlap" -> qSourceOverlap,
+    "q_quality_winsor" -> qQualityWinsor,
     "q_filter_blocklist" -> qFilterBlocklist,
     "q_filter_ac" -> qFilterAc
   )
@@ -1645,6 +1688,27 @@ object Curation {
          |  n_langs, tok_total, mean_chars,
          |  round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 4) <= $SRC_MAX_DUP AS keep
          |FROM g ORDER BY source""".stripMargin,
+    "q_quality_winsor" ->
+      s"""WITH hist AS (SELECT lang, n_chars, count(*) AS n
+         |              FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT lang, n_chars,
+         |          sum(n) OVER (PARTITION BY lang ORDER BY n_chars) AS cn
+         |        FROM hist),
+         |tot AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |edges AS (SELECT c.lang, any_value(t.n_docs) AS n_docs,
+         |    min(CASE WHEN c.cn >= (t.n_docs * $WIN_LO + 99) // 100
+         |        THEN c.n_chars END) AS lo,
+         |    min(CASE WHEN c.cn >= (t.n_docs * $WIN_HI + 99) // 100
+         |        THEN c.n_chars END) AS hi
+         |  FROM cum c JOIN tot t ON c.lang = t.lang GROUP BY c.lang)
+         |SELECT d.lang, any_value(e.n_docs) AS n_docs,
+         |  CAST(any_value(e.lo) AS BIGINT) AS p_lo,
+         |  CAST(any_value(e.hi) AS BIGINT) AS p_hi,
+         |  round(avg(d.n_chars), 4) AS mean_raw,
+         |  round(avg(CAST(greatest(e.lo, least(e.hi, d.n_chars)) AS DOUBLE)), 4)
+         |    AS mean_winsor
+         |FROM documents d JOIN edges e ON d.lang = e.lang
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_source_overlap" -> {
       val gram = (0 until OVL_N)
         .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")
