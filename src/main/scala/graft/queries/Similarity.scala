@@ -920,6 +920,55 @@ object Similarity {
     }
   }
 
+  private val FILT_NQ = 6    // filtered-search anchors
+  private val FILT_K = 3     // constrained top-k
+  private val FILT_POST = 10 // unfiltered candidate pool for post-filtering
+
+  /** Filtered (metadata-constrained) vector search — the production
+    * ANN question every vector DB added predicates for: top-[[FILT_K]]
+    * neighbors among ONLY candidates in the anchor's TARGET class
+    * (label = qlabel+1 mod 10 — a genuine constraint, not the
+    * relevance class). Computed the PRE-FILTER way — the predicate is
+    * pushed into the scan before any distance work, so the top-k heap
+    * sees only eligible rows — and each result row also reports
+    * whether POST-filtering an unfiltered top-[[FILT_POST]] list
+    * would have found it (`post_hit`), quantifying the recall loss of
+    * filter-after-search (the trade Weaviate/Qdrant docs warn about:
+    * selective predicates starve a post-filtered shortlist).
+    *
+    * Scale: both arms are [[qAnnBrute]]'s shape — anchors broadcast,
+    * per-partition bounded heaps, no corpus shuffle. The per-anchor
+    * predicate evaluates inside the broadcast-join stage BEFORE any
+    * distance arithmetic or heap insertion (a constant predicate
+    * would push all the way to the parquet scan); the post arm's
+    * marker join is K·|anchors| rows broadcast. */
+  val qAnnFiltered: Q = (s, d) => {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, d)
+    val anchors = corpus.where(col("vec_id") < FILT_NQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        ((col("label") + 1) % 10).as("target"))
+    def topk(src: DataFrame, k: Int, filtered: Boolean): DataFrame = {
+      val joined = src.join(broadcast(anchors), col("vec_id") =!= col("qid") &&
+        (if (filtered) col("label") === col("target") else lit(true)))
+      joined.select(col("qid").cast("long"), col("vec_id").cast("long"),
+          round(cosine(col("qv"), col("embedding")), 4).as("cos"))
+        .as[(Long, Long, Double)]
+        .mapPartitions(partialTopK[(Long, Long, Double)](_, k, _._1, t => (t._3, t._2)))
+        .toDF("qid", "vec_id", "cos")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+        .where(col("rn") <= k)
+    }
+    val pre = topk(corpus, FILT_K, filtered = true)
+    val post = topk(corpus, FILT_POST, filtered = false)
+      .select(col("qid"), col("vec_id"), lit(1).as("ph"))
+    pre.join(broadcast(post), Seq("qid", "vec_id"), "left_outer")
+      .select(col("qid"), col("rn"), col("vec_id"), col("cos"),
+        coalesce(col("ph"), lit(0)).as("post_hit"))
+      .orderBy("qid", "rn")
+  }
+
   private val RERANK_R = 20 // ADC shortlist size refined by exact cosine
 
   /** Two-stage retrieve-and-rerank — THE production ANN serving
@@ -1421,6 +1470,7 @@ object Similarity {
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_ann_pq_adc" -> qAnnPqAdc,
     "q_ann_rerank" -> qAnnRerank,
+    "q_ann_filtered" -> qAnnFiltered,
     "q_mine_bitext" -> qMineBitext,
     "q_ann_opq" -> qAnnOpq,
     "q_ann_ivf_opq" -> qAnnIvfOpq,
@@ -1577,6 +1627,36 @@ object Similarity {
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |$pqChainAfterV""".stripMargin
+
+  /** DuckDB replay of the filtered search: both arms brute-ranked,
+    * constrained arm filtered before ranking, post_hit by marker
+    * anti/left join on the unfiltered top-[[FILT_POST]]. */
+  private val filteredOracleSql: String = {
+    val cos =
+      s"""round(list_sum(list_transform(range(1, ${DIMS + 1}),
+         |    i -> CAST(a.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(a.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
+    s"""WITH a AS (SELECT vec_id AS qid, embedding AS qv,
+       |        (label + 1) % 10 AS target
+       |      FROM embeddings WHERE vec_id < $FILT_NQ),
+       |pre AS (SELECT qid, vec_id, cos,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, vec_id ASC) AS rn
+       |        FROM (SELECT a.qid, c.vec_id, $cos AS cos
+       |              FROM embeddings c JOIN a
+       |                ON c.vec_id != a.qid AND c.label = a.target) x),
+       |post AS (SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, vec_id ASC) AS rn
+       |         FROM (SELECT a.qid, c.vec_id, $cos AS cos
+       |               FROM embeddings c JOIN a ON c.vec_id != a.qid) x)
+       |SELECT p.qid, CAST(p.rn AS INT) AS rn, p.vec_id, p.cos,
+       |  CASE WHEN q.vec_id IS NOT NULL THEN 1 ELSE 0 END AS post_hit
+       |FROM pre p LEFT JOIN (SELECT qid, vec_id FROM post WHERE rn <= $FILT_POST) q
+       |  ON p.qid = q.qid AND p.vec_id = q.vec_id
+       |WHERE p.rn <= $FILT_K ORDER BY p.qid, p.rn""".stripMargin
+  }
 
   /** DuckDB replay of the two-stage search: the full PQ chain down to
     * ADC distances, a per-query R-shortlist, then the exact rounded
@@ -1871,6 +1951,7 @@ object Similarity {
     "q_ann_ivf_kmeans" -> kmeansOracleSql,
     "q_ann_pq_adc" -> pqOracleSql,
     "q_ann_rerank" -> rerankOracleSql,
+    "q_ann_filtered" -> filteredOracleSql,
     "q_mine_bitext" -> {
       val cosRaw =
         """list_sum(list_transform(range(1, 65),
