@@ -110,16 +110,24 @@ object GraftFunctions {
       (((x >> i) & 1).toLong << (2 * i)) + (((y >> i) & 1).toLong << (2 * i + 1))
     }.sum
 
-  /** Hilbert curve index on the 256×256 plane (the classic xy2d bit
-    * transform — Hilbert 1891; Warren, Hacker's Delight §16 for the
-    * iterative form): 8 unrolled quadrant steps, each reading one bit
-    * of x and y, accumulating s²·((3·rx) xor ry) and applying the
-    * reflect-and-swap rotation. Unlike Morton order, consecutive curve
-    * values are always ADJACENT cells (unit Manhattan step — pinned by
-    * property test), which is why Hilbert clustering yields tighter
-    * per-file bounding boxes than z-order for 2-D data skipping.
-    * Pure column arithmetic — codegen'd, in-register per row. */
-  def hilbert8(x0: Column, y0: Column): Column = {
+  /** Hilbert curve index on the 256×256 plane. Runs the native
+    * single-loop [[HilbertIndex8]] expression — the composed-Column
+    * unrolling below doubles its tree per rotation step (4⁸ nodes by
+    * step 8) and made q_hilbert_locality a 67-second query at sf0.1;
+    * the native loop is sub-second on the same input (equivalence
+    * pinned by property test against [[hilbert8Ref]]). Unlike Morton
+    * order, consecutive curve values are always ADJACENT cells (unit
+    * Manhattan step — pinned by property test), which is why Hilbert
+    * clustering yields tighter per-file bounding boxes than z-order
+    * for 2-D data skipping. */
+  def hilbert8(x0: Column, y0: Column): Column =
+    CurveExpressions.hilbertFast(x0, y0)
+
+  /** The composed-Column form [[hilbert8]] replaces; retained as the
+    * equivalence-test reference for the native expression. Do NOT use
+    * in queries — exponential expression-tree growth (see scaladoc
+    * above). */
+  private[graft] def hilbert8Composed(x0: Column, y0: Column): Column = {
     var x = x0.cast("int"); var y = y0.cast("int"); var d = lit(0L)
     var s = 128
     while (s > 0) {

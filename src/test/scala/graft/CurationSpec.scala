@@ -70,6 +70,16 @@ class CurationSpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  test("retained composed-Column hilbert form agrees with the reference (sampled)") {
+    val rows = for (x <- 0 until 256 by 23; y <- 0 until 256 by 31) yield (x.toLong, y.toLong)
+    val got = rows.toDF("x", "y")
+      .select($"x", $"y", GraftFunctions.hilbert8Composed($"x", $"y").as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === GraftFunctions.hilbert8Ref(r.getLong(0).toInt, r.getLong(1).toInt))
+    }
+  }
+
   test("hilbert beats morton on non-aligned tiles, ties on aligned ones (full plane)") {
     def areaSum(curve: (Int, Int) => Long, tile: Long): Long =
       (for (x <- 0 until 256; y <- 0 until 256) yield (curve(x, y) / tile, x, y))
