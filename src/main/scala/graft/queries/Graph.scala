@@ -227,16 +227,24 @@ object Graph {
         .agg(max("deg")).head().getLong(0)
       val rows = scala.collection.mutable.ArrayBuffer(
         (0, nNodes0, und0.count()))
+      // each round's keep/edges are localCheckpointed EAGERLY before
+      // their counts: without the checkpoint, round r's lineage chains
+      // r rounds of joins back to und0 and every count() action (two
+      // per round) re-executes the whole prefix — measured 6.9 s at
+      // sf0.1; checkpointed, each round runs its joins exactly once
+      // and the counts are scans (~1.5 s)
       var edges = und0
       for (r <- 1 to KC_ROUNDS) {
         val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .where(col("deg") >= k).select("src")
           .repartition(loopParts, col("src"))
+          .localCheckpoint(true)
         edges = edges
           .join(keep, "src")
           .join(keep.select(col("src").as("dst")), "dst")
           .select("src", "dst")
           .repartition(loopParts, col("src"))
+          .localCheckpoint(true)
         rows += ((r, keep.count(), edges.count()))
       }
       rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
@@ -384,7 +392,10 @@ object Graph {
     * frontier `localCheckpoint`ed per round so lineage stays flat
     * (the q_dedup_cluster treatment). Set-BFS (min over seeds) keeps
     * state one row per node; the per-root variant multiplies state by
-    * |roots| and is the same plan with root in the key. */
+    * |roots| and is the same plan with root in the key. The broadcast
+    * hints are sized to the node domain (frontier/assigned ≤ |V| ≪
+    * |E|); on a billion-node graph both joins revert to node-keyed
+    * shuffles — same plan, no broadcast. */
   val qGraphBfs: Q = (s, d) => {
     val e = Tables.lineitem(s, d)
       .select((col("l_partkey") % BFS_MOD).as("a"),
@@ -400,13 +411,17 @@ object Graph {
         .withColumn("dist", lit(0)).localCheckpoint(true)
       var frontier = assigned.select("node")
       for (k <- 1 to BFS_DEPTH) {
-        frontier = frontier.join(und, col("node") === col("src"))
+        // frontier and assigned are node-domain-sized (≤ |V| rows) but
+        // post-checkpoint their stats are unknown — hint the broadcast
+        // explicitly or the edge table shuffles into an SMJ every round
+        frontier = broadcast(frontier).join(und, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
-          .join(assigned, Seq("node"), "left_anti")
+          .join(broadcast(assigned), Seq("node"), "left_anti")
           .localCheckpoint(true)
-        assigned = assigned
-          .unionAll(frontier.withColumn("dist", lit(k)))
-          .localCheckpoint(true)
+        // assigned stays a lazy union of CHECKPOINTED frontier frames —
+        // re-scanning k tiny frames per anti-join is cheaper than
+        // materializing the accumulated union every round
+        assigned = assigned.unionAll(frontier.withColumn("dist", lit(k)))
       }
       nodes.join(assigned, Seq("node"), "left_outer")
         .groupBy(coalesce(col("dist"), lit(-1)).as("dist"))
