@@ -798,7 +798,50 @@ object Dedup {
       .orderBy("tok_a", "tok_b")
   }
 
+  /** URL canonicalization dedup — the first pass of every web-corpus
+    * pipeline (CommonCrawl WARC dedup keys on the canonicalized URL
+    * before any content hashing): normalize scheme/host case, strip
+    * tracking parameters (utm_*, ref), drop dangling separators and
+    * the trailing slash, then count how many raw variants collapse
+    * per canonical URL. The fixture has no URL column, so each doc
+    * synthesizes one IN-PLAN with deterministic doc_id-derived
+    * variations (upper-cased host every 3rd doc, trailing slash every
+    * 2nd, tracking query every doc except each 4th, ~7 docs sharing a
+    * path) — the perturbed-twin pattern again: both engines derive
+    * identical raw URLs, and the oracle hash pins every
+    * normalization rule.
+    *
+    * Shape: synthesis + normalization are map-side string ops
+    * (regex kept to RE2-safe character classes so Java and DuckDB
+    * scan identically); the only shuffles are the canonical-key
+    * aggregate and a source-level rollup. */
+  val qDedupUrlnorm: Q = (s, d) => {
+    val raw = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(
+          lit("HTTPS://"),
+          when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".Example.COM/docs/"), expr("CAST(doc_id div 7 AS STRING)"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 =!= 0,
+            concat(lit("?utm_source=feed&ref="), (col("doc_id") % 5).cast("string")))
+            .otherwise(lit(""))).as("url"))
+    val canon = raw
+      .withColumn("c", lower(col("url")))
+      .withColumn("c", regexp_replace(col("c"), "(utm_[a-z]+|ref)=[^&]*&?", ""))
+      .withColumn("c", regexp_replace(col("c"), "[?&]+$", ""))
+      .withColumn("c", regexp_replace(col("c"), "/$", ""))
+    canon.groupBy("source", "c")
+      .agg(count(lit(1)).as("n_raw"), countDistinct("url").as("n_variants"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_canonical"), sum("n_raw").as("n_urls"),
+        max("n_variants").as("max_variants"),
+        sum(when(col("n_raw") > 1, col("n_raw") - 1).otherwise(0L)).as("n_dup_urls"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_dedup_urlnorm" -> qDedupUrlnorm,
     "q_dedup_symspell" -> qDedupSymspell,
     "q_memorization" -> qMemorization,
     "q_split_leakage" -> qSplitLeakage,
@@ -869,6 +912,30 @@ object Dedup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_urlnorm" ->
+      """WITH raw AS (SELECT doc_id, source,
+        |    concat('HTTPS://',
+        |      CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+        |      '.Example.COM/docs/', CAST(doc_id // 7 AS VARCHAR),
+        |      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+        |      CASE WHEN doc_id % 4 <> 0
+        |        THEN concat('?utm_source=feed&ref=', CAST(doc_id % 5 AS VARCHAR))
+        |        ELSE '' END) AS url
+        |  FROM documents),
+        |canon AS (SELECT source, url,
+        |    regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |      '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+        |      '[?&]+$', ''), '/$', '') AS c
+        |  FROM raw),
+        |g AS (SELECT source, c, count(*) AS n_raw,
+        |        count(DISTINCT url) AS n_variants
+        |      FROM canon GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_canonical,
+        |  CAST(sum(n_raw) AS BIGINT) AS n_urls,
+        |  CAST(max(n_variants) AS BIGINT) AS max_variants,
+        |  CAST(sum(CASE WHEN n_raw > 1 THEN n_raw - 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_urls
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_symspell" -> {
       val h28 = "CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT)"
       s"""WITH toks AS (SELECT tok, count(*) AS df FROM (

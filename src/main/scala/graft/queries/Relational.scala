@@ -419,6 +419,26 @@ object Relational {
   }
 
   /** Statistical aggregates: stddev/variance/correlation/covariance. */
+  /** Deterministic per-group MODE — the categorical summary aggregate
+    * (Spark's built-in `mode()` documents arbitrary tie-breaking,
+    * which disqualifies it for a reproducible pipeline): most
+    * frequent l_quantity per return flag, ties broken to the SMALLEST
+    * value via min(struct(−count, value)) over the value histogram —
+    * the same deterministic-mode construction as label propagation's
+    * adoption rule. Two partial-aggregable hash aggregates (value
+    * histogram, then struct-min per group), no window, no sort. */
+  val qAggMode: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("l_returnflag")
+      .agg(min(struct((-col("n")).as("negn"), col("l_quantity").as("v"))).as("m"),
+        sum("n").as("n_rows"))
+      .select(col("l_returnflag"), col("m.v").as("mode_q"),
+        (-col("m.negn")).as("n_mode"), col("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   val qAggStats: Q = (s, d) => {
     Tables.lineitem(s, d).agg(
       round(min("l_quantity"), 2).as("min_q"),
@@ -875,6 +895,7 @@ object Relational {
     "q_agg_cube" -> qAggCube,
     "q_agg_gsets" -> qAggGsets,
     "q_agg_stats" -> qAggStats,
+    "q_agg_mode" -> qAggMode,
     "q_agg_percentile" -> qAggPercentile,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_win_rank" -> qWinRank,
@@ -1080,6 +1101,17 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_mode" ->
+      """WITH h AS (SELECT l_returnflag, l_quantity, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, l_quantity AS mode_q, n AS n_mode,
+        |        sum(n) OVER (PARTITION BY l_returnflag) AS n_rows,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY n DESC, l_quantity ASC) AS rn
+        |      FROM h)
+        |SELECT l_returnflag, mode_q, CAST(n_mode AS BIGINT) AS n_mode,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM m WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "q_agg_stats" ->
       """SELECT round(min(l_quantity), 2) AS min_q, round(max(l_quantity), 2) AS max_q,
         |  round(avg(l_quantity), 6) AS avg_q,

@@ -920,6 +920,35 @@ object Similarity {
     }
   }
 
+  /** PQ distortion audit — the quantization-quality report every PQ
+    * deployment reads before trusting ADC ranking (Jégou et al. 2011
+    * §V evaluate exactly this): per subspace, the exact integer
+    * squared reconstruction error between each sub-vector (scale 10³)
+    * and its OWN assigned codeword (scale 10⁶) — the quantity ADC
+    * distances approximate by. Uneven per-subspace error is the
+    * signal that OPQ rotation is needed (compare q_ann_opq's recall
+    * row in BASELINE.md).
+    *
+    * Shape: the fit/encode are [[qAnnPqAdc]]'s cached one-pass
+    * machinery; the audit adds one broadcast join of the M·K codebook
+    * onto the code table and a map-side-combined M-row rollup — the
+    * corpus never shuffles. */
+  val qEmbedPqdist: Q = (s, d) => {
+    val sv = pqSubvecs(s, d)
+    Scoped.withCachedEager(sv) {
+      val cb = pqFit(sv)
+      val codes = pqAssign(sv, cb)
+      sv.join(codes, Seq("vec_id", "m"))
+        .join(broadcast(cb.select(col("m").as("cb_m"), col("cid"), col("c"))),
+          col("m") === col("cb_m") && col("cell") === col("cid"))
+        .select(col("m"), pqDist.as("e"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n"), sum("e").as("err_sum"),
+          max("e").as("err_max"), expr("sum(e) div count(1)").as("err_mean"))
+        .orderBy("m")
+    }
+  }
+
   private val FILT_NQ = 6    // filtered-search anchors
   private val FILT_K = 3     // constrained top-k
   private val FILT_POST = 10 // unfiltered candidate pool for post-filtering
@@ -1471,6 +1500,7 @@ object Similarity {
     "q_ann_pq_adc" -> qAnnPqAdc,
     "q_ann_rerank" -> qAnnRerank,
     "q_ann_filtered" -> qAnnFiltered,
+    "q_embed_pqdist" -> qEmbedPqdist,
     "q_mine_bitext" -> qMineBitext,
     "q_ann_opq" -> qAnnOpq,
     "q_ann_ivf_opq" -> qAnnIvfOpq,
@@ -1627,6 +1657,26 @@ object Similarity {
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |$pqChainAfterV""".stripMargin
+
+  /** DuckDB replay of the distortion audit: the PQ chain, then each
+    * sub-vector re-joined to its assigned codeword. */
+  private val pqdistOracleSql: String = {
+    val sub = PQ_SUBDIM
+    val dist =
+      s"""list_sum(list_transform(range(1, ${sub + 1}),
+         |  i -> (sv.sq[i] * 1000 - cb2.c[i]) * (sv.sq[i] * 1000 - cb2.c[i])))""".stripMargin
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$pqChainCtes,
+       |recon AS (SELECT sv.m, $dist AS e
+       |          FROM sv JOIN codes ON sv.vec_id = codes.vec_id AND sv.m = codes.m
+       |          JOIN cb2 ON cb2.m = codes.m AND cb2.cid = codes.cell)
+       |SELECT CAST(m AS INT) AS m, count(*) AS n,
+       |  CAST(sum(e) AS BIGINT) AS err_sum, CAST(max(e) AS BIGINT) AS err_max,
+       |  CAST(sum(e) // count(*) AS BIGINT) AS err_mean
+       |FROM recon GROUP BY m ORDER BY m""".stripMargin
+  }
 
   /** DuckDB replay of the filtered search: both arms brute-ranked,
     * constrained arm filtered before ranking, post_hit by marker
@@ -1952,6 +2002,7 @@ object Similarity {
     "q_ann_pq_adc" -> pqOracleSql,
     "q_ann_rerank" -> rerankOracleSql,
     "q_ann_filtered" -> filteredOracleSql,
+    "q_embed_pqdist" -> pqdistOracleSql,
     "q_mine_bitext" -> {
       val cosRaw =
         """list_sum(list_transform(range(1, 65),

@@ -746,7 +746,42 @@ object TextAnalysis {
     }
   }
 
+  private val COV_GRAIN = 1000000L // coverage share grain (10⁶)
+  private val COV_TARGET = 999500L // 99.95% — SentencePiece's default
+
+  /** Character-coverage profile — SentencePiece's alphabet-selection
+    * step (Kudo & Richardson 2018: `character_coverage=0.9995`
+    * decides which code points become base symbols and which fall to
+    * UNK/byte-fallback): corpus character histogram ranked by
+    * frequency, exact cumulative share at a 10⁶ integer grain, and
+    * the in-alphabet flag — a char is in the alphabet iff the
+    * cumulative share BEFORE it is still under the target (so the
+    * alphabet is the minimal prefix reaching 99.95%).
+    *
+    * Shape: the char explode is a constant fan-out map over doc rows;
+    * the histogram is one partial-aggregated shuffle to ≤|alphabet|
+    * rows; the ranking window runs over that bounded table (the
+    * boundedWindow marker), never corpus rows. Exact integer
+    * cumulative arithmetic — no FP on the alphabet edge. */
+  val qTextCharCoverage: Q = (s, d) => {
+    val ch = Tables.documents(s, d)
+      .select(explode(transform(sequence(lit(1), length(col("text"))),
+        i => col("text").substr(i, lit(1)))).as("ch"))
+      .groupBy("ch").agg(count(lit(1)).as("n"))
+    val w = graft.functions.GraftFunctions
+      .boundedWindow(col("n").desc, col("ch").asc)
+    val tot = ch.agg(sum("n").as("total"))
+    ch.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("rank"), col("ch"), col("n"),
+        expr(s"(cum * $COV_GRAIN) div total").as("cum_grain"),
+        (expr(s"((cum - n) * $COV_GRAIN) div total") < COV_TARGET).as("in_alphabet"))
+      .orderBy("rank")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_text_charcov" -> qTextCharCoverage,
     "q_text_llr" -> qTextLlr,
     "q_tokenize_unigram" -> qTokenizeUnigram,
     "q_text_rake" -> qTextRake,
@@ -814,6 +849,20 @@ object TextAnalysis {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    "q_text_charcov" ->
+      s"""WITH chs AS (SELECT substr(text, CAST(i AS INT), 1) AS ch
+         |             FROM documents, unnest(range(1, len(text) + 1)) t(i)),
+         |h AS (SELECT ch, count(*) AS n FROM chs GROUP BY 1),
+         |tot AS (SELECT sum(n) AS total FROM h),
+         |r AS (SELECT ch, n,
+         |        row_number() OVER (ORDER BY n DESC, ch ASC) AS rank,
+         |        sum(n) OVER (ORDER BY n DESC, ch ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM h)
+         |SELECT CAST(rank AS INT) AS rank, ch, n,
+         |  CAST((cum * $COV_GRAIN) // total AS BIGINT) AS cum_grain,
+         |  ((cum - n) * $COV_GRAIN) // total < $COV_TARGET AS in_alphabet
+         |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
     "q_text_llr" ->
       s"""WITH tk AS (SELECT $toksAll AS w FROM documents
          |           WHERE len($toksAll) >= 2),
