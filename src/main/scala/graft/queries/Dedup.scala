@@ -840,7 +840,47 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Soft deduplication — downweight duplicates instead of dropping
+    * them (the reweighting alternative argued by SoftDeDup, Xue et al.
+    * 2024, and the D4 discussion of duplicate-driven distribution
+    * shift): every member of an exact-duplicate group of size n keeps
+    * sampling weight 1/n, so the group contributes ONE expected copy
+    * while preserving each member's distinct surrounding metadata
+    * (source mix, position). Weights are exact 10⁻⁶-grain integers
+    * via integer division (1000000 div n — no FP on the weight);
+    * per-source audit reports raw size, effective (weight-summed)
+    * size, and the largest duplicate group. The fixture corpus has no
+    * exact duplicates, so the input models the real trigger for soft
+    * dedup — a second crawl snapshot re-ingesting every 5th doc
+    * (re-keyed, same text) unioned with the first — the same
+    * perturbed-twin pattern as q_dedup_urlnorm: both engines derive
+    * the identical duplicated union, and the oracle hash pins the
+    * n=2 groups' 500000-grain weights against the singletons' 10⁶.
+    *
+    * Shape: the twin union and digest are map-side; ONE
+    * hash-partitioned 1:n equi-join of docs against the per-digest
+    * group-size aggregate on the digest key (co-partitioned, the
+    * keeper-apply posture of q_dedup_apply); source rollup. A
+    * 10⁶-copy boilerplate group is n rows behind ONE digest key
+    * joining ONE aggregate row — no skew amplification. */
+  val qDedupSoft: Q = (s, d) => {
+    val base = Tables.documents(s, d).select("doc_id", "source", "text")
+    val reingest = base.where(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+    val docs = base.unionByName(reingest).withColumn("h", md5(col("text")))
+    val groups = docs.groupBy("h").agg(count(lit(1)).as("n"))
+    docs.join(groups, "h")
+      .withColumn("w_grain", expr("1000000 div n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w_grain").as("eff_grain"),
+        max("n").as("max_group"),
+        sum(when(col("n") > 1, lit(1L)).otherwise(0L)).as("n_in_dup_groups"))
+      .orderBy("source")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_dedup_soft" -> qDedupSoft,
     "q_dedup_urlnorm" -> qDedupUrlnorm,
     "q_dedup_symspell" -> qDedupSymspell,
     "q_memorization" -> qMemorization,
@@ -1117,6 +1157,19 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS nd_text
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_soft" ->
+      """WITH u AS (SELECT doc_id, source, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000000, source, text FROM documents
+        |           WHERE doc_id % 5 = 0),
+        |g AS (SELECT md5(text) AS h, count(*) AS n FROM u GROUP BY 1),
+        |j AS (SELECT u.source, g.n, 1000000 // g.n AS w_grain
+        |      FROM u JOIN g ON md5(u.text) = g.h)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(w_grain) AS BIGINT) AS eff_grain,
+        |       max(n) AS max_group,
+        |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_exact_keep" ->
       """SELECT lang, count(*) AS n_kept FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

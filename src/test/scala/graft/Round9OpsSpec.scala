@@ -502,4 +502,33 @@ class Round9OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == expect)
   }
+
+  test("q_dedup_soft: equals naive group-size reweighting; effective mass conserved") {
+    val base = spark.read.parquet(s"$SF/documents.parquet")
+      .select("doc_id", "source", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the in-plan re-ingest twin: every 5th doc appears twice
+    val rows = base ++ base.collect {
+      case (id, src, t) if id % 5 == 0 => (id + 1000000000L, src, t)
+    }
+    val n = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expect = rows.groupBy(_._2).map { case (src, rs) =>
+      (src, rs.size.toLong,
+        rs.map(t => 1000000L / n(t._3)).sum,
+        rs.map(t => n(t._3)).max,
+        rs.count(t => n(t._3) > 1).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_dedup_soft")(spark, SF)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    // the fixture twin must actually exercise duplicate groups
+    assert(got.exists(_._4 == 2L))
+    // the reweighting law: each duplicate group's summed weight is one
+    // expected copy up to the div floor — n·(10⁶ div n) ∈ (10⁶−n, 10⁶] —
+    // so corpus effective grain sits within |docs| below 10⁶·|distinct|
+    val eff = got.toSeq.map(_._3).sum
+    val distinct = n.size.toLong
+    assert(eff <= 1000000L * distinct && eff > 1000000L * distinct - rows.size)
+  }
 }
