@@ -152,6 +152,43 @@ object Pipeline {
     * that K-row table, so nothing downstream of the first aggregate
     * scales with the corpus. The same plan gates the actual emit via
     * a broadcast of the K-row allocation. */
+  /** Two-phase annealing data schedule — the final-phase quality
+    * upweighting used by recent open recipes (MiniCPM's WSD annealing
+    * stage, Llama 3's final-stage mix adjustment; OLMo's "midtraining"
+    * swap): training ends on a restricted high-quality slice while
+    * the main phase sees the whole corpus. The quality proxy here is
+    * doc length (n_chars — pluggable; any per-doc integer score slots
+    * in), and the anneal pool is the top quintile by proxy: the cut is
+    * the smallest value v with cumulative doc count ≥ 4/5·N over the
+    * ASCENDING value histogram, ties co-staged into main (the
+    * curriculum rule — no arbitrary tie split). Per (source, phase)
+    * audit: docs + exact char volume.
+    *
+    * Shape: the corpus reduces to a value-bounded histogram (distinct
+    * n_chars values — independent of corpus row count) before the
+    * cumulative window (partition lit(0), bounded rows); the 1-row cut
+    * and N attach by broadcast cross-join (scalar-attach pattern);
+    * phase labeling is map-side; one (source, phase) aggregate. No
+    * corpus sort, no corpus-keyed window — q_quality_buckets' posture
+    * applied to schedule construction. */
+  val qMixAnneal: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cm",
+      sum("c").over(boundedWindow(col("n_chars").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val cut = cum.crossJoin(broadcast(tot))
+      .where(col("cm") * 5 >= col("n") * 4)
+      .agg(min("n_chars").as("v"))
+    docs.crossJoin(broadcast(cut))
+      .withColumn("phase",
+        when(col("n_chars") > col("v"), lit("anneal")).otherwise(lit("main")))
+      .groupBy("source", "phase")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .orderBy("source", "phase")
+  }
+
   val qMixUnimax: Q = (s, d) => {
     val perLang = Tables.documents(s, d)
       .select(col("lang"), size(tokens(col("text"))).cast("long").as("n_tok"))
@@ -742,6 +779,7 @@ object Pipeline {
     "q_chunk_sliding" -> qChunkSliding,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_priority" -> qSamplePriority,
+    "q_mix_anneal" -> qMixAnneal,
     "q_mix_budget" -> qMixBudget,
     "q_mix_temperature" -> qMixTemperature,
     "q_mix_doremi" -> qMixDoremi,
@@ -942,6 +980,16 @@ object Pipeline {
          |  round(loss, 4) AS loss, round(excess, 4) AS excess,
          |  round(CAST(ew AS DOUBLE) / CAST(ewtot AS DOUBLE), 4) AS weight
          |FROM ew, et ORDER BY lang""".stripMargin,
+    "q_mix_anneal" ->
+      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm FROM h),
+        |cut AS (SELECT min(n_chars) AS v FROM cum, t WHERE cm * 5 >= 4 * n)
+        |SELECT source,
+        |  CASE WHEN n_chars > (SELECT v FROM cut) THEN 'anneal' ELSE 'main' END AS phase,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
         |m AS (SELECT max(n_l) AS n_max FROM c),

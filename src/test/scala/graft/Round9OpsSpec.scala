@@ -503,6 +503,28 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_mix_anneal: equals naive P80-histogram phase split; phases partition the corpus") {
+    val rows = spark.read.parquet(s"$SF/documents.parquet")
+      .select("source", "n_chars").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nTotal = rows.size.toLong
+    // ascending-value cumulative histogram; cut = smallest v with cum ≥ 4/5·N
+    val byVal = rows.groupBy(_._2).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val cums = byVal.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) => (v, acc + c) }.drop(1)
+    val cut = cums.collectFirst { case (v, cm) if cm * 5 >= nTotal * 4 => v }.get
+    val expect = rows.groupBy(t => (t._1, if (t._2 > cut) "anneal" else "main"))
+      .map { case ((src, ph), rs) => (src, ph, rs.size.toLong, rs.map(_._2).sum) }.toSet
+    val got = SparkEntry.queries("q_mix_anneal")(spark, SF)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // phases partition the corpus, and the anneal pool is a strict
+    // minority bounded by the quintile rule (ties co-stage into main)
+    assert(got.toSeq.map(_._3).sum == nTotal)
+    val anneal = got.toSeq.filter(_._2 == "anneal").map(_._3).sum
+    assert(anneal > 0 && anneal * 5 <= nTotal)
+  }
+
   test("q_dedup_soft: equals naive group-size reweighting; effective mass conserved") {
     val base = spark.read.parquet(s"$SF/documents.parquet")
       .select("doc_id", "source", "text").collect().toSeq
