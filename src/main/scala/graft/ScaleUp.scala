@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scale-up: builds an sf×FACTOR dataset from an
+  * existing driver fixture by unioning FACTOR key-remapped copies,
+  * preserving referential integrity and join fan-outs exactly.
+  *
+  * Purpose (round-10 verdict item 1): the 100 TB posture of every
+  * query is argued by plan shape; this turns the argument into a
+  * measurement — run `graft.Bench` on the source and the scaled
+  * fixture and compare per-query scaling factors against the data
+  * ratio, and run `graft.Verify` + the DuckDB oracle on the scaled
+  * fixture to confirm correctness is scale-independent.
+  *
+  * Construction rules (copy i ∈ [0, factor), offset = i·(maxKey+1)):
+  *  - region/nation: fixed-size dimensions, copied once (TPC-H keeps
+  *    them constant across SF).
+  *  - customer/supplier/part/orders/lineitem: every key column gets
+  *    its table's offset; foreign keys get the referenced table's
+  *    offset — each copy is a disjoint, structurally identical
+  *    sub-universe, so per-key group sizes and join fan-outs match
+  *    the source exactly (scaling measures data volume, not a
+  *    distribution shift).
+  *  - events: event_id/user_id offset; timestamps kept (the window /
+  *    sessionization load scales in users, not time range — the
+  *    realistic growth axis).
+  *  - documents: doc_id offset; copies i>0 get a distinct " ~i"
+  *    suffix so the corpus has no fabricated exact-duplicate groups
+  *    (dedup workload character preserved); n_chars recomputed.
+  *  - embeddings: vec_id offset; copies i>0 rotate the vector by i
+  *    positions — norm-preserving and decorrelating, so ANN/near-dup
+  *    bucket densities grow linearly, not quadratically.
+  *
+  * All transforms are pure deterministic column expressions of a
+  * deterministic fixture — repeated runs are bit-identical. Output is
+  * one plain parquet FILE per table (`<dest>/<name>.parquet`),
+  * matching the driver fixture layout so `graft.Tables` and the
+  * DuckDB oracle read both the same way.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <destDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val (src, dest, factor) = (args(0), args(1), args(2).toInt)
+    require(factor >= 1, "factor must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def keySpan(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1L
+
+    val customer = Tables.customer(spark, src)
+    val supplier = Tables.supplier(spark, src)
+    val part     = Tables.part(spark, src)
+    val orders   = Tables.orders(spark, src)
+    val lineitem = Tables.lineitem(spark, src)
+    val events   = Tables.events(spark, src)
+    val docs     = Tables.documents(spark, src)
+    val embs     = Tables.embeddings(spark, src)
+
+    val offC = keySpan(customer, "c_custkey")
+    val offS = keySpan(supplier, "s_suppkey")
+    val offP = keySpan(part, "p_partkey")
+    val offO = keySpan(orders, "o_orderkey")
+    val offE = keySpan(events, "event_id")
+    val offU = keySpan(events, "user_id")
+    val offD = keySpan(docs, "doc_id")
+    val offV = keySpan(embs, "vec_id")
+
+    /** union of `factor` copies with per-copy column rewrites */
+    def scaled(df: DataFrame)(rewrite: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => rewrite(df, i)).reduce(_ unionByName _)
+
+    def shift(df: DataFrame, i: Int, cols: (String, Long)*): DataFrame =
+      cols.foldLeft(df) { case (d, (c, off)) =>
+        d.withColumn(c, col(c) + lit(i * off))
+      }
+
+    /** write as ONE plain parquet file `<dest>/<name>.parquet` (the
+      * driver fixture layout — a file, not a directory — so DuckDB's
+      * read_parquet and Spark both load it unchanged; Spark still
+      * splits a single file by row group for parallel scans). */
+    def write(df: DataFrame, name: String): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dest), conf)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dest/.tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part1 = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-")).get
+      val out = new org.apache.hadoop.fs.Path(s"$dest/$name.parquet")
+      fs.delete(out, false)
+      fs.rename(part1, out)
+      fs.delete(tmp, true)
+      println(s"[scaleup] $name: ${df.count()} rows -> $out")
+    }
+
+    new java.io.File(dest).mkdirs()
+    // fixed dims: copy once
+    write(Tables.region(spark, src), "region")
+    write(Tables.nation(spark, src), "nation")
+
+    write(scaled(customer)((d, i) => shift(d, i, "c_custkey" -> offC)), "customer")
+    write(scaled(supplier)((d, i) => shift(d, i, "s_suppkey" -> offS)), "supplier")
+    write(scaled(part)((d, i) => shift(d, i, "p_partkey" -> offP)), "part")
+    write(scaled(orders)((d, i) =>
+      shift(d, i, "o_orderkey" -> offO, "o_custkey" -> offC)), "orders")
+    write(scaled(lineitem)((d, i) =>
+      shift(d, i, "l_orderkey" -> offO, "l_partkey" -> offP, "l_suppkey" -> offS)),
+      "lineitem")
+    write(scaled(events)((d, i) =>
+      shift(d, i, "event_id" -> offE, "user_id" -> offU)), "events")
+    write(scaled(docs) { (d, i) =>
+      val shifted = shift(d, i, "doc_id" -> offD)
+      if (i == 0) shifted
+      else shifted
+        .withColumn("text", concat(col("text"), lit(s" ~$i")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }, "documents")
+    write(scaled(embs) { (d, i) =>
+      val shifted = shift(d, i, "vec_id" -> offV)
+      if (i == 0) shifted
+      else {
+        val rot = i.toString
+        shifted.withColumn("embedding",
+          expr(s"concat(slice(embedding, $rot + 1, size(embedding) - $rot), " +
+               s"slice(embedding, 1, $rot))"))
+      }
+    }, "embeddings")
+
+    spark.stop()
+  }
+}

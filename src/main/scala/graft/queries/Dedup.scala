@@ -865,8 +865,12 @@ object Dedup {
     * joining ONE aggregate row — no skew amplification. */
   val qDedupSoft: Q = (s, d) => {
     val base = Tables.documents(s, d).select("doc_id", "source", "text")
+    // Twin keys live in the negative namespace (-id-1) — disjoint
+    // from every genuine nonnegative doc_id at any corpus size, so
+    // the re-key can never collide even if doc_id is later consumed
+    // downstream of the union (it is dropped today).
     val reingest = base.where(col("doc_id") % 5 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      .withColumn("doc_id", -col("doc_id") - lit(1L))
     val docs = base.unionByName(reingest).withColumn("h", md5(col("text")))
     val groups = docs.groupBy("h").agg(count(lit(1)).as("n"))
     docs.join(groups, "h")
@@ -1160,7 +1164,7 @@ object Dedup {
     "q_dedup_soft" ->
       """WITH u AS (SELECT doc_id, source, text FROM documents
         |           UNION ALL
-        |           SELECT doc_id + 1000000000, source, text FROM documents
+        |           SELECT -doc_id - 1, source, text FROM documents
         |           WHERE doc_id % 5 = 0),
         |g AS (SELECT md5(text) AS h, count(*) AS n FROM u GROUP BY 1),
         |j AS (SELECT u.source, g.n, 1000000 // g.n AS w_grain

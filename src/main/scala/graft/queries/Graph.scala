@@ -392,11 +392,19 @@ object Graph {
     * frontier `localCheckpoint`ed per round so lineage stays flat
     * (the q_dedup_cluster treatment). Set-BFS (min over seeds) keeps
     * state one row per node; the per-root variant multiplies state by
-    * |roots| and is the same plan with root in the key. The broadcast
-    * hints are sized to the node domain (frontier/assigned ≤ |V| ≪
-    * |E|); on a billion-node graph both joins revert to node-keyed
-    * shuffles — same plan, no broadcast. */
-  val qGraphBfs: Q = (s, d) => {
+    * |roots| and is the same plan with root in the key.
+    *
+    * Size-gated frontier (round 10): broadcast hints are correct only
+    * while the frontier/assigned sets fit executor memory; on a
+    * billion-node graph the frontier itself is too large to ship to
+    * every task. Each round therefore checks the (post-checkpoint,
+    * cheaply countable) state sizes against `bcastMaxRows` and drops
+    * the hints once exceeded — the SAME joins then run as node-keyed
+    * shuffles (SMJ/shuffled-hash), bit-identical output, and AQE can
+    * still re-promote a shrunken frontier. Both branches are
+    * hash-gated against the oracle (BfsGateSpec forces the shuffle
+    * branch at threshold 0). */
+  def bfsProfile(s: SparkSession, d: String, bcastMaxRows: Long): DataFrame = {
     val e = Tables.lineitem(s, d)
       .select((col("l_partkey") % BFS_MOD).as("a"),
         (col("l_suppkey") % BFS_MOD).as("b"))
@@ -410,18 +418,27 @@ object Graph {
       var assigned = nodes.where(col("node") < BFS_SEEDS)
         .withColumn("dist", lit(0)).localCheckpoint(true)
       var frontier = assigned.select("node")
+      // state row counts: free under planOnly (no checkpoint to count),
+      // one trivial cached-block scan per round otherwise
+      var stateRows = if (Scoped.isPlanOnly) 0L else assigned.count()
       for (k <- 1 to BFS_DEPTH) {
         // frontier and assigned are node-domain-sized (≤ |V| rows) but
-        // post-checkpoint their stats are unknown — hint the broadcast
-        // explicitly or the edge table shuffles into an SMJ every round
-        frontier = broadcast(frontier).join(und, col("node") === col("src"))
+        // post-checkpoint their stats are unknown — below the gate,
+        // hint the broadcast explicitly (or the edge table shuffles
+        // into an SMJ every round); above it, let both joins shuffle
+        // on the node key
+        val useBcast = stateRows <= bcastMaxRows
+        val fHinted = if (useBcast) broadcast(frontier) else frontier
+        val aHinted = if (useBcast) broadcast(assigned) else assigned
+        frontier = fHinted.join(und, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
-          .join(broadcast(assigned), Seq("node"), "left_anti")
+          .join(aHinted, Seq("node"), "left_anti")
           .localCheckpoint(true)
         // assigned stays a lazy union of CHECKPOINTED frontier frames —
         // re-scanning k tiny frames per anti-join is cheaper than
         // materializing the accumulated union every round
         assigned = assigned.unionAll(frontier.withColumn("dist", lit(k)))
+        if (!Scoped.isPlanOnly) stateRows += frontier.count()
       }
       nodes.join(assigned, Seq("node"), "left_outer")
         .groupBy(coalesce(col("dist"), lit(-1)).as("dist"))
@@ -429,6 +446,10 @@ object Graph {
         .orderBy("dist")
     }
   }
+
+  /** Default gate: 10M state rows ≈ 80 MB of (node, dist) longs —
+    * comfortably broadcastable; far above any mod-[[BFS_MOD]] domain. */
+  val qGraphBfs: Q = (s, d) => bfsProfile(s, d, 10000000L)
 
   def queries: Map[String, Q] = Map(
     "q_graph_bfs" -> qGraphBfs,

@@ -164,6 +164,15 @@ object Pipeline {
     * curriculum rule — no arbitrary tie split). Per (source, phase)
     * audit: docs + exact char volume.
     *
+    * Degenerate case (documented, by design): if the single largest
+    * n_chars value alone crosses the 4/5 cumulative boundary, the cut
+    * equals the max value and NO doc is strictly above it — the
+    * schedule collapses to one "main" phase with an empty anneal
+    * pool. This is the correct reading of the ties-to-main rule (the
+    * tie at the cut is co-staged into main even when the tie IS the
+    * top bucket); consumers detect it by the absence of any
+    * phase='anneal' row and should fall back to a single-phase run.
+    *
     * Shape: the corpus reduces to a value-bounded histogram (distinct
     * n_chars values — independent of corpus row count) before the
     * cumulative window (partition lit(0), bounded rows); the 1-row cut

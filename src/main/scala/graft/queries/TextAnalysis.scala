@@ -764,12 +764,14 @@ object TextAnalysis {
     * boundedWindow marker), never corpus rows. Exact integer
     * cumulative arithmetic — no FP on the alphabet edge. */
   val qTextCharCoverage: Q = (s, d) => {
-    // split("", -1) emits each char in ONE forward pass — the
-    // substr(i,1)-over-sequence form re-seeks the UTF8 string from
-    // position 0 per char (O(n²) per doc; measured 1.9 s vs 0.6 s at
-    // sf0.1 for the identical result).
+    // regexp_extract_all('(?s).') emits each CODE POINT in one
+    // forward pass — Java regex '.' matches a full code point, so a
+    // surrogate pair stays one character (split(text,"") would cut it
+    // into two lone surrogates and diverge from the code-point-based
+    // DuckDB oracle on any non-BMP text). Same O(n) win as split over
+    // the substr(i,1)-per-char form (measured 1.9 s → 0.4 s at sf0.1).
     val ch = Tables.documents(s, d)
-      .select(explode(split(col("text"), "")).as("ch"))
+      .select(explode(expr("regexp_extract_all(text, '(?s).', 0)")).as("ch"))
       .where(col("ch") =!= "")
       .groupBy("ch").agg(count(lit(1)).as("n"))
     val w = graft.functions.GraftFunctions
