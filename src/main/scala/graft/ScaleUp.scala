@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
   *  - events: event_id/user_id offset; timestamps kept (the window /
   *    sessionization load scales in users, not time range — the
   *    realistic growth axis).
-  *  - documents: doc_id offset; copies i>0 get a distinct " ~i"
-  *    suffix so the corpus has no fabricated exact-duplicate groups
-  *    (dedup workload character preserved); n_chars recomputed.
+  *  - documents: doc_id offset; copies i>0 suffix EVERY alnum token
+  *    with `x<i>` (one regexp pass). A whole-doc suffix would leave
+  *    copies near-identical under minhash/simhash/shingle measures
+  *    and fabricate ~100× near-dup pairs (measured: 43M minhash pairs
+  *    at factor 10); per-token suffixing makes copy vocabularies
+  *    disjoint, so near-dup structure exists only WITHIN a copy and
+  *    every dedup/text workload scales linearly with rows. n_chars
+  *    recomputed.
   *  - embeddings: vec_id offset; copies i>0 rotate the vector by i
   *    positions — norm-preserving and decorrelating, so ANN/near-dup
   *    bucket densities grow linearly, not quadratically.
@@ -121,7 +126,8 @@ object ScaleUp {
       val shifted = shift(d, i, "doc_id" -> offD)
       if (i == 0) shifted
       else shifted
-        .withColumn("text", concat(col("text"), lit(s" ~$i")))
+        .withColumn("text",
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$i"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
     write(scaled(embs) { (d, i) =>
