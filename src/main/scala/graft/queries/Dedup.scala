@@ -509,8 +509,14 @@ object Dedup {
     * grams map-side (native Shingles), document frequency via partial-
     * agg count on the (len, gram) key (Zipf-hot boilerplate collapses
     * per task), duplicated grams re-attach through ONE shuffle_hash
-    * equi-join (corpus-sized build side, AQE-skew-eligible, never
-    * broadcast, never a window on the raw gram). Union-of-lengths
+    * equi-join (corpus-sized build side, never broadcast, never a
+    * window on the raw gram). Probe-side hot-gram skew is linear work
+    * in one task here — AQE's skew split does NOT reach this shape
+    * (the dup-side final agg sits between join and shuffle, outside
+    * OptimizeSkewedJoin's pattern; measured in SkewSpec, which also
+    * pins the mitigation for a pathological single-gram corpus:
+    * materialize the dup table, or salt as in q_join_salted).
+    * Union-of-lengths
     * multiplies the explode volume by the ladder size only; every
     * per-key bound is unchanged, so the 100 TB posture is exactly
     * q_dedup_spans' × 4. All accounting is exact longs. */
@@ -555,8 +561,13 @@ object Dedup {
     * past which a struct min replaces it) → join back on the line
     * hash. The keeper table carries exactly ONE row per line hash, so
     * the join multiplies nothing; a boilerplate line hot on the probe
-    * side is equi-join skew, which AQE splits. No window anywhere near
-    * the line key. Counts are exact longs. */
+    * side is linear work in its one task (hash-probe + map-side
+    * partial agg by doc), and fans back out on the doc key. AQE's
+    * skew split does NOT reach this shape (keeper-side final agg
+    * between join and shuffle — measured in SkewSpec along with the
+    * mitigation: materialize the keeper, or salt as in q_join_salted,
+    * when one line is a pathological share of the corpus). No window
+    * anywhere near the line key. Counts are exact longs. */
   val qDedupLines: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
@@ -721,9 +732,11 @@ object Dedup {
     * distinct (hot boilerplate grams collapse per task before the
     * shuffle); membership attaches through ONE equi-join on the gram
     * key — shuffle_hash-pinned (the train gram table is corpus-sized,
-    * never broadcast) and AQE-skew-eligible, never a window on the raw
-    * gram. All accounting is exact longs; the one division is the
-    * final rounded rate. */
+    * never broadcast), never a window on the raw gram. Hot-gram probe
+    * skew: linear per-task work; AQE's skew split does not reach a
+    * join over the distinct-agg's output (SkewSpec pins this and the
+    * materialize/salt mitigation). All accounting is exact longs; the
+    * one division is the final rounded rate. */
   val qMemorization: Q = (s, d) => {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), splitOf(col("doc_id")).as("split"),
