@@ -101,6 +101,80 @@ object ZarrMeta {
 
   def zgroup: JObject = "zarr_format" -> 2
 
+  // ------------------------------------------------------------ zarr v3
+
+  /** zarr v3 group `zarr.json`; `ome` carries the OME-NGFF 0.5
+    * attributes block when present (RFC-2 layout: version under the
+    * "ome" key, not inside each multiscale). */
+  def zarrJsonGroup(ome: Option[JObject] = None): JObject = {
+    val base: JObject = ("zarr_format" -> 3) ~ ("node_type" -> "group")
+    ome match {
+      case Some(o) => base ~ ("attributes" -> (("ome" -> o): JObject))
+      case None => base ~ ("attributes" -> JObject())
+    }
+  }
+
+  /** OME-NGFF 0.5 "ome" attributes: multiscales WITHOUT per-entry
+    * version (the version lives at the ome envelope). */
+  def ome05Multiscales(name: String, numLevels: Int, scaleFactor: Seq[Int],
+      pixelSizesZyx: Seq[Double]): JObject = {
+    val datasets = scaleTransforms(numLevels, scaleFactor, pixelSizesZyx)
+      .zipWithIndex.map { case (t, i) =>
+        ("path" -> i.toString) ~ ("coordinateTransformations" -> t)
+      }
+    ("version" -> "0.5") ~
+    ("multiscales" -> List(
+      ("axes" -> axes5d()) ~ ("datasets" -> datasets) ~ ("name" -> name)))
+  }
+
+  /** blosc codec entry in v3 form (named shuffle, explicit typesize). */
+  private def bloscV3(clevel: Int, byteShuffle: Boolean, cname: String): JObject =
+    ("name" -> "blosc") ~ ("configuration" ->
+      (("cname" -> cname) ~ ("clevel" -> clevel) ~
+       ("shuffle" -> (if (byteShuffle) "shuffle" else "noshuffle")) ~
+       ("typesize" -> 2) ~ ("blocksize" -> 0)))
+
+  private def bytesLe: JObject =
+    ("name" -> "bytes") ~ ("configuration" -> (("endian" -> "little"): JObject))
+
+  /** zarr v3 array `zarr.json` for a LE uint16 dataset with "/" chunk
+    * key separator. `shardsTczyx` (chunks-per-shard grid) switches the
+    * layout to the `sharding_indexed` codec: the outer chunk grid is
+    * the SHARD shape (inner chunk × chunks-per-shard), inner chunks
+    * carry the bytes+blosc codec chain, and the shard index (offset,
+    * nbytes per inner slot) sits at the END of each shard protected by
+    * crc32c — the v3 answer to object-count explosion at 100 TB (one
+    * store object per shard, not per chunk). */
+  def zarrJsonArray(shapeTczyx: Seq[Long], chunksTczyx: Seq[Int],
+      shardsTczyx: Option[Seq[Int]], clevel: Int, byteShuffle: Boolean,
+      compressed: Boolean, cname: String = "zstd"): JObject = {
+    val inner: List[JObject] =
+      if (compressed) List(bytesLe, bloscV3(clevel, byteShuffle, cname))
+      else List(bytesLe)
+    val (gridChunk, codecs) = shardsTczyx match {
+      case Some(sh) =>
+        val shardShape = chunksTczyx.zip(sh).map { case (c, n) => c * n }
+        val sharding: JObject = ("name" -> "sharding_indexed") ~ ("configuration" ->
+          (("chunk_shape" -> chunksTczyx.toList) ~
+           ("codecs" -> inner) ~
+           ("index_codecs" -> List(bytesLe, ("name" -> "crc32c") ~ JObject())) ~
+           ("index_location" -> "end")))
+        (shardShape, List(sharding))
+      case None => (chunksTczyx, inner)
+    }
+    ("zarr_format" -> 3) ~
+    ("node_type" -> "array") ~
+    ("shape" -> shapeTczyx.toList) ~
+    ("data_type" -> "uint16") ~
+    ("chunk_grid" -> (("name" -> "regular") ~
+      ("configuration" -> (("chunk_shape" -> gridChunk.toList): JObject)))) ~
+    ("chunk_key_encoding" -> (("name" -> "default") ~
+      ("configuration" -> (("separator" -> "/"): JObject)))) ~
+    ("fill_value" -> 0) ~
+    ("codecs" -> codecs) ~
+    ("dimension_names" -> List("t", "c", "z", "y", "x"))
+  }
+
   /** Structural NGFF 0.4 validation of a channel-group `.zattrs`,
     * mirroring the reference's write-time `fmt.validate` call
     * (png_to_zarr.py:293-295 via the ome-zarr library): version, the

@@ -54,10 +54,9 @@ object Imaging {
     }.toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "vals")
   }
 
-  /** Per-chunk md5 digests of levels 0 and 1 of the synthetic stack.
-    * Takes no input table — the dataset dir is unused (the stack is
-    * synthesized so the oracle can regenerate it exactly). */
-  val qImagingDigest: Q = (s, _) => {
+  /** The synthetic stack pushed through the real pipeline: levels 0-2
+    * as chunk datasets (rechunk shuffle, iterated + fused floor-mean). */
+  private def pyramid(s: SparkSession): Seq[Dataset[ChunkRow]] = {
     import s.implicits._
     val slices: Dataset[SliceRow] = s.range(NZ).map { zl =>
       val z = zl.toInt
@@ -84,16 +83,79 @@ object Imaging {
     // level 0) — its iterated-floor-mean equivalence is spec-pinned,
     // and this row puts it under the cross-engine hash gate as well
     val l2 = SmartSpimPipeline.downsampleToLevel(l0, CHUNK, FACTOR, 2)
-    digestRows(0, l0).union(digestRows(1, l1)).union(digestRows(2, l2))
+    Seq(l0, l1, l2)
+  }
+
+  private def digestOf(levels: Seq[DataFrame]): DataFrame =
+    levels.reduce(_ union _)
       .select(col("level"), col("zc"), col("yc"), col("xc"),
         col("dz"), col("dy"), col("dx"), md5(col("vals")).as("digest"))
       .orderBy("level", "zc", "yc", "xc")
+
+  /** Per-chunk md5 digests of levels 0 and 1 of the synthetic stack.
+    * Takes no input table — the dataset dir is unused (the stack is
+    * synthesized so the oracle can regenerate it exactly). */
+  val qImagingDigest: Q = (s, _) => {
+    val Seq(l0, l1, l2) = pyramid(s)
+    digestOf(Seq(digestRows(0, l0), digestRows(1, l1), digestRows(2, l2)))
   }
 
-  def queries: Map[String, Q] = Map("q_imaging_digest" -> qImagingDigest)
+  /** The SAME digest gate, but every chunk first round-trips through
+    * the zarr v3 SHARDED DSv2 sink + source (round-10 verdict item 5):
+    * pyramid levels write into one v3 store (2×2×2 chunks per shard,
+    * blosc-compressed inner chunks, crc32c footer index, shard-aligned
+    * repartition per the writer contract), then the digest is computed
+    * from the READ-BACK rows — so the identical DuckDB oracle hash
+    * pins the full v3 write+read path byte-for-byte, alongside the
+    * in-memory q_imaging_digest. */
+  val qImagingDigestV3: Q = (s, _) => {
+    import s.implicits._
+    val Seq(l0, l1, l2) = pyramid(s)
+    val store = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"),
+      s"graft_digest_v3_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      .getAbsolutePath
+    def writeLevel(level: Int, ds: Dataset[ChunkRow], shape: Seq[Int]): Unit =
+      ds.map(c => (level, c.zc, c.yc, c.xc, c.dz, c.dy, c.dx, c.data))
+        .toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "data")
+        // writer contract: one shard's chunks in one task
+        .repartition(col("level"), floor(col("zc") / 2),
+          floor(col("yc") / 2), floor(col("xc") / 2))
+        .write.format("zarr").mode("append")
+        .option("chunk", CHUNK.mkString(","))
+        .option("shape", shape.mkString(","))
+        .option("zarr_format", "3").option("shard", "2,2,2")
+        .option("level", level.toString)
+        .save(store)
+    writeLevel(0, l0, Seq(NZ, NY, NX))
+    writeLevel(1, l1, Seq(NZ / 2, NY / 2, NX / 2))
+    writeLevel(2, l2, Seq(NZ / 4, NY / 4, NX / 4))
+    val vals = s.read.format("zarr").load(store)
+      .as[(Int, Int, Int, Int, Int, Int, Int, Array[Byte])]
+      .map { case (level, zc, yc, xc, dz, dy, dx, data) =>
+        val sb = new StringBuilder
+        val n = dz * dy * dx
+        var i = 0
+        while (i < n) {
+          if (i > 0) sb.append(',')
+          sb.append(((data(2 * i + 1) & 0xFF) << 8) | (data(2 * i) & 0xFF))
+          i += 1
+        }
+        (level, zc, yc, xc, dz, dy, dx, sb.toString)
+      }.toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "vals")
+    digestOf(Seq(vals))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_imaging_digest" -> qImagingDigest,
+    "q_imaging_digest_v3" -> qImagingDigestV3)
 
   def oracleSql: Map[String, String] = Map(
-    "q_imaging_digest" -> {
+    // identical voxel law for both: the v3 variant must read back the
+    // exact bytes the in-memory pipeline produced
+    "q_imaging_digest" -> digestSql,
+    "q_imaging_digest_v3" -> digestSql)
+
+  private lazy val digestSql: String = {
       val Seq(cz, cy, cx) = CHUNK
       s"""WITH v0 AS (
          |  SELECT t1.z AS z, t2.y AS y, t3.x AS x,
@@ -132,5 +194,5 @@ object Imaging {
          |  CAST(yc AS INT) AS yc, CAST(xc AS INT) AS xc, dz, dy, dx, digest
          |FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2) u
          |ORDER BY level, zc, yc, xc""".stripMargin
-    })
+  }
 }

@@ -43,9 +43,15 @@ import graft.imaging.BloscCodec
   *    temp + rename — task retries are idempotent because chunk paths
   *    are deterministic.
   *
-  * Store layout is zarr v2 with "/" dimension separator exactly as the
-  * reference writes it: `<store>/<level>/0/0/<zc>/<yc>/<xc>` plus a
-  * `.zarray` JSON per level; pixels are uint16 little-endian. Chunk
+  * Store layout: zarr v2 with "/" dimension separator exactly as the
+  * reference writes it — `<store>/<level>/0/0/<zc>/<yc>/<xc>` plus a
+  * `.zarray` JSON per level — AND zarr v3 (OME-NGFF 0.5): `zarr.json`
+  * metadata, `c/`-prefixed default chunk keys, and the
+  * `sharding_indexed` codec (option `zarr_format=3`, `shard=z,y,x`
+  * chunks-per-shard) so a 100 TB store ships one object per SHARD
+  * instead of per chunk — reads resolve chunks through each shard's
+  * crc32c-guarded footer index, and v2 stores stay readable unchanged.
+  * Pixels are uint16 little-endian. Chunk
   * payloads use the c-blosc1 frame layout (BloscCodec): this source
   * reads zstd-, lz4- and snappy-format blosc frames, including
   * multi-block and split-stream variants, and writes zstd frames any
@@ -76,32 +82,68 @@ object ZarrTable {
 
   private val COORDS = Set("level", "zc", "yc", "xc")
 
-  /** Per-level store metadata parsed from `.zarray`. */
+  /** Per-level store metadata parsed from `.zarray` (v2) or `zarr.json`
+    * (v3). `chunk` is always the LOGICAL chunk (the inner chunk when
+    * sharded); `shard` is the chunks-per-shard grid when the level uses
+    * the v3 `sharding_indexed` codec. */
   final case class LevelMeta(level: Int, shape: Seq[Int], chunk: Seq[Int],
-      compressed: Boolean)
+      compressed: Boolean, format: Int = 2, shard: Option[Seq[Int]] = None)
 
-  /** Minimal `.zarray` parse: 5-D TCZYX shape/chunks, compressor
-    * null-or-blosc — the only forms the engine writes. */
+  private def readText(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Minimal metadata parse — v2 `.zarray` (shape/chunks, compressor
+    * null-or-blosc) or v3 `zarr.json` (regular chunk grid, codec chain
+    * either [bytes(,blosc)] or [sharding_indexed]); the only forms the
+    * engine writes, plus the tensorstore/zarr-python defaults. */
   def readLevelMeta(fs: FileSystem, store: HPath, level: Int): Option[LevelMeta] = {
-    val p = new HPath(store, s"$level/.zarray")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      val j = JsonMethods.parse(txt)
-      def ints(field: String): Seq[Int] = (j \ field) match {
-        case JArray(vs) => vs.collect { case JInt(i) => i.toInt }
-        case _ => Nil
-      }
-      val shape = ints("shape").takeRight(3)
-      val chunk = ints("chunks").takeRight(3)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def ints(j: JValue): Seq[Int] = j match {
+      case JArray(vs) => vs.collect { case JInt(i) => i.toInt }
+      case _ => Nil
+    }
+    val v2 = new HPath(store, s"$level/.zarray")
+    val v3 = new HPath(store, s"$level/zarr.json")
+    if (fs.exists(v2)) {
+      val j = JsonMethods.parse(readText(fs, v2))
+      val shape = ints(j \ "shape").takeRight(3)
+      val chunk = ints(j \ "chunks").takeRight(3)
       val compressed = (j \ "compressor") != JNull
       if (shape.size == 3 && chunk.size == 3)
         Some(LevelMeta(level, shape, chunk, compressed))
       else None
-    }
+    } else if (fs.exists(v3)) {
+      val j = JsonMethods.parse(readText(fs, v3))
+      val shape = ints(j \ "shape").takeRight(3)
+      val grid = ints(j \ "chunk_grid" \ "configuration" \ "chunk_shape").takeRight(3)
+      val codecs = (j \ "codecs") match {
+        case JArray(cs) => cs
+        case _ => Nil
+      }
+      def hasBlosc(cs: Seq[JValue]): Boolean =
+        cs.exists(c => (c \ "name") == JString("blosc"))
+      val sharding = codecs.find(c => (c \ "name") == JString("sharding_indexed"))
+      sharding match {
+        case Some(sc) =>
+          val inner = ints(sc \ "configuration" \ "chunk_shape").takeRight(3)
+          val innerCodecs = (sc \ "configuration" \ "codecs") match {
+            case JArray(cs) => cs
+            case _ => Nil
+          }
+          if (shape.size == 3 && grid.size == 3 && inner.size == 3 &&
+              inner.zip(grid).forall { case (i, g) => i > 0 && g % i == 0 })
+            Some(LevelMeta(level, shape, inner, hasBlosc(innerCodecs), 3,
+              Some(grid.zip(inner).map { case (g, i) => g / i })))
+          else None
+        case None =>
+          if (shape.size == 3 && grid.size == 3)
+            Some(LevelMeta(level, shape, grid, hasBlosc(codecs), 3))
+          else None
+      }
+    } else None
   }
 
   /** True iff the chunk coordinates can satisfy `f` (conservative:
@@ -167,11 +209,16 @@ class ZarrScanBuilder(store: String) extends ScanBuilder
   override def build(): Scan = new ZarrScan(store, pushed, required)
 }
 
-/** One chunk file (or grid position) to read. dz/dy/dx are the
+/** Pointer into a v3 sharded store: the shard object holding the
+  * chunk, the chunk's slot in the shard's row-major inner index, and
+  * the index slot count (grid size of one shard). */
+final case class ZarrShardRef(path: String, slot: Int, slots: Int)
+
+/** One chunk (file or shard slot) to read. dz/dy/dx are the
   * edge-clamped logical dims; cz/cy/cx the stored (padded) chunk. */
 final case class ZarrChunkSpec(level: Int, zc: Int, yc: Int, xc: Int,
     dz: Int, dy: Int, dx: Int, cz: Int, cy: Int, cx: Int,
-    compressed: Boolean, path: String)
+    compressed: Boolean, path: String, shard: Option[ZarrShardRef] = None)
 
 final case class ZarrInputPartition(specs: Seq[ZarrChunkSpec]) extends InputPartition
 
@@ -200,10 +247,24 @@ class ZarrScan(store: String, pushed: Array[Filter], required: StructType)
         xc <- 0 until (nx + cx - 1) / cx
         coords = Map("level" -> level, "zc" -> zc, "yc" -> yc, "xc" -> xc)
         if pushed.forall(ZarrTable.matches(_, coords))
-      } specs += ZarrChunkSpec(level, zc, yc, xc,
-        math.min(cz, nz - zc * cz), math.min(cy, ny - yc * cy),
-        math.min(cx, nx - xc * cx), cz, cy, cx, m.compressed,
-        s"$store/$level/0/0/$zc/$yc/$xc")
+      } {
+        // chunk addressing by store version: v2 "<level>/0/0/z/y/x";
+        // v3 default key encoding "<level>/c/0/0/z/y/x"; v3 sharded —
+        // the SHARD object keyed by shard grid coords, chunk resolved
+        // through the shard's row-major inner index
+        val (path, shardRef) = (m.format, m.shard) match {
+          case (2, _) => (s"$store/$level/0/0/$zc/$yc/$xc", None)
+          case (_, None) => (s"$store/$level/c/0/0/$zc/$yc/$xc", None)
+          case (_, Some(Seq(sz, sy, sx))) =>
+            val shardPath = s"$store/$level/c/0/0/${zc / sz}/${yc / sy}/${xc / sx}"
+            val slot = ((zc % sz) * sy + (yc % sy)) * sx + (xc % sx)
+            (shardPath, Some(ZarrShardRef(shardPath, slot, sz * sy * sx)))
+        }
+        specs += ZarrChunkSpec(level, zc, yc, xc,
+          math.min(cz, nz - zc * cz), math.min(cy, ny - yc * cy),
+          math.min(cx, nx - xc * cx), cz, cy, cx, m.compressed,
+          path, shardRef)
+      }
     }
     val n = math.max(1, math.min(specs.length,
       SparkSession.active.sparkContext.defaultParallelism))
@@ -247,17 +308,52 @@ class ZarrPartitionReader(specs: Seq[ZarrChunkSpec], required: StructType)
     true
   }
 
-  /** Raw (unpadded) voxel bytes for the chunk, or null if the file is
-    * absent (un-materialized all-fill chunk). */
+  /** Parsed shard indexes, cached per shard object within this reader:
+    * reading all inner chunks of a shard opens its footer once. */
+  private val shardIndexCache =
+    scala.collection.mutable.HashMap.empty[String, Array[(Long, Long)]]
+
+  /** (offset, nbytes) per row-major inner slot; missing chunks are
+    * (-1, -1). Index sits at shard end (bytes + crc32c by default —
+    * also accepts plain bytes for stores written without the checksum). */
+  private def shardIndex(ref: ZarrShardRef): Array[(Long, Long)] =
+    shardIndexCache.getOrElseUpdate(ref.path, {
+      val p = new HPath(ref.path)
+      val len = fs.getFileStatus(p).getLen
+      val base = ref.slots * 16L
+      val withCrc = base + 4L
+      val idxLen = if (len >= withCrc) withCrc else base
+      val buf = new Array[Byte]((base).toInt)
+      val in = fs.open(p)
+      try in.readFully(len - idxLen, buf) finally in.close()
+      val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Array.fill(ref.slots) {
+        val off = bb.getLong; val n = bb.getLong
+        if (off == -1L && n == -1L) (-1L, -1L) else (off, n)
+      }
+    })
+
+  /** Raw (unpadded) voxel bytes for the chunk, or null if the file /
+    * shard slot is absent (un-materialized all-fill chunk). */
   private def readData(s: ZarrChunkSpec): Array[Byte] = {
     val p = new HPath(s.path)
     if (!needData || !fs.exists(p)) return null
-    val in = fs.open(p)
-    val raw = try {
-      val st = fs.getFileStatus(p)
-      val buf = new Array[Byte](st.getLen.toInt)
-      in.readFully(0, buf); buf
-    } finally in.close()
+    val raw = s.shard match {
+      case Some(ref) =>
+        val (off, n) = shardIndex(ref)(ref.slot)
+        if (off < 0) return null
+        val buf = new Array[Byte](n.toInt)
+        val in = fs.open(p)
+        try in.readFully(off, buf) finally in.close()
+        buf
+      case None =>
+        val in = fs.open(p)
+        try {
+          val st = fs.getFileStatus(p)
+          val buf = new Array[Byte](st.getLen.toInt)
+          in.readFully(0, buf); buf
+        } finally in.close()
+    }
     val full = if (s.compressed) BloscCodec.decompress(raw) else raw
     // clip the padded payload back to the edge-clamped dims
     if (s.dz == s.cz && s.dy == s.cy && s.dx == s.cx) full
@@ -301,50 +397,99 @@ class ZarrBatchWrite(store: String, info: LogicalWriteInfo) extends BatchWrite {
   private def clevel = Option(opts.get("clevel")).map(_.toInt).getOrElse(3)
   private def shuffle = Option(opts.get("shuffle")).forall(_.toBoolean)
   private def compressed = Option(opts.get("compressed")).forall(_.toBoolean)
+  /** `zarr_format` 2 (default, the reference's layout) or 3. */
+  private def format = Option(opts.get("zarr_format")).map(_.toInt).getOrElse(2)
+  /** v3 only: chunks-per-shard grid ("2,2,2") → sharding_indexed. */
+  private def shard = Option(opts.get("shard"))
+    .map(_.split(",").map(_.trim.toInt).toSeq)
 
   override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
     ZarrWriterFactory(store, info.schema().fieldNames, chunk, clevel, shuffle,
-      compressed)
+      compressed, format, shard)
 
   /** Driver-side finalize: when the caller provides the level's logical
     * shape (`shape` = "Z,Y,X", `level` default 0), commit writes the
-    * `.zarray` metadata, making the store self-describing for the read
+    * level metadata (`.zarray` for v2, `zarr.json` for v3 — plus the
+    * root v3 group doc), making the store self-describing for the read
     * path without a separate metadata step. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     Option(opts.get("shape")).foreach { s =>
       val Seq(nz, ny, nx) = s.split(",").map(_.trim.toLong).toSeq
       val level = Option(opts.get("level")).map(_.toInt).getOrElse(0)
-      val p = new HPath(store, s"$level/.zarray")
-      val fs = p.getFileSystem(new Configuration())
-      val out = fs.create(p, true)
-      try out.write(graft.imaging.ZarrMeta.render(graft.imaging.ZarrMeta.zarray(
-        Seq(1L, 1L, nz, ny, nx), Seq(1, 1, chunk(0), chunk(1), chunk(2)),
-        clevel, shuffle, compressed)).getBytes("UTF-8"))
-      finally out.close()
+      val fs = new HPath(store).getFileSystem(new Configuration())
+      def put(p: HPath, txt: String): Unit = {
+        val out = fs.create(p, true)
+        try out.write(txt.getBytes("UTF-8")) finally out.close()
+      }
+      if (format == 2)
+        put(new HPath(store, s"$level/.zarray"),
+          graft.imaging.ZarrMeta.render(graft.imaging.ZarrMeta.zarray(
+            Seq(1L, 1L, nz, ny, nx), Seq(1, 1, chunk(0), chunk(1), chunk(2)),
+            clevel, shuffle, compressed)))
+      else {
+        put(new HPath(store, s"$level/zarr.json"),
+          graft.imaging.ZarrMeta.render(graft.imaging.ZarrMeta.zarrJsonArray(
+            Seq(1L, 1L, nz, ny, nx), Seq(1, 1, chunk(0), chunk(1), chunk(2)),
+            shard.map(sh => Seq(1, 1, sh(0), sh(1), sh(2))),
+            clevel, shuffle, compressed)))
+        val root = new HPath(store, "zarr.json")
+        if (!fs.exists(root))
+          put(root, graft.imaging.ZarrMeta.render(
+            graft.imaging.ZarrMeta.zarrJsonGroup()))
+      }
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 final case class ZarrWriterFactory(store: String, fieldNames: Array[String],
-    chunk: Seq[Int], clevel: Int, shuffle: Boolean, compressed: Boolean)
+    chunk: Seq[Int], clevel: Int, shuffle: Boolean, compressed: Boolean,
+    format: Int = 2, shard: Option[Seq[Int]] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ZarrDataWriter(store, fieldNames, chunk, clevel, shuffle, compressed)
+    new ZarrDataWriter(store, fieldNames, chunk, clevel, shuffle, compressed,
+      format, shard)
 }
 
 final case class ZarrCommit(files: Int) extends WriterCommitMessage
 
 /** Pads each chunk row to the full chunk shape, compresses, and writes
-  * `<store>/<level>/0/0/<zc>/<yc>/<xc>` atomically (temp + rename). */
+  * it atomically (temp + rename): v2 at `<level>/0/0/<zc>/<yc>/<xc>`,
+  * v3 at `<level>/c/0/0/<zc>/<yc>/<xc>`.
+  *
+  * v3 sharded (`shard` = chunks-per-shard grid): inner-chunk payloads
+  * accumulate per shard and each COMPLETE shard object —
+  * concatenated inner chunks + the row-major (offset, nbytes) uint64-LE
+  * index + its crc32c, index_location=end — commits atomically at task
+  * commit. Contract at scale: rows must be partitioned so one shard's
+  * chunks land in one task (repartition on (level, zc/sz, yc/sy,
+  * xc/sx) before the write — two tasks holding halves of a shard would
+  * race whole-object renames); memory per task is bounded by open
+  * shards × shard bytes, so additionally sorting within partitions by
+  * the shard key keeps exactly one shard open at a time. */
 class ZarrDataWriter(store: String, fieldNames: Array[String], chunk: Seq[Int],
-    clevel: Int, shuffle: Boolean, compressed: Boolean)
+    clevel: Int, shuffle: Boolean, compressed: Boolean,
+    format: Int, shard: Option[Seq[Int]])
     extends DataWriter[InternalRow] {
   private val ord = fieldNames.zipWithIndex.toMap
   private val Seq(cz, cy, cx) = chunk
   private var written = 0
+  /** (level, shard z, shard y, shard x) → row-major inner payloads */
+  private val openShards = scala.collection.mutable.LinkedHashMap
+    .empty[(Int, Int, Int, Int), Array[Array[Byte]]]
   @transient private lazy val fs =
     new HPath(store).getFileSystem(new Configuration())
+
+  private def atomicPut(dir: HPath, name: String, payload: Array[Byte]): Unit = {
+    fs.mkdirs(dir)
+    val target = new HPath(dir, name)
+    val tmp = new HPath(dir, s".$name.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(payload) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(target, false); fs.rename(tmp, target)
+    }
+  }
 
   override def write(r: InternalRow): Unit = {
     val (level, zc, yc, xc) = (r.getInt(ord("level")), r.getInt(ord("zc")),
@@ -369,19 +514,49 @@ class ZarrDataWriter(store: String, fieldNames: Array[String], chunk: Seq[Int],
       }
     val payload =
       if (compressed) BloscCodec.compress(full, 2, clevel, shuffle) else full
-    val dir = new HPath(store, s"$level/0/0/$zc/$yc")
-    fs.mkdirs(dir)
-    val target = new HPath(dir, xc.toString)
-    val tmp = new HPath(dir, s".$xc.tmp-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, true)
-    try out.write(payload) finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(target, false); fs.rename(tmp, target)
+    shard match {
+      case Some(Seq(gz, gy, gx)) if format == 3 =>
+        val key = (level, zc / gz, yc / gy, xc / gx)
+        val slots = openShards.getOrElseUpdate(key,
+          new Array[Array[Byte]](gz * gy * gx))
+        slots(((zc % gz) * gy + (yc % gy)) * gx + (xc % gx)) = payload
+      case _ =>
+        val dir =
+          if (format == 2) new HPath(store, s"$level/0/0/$zc/$yc")
+          else new HPath(store, s"$level/c/0/0/$zc/$yc")
+        atomicPut(dir, xc.toString, payload)
     }
     written += 1
   }
 
-  override def commit(): WriterCommitMessage = ZarrCommit(written)
+  /** Assemble and atomically store every buffered shard. */
+  private def flushShards(): Unit = {
+    openShards.foreach { case ((level, sz, sy, sx), slots) =>
+      val index = java.nio.ByteBuffer.allocate(slots.length * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var offset = 0L
+      val body = new java.io.ByteArrayOutputStream()
+      slots.foreach { p =>
+        if (p == null) { index.putLong(-1L); index.putLong(-1L) }
+        else {
+          index.putLong(offset); index.putLong(p.length.toLong)
+          body.write(p); offset += p.length
+        }
+      }
+      val idxBytes = index.array()
+      val crc = new java.util.zip.CRC32C()
+      crc.update(idxBytes)
+      val tail = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array()
+      val out = new java.io.ByteArrayOutputStream()
+      body.writeTo(out); out.write(idxBytes); out.write(tail)
+      atomicPut(new HPath(store, s"$level/c/0/0/$sz/$sy"), sx.toString,
+        out.toByteArray)
+    }
+    openShards.clear()
+  }
+
+  override def commit(): WriterCommitMessage = { flushShards(); ZarrCommit(written) }
   override def abort(): Unit = () // deterministic paths: retry overwrites
   override def close(): Unit = ()
 }

@@ -246,6 +246,161 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert(got == (1 * 4099 + (3 * 16 + 5) * 17) % 65536)
   }
 
+  // ------------------------------------------------------------ zarr v3
+
+  /** The sharded-write contract (ZarrDataWriter scaladoc): co-locate
+    * each shard's chunks in one task by repartitioning on the shard
+    * key before the write. */
+  private def shardAligned(df: org.apache.spark.sql.DataFrame,
+      shard: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val Seq(gz, gy, gx) = shard
+    df.repartition(col("level"), floor(col("zc") / gz),
+      floor(col("yc") / gy), floor(col("xc") / gx))
+  }
+
+  private def makeStoreV3(compressed: Boolean, shard: Option[Seq[Int]]): Path = {
+    val store = Files.createTempDirectory("zarr-src-spec-v3")
+    val df0 = chunkRows(0).toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "data")
+    val df = shard.fold(df0)(sh => shardAligned(df0, sh))
+    val w = df.write.format("zarr").mode("append")
+      .option("chunk", Chunk.mkString(","))
+      .option("shape", Shape.mkString(","))
+      .option("compressed", compressed.toString)
+      .option("zarr_format", "3")
+    shard.fold(w)(sh => w.option("shard", sh.mkString(","))).save(store.toString)
+    store
+  }
+
+  private def assertAllVoxels(store: Path): Unit = {
+    val rows = spark.read.format("zarr").load(store.toString)
+      .select("zc", "yc", "xc", "dz", "dy", "dx", "data")
+      .as[(Int, Int, Int, Int, Int, Int, Array[Byte])].collect()
+    assert(rows.length == 8)
+    rows.foreach { case (zc, yc, xc, dz, dy, dx, data) =>
+      assert(data != null && data.length == dz * dy * dx * 2)
+      for (z <- 0 until dz; y <- 0 until dy; x <- 0 until dx) {
+        val off = ((z * dy + y) * dx + x) * 2
+        val got = ((data(off + 1) & 0xFF) << 8) | (data(off) & 0xFF)
+        assert(got == voxel(Chunk(0) * zc + z, Chunk(1) * yc + y, Chunk(2) * xc + x),
+          s"voxel mismatch at chunk ($zc,$yc,$xc) local ($z,$y,$x)")
+      }
+    }
+  }
+
+  for (compressed <- Seq(false, true)) {
+    test(s"v3 unsharded round trip (compressed=$compressed): zarr.json + c/ keys") {
+      val store = makeStoreV3(compressed, None)
+      assert(Files.exists(store.resolve("0/zarr.json")))
+      assert(Files.exists(store.resolve("zarr.json")), "root v3 group doc")
+      assert(Files.exists(store.resolve("0/c/0/0/0/0/0")), "default chunk key encoding")
+      assertAllVoxels(store)
+    }
+  }
+
+  for (compressed <- Seq(false, true)) {
+    test(s"v3 sharded round trip (compressed=$compressed): one object per shard") {
+      // chunk grid 2x2x2, shard (1,2,2) chunks -> 2 shard objects total
+      val store = makeStoreV3(compressed, Some(Seq(1, 2, 2)))
+      assert(Files.exists(store.resolve("0/c/0/0/0/0/0")))
+      assert(Files.exists(store.resolve("0/c/0/0/1/0/0")))
+      assert(!Files.exists(store.resolve("0/c/0/0/0/0/1")),
+        "chunks must live INSIDE shards, not as loose objects")
+      assertAllVoxels(store)
+    }
+  }
+
+  test("v3 shard footer: row-major uint64-LE index + valid crc32c") {
+    val store = makeStoreV3(compressed = false, Some(Seq(1, 2, 2)))
+    val bytes = Files.readAllBytes(store.resolve("0/c/0/0/0/0/0"))
+    val slots = 4 // 1*2*2 inner chunks per shard
+    val idx = java.util.Arrays.copyOfRange(bytes, bytes.length - slots * 16 - 4,
+      bytes.length - 4)
+    val crc = new java.util.zip.CRC32C(); crc.update(idx)
+    val stored = java.nio.ByteBuffer
+      .wrap(bytes, bytes.length - 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(stored == crc.getValue.toInt, "crc32c over the index must verify")
+    val bb = java.nio.ByteBuffer.wrap(idx).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val entries = Array.fill(slots)((bb.getLong, bb.getLong))
+    assert(entries.forall { case (o, n) => o >= 0 && n > 0 }, "all 4 slots present")
+    // uncompressed inner chunks are exactly the padded chunk bytes
+    assert(entries.forall(_._2 == Chunk.product * 2))
+    assert(entries.map(_._1).toSeq == entries.map(_._1).toSeq.sorted,
+      "row-major append order")
+  }
+
+  test("v3 sharded: filter pushdown prunes to chunks inside one shard") {
+    val store = makeStoreV3(compressed = true, Some(Seq(1, 2, 2)))
+    val got = spark.read.format("zarr").load(store.toString)
+      .where($"zc" === 1 && $"xc" > 0)
+      .select("zc", "yc", "xc").as[(Int, Int, Int)].collect().toSet
+    assert(got == Set((1, 0, 1), (1, 1, 1)))
+  }
+
+  test("v3 sharded: a missing inner chunk reads as null data") {
+    val store = Files.createTempDirectory("zarr-v3-missing")
+    // write only the (0,0,0) chunk of a 2x2x2 grid into (2,2,2)-chunk shards
+    chunkRows(0).take(1).toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "data")
+      .write.format("zarr").mode("append")
+      .option("chunk", Chunk.mkString(","))
+      .option("shape", Shape.mkString(","))
+      .option("zarr_format", "3").option("shard", "2,2,2")
+      .save(store.toString)
+    val rows = spark.read.format("zarr").load(store.toString)
+      .select("zc", "yc", "xc", "data")
+      .as[(Int, Int, Int, Array[Byte])].collect()
+    assert(rows.length == 8)
+    assert(rows.count(_._4 != null) == 1)
+    assert(rows.find(r => (r._1, r._2, r._3) == ((0, 0, 0))).get._4 != null)
+  }
+
+  test("v3 sharded re-write is idempotent (task-retry semantics)") {
+    val store = makeStoreV3(compressed = true, Some(Seq(1, 2, 2)))
+    val before = Files.readAllBytes(store.resolve("0/c/0/0/0/0/0"))
+    shardAligned(
+      chunkRows(0).toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "data"),
+      Seq(1, 2, 2))
+      .write.format("zarr").mode("append")
+      .option("chunk", Chunk.mkString(","))
+      .option("shape", Shape.mkString(","))
+      .option("compressed", "true")
+      .option("zarr_format", "3").option("shard", "1,2,2")
+      .save(store.toString)
+    val after = Files.readAllBytes(store.resolve("0/c/0/0/0/0/0"))
+    assert(after.sameElements(before))
+    import scala.jdk.CollectionConverters._
+    val temps = Files.walk(store).iterator().asScala
+      .filter(p => p.getFileName.toString.contains(".tmp-")).toSeq
+    assert(temps.isEmpty, s"leftover temp files: $temps")
+  }
+
+  test("v3 metadata parse: LevelMeta carries format, inner chunk and shard grid") {
+    val storeSharded = makeStoreV3(compressed = true, Some(Seq(1, 2, 2)))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val m = ZarrTable.readLevelMeta(fs,
+      new org.apache.hadoop.fs.Path(storeSharded.toString), 0).get
+    assert(m.format == 3 && m.chunk == Chunk && m.shard.contains(Seq(1, 2, 2))
+      && m.compressed)
+    val storePlain = makeStoreV3(compressed = false, None)
+    val m2 = ZarrTable.readLevelMeta(fs,
+      new org.apache.hadoop.fs.Path(storePlain.toString), 0).get
+    assert(m2.format == 3 && m2.chunk == Chunk && m2.shard.isEmpty && !m2.compressed)
+  }
+
+  test("NGFF 0.5 group doc: ome attributes render and versions sit at the envelope") {
+    import org.json4s._
+    val g = ZarrMeta.zarrJsonGroup(Some(
+      ZarrMeta.ome05Multiscales("img", 3, Seq(2, 2, 2), Seq(2.0, 1.8, 1.8))))
+    val j = org.json4s.jackson.JsonMethods.parse(ZarrMeta.render(g))
+    assert((j \ "zarr_format") == JInt(3) && (j \ "node_type") == JString("group"))
+    assert((j \ "attributes" \ "ome" \ "version") == JString("0.5"))
+    val ms = (j \ "attributes" \ "ome" \ "multiscales")(0)
+    assert((ms \ "version") == JNothing, "0.5 drops per-multiscale version")
+    val paths = (ms \ "datasets" \\ "path")
+    assert((ms \ "axes").children.length == 5)
+  }
+
   test("GraftExtensions injects dot_product and cosine_sim into the registry") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
