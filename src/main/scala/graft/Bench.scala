@@ -35,6 +35,29 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // Whole-host contention anchor, measured as a PAIR bracketing the
+    // run (round-10 hygiene): a fixed single-threaded xorshift spin
+    // whose calm-host time is a known constant. calib_pre vs
+    // calib_post localizes sustained CPU steal to the start or end of
+    // the run — a run whose pre is calm and post is inflated was clean
+    // for most queries; both inflated means read every min skeptically.
+    def calibrate(): Double = {
+      def spin(): Long = {
+        var x = 0x9E3779B97F4A7C15L; var s = 0L; var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1
+        }
+        s
+      }
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val r = spin()
+        if (r == 42L) print("") // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val calibPre = calibrate()
+
     // Optional comma-separated name filter (local iteration aid — the
     // driver always benches the full inventory).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -126,30 +149,12 @@ object Bench {
       }
     }
     val spreadMedian = medianSpread()
-    // Spread catches INTERMITTENT contention (some passes slow); a
-    // noisy neighbor pinned for the whole run slows every pass equally
-    // and leaves the spread tight. The objective anchor for that case:
-    // a fixed single-threaded xorshift spin whose calm-host time is a
-    // known constant — CPU steal inflates it proportionally, so
-    // artifacts from different rounds are comparable via calib_sec
-    // regardless of when the host was busy. Measured min-of-3 (min
-    // estimates the uncontended cost, same logic as the query minima).
-    def calibrate(): Double = {
-      def spin(): Long = {
-        var x = 0x9E3779B97F4A7C15L; var s = 0L; var i = 0
-        while (i < 200000000) {
-          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1
-        }
-        s
-      }
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val r = spin()
-        if (r == 42L) print("") // defeat dead-code elimination
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    }
-    val calib = calibrate()
+    // Closing half of the calibration pair (see calibPre above); the
+    // contention verdict uses the min of the two — CPU steal inflates
+    // the spin proportionally, so artifacts from different rounds stay
+    // comparable regardless of when the host was busy.
+    val calibPost = calibrate()
+    val calib = math.min(calibPre, calibPost)
     // Spread catches only INTERMITTENT load; SUSTAINED load slows all
     // passes equally and leaves spread flat (the round-7 artifact
     // self-reported calm at calib 0.426 while calib sat 0.414-0.446
@@ -190,7 +195,12 @@ object Bench {
     val allPasses = timed.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","loop":"$loopMode","spread_median":$spreadMedian,"contended":$contended,"calib_sec":$calib,"calib_floor":$calibFloor,"calib_contended":$calibContended,"queries":$qsFull,"passes":$allPasses,"sf":"$sfDir"}"""
+    // explicit per-query spread map (derivable from passes, but spelled
+    // out so cross-round adjudication needs no recomputation)
+    val allSpreads = spreads.map { case (k, v) =>
+      s"\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","loop":"$loopMode","spread_median":$spreadMedian,"contended":$contended,"calib_sec":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_floor":$calibFloor,"calib_contended":$calibContended,"queries":$qsFull,"passes":$allPasses,"spreads":$allSpreads,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -210,7 +220,7 @@ object Bench {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val sp = noisy.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","loop":"$loopMode","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"calib_floor":$calibFloor,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","loop":"$loopMode","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"calib_pre":${fmt(calibPre, 3)},"calib_post":${fmt(calibPost, 3)},"calib_floor":$calibFloor,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     val candidates =
