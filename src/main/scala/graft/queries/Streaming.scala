@@ -28,6 +28,16 @@ object Streaming {
     val s = parent.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "2")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // State-store provider switch (measured round 10, sf1 = 2M dedup
+    // keys): RocksDB vs the default HDFS-backed store is a wash at
+    // demo volume on this host, but RocksDB bounds executor heap by
+    // spilling state to local SST files — the right posture once
+    // per-executor state exceeds memory (billions of keys). Off by
+    // default here (demo volumes, tmpfs checkpoints); a deployment
+    // flips it with this env var or its own session conf.
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     body(s)
   }
 
