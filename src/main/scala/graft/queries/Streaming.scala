@@ -28,13 +28,15 @@ object Streaming {
     val s = parent.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "2")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // State-store provider switch (measured round 10, sf1 = 2M dedup
-    // keys): RocksDB vs the default HDFS-backed store is a wash at
-    // demo volume on this host, but RocksDB bounds executor heap by
-    // spilling state to local SST files — the right posture once
-    // per-executor state exceeds memory (billions of keys). Off by
-    // default here (demo volumes, tmpfs checkpoints); a deployment
-    // flips it with this env var or its own session conf.
+    // State-store provider switch (measured round 10 at sf1, calm
+    // calib 0.38 both runs): RocksDB costs 1.2-1.8x vs the default
+    // HDFS-backed store while state fits heap (q_stream_dedup 2M keys
+    // 8.8 -> 15.9 s, sessions 1.45 -> 1.75 s, join_outer 2.6 -> 3.6 s
+    // — SST/JNI overhead with no offload benefit), so the in-memory
+    // store stays the default. RocksDB's value is bounding executor
+    // heap once per-executor state EXCEEDS memory (billions of keys);
+    // a deployment at that scale flips it with this env var or its
+    // own session conf.
     if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
