@@ -82,13 +82,32 @@ object ImagingBench {
     val convSec = (System.nanoTime() - t1) / 1e9
 
     // output volume actually written (all levels, compressed)
-    val outBytes = {
+    def walkStats(dir: String): (Long, Long) = {
       import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(out)).iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      val files = Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith(".")) // Hadoop local .crc sidecars
+        .toSeq
+      (files.size.toLong, files.map(Files.size).sum)
     }
+    val (outObjects, outBytes) = walkStats(out)
     val mbps = rawBytes / 1e6 / convSec
-    println(f"""{"metric":"imaging_mbps","value":$mbps%.1f,"unit":"MB/s","raw_bytes":$rawBytes,"out_bytes":$outBytes,"gen_sec":$genSec%.1f,"convert_sec":$convSec%.1f,"slices":$nz,"h":$ny,"w":$nx,"chunk":"128,128,128","levels":4,"codec":"blosc-zstd-3-shuffle"}""")
+
+    // Same stack through the zarr v3 `sharding_indexed` path (2×2×2
+    // chunks per shard): the 100 TB object-store posture — ~8× fewer
+    // store objects for one extra compressed-level shuffle.
+    val out3 = root.resolve("out3").toString
+    val t2 = System.nanoTime()
+    SmartSpimJob.convertStack(spark, stack,
+      JobSettings(inputSource = root.toString, outputDirectory = out3,
+        chunkSize = Seq(128, 128, 128), downsampleLevels = 4,
+        zarrFormat = 3, shardGrid = Some(Seq(2, 2, 2))),
+      Seq(2.0, 1.8, 1.8))
+    val convSec3 = (System.nanoTime() - t2) / 1e9
+    val (outObjects3, outBytes3) = walkStats(out3)
+    val mbps3 = rawBytes / 1e6 / convSec3
+
+    println(f"""{"metric":"imaging_mbps","value":$mbps%.1f,"unit":"MB/s","raw_bytes":$rawBytes,"out_bytes":$outBytes,"out_objects":$outObjects,"gen_sec":$genSec%.1f,"convert_sec":$convSec%.1f,"v3_sharded":{"mbps":$mbps3%.1f,"convert_sec":$convSec3%.1f,"out_bytes":$outBytes3,"out_objects":$outObjects3,"shard":"2,2,2"},"slices":$nz,"h":$ny,"w":$nx,"chunk":"128,128,128","levels":4,"codec":"blosc-zstd-3-shuffle"}""")
 
     // cleanup the multi-GB fixture
     def del(p: java.nio.file.Path): Unit = {

@@ -23,7 +23,15 @@ final case class JobSettings(
     byteShuffle: Boolean = true,       // Blosc.SHUFFLE default
     chunkSize: Seq[Int] = Seq(128, 128, 128), // models.py:65-69
     scaleFactor: Seq[Int] = Seq(2, 2, 2),     // models.py:70-74
-    downsampleLevels: Int = 4                 // models.py:75-79
+    downsampleLevels: Int = 4,                // models.py:75-79
+    // Beyond-reference: zarr v3 / OME-NGFF 0.5 output. 2 (default) is
+    // the reference's layout; 3 writes `zarr.json` docs and the
+    // `<level>/c/...` key encoding. `shardGrid` (chunks-per-shard
+    // Z,Y,X; v3 only) switches levels to `sharding_indexed` — one
+    // store object per shard, the v3 answer to object-count explosion
+    // on 100 TB object stores.
+    zarrFormat: Int = 2,
+    shardGrid: Option[Seq[Int]] = None
 ) {
   require(numOfPartitions >= 1, "num_of_partitions must be >= 1")
   require(partitionToProcess >= 0 && partitionToProcess < numOfPartitions,
@@ -35,6 +43,11 @@ final case class JobSettings(
   require(chunkSize.length == 3 && chunkSize.forall(_ > 0), "chunk_size must be 3 positive ints")
   require(scaleFactor.length == 3 && scaleFactor.forall(_ > 0), "scale_factor must be 3 positive ints")
   require(downsampleLevels >= 1, "downsample_levels must be >= 1")
+  require(zarrFormat == 2 || zarrFormat == 3, "zarr_format must be 2 or 3")
+  require(shardGrid.forall(g => g.length == 3 && g.forall(_ > 0)),
+    "shard_grid must be 3 positive ints (chunks per shard, Z,Y,X)")
+  require(shardGrid.isEmpty || zarrFormat == 3,
+    "shard_grid requires zarr_format = 3 (sharding_indexed is v3-only)")
 }
 
 object JobSettings {
@@ -101,6 +114,8 @@ object JobSettings {
       byteShuffle = shuffleFlag.getOrElse(true),
       chunkSize = ints("chunk_size").getOrElse(Seq(128, 128, 128)),
       scaleFactor = ints("scale_factor").getOrElse(Seq(2, 2, 2)),
-      downsampleLevels = int("downsample_levels").getOrElse(4))
+      downsampleLevels = int("downsample_levels").getOrElse(4),
+      zarrFormat = int("zarr_format").getOrElse(2),
+      shardGrid = ints("shard_grid"))
   }
 }

@@ -135,7 +135,7 @@ object SmartSpimJob {
           current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SmartSpimPipeline.writeLevelBy(current, storeFor(outDir, _), level, chunk,
           settings.compressorLevel, settings.byteShuffle, compressed,
-          settings.compressorCname)
+          settings.compressorCname, settings.zarrFormat, settings.shardGrid)
         // `current` is now materialized in the cache (the write was an
         // action), so the level it was derived from can be released.
         prev.foreach(_.unpersist(blocking = false))
@@ -165,19 +165,34 @@ object SmartSpimJob {
       val color = wavelengthToHex(em)
       val shapeT = Seq(1L, 1L, info.shape0(0).toLong, info.shape0(1).toLong,
         info.shape0(2).toLong)
-      write(s"$store/.zgroup", ZarrMeta.render(ZarrMeta.zgroup))
-      write(s"$outDir/$channelName/.zgroup", ZarrMeta.render(ZarrMeta.zgroup))
-      val attrs = JObject(
-        ZarrMeta.multiscales(stackName, settings.downsampleLevels,
-          settings.scaleFactor, voxelZyx).obj ++
-        JObject("omero" -> ZarrMeta.omero(
-          stackName, shapeT, Seq(s"Channel:$channelName:0"), Seq(color),
-          minMax = Seq((0.0, 65535.0)),       // uint16 dtype bounds (A2)
-          startEnd = Seq((0.0, 350.0)))).obj) // hard-coded window (A3, :623-627)
-      // write-time schema validation, mirroring the reference's
-      // fmt.validate (png_to_zarr.py:293-295)
-      ZarrMeta.validateNgff(attrs)
-      write(s"$store/.zattrs", ZarrMeta.render(attrs))
+      val omero = ZarrMeta.omero(
+        stackName, shapeT, Seq(s"Channel:$channelName:0"), Seq(color),
+        minMax = Seq((0.0, 65535.0)),      // uint16 dtype bounds (A2)
+        startEnd = Seq((0.0, 350.0)))      // hard-coded window (A3, :623-627)
+      if (settings.zarrFormat == 2) {
+        write(s"$store/.zgroup", ZarrMeta.render(ZarrMeta.zgroup))
+        write(s"$outDir/$channelName/.zgroup", ZarrMeta.render(ZarrMeta.zgroup))
+        val attrs = JObject(
+          ZarrMeta.multiscales(stackName, settings.downsampleLevels,
+            settings.scaleFactor, voxelZyx).obj ++
+          JObject("omero" -> omero).obj)
+        // write-time schema validation, mirroring the reference's
+        // fmt.validate (png_to_zarr.py:293-295)
+        ZarrMeta.validateNgff(attrs)
+        write(s"$store/.zattrs", ZarrMeta.render(attrs))
+      } else {
+        // zarr v3 / OME-NGFF 0.5: ONE `zarr.json` group doc carries the
+        // "ome" attributes envelope (version at the envelope, RFC-2);
+        // omero rides along as the transitional rendering block.
+        val ome = JObject(
+          ZarrMeta.ome05Multiscales(stackName, settings.downsampleLevels,
+            settings.scaleFactor, voxelZyx).obj ++
+          JObject("omero" -> omero).obj)
+        ZarrMeta.validateNgff05(ome)
+        write(s"$store/zarr.json", ZarrMeta.render(ZarrMeta.zarrJsonGroup(Some(ome))))
+        write(s"$outDir/$channelName/zarr.json",
+          ZarrMeta.render(ZarrMeta.zarrJsonGroup()))
+      }
     }
   }
 
@@ -185,9 +200,16 @@ object SmartSpimJob {
       chunk: Seq[Int], settings: JobSettings, compressed: Boolean): Unit = {
     val shapeT = Seq(1L, 1L, shape(0).toLong, shape(1).toLong, shape(2).toLong)
     val chunksT = Seq(1, 1, chunk(0), chunk(1), chunk(2))
-    write(s"$store/$level/.zarray", ZarrMeta.render(
-      ZarrMeta.zarray(shapeT, chunksT, settings.compressorLevel,
-        settings.byteShuffle, compressed, settings.compressorCname)))
+    if (settings.zarrFormat == 2)
+      write(s"$store/$level/.zarray", ZarrMeta.render(
+        ZarrMeta.zarray(shapeT, chunksT, settings.compressorLevel,
+          settings.byteShuffle, compressed, settings.compressorCname)))
+    else
+      write(s"$store/$level/zarr.json", ZarrMeta.render(
+        ZarrMeta.zarrJsonArray(shapeT, chunksT,
+          settings.shardGrid.map(g => Seq(1, 1, g(0), g(1), g(2))),
+          settings.compressorLevel, settings.byteShuffle, compressed,
+          settings.compressorCname)))
   }
 
   /** Metadata write through the Hadoop FileSystem API, so the store

@@ -318,47 +318,95 @@ object SmartSpimPipeline {
     writeLevelBy(chunks, _ => store, level, chunk, clevel, byteShuffle,
       compressed, cname)
 
+  /** Pad an edge chunk to the full chunk shape (zarr requirement) and
+    * apply the blosc codec — the per-chunk payload as stored. */
+  private def encodeChunk(c: ChunkRow, cz: Int, cy: Int, cx: Int,
+      clevel: Int, byteShuffle: Boolean, compressed: Boolean,
+      cname: String): Array[Byte] = {
+    val full =
+      if (c.dz == cz && c.dy == cy && c.dx == cx) c.data
+      else {
+        val out = new Array[Byte](cz * cy * cx * 2)
+        var z = 0
+        while (z < c.dz) {
+          var y = 0
+          while (y < c.dy) {
+            System.arraycopy(c.data, ((z * c.dy + y) * c.dx) * 2,
+              out, ((z * cy + y) * cx) * 2, c.dx * 2)
+            y += 1
+          }
+          z += 1
+        }
+        out
+      }
+    if (compressed) BloscCodec.compress(full, 2, clevel, byteShuffle, cname)
+    else full
+  }
+
+  /** Atomic whole-object store write: temp + rename so task retries
+    * are safe (deterministic paths make retries idempotent). */
+  private def atomicPut(dir: HPath, name: String, payload: Array[Byte]): Unit = {
+    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.mkdirs(dir)
+    val target = new HPath(dir, name)
+    val tmp = new HPath(dir, s".$name.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, true)
+    try out.write(payload) finally out.close()
+    if (!fs.rename(tmp, target)) { // e.g. concurrent retry won the race
+      fs.delete(target, false); fs.rename(tmp, target)
+    }
+  }
+
   /** Multi-store variant: `storeOf` maps a chunk row's stack key to its
     * OME-Zarr store path, so one write job covers every stack in the
     * shard (the pooled pipeline). The closure must be serializable —
-    * derive the store from the stack path, don't capture a session. */
+    * derive the store from the stack path, don't capture a session.
+    *
+    * `format` 2 (default) writes the reference's v2 key layout
+    * `<level>/0/0/z/y/x`; 3 writes the v3 default encoding
+    * `<level>/c/0/0/z/y/x`. `shard` (chunks-per-shard Z,Y,X; v3 only)
+    * writes `sharding_indexed` shard objects instead of chunk files:
+    * chunks are compressed map-side, then ONE extra shuffle keyed by
+    * (stack, shard coords) co-locates each shard's inner chunks so the
+    * whole object assembles in a single task — shuffle volume is the
+    * compressed level, and per-task memory is one shard's payloads. */
   def writeLevelBy(chunks: Dataset[ChunkRow], storeOf: String => String,
       level: Int, chunk: Seq[Int], clevel: Int, byteShuffle: Boolean,
-      compressed: Boolean, cname: String = "zstd"): Unit = {
+      compressed: Boolean, cname: String = "zstd",
+      format: Int = 2, shard: Option[Seq[Int]] = None): Unit = {
     val Seq(cz, cy, cx) = chunk
-    chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
-      it.foreach { c =>
-        val full =
-          if (c.dz == cz && c.dy == cy && c.dx == cx) c.data
-          else {
-            val out = new Array[Byte](cz * cy * cx * 2)
-            var z = 0
-            while (z < c.dz) {
-              var y = 0
-              while (y < c.dy) {
-                System.arraycopy(c.data, ((z * c.dy + y) * c.dx) * 2,
-                  out, ((z * cy + y) * cx) * 2, c.dx * 2)
-                y += 1
-              }
-              z += 1
+    shard match {
+      case Some(Seq(gz, gy, gx)) if format == 3 =>
+        val session = chunks.sparkSession
+        import session.implicits._
+        chunks
+          .map(c => (c.stack, c.zc, c.yc, c.xc,
+            encodeChunk(c, cz, cy, cx, clevel, byteShuffle, compressed, cname)))
+          .groupByKey { case (stack, zc, yc, xc, _) =>
+            (stack, zc / gz, yc / gy, xc / gx) }
+          .mapGroups { (key: (String, Int, Int, Int),
+              it: Iterator[(String, Int, Int, Int, Array[Byte])]) =>
+            val (stack, sz, sy, sx) = key
+            val slots = new Array[Array[Byte]](gz * gy * gx)
+            it.foreach { case (_, zc, yc, xc, payload) =>
+              slots(((zc % gz) * gy + (yc % gy)) * gx + (xc % gx)) = payload
             }
-            out
+            atomicPut(new HPath(storeOf(stack), s"$level/c/0/0/$sz/$sy"),
+              sx.toString, ZarrShard.assemble(slots))
+            1
           }
-        val payload =
-          if (compressed) BloscCodec.compress(full, 2, clevel, byteShuffle, cname)
-          else full
-        val dir = new HPath(storeOf(c.stack),
-          s"$level/0/0/${c.zc}/${c.yc}")
-        val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        fs.mkdirs(dir)
-        val target = new HPath(dir, c.xc.toString)
-        val tmp = new HPath(dir, s".${c.xc}.tmp-${java.util.UUID.randomUUID}")
-        val out = fs.create(tmp, true)
-        try out.write(payload) finally out.close()
-        if (!fs.rename(tmp, target)) { // e.g. concurrent retry won the race
-          fs.delete(target, false); fs.rename(tmp, target)
+          .foreach((_: Int) => ()) // side-effecting write: force execution
+      case _ =>
+        chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
+          it.foreach { c =>
+            val payload =
+              encodeChunk(c, cz, cy, cx, clevel, byteShuffle, compressed, cname)
+            val dir = new HPath(storeOf(c.stack),
+              if (format == 2) s"$level/0/0/${c.zc}/${c.yc}"
+              else s"$level/c/0/0/${c.zc}/${c.yc}")
+            atomicPut(dir, c.xc.toString, payload)
+          }
         }
-      }
     }
   }
 

@@ -181,14 +181,30 @@ object ZarrMeta {
     * exact 5-axis TCZYX layout, datasets with contiguous paths 0..n-1,
     * and a 5-entry scale transform per level. Throws
     * IllegalArgumentException with the first violation. */
-  def validateNgff(attrs: JValue): Unit = {
+  def validateNgff(attrs: JValue): Unit =
+    validateMultiscales(attrs, entryVersion = Some("0.4"))
+
+  /** Structural NGFF 0.5 validation of the v3 group's "ome" attributes
+    * envelope (RFC-2 layout): version 0.5 at the ENVELOPE (not inside
+    * each multiscale), then the same axes/datasets/scale rules as 0.4.
+    * Throws IllegalArgumentException with the first violation. */
+  def validateNgff05(ome: JValue): Unit = {
+    if ((ome \ "version") != JString("0.5"))
+      throw new IllegalArgumentException("NGFF: ome envelope version must be 0.5")
+    validateMultiscales(ome, entryVersion = None)
+  }
+
+  private def validateMultiscales(attrs: JValue,
+      entryVersion: Option[String]): Unit = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(s"NGFF: $msg")
     val multiscales = (attrs \ "multiscales") match {
       case JArray(ms) if ms.nonEmpty => ms
       case _ => fail("multiscales must be a non-empty array")
     }
     multiscales.foreach { m =>
-      if ((m \ "version") != JString("0.4")) fail("multiscales version must be 0.4")
+      entryVersion.foreach { v =>
+        if ((m \ "version") != JString(v)) fail(s"multiscales version must be $v")
+      }
       val axes = (m \ "axes") match {
         case JArray(a) => a
         case _ => fail("axes must be an array")

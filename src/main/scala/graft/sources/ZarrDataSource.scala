@@ -532,26 +532,8 @@ class ZarrDataWriter(store: String, fieldNames: Array[String], chunk: Seq[Int],
   /** Assemble and atomically store every buffered shard. */
   private def flushShards(): Unit = {
     openShards.foreach { case ((level, sz, sy, sx), slots) =>
-      val index = java.nio.ByteBuffer.allocate(slots.length * 16)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      var offset = 0L
-      val body = new java.io.ByteArrayOutputStream()
-      slots.foreach { p =>
-        if (p == null) { index.putLong(-1L); index.putLong(-1L) }
-        else {
-          index.putLong(offset); index.putLong(p.length.toLong)
-          body.write(p); offset += p.length
-        }
-      }
-      val idxBytes = index.array()
-      val crc = new java.util.zip.CRC32C()
-      crc.update(idxBytes)
-      val tail = java.nio.ByteBuffer.allocate(4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array()
-      val out = new java.io.ByteArrayOutputStream()
-      body.writeTo(out); out.write(idxBytes); out.write(tail)
       atomicPut(new HPath(store, s"$level/c/0/0/$sz/$sy"), sx.toString,
-        out.toByteArray)
+        graft.imaging.ZarrShard.assemble(slots))
     }
     openShards.clear()
   }

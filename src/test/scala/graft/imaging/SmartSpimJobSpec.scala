@@ -109,6 +109,44 @@ class SmartSpimJobSpec extends AnyFunSuite {
     }
   }
 
+  test("v3 sharded job: voxel-identical to v2, one object per shard, NGFF 0.5 group") {
+    val root = mkFixture(Seq("Ex_445_Em_469"), 1)
+    def run(out: Path, fmt: Int, grid: Option[Seq[Int]]): Unit =
+      SmartSpimJob.runJob(spark, JobSettings(
+        inputSource = root.toString, outputDirectory = out.toString,
+        chunkSize = Seq(4, 4, 4), downsampleLevels = 2,
+        zarrFormat = fmt, shardGrid = grid))
+    val (v2, v3) = (root.resolve("outv2"), root.resolve("outv3"))
+    run(v2, 2, None)
+    run(v3, 3, Some(Seq(2, 2, 2)))
+    val rel = "Ex_445_Em_469/440000_460000.ome.zarr"
+    def voxels(out: Path): Seq[(Int, Int, Int, Int, Seq[Byte])] =
+      spark.read.format("zarr").load(out.resolve(rel).toString)
+        .collect().toSeq.map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getAs[Array[Byte]]("data").toSeq)).sortBy(t => (t._1, t._2, t._3, t._4))
+    val (a, b) = (voxels(v2), voxels(v3))
+    assert(a.nonEmpty && a == b) // same chunks, same decompressed bytes
+    // level 0 grid is 1x4x4 chunks; 2x2x2 chunks/shard → 1x2x2 = 4 objects
+    import scala.jdk.CollectionConverters._
+    val shardFiles = Files.walk(v3.resolve(s"$rel/0/c")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith(".")) // Hadoop local-FS .crc sidecars
+      .toSeq
+    assert(shardFiles.size == 4)
+    val rootDoc = Files.readString(v3.resolve(s"$rel/zarr.json"))
+    assert(rootDoc.contains("\"zarr_format\" : 3") || rootDoc.contains("\"zarr_format\":3"))
+    assert(rootDoc.contains("0.5") && rootDoc.contains("multiscales"))
+    // settings JSON round-trip + v2/shard misuse rejected
+    val js = JobSettings.fromJson(
+      s"""{"input_source":"$root","output_directory":"$v3",
+         |"zarr_format":3,"shard_grid":[2,2,2]}""".stripMargin)
+    assert(js.zarrFormat == 3 && js.shardGrid.contains(Seq(2, 2, 2)))
+    intercept[IllegalArgumentException] {
+      JobSettings(inputSource = "a", outputDirectory = "b",
+        shardGrid = Some(Seq(2, 2, 2))) // v2 + shard grid
+    }
+  }
+
   test("full job writes through a second FileSystem scheme (s3a:// contract, S9/S10)") {
     // mock:// is RawLocalFileSystem under a foreign scheme
     // (src/test/resources/core-site.xml). Every output path — chunk
