@@ -896,7 +896,72 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Probabilistic record linkage (Fellegi–Sunter 1969) — the entity-
+    * resolution sibling of document dedup: decide match/possible/
+    * nonmatch for CANDIDATE record pairs from agreement patterns over
+    * comparison fields, scored by log-likelihood weights
+    * log2(m/u) (agree) / log2((1-m)/(1-u)) (disagree). Weights here
+    * are fixed milli-log2 integer literals (name 9890/-4320 from
+    * m=.95,u=.001; balance 6490/-3310 from m=.9,u=.01; segment
+    * 2090/-2420 from m=.85,u=.2) so scores are exact integer sums in
+    * both engines — the EM-fitted variant would iterate these two
+    * literals, not change the plan shape.
+    *
+    * The dirty side is a deterministic perturbed twin of `customer`
+    * (the q_dedup_soft/urlnorm pattern, keys in the negative
+    * namespace): case flips and '#'→'-' that normalization absorbs, a
+    * ' jr' suffix (every 5th) that defeats name agreement, ±3-cent
+    * balance drift (every key mod 7) against a ±1-cent tolerance, and
+    * a masked segment (every 11th) — so true pairs land in all three
+    * decision classes (twin_pairs counts them per class, min/max
+    * score bound each class's envelope).
+    *
+    * Shape: BLOCKED — one hash equi-join on (nationkey, last-3 name
+    * digits), never all-pairs; block granularity is the standard
+    * linkage scale lever (more digits → smaller blocks at bigger
+    * corpora). Comparisons are integer/equality only (cents, not
+    * floats), agg is a 3-row rollup. */
+  val qLinkRecords: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val a = cust.select(
+      col("c_custkey").as("a_key"),
+      expr("regexp_replace(lower(c_name),'[^a-z0-9]','')").as("a_norm"),
+      col("c_nationkey").as("nk"),
+      expr("right(regexp_extract(c_name,'([0-9]+)',1),3)").as("blk"),
+      expr("cast(round(c_acctbal*100) as bigint)").as("a_cents"),
+      col("c_mktsegment").as("a_seg"))
+    val b = cust.select(
+      expr("-c_custkey-1").as("b_key"),
+      col("c_custkey").as("src_key"),
+      expr("""regexp_replace(lower(concat(
+          CASE WHEN c_custkey%3=0 THEN upper(c_name)
+               WHEN c_custkey%3=1 THEN replace(c_name,'#','-')
+               ELSE c_name END,
+          CASE WHEN c_custkey%5=0 THEN ' jr' ELSE '' END)),'[^a-z0-9]','')""")
+        .as("b_norm"),
+      col("c_nationkey").as("nk"),
+      expr("right(regexp_extract(c_name,'([0-9]+)',1),3)").as("blk"),
+      expr("cast(round(c_acctbal*100) as bigint) + c_custkey%7 - 3").as("b_cents"),
+      expr("CASE WHEN c_custkey%11=0 THEN 'UNKNOWN' ELSE c_mktsegment END")
+        .as("b_seg"))
+    a.join(b, Seq("nk", "blk"))
+      .withColumn("score", expr(
+        """CASE WHEN a_norm=b_norm THEN 9890 ELSE -4320 END +
+           CASE WHEN abs(a_cents-b_cents)<=1 THEN 6490 ELSE -3310 END +
+           CASE WHEN a_seg=b_seg THEN 2090 ELSE -2420 END"""))
+      .groupBy(expr(
+        """CASE WHEN score>=8000 THEN 'match'
+                WHEN score>=0 THEN 'possible'
+                ELSE 'nonmatch' END""").as("decision"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(when(col("src_key") === col("a_key"), 1L).otherwise(0L))
+          .as("twin_pairs"),
+        min("score").as("min_score"), max("score").as("max_score"))
+      .orderBy("decision")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_link_records" -> qLinkRecords,
     "q_dedup_soft" -> qDedupSoft,
     "q_dedup_urlnorm" -> qDedupUrlnorm,
     "q_dedup_symspell" -> qDedupSymspell,
@@ -969,6 +1034,41 @@ object Dedup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_link_records" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS a_key,
+        |    regexp_replace(lower(c_name),'[^a-z0-9]','','g') AS a_norm,
+        |    c_nationkey AS nk,
+        |    right(regexp_extract(c_name,'([0-9]+)',1),3) AS blk,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS a_cents,
+        |    c_mktsegment AS a_seg
+        |  FROM customer),
+        |b AS (
+        |  SELECT -c_custkey-1 AS b_key, c_custkey AS src_key,
+        |    regexp_replace(lower(concat(
+        |      CASE WHEN c_custkey%3=0 THEN upper(c_name)
+        |           WHEN c_custkey%3=1 THEN replace(c_name,'#','-')
+        |           ELSE c_name END,
+        |      CASE WHEN c_custkey%5=0 THEN ' jr' ELSE '' END)),
+        |      '[^a-z0-9]','','g') AS b_norm,
+        |    c_nationkey AS nk,
+        |    right(regexp_extract(c_name,'([0-9]+)',1),3) AS blk,
+        |    CAST(round(c_acctbal*100) AS BIGINT) + c_custkey%7 - 3 AS b_cents,
+        |    CASE WHEN c_custkey%11=0 THEN 'UNKNOWN' ELSE c_mktsegment END AS b_seg
+        |  FROM customer),
+        |p AS (
+        |  SELECT a_key, src_key,
+        |    (CASE WHEN a_norm=b_norm THEN 9890 ELSE -4320 END +
+        |     CASE WHEN abs(a_cents-b_cents)<=1 THEN 6490 ELSE -3310 END +
+        |     CASE WHEN a_seg=b_seg THEN 2090 ELSE -2420 END) AS score
+        |  FROM a JOIN b ON a.nk = b.nk AND a.blk = b.blk)
+        |SELECT CASE WHEN score>=8000 THEN 'match'
+        |            WHEN score>=0 THEN 'possible'
+        |            ELSE 'nonmatch' END AS decision,
+        |  count(*) AS pairs,
+        |  CAST(sum(CASE WHEN src_key=a_key THEN 1 ELSE 0 END) AS BIGINT) AS twin_pairs,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_urlnorm" ->
       """WITH raw AS (SELECT doc_id, source,
         |    concat('HTTPS://',
