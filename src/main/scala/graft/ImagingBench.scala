@@ -73,13 +73,36 @@ object ImagingBench {
     val genSec = (System.nanoTime() - t0) / 1e9
 
     val rawBytes = nz.toLong * ny * nx * 2
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+
+    def del(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+    // alternating v2/v3 passes, min per mode — interleaving cancels
+    // the JIT-warmup bias a fixed order bakes into whichever runs first
+    def convert(out: String, fmt: Int, grid: Option[Seq[Int]]): Double = {
+      val t = System.nanoTime()
+      SmartSpimJob.convertStack(spark, stack,
+        JobSettings(inputSource = root.toString, outputDirectory = out,
+          chunkSize = Seq(128, 128, 128), downsampleLevels = 4,
+          zarrFormat = fmt, shardGrid = grid),
+        Seq(2.0, 1.8, 1.8))
+      (System.nanoTime() - t) / 1e9
+    }
+    // v3 `sharding_indexed` (2×2×2 chunks per shard) alongside v2: the
+    // 100 TB object-store posture — ~8× fewer store objects for one
+    // extra compressed-level shuffle.
     val out = root.resolve("out").toString
-    val t1 = System.nanoTime()
-    SmartSpimJob.convertStack(spark, stack,
-      JobSettings(inputSource = root.toString, outputDirectory = out,
-        chunkSize = Seq(128, 128, 128), downsampleLevels = 4),
-      Seq(2.0, 1.8, 1.8))
-    val convSec = (System.nanoTime() - t1) / 1e9
+    val out3 = root.resolve("out3").toString
+    var convSec = Double.MaxValue
+    var convSec3 = Double.MaxValue
+    for (p <- 0 until passes) {
+      if (p > 0) { del(root.resolve("out")); del(root.resolve("out3")) }
+      convSec = math.min(convSec, convert(out, 2, None))
+      convSec3 = math.min(convSec3, convert(out3, 3, Some(Seq(2, 2, 2))))
+    }
 
     // output volume actually written (all levels, compressed)
     def walkStats(dir: String): (Long, Long) = {
@@ -91,29 +114,12 @@ object ImagingBench {
       (files.size.toLong, files.map(Files.size).sum)
     }
     val (outObjects, outBytes) = walkStats(out)
-    val mbps = rawBytes / 1e6 / convSec
-
-    // Same stack through the zarr v3 `sharding_indexed` path (2×2×2
-    // chunks per shard): the 100 TB object-store posture — ~8× fewer
-    // store objects for one extra compressed-level shuffle.
-    val out3 = root.resolve("out3").toString
-    val t2 = System.nanoTime()
-    SmartSpimJob.convertStack(spark, stack,
-      JobSettings(inputSource = root.toString, outputDirectory = out3,
-        chunkSize = Seq(128, 128, 128), downsampleLevels = 4,
-        zarrFormat = 3, shardGrid = Some(Seq(2, 2, 2))),
-      Seq(2.0, 1.8, 1.8))
-    val convSec3 = (System.nanoTime() - t2) / 1e9
     val (outObjects3, outBytes3) = walkStats(out3)
+    val mbps = rawBytes / 1e6 / convSec
     val mbps3 = rawBytes / 1e6 / convSec3
 
-    println(f"""{"metric":"imaging_mbps","value":$mbps%.1f,"unit":"MB/s","raw_bytes":$rawBytes,"out_bytes":$outBytes,"out_objects":$outObjects,"gen_sec":$genSec%.1f,"convert_sec":$convSec%.1f,"v3_sharded":{"mbps":$mbps3%.1f,"convert_sec":$convSec3%.1f,"out_bytes":$outBytes3,"out_objects":$outObjects3,"shard":"2,2,2"},"slices":$nz,"h":$ny,"w":$nx,"chunk":"128,128,128","levels":4,"codec":"blosc-zstd-3-shuffle"}""")
+    println(f"""{"metric":"imaging_mbps","value":$mbps%.1f,"unit":"MB/s","agg":"min-of-$passes","raw_bytes":$rawBytes,"out_bytes":$outBytes,"out_objects":$outObjects,"gen_sec":$genSec%.1f,"convert_sec":$convSec%.1f,"v3_sharded":{"mbps":$mbps3%.1f,"convert_sec":$convSec3%.1f,"out_bytes":$outBytes3,"out_objects":$outObjects3,"shard":"2,2,2"},"slices":$nz,"h":$ny,"w":$nx,"chunk":"128,128,128","levels":4,"codec":"blosc-zstd-3-shuffle"}""")
 
-    // cleanup the multi-GB fixture
-    def del(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
     del(root)
     spark.stop()
   }

@@ -386,13 +386,35 @@ object SmartSpimPipeline {
             (stack, zc / gz, yc / gy, xc / gx) }
           .mapGroups { (key: (String, Int, Int, Int),
               it: Iterator[(String, Int, Int, Int, Array[Byte])]) =>
+            // STREAMED shard assembly: payloads go to the store in
+            // iterator order with per-slot (offset, nbytes) recorded,
+            // index+crc appended last (index_location=end permits any
+            // body order). Peak memory = ONE payload, not the shard —
+            // buffering whole shards across 32 local tasks OOMed an
+            // 8 g heap on the 2 GB ImagingBench stack.
             val (stack, sz, sy, sx) = key
-            val slots = new Array[Array[Byte]](gz * gy * gx)
-            it.foreach { case (_, zc, yc, xc, payload) =>
-              slots(((zc % gz) * gy + (yc % gy)) * gx + (xc % gx)) = payload
+            val nSlots = gz * gy * gx
+            val offsets = Array.fill(nSlots)(-1L)
+            val lens = Array.fill(nSlots)(-1L)
+            val dir = new HPath(storeOf(stack), s"$level/c/0/0/$sz/$sy")
+            val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            fs.mkdirs(dir)
+            val name = sx.toString
+            val target = new HPath(dir, name)
+            val tmp = new HPath(dir, s".$name.tmp-${java.util.UUID.randomUUID}")
+            val out = fs.create(tmp, true)
+            var off = 0L
+            try {
+              it.foreach { case (_, zc, yc, xc, payload) =>
+                val slot = ((zc % gz) * gy + (yc % gy)) * gx + (xc % gx)
+                offsets(slot) = off; lens(slot) = payload.length.toLong
+                out.write(payload); off += payload.length
+              }
+              out.write(ZarrShard.index(offsets, lens))
+            } finally out.close()
+            if (!fs.rename(tmp, target)) { // concurrent retry won the race
+              fs.delete(target, false); fs.rename(tmp, target)
             }
-            atomicPut(new HPath(storeOf(stack), s"$level/c/0/0/$sz/$sy"),
-              sx.toString, ZarrShard.assemble(slots))
             1
           }
           .foreach((_: Int) => ()) // side-effecting write: force execution

@@ -9,25 +9,43 @@ package graft.imaging
   * write path (`SmartSpimPipeline.writeLevelBy`). */
 object ZarrShard {
 
-  def assemble(slots: Array[Array[Byte]]): Array[Byte] = {
-    val index = java.nio.ByteBuffer.allocate(slots.length * 16)
+  /** The footer: per-slot (offset, nbytes) pairs in row-major slot
+    * order, uint64-LE, followed by the crc32c of those index bytes.
+    * Missing slots carry (-1L, -1L). */
+  def index(offsets: Array[Long], lens: Array[Long]): Array[Byte] = {
+    val idx = java.nio.ByteBuffer.allocate(offsets.length * 16)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var offset = 0L
-    val body = new java.io.ByteArrayOutputStream()
-    slots.foreach { p =>
-      if (p == null) { index.putLong(-1L); index.putLong(-1L) }
-      else {
-        index.putLong(offset); index.putLong(p.length.toLong)
-        body.write(p); offset += p.length
-      }
+    var i = 0
+    while (i < offsets.length) {
+      idx.putLong(offsets(i)); idx.putLong(lens(i)); i += 1
     }
-    val idxBytes = index.array()
+    val idxBytes = idx.array()
     val crc = new java.util.zip.CRC32C()
     crc.update(idxBytes)
-    val tail = java.nio.ByteBuffer.allocate(4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array()
-    val out = new java.io.ByteArrayOutputStream(body.size + idxBytes.length + 4)
-    body.writeTo(out); out.write(idxBytes); out.write(tail)
+    val out = java.util.Arrays.copyOf(idxBytes, idxBytes.length + 4)
+    java.nio.ByteBuffer.wrap(out, idxBytes.length, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+    out
+  }
+
+  /** In-memory assembly of a whole shard (used when the caller already
+    * buffers the slot payloads, e.g. the DSv2 writer's per-task
+    * LinkedHashMap). Large shards should prefer streaming the payloads
+    * and appending [[index]] — see SmartSpimPipeline.writeLevelBy. */
+  def assemble(slots: Array[Array[Byte]]): Array[Byte] = {
+    val offsets = Array.fill(slots.length)(-1L)
+    val lens = Array.fill(slots.length)(-1L)
+    var offset = 0L
+    var i = 0
+    while (i < slots.length) {
+      val p = slots(i)
+      if (p != null) { offsets(i) = offset; lens(i) = p.length.toLong; offset += p.length }
+      i += 1
+    }
+    val idxBytes = index(offsets, lens)
+    val out = new java.io.ByteArrayOutputStream(offset.toInt + idxBytes.length)
+    slots.foreach(p => if (p != null) out.write(p))
+    out.write(idxBytes)
     out.toByteArray
   }
 }

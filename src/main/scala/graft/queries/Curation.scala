@@ -1206,7 +1206,55 @@ object Curation {
     }
   }
 
+  /** k-anonymity / l-diversity release audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007) — the privacy check run before a structured table leaves
+    * the lake, sibling of the PII scrub for freetext: records sharing a
+    * quasi-identifier (QI) combination form an equivalence class; k = class
+    * size bounds re-identification risk, l = distinct sensitive values per
+    * class bounds attribute disclosure. The whole GENERALIZATION ladder
+    * a release pipeline walks until k ≥ 5 — the quasi-identifier's
+    * balance band coarsened 100-wide → 1000-wide → dropped, nation
+    * always kept — is evaluated in ONE pass via GROUPING SETS with
+    * grouping() labeling the rung; the sensitive attribute (market
+    * segment) is never part of any QI level. The fine rung genuinely
+    * produces singleton classes (k=1 re-identifiable, l=1 leaking the
+    * member's segment outright), so every audit column is exercised.
+    * Per level: class count, min k, records in k<5 classes and their
+    * exact ppm share (integer div), min l, and l=1 class count.
+    *
+    * Shape: one partial-aggregable grouping-sets aggregate (the
+    * 3-level expand is the only exchange; distinct-segment per class
+    * is bounded by the 5-value segment alphabet) + a 3-row
+    * re-aggregate. No window, no join. */
+  val qPrivacyKanon: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        expr("cast(floor(c_acctbal/100) as int)").as("b100"),
+        expr("cast(floor(c_acctbal/1000) as int)").as("b1000"))
+    val classes = base
+      .groupingSets(
+        Seq(Seq(col("nk"), col("b100")), Seq(col("nk"), col("b1000")),
+          Seq(col("nk"))),
+        col("nk"), col("b100"), col("b1000"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("seg")).as("l"),
+        expr("cast(grouping(b100) + 2*grouping(b1000) as int)").as("lvl"))
+    classes.groupBy(expr(
+        """CASE lvl WHEN 2 THEN 'L0_nation_bal100'
+                    WHEN 1 THEN 'L1_nation_bal1000'
+                    ELSE 'L2_nation_only' END""").as("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum("k").as("n_records"),
+        min("k").as("min_k"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L)).as("records_k_lt5"),
+        min("l").as("min_l"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("classes_l_eq1"))
+      .withColumn("risk_ppm",
+        expr("1000000 * records_k_lt5 div n_records"))
+      .orderBy("level")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_privacy_kanon" -> qPrivacyKanon,
     "q_profile_drift" -> qProfileDrift,
     "q_select_dsir" -> qSelectDsir,
     "q_quality_mad" -> qQualityMad,
@@ -1282,6 +1330,28 @@ object Curation {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q_privacy_kanon" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal/100) AS INT) AS b100,
+        |         CAST(floor(c_acctbal/1000) AS INT) AS b1000
+        |  FROM customer),
+        |cls AS (
+        |  SELECT count(*) AS k, count(DISTINCT seg) AS l,
+        |         CAST(GROUPING(b100) + 2*GROUPING(b1000) AS INT) AS lvl
+        |  FROM c GROUP BY GROUPING SETS ((nk, b100), (nk, b1000), (nk)))
+        |SELECT CASE lvl WHEN 2 THEN 'L0_nation_bal100'
+        |                WHEN 1 THEN 'L1_nation_bal1000'
+        |                ELSE 'L2_nation_only' END AS level,
+        |  count(*) AS n_classes,
+        |  CAST(sum(k) AS BIGINT) AS n_records,
+        |  min(k) AS min_k,
+        |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS records_k_lt5,
+        |  min(l) AS min_l,
+        |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS classes_l_eq1,
+        |  1000000 * CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    // CAST(sum(k) AS BIGINT) AS risk_ppm
+        |FROM cls GROUP BY lvl ORDER BY 1""".stripMargin,
     "q_profile_drift" ->
       s"""WITH t AS (SELECT doc_id, lang, source, len($toksAll) AS n_tok FROM documents),
          |o AS (SELECT lang, count(*) AS n_old, sum(n_tok) AS tok_old,
