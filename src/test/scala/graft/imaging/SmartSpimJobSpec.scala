@@ -117,8 +117,10 @@ class SmartSpimJobSpec extends AnyFunSuite {
         chunkSize = Seq(4, 4, 4), downsampleLevels = 2,
         zarrFormat = fmt, shardGrid = grid))
     val (v2, v3) = (root.resolve("outv2"), root.resolve("outv3"))
+    val v3u = root.resolve("outv3u")
     run(v2, 2, None)
     run(v3, 3, Some(Seq(2, 2, 2)))
+    run(v3u, 3, None) // v3 per-chunk objects (c/-prefixed keys, no shards)
     val rel = "Ex_445_Em_469/440000_460000.ome.zarr"
     def voxels(out: Path): Seq[(Int, Int, Int, Int, Seq[Byte])] =
       spark.read.format("zarr").load(out.resolve(rel).toString)
@@ -126,6 +128,7 @@ class SmartSpimJobSpec extends AnyFunSuite {
           r.getInt(3), r.getAs[Array[Byte]]("data").toSeq)).sortBy(t => (t._1, t._2, t._3, t._4))
     val (a, b) = (voxels(v2), voxels(v3))
     assert(a.nonEmpty && a == b) // same chunks, same decompressed bytes
+    assert(voxels(v3u) == a)     // unsharded v3 job agrees too
     // level 0 grid is 1x4x4 chunks; 2x2x2 chunks/shard → 1x2x2 = 4 objects
     import scala.jdk.CollectionConverters._
     val shardFiles = Files.walk(v3.resolve(s"$rel/0/c")).iterator().asScala
