@@ -388,6 +388,52 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Count–min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    * point-frequency sibling of the [[qAggHll]] cardinality sketch: a
+    * d=4 × w=1024 counter table where each item increments one bucket
+    * per row (bucket = independent hash), and a point estimate is the
+    * MIN over its d buckets — an overestimate by construction (the
+    * one-sided bound est − exact ≥ 0 sits in the output as `over`, so
+    * the oracle hash pins the CMS law itself). Hashes are the same
+    * deterministic md5-derived [[hash28]] the oracle can replicate,
+    * salted by depth. Keys are word BIGRAMS (the fixture's unigram
+    * vocabulary is too small to load w buckets); w = 256 against a
+    * ~|vocab|² bigram space gives every bucket real collision mass, so
+    * the probes' `over` values are genuinely positive and the hash
+    * gate pins the estimator, not a degenerate zero column. Probes:
+    * the exact top-10 bigrams (ties to the smaller key) — the heavy
+    * hitters CMS exists to track.
+    *
+    * Shape: bigram explode is map-side; the sketch is a
+    * partial-aggregable groupBy bounded at d·w = 1024 rows REGARDLESS
+    * of corpus size (the whole point of a sketch — at 100 TB the
+    * sketch is still 1024 rows, mergeable across any partitioning);
+    * exact counts are key-space-bounded with map-side combine; the
+    * probe attach is a broadcast join of 40 rows against the 1024-row
+    * sketch. */
+  val qAggCms: Q = (s, d) => {
+    val D = 4
+    val W = 256
+    def buckets(tok: Column): Column = array((0 until D).map(j =>
+      hash28(concat(lit(s"$j"), lit(":"), tok)) % W): _*)
+    val words = Tables.documents(s, d)
+      .select(explode(graft.functions.TextExpressions
+        .shinglesAllFast(tokens(col("text")), 2)).as("tok"))
+    Scoped.withCached(words) {
+      val sketch = words
+        .select(posexplode(buckets(col("tok"))).as(Seq("depth", "bucket")))
+        .groupBy("depth", "bucket").agg(count(lit(1)).as("c"))
+      val probes = words.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(10)
+      val probeBuckets = probes.select(col("tok"), col("n_exact"),
+        posexplode(buckets(col("tok"))).as(Seq("depth", "bucket")))
+      sketch.join(broadcast(probeBuckets), Seq("depth", "bucket"))
+        .groupBy("tok", "n_exact").agg(min("c").as("n_cms"))
+        .withColumn("over", col("n_cms") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok"))
+    }
+  }
+
   /** ROLLUP with grouping_id. */
   val qAggRollup: Q = (s, d) => {
     Tables.lineitem(s, d)
@@ -891,6 +937,7 @@ object Relational {
     "q_join_cross" -> qJoinCross,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_hll" -> qAggHll,
+    "q_agg_cms" -> qAggCms,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
     "q_agg_gsets" -> qAggGsets,
@@ -1061,6 +1108,34 @@ object Relational {
     // deterministic HLL: every arithmetic step mirrored from qAggHll;
     // 2^-rho via integer shift (exact dyadic), literals cast to DOUBLE
     // (DuckDB decimal literals would otherwise use DECIMAL division)
+    "q_agg_cms" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> x != '') AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT w[i] || ' ' || w[i+1] AS tok
+        |  FROM t, unnest(range(1, len(w))) u(i)),
+        |sk AS (
+        |  SELECT j AS depth,
+        |    CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', tok)), 1, 7))
+        |      AS BIGINT) % 256 AS bucket,
+        |    count(*) AS c
+        |  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS j)
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok),
+        |pr AS (SELECT tok, n_exact FROM ex ORDER BY n_exact DESC, tok LIMIT 10),
+        |pb AS (
+        |  SELECT tok, n_exact, j AS depth,
+        |    CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', tok)), 1, 7))
+        |      AS BIGINT) % 256 AS bucket
+        |  FROM pr, (SELECT unnest([0, 1, 2, 3]) AS j))
+        |SELECT pb.tok, pb.n_exact,
+        |  CAST(min(sk.c) AS BIGINT) AS n_cms,
+        |  CAST(min(sk.c) - pb.n_exact AS BIGINT) AS over
+        |FROM pb JOIN sk USING (depth, bucket)
+        |GROUP BY pb.tok, pb.n_exact
+        |ORDER BY pb.n_exact DESC, pb.tok""".stripMargin,
     "q_agg_hll" ->
       """WITH h AS (SELECT l_returnflag,
         |    CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h
