@@ -63,4 +63,45 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(ids.toSet.intersect(twins.toSet).isEmpty)
     assert(twins.distinct.size == twins.size)
   }
+
+  test("q_link_records: every twin is classified exactly once (recall conservation)") {
+    val rows = graft.queries.Dedup.qLinkRecords(spark, SF).collect()
+    val nCust = spark.read.parquet(s"$SF/customer.parquet").count()
+    // each customer has exactly one perturbed twin, and blocking never
+    // loses it (the block key survives every perturbation), so the
+    // per-class twin counts partition the customer set
+    assert(rows.map(_.getAs[Long]("twin_pairs")).sum == nCust)
+    // candidate pairs are a superset of the twins
+    assert(rows.map(_.getAs[Long]("pairs")).sum >= nCust)
+  }
+
+  test("q_privacy_kanon: ladder conserves records; risk is monotone down the rungs") {
+    val rows = graft.queries.Curation.qPrivacyKanon(spark, SF).collect()
+      .map(r => (r.getAs[String]("level"), r.getAs[Long]("n_records"),
+        r.getAs[Long]("risk_ppm"), r.getAs[Long]("n_classes"))).sortBy(_._1)
+    assert(rows.length == 3)
+    // every rung partitions the SAME record set
+    assert(rows.map(_._2).distinct.length == 1)
+    // generalizing (coarser QI) can only merge classes → fewer classes,
+    // lower or equal k<5 exposure
+    assert(rows(0)._4 >= rows(1)._4 && rows(1)._4 >= rows(2)._4)
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3)
+  }
+
+  test("q_agg_cms: estimates never undercount (the CMS one-sided bound)") {
+    val rows = graft.queries.Relational.qAggCms(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cms") >= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("over") ==
+        r.getAs[Long]("n_cms") - r.getAs[Long]("n_exact"))
+    }
+  }
+
+  test("q_ann_rq: the residual stage strictly reduces reconstruction error") {
+    val rows = graft.queries.Similarity.qAnnRq(spark, SF).collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("err_sum"))).toMap
+    assert(rows.keySet == Set("s1_coarse", "s2_residual"))
+    assert(rows("s2_residual") < rows("s1_coarse"))
+  }
 }
