@@ -131,6 +131,40 @@ object Streaming {
       .orderBy("hour_ms", "event_type"))
   }
 
+  /** Streaming heavy hitters: per-hour top-3 users by event count, the
+    * leaderboard every ops dashboard runs on a firehose. The STREAMING
+    * stage is the stateful piece — an event-time tumbling-window ×
+    * user count in complete mode, state bounded at |windows|·|active
+    * users| rows (the same state law as the hourly rollup, keyed one
+    * level finer); per-window RANKING is not a supported streaming
+    * operator (rank needs the window's final multiset), so the top-3
+    * trim runs over the drained sink — exactly where a production
+    * dashboard ranks, on the store the stream maintains. Ties break to
+    * the lower user_id. */
+  val qStreamTopk: Q = (parent, d) => onStreamSession(parent) { s =>
+    val schema = eventsSchema(s, d)
+    val name = "stream_topk_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = scopedCheckpoint(name)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normalizeTs)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name) { t =>
+      val ranked = t.select(unix_millis(col("window.start")).as("hour_ms"),
+          col("user_id"), col("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("hour_ms").orderBy(col("n").desc, col("user_id"))))
+      ranked.where(col("rk") <= 3)
+        .select("hour_ms", "rk", "user_id", "n")
+        .orderBy("hour_ms", "rk")
+    }
+  }
+
   /** Sessionization: a session breaks after 30 idle minutes. Batch
     * window-function form (the flatMapGroupsWithState streaming form
     * lives in graft.streaming with its own suite). */
@@ -360,6 +394,7 @@ object Streaming {
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_static_join" -> qStreamStaticJoin,
     "q_stream_hourly" -> qStreamHourly,
+    "q_stream_topk" -> qStreamTopk,
     "q_stream_hourly_wm" -> qStreamHourlyWm,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_join" -> qStreamJoin,
@@ -411,6 +446,15 @@ object Streaming {
         |  count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM events GROUP BY hour_ms, event_type
         |ORDER BY hour_ms, event_type""".stripMargin,
+    "q_stream_topk" ->
+      """WITH c AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, user_id,
+        |    count(*) AS n
+        |  FROM events GROUP BY hour_ms, user_id)
+        |SELECT hour_ms, rk, user_id, n FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY hour_ms
+        |    ORDER BY n DESC, user_id) AS INT) AS rk FROM c) t
+        |WHERE rk <= 3 ORDER BY hour_ms, rk""".stripMargin,
     "q_stream_hourly_wm" ->
       """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS cut FROM events)
         |SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
