@@ -104,7 +104,9 @@ object ScaleUp {
       fs.delete(out, false)
       fs.rename(part1, out)
       fs.delete(tmp, true)
-      println(s"[scaleup] $name: ${df.count()} rows -> $out")
+      // metadata-only count from the written footer — re-counting `df`
+      // would re-execute the full factor-way union a second time
+      println(s"[scaleup] $name: ${spark.read.parquet(out.toString).count()} rows -> $out")
     }
 
     new java.io.File(dest).mkdirs()

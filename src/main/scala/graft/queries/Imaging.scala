@@ -142,7 +142,18 @@ object Imaging {
         }
         (level, zc, yc, xc, dz, dy, dx, sb.toString)
       }.toDF("level", "zc", "yc", "xc", "dz", "dy", "dx", "vals")
-    digestOf(Seq(vals))
+    // materialize the (bounded: one row per chunk of the synthetic
+    // stack) digest before handing the frame back, so the tmp store
+    // can be deleted NOW instead of leaking one directory per
+    // bench/verify pass (the returned frame no longer reads it lazily)
+    val out = digestOf(Seq(vals))
+    val rows = out.collect()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(store))
+    s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   def queries: Map[String, Q] = Map(

@@ -390,7 +390,7 @@ object Relational {
 
   /** Count–min sketch (Cormode & Muthukrishnan 2005) — the mergeable
     * point-frequency sibling of the [[qAggHll]] cardinality sketch: a
-    * d=4 × w=1024 counter table where each item increments one bucket
+    * d=4 × w=256 counter table (1024 cells) where each item increments one bucket
     * per row (bucket = independent hash), and a point estimate is the
     * MIN over its d buckets — an overestimate by construction (the
     * one-sided bound est − exact ≥ 0 sits in the output as `over`, so

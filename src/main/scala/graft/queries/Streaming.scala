@@ -300,8 +300,20 @@ object Streaming {
     val schema = eventsSchema(s, d)
     val name = "stream_join_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
-    def src = s.readStream.schema(schema)
+    val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+    val q = joinOuterLogic(src)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name)(joinOuterFinish)
+  }
+
+  /** The left-outer interval-join plan on a raw events stream — shared
+    * by [[qStreamJoinOuter]] and the checkpoint-restart RecoverySpec,
+    * so recovery is proven on the exact production plan. */
+  private[graft] def joinOuterLogic(events: DataFrame): DataFrame = {
+    def src = events
       .transform(Tables.normalizeTs)
       .where(col("user_id") % 10 === 0)
     val clicks = src.where(col("event_type") === "click")
@@ -312,21 +324,20 @@ object Streaming {
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "10 minutes")
-    val q = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
-        "left_outer")
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ck).start()
-    drainScoped(q, ck)
-    finishAndDrop(s, name)(_
-      .groupBy(col("c_user").as("user_id"))
-      .agg(count(col("purchase_id")).as("n_pairs"),
-        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
-        countDistinct("click_id").as("n_clicks"))
-      .orderBy("user_id"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
   }
+
+  /** Contraction of the drained join-outer rows to the oracle shape. */
+  private[graft] def joinOuterFinish(df: DataFrame): DataFrame = df
+    .groupBy(col("c_user").as("user_id"))
+    .agg(count(col("purchase_id")).as("n_pairs"),
+      sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+      countDistinct("click_id").as("n_clicks"))
+    .orderBy("user_id")
 
   /** Stream-static enrichment join: the event stream joins a STATIC
     * dimension (customer) per micro-batch — stateless (no watermark
@@ -366,29 +377,40 @@ object Streaming {
     * ACTIVE-user cardinality, not event volume, and the only shuffle
     * is the groupByKey on user_id. */
   val qStreamSessions: Q = (parent, d) => onStreamSession(parent) { s =>
-    import s.implicits._
     val schema = eventsSchema(s, d)
     val name = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
-    val events = s.readStream.schema(schema)
+    val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
+    val q = sessionsLogic(src)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name)(sessionsFinish)
+  }
+
+  /** The flatMapGroupsWithState sessionization plan on a raw events
+    * stream — shared by [[qStreamSessions]] and the checkpoint-restart
+    * RecoverySpec, so recovery is proven on the exact production plan. */
+  private[graft] def sessionsLogic(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
       .transform(Tables.normalizeTs)
       .where(col("user_id") % 25 === 0)
       .select(col("user_id").as("userId"),
         unix_millis(col("ts")).as("tsMs"),
         col("event_id").as("eventId"))
       .as[graft.streaming.Sessionizer.Event]
-    val q = graft.streaming.Sessionizer.sessionize(events, 1800000L, "10 seconds")
-      .toDF()
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ck).start()
-    drainScoped(q, ck)
-    finishAndDrop(s, name)(_
-      .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
-        col("endMs").as("end_ms"), col("nEvents").as("n_events"),
-        col("firstEvent").as("first_event"))
-      .orderBy("user_id", "start_ms"))
+    graft.streaming.Sessionizer.sessionize(typed, 1800000L, "10 seconds").toDF()
   }
+
+  /** Renames the drained session rows to the oracle shape. */
+  private[graft] def sessionsFinish(df: DataFrame): DataFrame = df
+    .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+      col("endMs").as("end_ms"), col("nEvents").as("n_events"),
+      col("firstEvent").as("first_event"))
+    .orderBy("user_id", "start_ms")
 
   def queries: Map[String, Q] = Map(
     "q_stream_sessions" -> qStreamSessions,
@@ -485,14 +507,21 @@ object Streaming {
     // the whole table — the GLOBAL watermark is the MIN across the
     // operators, and Spark's EventTimeStats floors event time to ms
     // before the max; a click evicts (emits unmatched) when its whole
-    // match window (c_ts + 1 h) is below that final watermark.
+    // match window (c_ts + 1 h) is below that final watermark. If
+    // either side is EMPTY its operator's watermark never advances and
+    // the global min stays put, so NOTHING evicts: cut_ms is NULL then
+    // (DuckDB's least would otherwise ignore the NULL side and evict).
     "q_stream_join_outer" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
         |           WHERE user_id % 10 = 0 AND event_type = 'click'),
         |p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
         |      WHERE user_id % 10 = 0 AND event_type = 'purchase'),
-        |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM c),
-        |                    (SELECT max(epoch_ms(ts)) FROM p)) - 600000 AS cut_ms),
+        |wm AS (SELECT CASE WHEN (SELECT max(epoch_ms(ts)) FROM c) IS NULL
+        |                     OR (SELECT max(epoch_ms(ts)) FROM p) IS NULL
+        |         THEN NULL
+        |         ELSE least((SELECT max(epoch_ms(ts)) FROM c),
+        |                    (SELECT max(epoch_ms(ts)) FROM p)) - 600000
+        |       END AS cut_ms),
         |j AS (SELECT c.user_id, c.click_id, epoch_us(c.ts) AS c_us, p.purchase_id
         |      FROM c LEFT JOIN p ON c.user_id = p.user_id
         |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),

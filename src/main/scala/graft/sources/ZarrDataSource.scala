@@ -87,7 +87,8 @@ object ZarrTable {
     * sharded); `shard` is the chunks-per-shard grid when the level uses
     * the v3 `sharding_indexed` codec. */
   final case class LevelMeta(level: Int, shape: Seq[Int], chunk: Seq[Int],
-      compressed: Boolean, format: Int = 2, shard: Option[Seq[Int]] = None)
+      compressed: Boolean, format: Int = 2, shard: Option[Seq[Int]] = None,
+      shardIdxCrc: Boolean = true, shardIdxStart: Boolean = false)
 
   private def readText(fs: FileSystem, p: HPath): String = {
     val in = fs.open(p)
@@ -133,10 +134,22 @@ object ZarrTable {
             case JArray(cs) => cs
             case _ => Nil
           }
+          // index geometry comes from the DECLARED config, never from
+          // object length (a >=4-byte payload would otherwise make a
+          // crc-less shard parse as crc-tailed and shift every slot)
+          val idxCodecs = (sc \ "configuration" \ "index_codecs") match {
+            case JArray(cs) => cs
+            case _ => Nil // spec default: [bytes, crc32c]
+          }
+          val idxCrc = idxCodecs.isEmpty ||
+            idxCodecs.exists(c => (c \ "name") == JString("crc32c"))
+          val idxStart =
+            (sc \ "configuration" \ "index_location") == JString("start")
           if (shape.size == 3 && grid.size == 3 && inner.size == 3 &&
               inner.zip(grid).forall { case (i, g) => i > 0 && g % i == 0 })
             Some(LevelMeta(level, shape, inner, hasBlosc(innerCodecs), 3,
-              Some(grid.zip(inner).map { case (g, i) => g / i })))
+              Some(grid.zip(inner).map { case (g, i) => g / i }),
+              idxCrc, idxStart))
           else None
         case None =>
           if (shape.size == 3 && grid.size == 3)
@@ -210,9 +223,13 @@ class ZarrScanBuilder(store: String) extends ScanBuilder
 }
 
 /** Pointer into a v3 sharded store: the shard object holding the
-  * chunk, the chunk's slot in the shard's row-major inner index, and
-  * the index slot count (grid size of one shard). */
-final case class ZarrShardRef(path: String, slot: Int, slots: Int)
+  * chunk, the chunk's slot in the shard's row-major inner index, the
+  * index slot count (grid size of one shard), and the index geometry
+  * declared by the store's `sharding_indexed` configuration — whether
+  * `index_codecs` includes a crc32c tail and whether `index_location`
+  * is `start` (offsets in the index are shard-absolute either way). */
+final case class ZarrShardRef(path: String, slot: Int, slots: Int,
+    crc: Boolean = true, atStart: Boolean = false)
 
 /** One chunk (file or shard slot) to read. dz/dy/dx are the
   * edge-clamped logical dims; cz/cy/cx the stored (padded) chunk. */
@@ -258,7 +275,8 @@ class ZarrScan(store: String, pushed: Array[Filter], required: StructType)
           case (_, Some(Seq(sz, sy, sx))) =>
             val shardPath = s"$store/$level/c/0/0/${zc / sz}/${yc / sy}/${xc / sx}"
             val slot = ((zc % sz) * sy + (yc % sy)) * sx + (xc % sx)
-            (shardPath, Some(ZarrShardRef(shardPath, slot, sz * sy * sx)))
+            (shardPath, Some(ZarrShardRef(shardPath, slot, sz * sy * sx,
+              m.shardIdxCrc, m.shardIdxStart)))
         }
         specs += ZarrChunkSpec(level, zc, yc, xc,
           math.min(cz, nz - zc * cz), math.min(cy, ny - yc * cy),
@@ -314,19 +332,30 @@ class ZarrPartitionReader(specs: Seq[ZarrChunkSpec], required: StructType)
     scala.collection.mutable.HashMap.empty[String, Array[(Long, Long)]]
 
   /** (offset, nbytes) per row-major inner slot; missing chunks are
-    * (-1, -1). Index sits at shard end (bytes + crc32c by default —
-    * also accepts plain bytes for stores written without the checksum). */
+    * (-1, -1). Index geometry (crc32c tail present? index at start or
+    * end?) comes from the store's declared `index_codecs` /
+    * `index_location` via [[ZarrShardRef]]; when the crc tail is
+    * declared it is verified before the offsets are trusted. */
   private def shardIndex(ref: ZarrShardRef): Array[(Long, Long)] =
     shardIndexCache.getOrElseUpdate(ref.path, {
       val p = new HPath(ref.path)
       val len = fs.getFileStatus(p).getLen
-      val base = ref.slots * 16L
-      val withCrc = base + 4L
-      val idxLen = if (len >= withCrc) withCrc else base
-      val buf = new Array[Byte]((base).toInt)
+      val base = ref.slots * 16
+      val idxLen = base + (if (ref.crc) 4 else 0)
+      val buf = new Array[Byte](idxLen)
       val in = fs.open(p)
-      try in.readFully(len - idxLen, buf) finally in.close()
-      val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      try in.readFully(if (ref.atStart) 0L else len - idxLen, buf)
+      finally in.close()
+      if (ref.crc) {
+        val crc = new java.util.zip.CRC32C()
+        crc.update(buf, 0, base)
+        val stored = java.nio.ByteBuffer.wrap(buf, base, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        require(stored == crc.getValue.toInt,
+          s"zarr shard index crc32c mismatch: ${ref.path}")
+      }
+      val bb = java.nio.ByteBuffer.wrap(buf, 0, base)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       Array.fill(ref.slots) {
         val off = bb.getLong; val n = bb.getLong
         if (off == -1L && n == -1L) (-1L, -1L) else (off, n)

@@ -401,6 +401,98 @@ class ZarrSourceSpec extends AnyFunSuite {
     assert((ms \ "axes").children.length == 5)
   }
 
+  // ------------------------------------- third-party shard index geometry
+
+  /** Rewrites a writer-produced sharded store (index at END with a
+    * crc32c tail) into an alternate geometry a third-party v3 writer
+    * may legally choose — `index_codecs: [bytes]` (no crc) and/or
+    * `index_location: start` — and patches the declaration to match.
+    * Reads must then follow the DECLARED geometry; the old
+    * object-length heuristic would misparse any no-crc shard whose
+    * payload is >= 4 bytes. */
+  private def reshapeShards(store: Path, crc: Boolean, atStart: Boolean): Unit = {
+    import scala.jdk.CollectionConverters._
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val slots = 4 // shard grid (1,2,2)
+    val base = slots * 16
+    Files.walk(store.resolve("0/c")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.forall(_.isDigit)).foreach { p =>
+        val bytes = Files.readAllBytes(p)
+        val payload = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - base - 4)
+        val bb = java.nio.ByteBuffer
+          .wrap(bytes, bytes.length - base - 4, base)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val idxLen = base + (if (crc) 4 else 0)
+        val offs = new Array[Long](slots)
+        val lens = new Array[Long](slots)
+        for (i <- 0 until slots) {
+          val (o, n) = (bb.getLong, bb.getLong)
+          // index-at-start ⇒ payload shifts by idxLen; offsets stay
+          // absolute within the shard object per the v3 spec
+          offs(i) = if (o < 0 || !atStart) o else o + idxLen
+          lens(i) = n
+        }
+        val newIdx =
+          if (crc) graft.imaging.ZarrShard.index(offs, lens)
+          else {
+            val b = java.nio.ByteBuffer.allocate(base)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            for (i <- 0 until slots) { b.putLong(offs(i)); b.putLong(lens(i)) }
+            b.array()
+          }
+        Files.write(p, if (atStart) newIdx ++ payload else payload ++ newIdx)
+        // the DSv2 sink wrote through Hadoop's checksummed local FS;
+        // rewriting bytes out-of-band invalidates its .crc sidecar
+        Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+      }
+    val metaP = store.resolve("0/zarr.json")
+    val bytesLe: JValue =
+      ("name" -> "bytes") ~ ("configuration" -> (("endian" -> "little"): JObject))
+    val idxCodecs: JValue = JArray(
+      if (crc) List(bytesLe, ("name" -> "crc32c") ~ JObject()) else List(bytesLe))
+    val patched = JsonMethods.parse(Files.readString(metaP)).transformField {
+      case ("index_location", _) =>
+        ("index_location", JString(if (atStart) "start" else "end"))
+      case ("index_codecs", _) => ("index_codecs", idxCodecs)
+    }
+    Files.writeString(metaP, JsonMethods.pretty(JsonMethods.render(patched)))
+    Files.deleteIfExists(metaP.resolveSibling(s".${metaP.getFileName}.crc"))
+  }
+
+  for ((crc, atStart) <- Seq((false, false), (false, true), (true, true))) {
+    test(s"v3 sharded third-party geometry reads by declaration: " +
+        s"crc=$crc index_location=${if (atStart) "start" else "end"}") {
+      val store = makeStoreV3(compressed = false, Some(Seq(1, 2, 2)))
+      reshapeShards(store, crc, atStart)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        new org.apache.hadoop.conf.Configuration())
+      val m = ZarrTable.readLevelMeta(fs,
+        new org.apache.hadoop.fs.Path(store.toString), 0).get
+      assert(m.shardIdxCrc == crc && m.shardIdxStart == atStart)
+      assertAllVoxels(store)
+    }
+  }
+
+  test("v3 shard index crc mismatch fails loudly, not with silent wrong voxels") {
+    val store = makeStoreV3(compressed = false, Some(Seq(1, 2, 2)))
+    val p = store.resolve("0/c/0/0/0/0/0")
+    val bytes = Files.readAllBytes(p)
+    // flip one bit inside the last slot's nbytes field without
+    // recomputing the crc tail
+    bytes(bytes.length - 12) = (bytes(bytes.length - 12) ^ 0x1).toByte
+    Files.write(p, bytes)
+    Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+    val ex = intercept[Throwable] {
+      spark.read.format("zarr").load(store.toString).select("data").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("crc32c")), s"got: ${messages(ex)}")
+  }
+
   test("GraftExtensions injects dot_product and cosine_sim into the registry") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
