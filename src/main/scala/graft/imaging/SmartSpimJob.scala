@@ -118,8 +118,13 @@ object SmartSpimJob {
 
     // one pooled pipeline per extension group (usually exactly one)
     infos.groupBy(_.extension).foreach { case (extension, group) =>
+      // v3 sharded mode keys every level's ONE rechunk/merge shuffle by
+      // the shard grid, so the sharded writer streams whole shard
+      // objects per-partition with no second exchange (round-11)
+      val shardKey = settings.shardGrid
       val level0 = SmartSpimPipeline.rechunk(
-        SmartSpimPipeline.slices(spark, group.map(_.dir.toString), extension), chunk)
+        SmartSpimPipeline.slices(spark, group.map(_.dir.toString), extension), chunk,
+        shardKey)
       var shapes: Map[String, Seq[Int]] =
         group.map(i => i.dir.toString -> i.shape0).toMap
       var current = level0
@@ -135,7 +140,8 @@ object SmartSpimJob {
           current.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         SmartSpimPipeline.writeLevelBy(current, storeFor(outDir, _), level, chunk,
           settings.compressorLevel, settings.byteShuffle, compressed,
-          settings.compressorCname, settings.zarrFormat, settings.shardGrid)
+          settings.compressorCname, settings.zarrFormat, settings.shardGrid,
+          colocated = shardKey.isDefined)
         // `current` is now materialized in the cache (the write was an
         // action), so the level it was derived from can be released.
         prev.foreach(_.unpersist(blocking = false))
@@ -145,7 +151,8 @@ object SmartSpimJob {
             compressed)
         }
         if (level < settings.downsampleLevels - 1) {
-          val next = SmartSpimPipeline.downsampleLevel(current, chunk, settings.scaleFactor)
+          val next = SmartSpimPipeline.downsampleLevel(current, chunk,
+            settings.scaleFactor, shardKey)
           prev = Some(current)
           current = next
           shapes = shapes.view.mapValues(_.zip(settings.scaleFactor)

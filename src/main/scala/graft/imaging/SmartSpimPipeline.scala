@@ -128,8 +128,11 @@ object SmartSpimPipeline {
 
   /** Explode each (1, Y, X) slice into per-chunk fragments and assemble
     * (cz, cy, cx) chunks — the central shuffle, ≡ dask rechunk
-    * (png_to_zarr.py:592-593). */
-  def rechunk(slicesDs: Dataset[SliceRow], chunk: Seq[Int]): Dataset[ChunkRow] = {
+    * (png_to_zarr.py:592-593). `shard` keys that one shuffle by the v3
+    * shard grid instead, producing shard-co-located chunks (see
+    * [[assembleFragments]]). */
+  def rechunk(slicesDs: Dataset[SliceRow], chunk: Seq[Int],
+      shard: Option[Seq[Int]] = None): Dataset[ChunkRow] = {
     val spark = slicesDs.sparkSession
     import spark.implicits._
     val Seq(cz, cy, cx) = chunk
@@ -152,38 +155,79 @@ object SmartSpimPipeline {
       }
     }
     assembleFragments(frags.map(f =>
-      SubBlock(f.stack, f.zc, f.yc, f.xc, f.zoff, f.yoff, f.xoff, 1, f.dy, f.dx, f.data)))
+      SubBlock(f.stack, f.zc, f.yc, f.xc, f.zoff, f.yoff, f.xoff, 1, f.dy, f.dx, f.data)),
+      shard)
   }
 
-  /** Group sub-blocks by target chunk and copy them into place. Chunk
-    * dims are the covered extents (contiguous from 0 by construction). */
-  private def assembleFragments(frags: Dataset[SubBlock]): Dataset[ChunkRow] = {
+  /** Copy one chunk's sub-blocks into place. Chunk dims are the
+    * covered extents (contiguous from 0 by construction). */
+  private def assembleOne(stack: String, zc: Int, yc: Int, xc: Int,
+      fs: Array[SubBlock]): ChunkRow = {
+    val dz = fs.map(f => f.zoff + f.dz).max
+    val dy = fs.map(f => f.yoff + f.dy).max
+    val dx = fs.map(f => f.xoff + f.dx).max
+    val out = new Array[Byte](dz * dy * dx * 2)
+    fs.foreach { f =>
+      var z = 0
+      while (z < f.dz) {
+        var y = 0
+        while (y < f.dy) {
+          System.arraycopy(
+            f.data, (z * f.dy + y) * f.dx * 2,
+            out, (((f.zoff + z) * dy + (f.yoff + y)) * dx + f.xoff) * 2,
+            f.dx * 2)
+          y += 1
+        }
+        z += 1
+      }
+    }
+    ChunkRow(stack, zc, yc, xc, dz, dy, dx, out)
+  }
+
+  /** Group sub-blocks by target chunk and copy them into place.
+    *
+    * With `shard` set (zarr v3 `sharding_indexed` downstream), the ONE
+    * shuffle is keyed by the SHARD — a pure function of the chunk key
+    * (round-11 verdict item 2) — and chunks assemble from a
+    * within-partition sort instead of a groupByKey: the output is
+    * shard-co-located AND shard-contiguous, so the sharded writer can
+    * stream whole shard objects with NO second exchange
+    * ([[writeLevelBy]] `colocated=true`). Peak task memory stays one
+    * chunk's fragments (the sort spills; runs are consumed
+    * incrementally), not one shard's. */
+  private def assembleFragments(frags: Dataset[SubBlock],
+      shard: Option[Seq[Int]] = None): Dataset[ChunkRow] = {
     val spark = frags.sparkSession
     import spark.implicits._
-    frags.groupByKey(f => (f.stack, f.zc, f.yc, f.xc))
-      .mapGroups { (key: (String, Int, Int, Int), it: Iterator[SubBlock]) =>
-        val (stack, zc, yc, xc) = key
-        val fs = it.toArray
-        val dz = fs.map(f => f.zoff + f.dz).max
-        val dy = fs.map(f => f.yoff + f.dy).max
-        val dx = fs.map(f => f.xoff + f.dx).max
-        val out = new Array[Byte](dz * dy * dx * 2)
-        fs.foreach { f =>
-          var z = 0
-          while (z < f.dz) {
-            var y = 0
-            while (y < f.dy) {
-              System.arraycopy(
-                f.data, (z * f.dy + y) * f.dx * 2,
-                out, (((f.zoff + z) * dy + (f.yoff + y)) * dx + f.xoff) * 2,
-                f.dx * 2)
-              y += 1
+    shard match {
+      case Some(Seq(gz, gy, gx)) =>
+        frags
+          .repartition(col("stack"), expr(s"zc div $gz"),
+            expr(s"yc div $gy"), expr(s"xc div $gx"))
+          .sortWithinPartitions(col("stack"), expr(s"zc div $gz"),
+            expr(s"yc div $gy"), expr(s"xc div $gx"),
+            col("zc"), col("yc"), col("xc"))
+          .mapPartitions { it =>
+            val b = it.buffered
+            new Iterator[ChunkRow] {
+              override def hasNext: Boolean = b.hasNext
+              override def next(): ChunkRow = {
+                val h = b.head
+                val key = (h.stack, h.zc, h.yc, h.xc)
+                val run = scala.collection.mutable.ArrayBuffer(b.next())
+                while (b.hasNext &&
+                    (b.head.stack, b.head.zc, b.head.yc, b.head.xc) == key)
+                  run += b.next()
+                assembleOne(h.stack, h.zc, h.yc, h.xc, run.toArray)
+              }
             }
-            z += 1
           }
-        }
-        ChunkRow(stack, zc, yc, xc, dz, dy, dx, out)
-      }
+      case _ =>
+        frags.groupByKey(f => (f.stack, f.zc, f.yc, f.xc))
+          .mapGroups { (key: (String, Int, Int, Int), it: Iterator[SubBlock]) =>
+            assembleOne(key._1, key._2, key._3, key._4, it.toArray)
+          }
+    }
   }
 
   // ------------------------------------------- pyramid (A1, per level)
@@ -242,7 +286,7 @@ object SmartSpimPipeline {
     * chunk dims to be divisible by the scale factor (true for the
     * reference defaults 128³ / 2³). */
   def downsampleLevel(chunks: Dataset[ChunkRow], chunk: Seq[Int],
-      factor: Seq[Int]): Dataset[ChunkRow] = {
+      factor: Seq[Int], shard: Option[Seq[Int]] = None): Dataset[ChunkRow] = {
     val spark = chunks.sparkSession
     import spark.implicits._
     val Seq(cz, cy, cx) = chunk
@@ -255,7 +299,7 @@ object SmartSpimPipeline {
         (c.zc % sz) * (cz / sz), (c.yc % sy) * (cy / sy), (c.xc % sx) * (cx / sx),
         oz, oy, ox, data)
     }
-    assembleFragments(sub)
+    assembleFragments(sub, shard)
   }
 
   /** Fused multi-level downsample: compute pyramid level `levels`
@@ -365,17 +409,71 @@ object SmartSpimPipeline {
     * `format` 2 (default) writes the reference's v2 key layout
     * `<level>/0/0/z/y/x`; 3 writes the v3 default encoding
     * `<level>/c/0/0/z/y/x`. `shard` (chunks-per-shard Z,Y,X; v3 only)
-    * writes `sharding_indexed` shard objects instead of chunk files:
-    * chunks are compressed map-side, then ONE extra shuffle keyed by
+    * writes `sharding_indexed` shard objects instead of chunk files.
+    *
+    * With `colocated=true` (round-11: the single-shuffle sharded
+    * write), `chunks` MUST come from a shard-keyed assembly
+    * ([[rechunk]]/[[downsampleLevel]] with the SAME `shard` grid):
+    * each partition then holds whole shards, contiguously — the writer
+    * encodes and streams shard objects per-partition with ZERO
+    * additional exchange, and per-task memory is one encoded payload.
+    * With `colocated=false` the writer assumes nothing: chunks are
+    * compressed map-side, then ONE extra shuffle keyed by
     * (stack, shard coords) co-locates each shard's inner chunks so the
     * whole object assembles in a single task — shuffle volume is the
-    * compressed level, and per-task memory is one shard's payloads. */
+    * compressed level. */
   def writeLevelBy(chunks: Dataset[ChunkRow], storeOf: String => String,
       level: Int, chunk: Seq[Int], clevel: Int, byteShuffle: Boolean,
       compressed: Boolean, cname: String = "zstd",
-      format: Int = 2, shard: Option[Seq[Int]] = None): Unit = {
+      format: Int = 2, shard: Option[Seq[Int]] = None,
+      colocated: Boolean = false): Unit = {
     val Seq(cz, cy, cx) = chunk
     shard match {
+      case Some(Seq(gz, gy, gx)) if format == 3 && colocated =>
+        chunks.foreachPartition { (it: Iterator[ChunkRow]) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val nSlots = gz * gy * gx
+          var key: (String, Int, Int, Int) = null
+          var offsets: Array[Long] = null
+          var lens: Array[Long] = null
+          var off = 0L
+          var fs: org.apache.hadoop.fs.FileSystem = null
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          var tmp: HPath = null
+          var target: HPath = null
+          def flush(): Unit = if (key != null) {
+            out.write(ZarrShard.index(offsets, lens)); out.close(); out = null
+            if (!fs.rename(tmp, target)) { // concurrent retry won the race
+              fs.delete(target, false); fs.rename(tmp, target)
+            }
+            key = null
+          }
+          try {
+            it.foreach { c =>
+              val k = (c.stack, c.zc / gz, c.yc / gy, c.xc / gx)
+              if (k != key) {
+                flush()
+                key = k
+                offsets = Array.fill(nSlots)(-1L)
+                lens = Array.fill(nSlots)(-1L)
+                off = 0L
+                val dir = new HPath(storeOf(c.stack), s"$level/c/0/0/${k._2}/${k._3}")
+                fs = dir.getFileSystem(conf)
+                fs.mkdirs(dir)
+                val name = k._4.toString
+                target = new HPath(dir, name)
+                tmp = new HPath(dir, s".$name.tmp-${java.util.UUID.randomUUID}")
+                out = fs.create(tmp, true)
+              }
+              val payload =
+                encodeChunk(c, cz, cy, cx, clevel, byteShuffle, compressed, cname)
+              val slot = ((c.zc % gz) * gy + (c.yc % gy)) * gx + (c.xc % gx)
+              offsets(slot) = off; lens(slot) = payload.length.toLong
+              out.write(payload); off += payload.length
+            }
+            flush()
+          } finally if (out != null) out.close() // failed task: drop the tmp
+        }
       case Some(Seq(gz, gy, gx)) if format == 3 =>
         val session = chunks.sparkSession
         import session.implicits._
