@@ -1678,17 +1678,21 @@ object Curation {
          |SELECT rn, doc_id, lang, n_bg, surprise FROM (
          |  SELECT *, row_number() OVER (ORDER BY surprise DESC, doc_id ASC) AS rn FROM r) q
          |WHERE rn <= $KNM_TOPK ORDER BY rn""".stripMargin,
+    // tg/ct/cont are each referenced 2-4 times; MATERIALIZED stops
+    // DuckDB's default inlining from re-running the trigram explode
+    // per reference (>125 CPU-min at sf1 inlined, ~3 s materialized —
+    // identical semantics, the hint only pins single evaluation).
     "q_quality_kn_tri" ->
-      s"""WITH t AS (SELECT doc_id, lang, $toksAll AS w FROM documents),
-         |tg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, lang, $toksAll AS w FROM documents),
+         |tg AS MATERIALIZED (SELECT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg
          |       FROM t, unnest(range(1, len(w) - 1)) u(i)),
-         |ct AS (SELECT tg, split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
+         |ct AS MATERIALIZED (SELECT tg, split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
          |         split_part(tg, ' ', 3) AS w3, count(*) AS c3 FROM tg GROUP BY tg),
-         |ctx AS (SELECT w1, w2, sum(c3) AS c12, count(*) AS n1l12 FROM ct GROUP BY 1, 2),
-         |cont AS (SELECT w2, w3, count(*) AS n23 FROM ct GROUP BY 1, 2),
-         |mid AS (SELECT w2, sum(n23) AS n2mid, count(*) AS nw2dot FROM cont GROUP BY 1),
-         |uni AS (SELECT w3, count(*) AS ndw3 FROM cont GROUP BY 1),
-         |np AS (SELECT count(*) AS np FROM cont),
+         |ctx AS MATERIALIZED (SELECT w1, w2, sum(c3) AS c12, count(*) AS n1l12 FROM ct GROUP BY 1, 2),
+         |cont AS MATERIALIZED (SELECT w2, w3, count(*) AS n23 FROM ct GROUP BY 1, 2),
+         |mid AS MATERIALIZED (SELECT w2, sum(n23) AS n2mid, count(*) AS nw2dot FROM cont GROUP BY 1),
+         |uni AS MATERIALIZED (SELECT w3, count(*) AS ndw3 FROM cont GROUP BY 1),
+         |np AS MATERIALIZED (SELECT count(*) AS np FROM cont),
          |m AS (SELECT tg,
          |        CAST(floor(-ln(
          |          (greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) / CAST(c12 AS DOUBLE))

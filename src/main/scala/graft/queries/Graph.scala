@@ -483,22 +483,29 @@ object Graph {
          |          FROM $prev r JOIN und u ON r.node = u.src
          |          GROUP BY u.dst, r.label) c) q
          |  WHERE rn = 1)""".stripMargin
+    // Every kcore CTE is MATERIALIZED: each round's sN/eN is referenced
+    // by the next round AND by a scalar count, and DuckDB's default
+    // inlining re-expands the whole prefix per reference — the replay
+    // re-sorts the 60M-row DISTINCT base exponentially and exhausted a
+    // 40 GB temp bound at sf1. Materialized, the same query runs in
+    // under a second at sf1 (semantics identical; the hint only pins
+    // each CTE to evaluate once).
     def kcRound(n: Int) = {
       val prev = if (n == 1) "e0" else s"e${n - 1}"
-      s"""s$n AS (SELECT src FROM (SELECT src, count(*) AS deg FROM $prev GROUP BY src) q
+      s"""s$n AS MATERIALIZED (SELECT src FROM (SELECT src, count(*) AS deg FROM $prev GROUP BY src) q
          |        WHERE deg >= (SELECT k FROM kv)),
-         |e$n AS (SELECT x.src, x.dst FROM $prev x
+         |e$n AS MATERIALIZED (SELECT x.src, x.dst FROM $prev x
          |        JOIN s$n a ON x.src = a.src JOIN s$n b ON x.dst = b.src)""".stripMargin
     }
     Map(
     "q_graph_kcore" ->
-      s"""WITH e AS (SELECT DISTINCT l_partkey % $KC_MOD AS a,
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey % $KC_MOD AS a,
          |                  l_suppkey % $KC_MOD AS b FROM lineitem
          |           WHERE l_partkey % $KC_MOD <> l_suppkey % $KC_MOD),
-         |e0 AS (SELECT DISTINCT src, dst FROM (
+         |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e) u),
-         |d0 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
-         |kv AS (SELECT deg AS k FROM (
+         |d0 AS MATERIALIZED (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+         |kv AS MATERIALIZED (SELECT deg AS k FROM (
          |  SELECT deg, row_number() OVER (ORDER BY deg, src) AS rn FROM d0) q
          |  WHERE rn = (SELECT (count(*) + 1) // 2 FROM d0)),
          |${kcRound(1)},
