@@ -496,10 +496,18 @@ object MicroBench {
         // through the event-time timeout and the store drains.
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.streaming.Sessionizer
-        import spark.implicits._
         val users = args.lift(1).map(_.toInt).getOrElse(1000000)
         val batches = args.lift(2).map(_.toInt).getOrElse(4)
-        implicit val sqlCtx = spark.sqlContext
+        // arg 3: state-store provider — "rocksdb" or default (HDFS-
+        // backed in-memory). Isolated on a child session so the A/B
+        // never leaks into other cases.
+        val provider = args.lift(3).getOrElse("memory")
+        val s = spark.newSession()
+        if (provider == "rocksdb")
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
         val ms = MemoryStream[Sessionizer.Event]
         val gapMs = 1800000L
         val qn = "sess_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -531,13 +539,19 @@ object MicroBench {
         ms.addData(Seq(Sessionizer.Event(-1L, far + 1000L, -2L)))
         q.processAllAvailable()
         val drained = stateRows
-        val closed = spark.table(qn).count()
+        val closed = s.table(qn).count()
         q.stop()
         val ok = perBatch.forall(_._2 == users.toLong) && drained <= 2
         val pb = perBatch.map { case (b, st, sec) =>
           f"""{"batch":$b,"state_rows":$st,"sec":$sec%.2f}"""
         }.mkString(",")
-        println(s"""{"bench":"sessionstate","users":$users,"batches":$batches,"per_batch":[$pb],"drained_state_rows":$drained,"closed_sessions":$closed,"state_one_row_per_user":$ok}""")
+        // sustained throughput = post-warmup batches (drop batch 1:
+        // JIT + store init)
+        val sustained = perBatch.drop(1).map(_._3)
+        val rps =
+          if (sustained.isEmpty) 0L
+          else (users.toDouble / (sustained.sum / sustained.length)).toLong
+        println(s"""{"bench":"sessionstate","provider":"$provider","users":$users,"batches":$batches,"per_batch":[$pb],"sustained_rows_per_sec":$rps,"drained_state_rows":$drained,"closed_sessions":$closed,"state_one_row_per_user":$ok}""")
       case "decode" =>
         // single-threaded PNG decode: fast path vs ImageIO, same bytes
         val w = 2048; val h = 2048; val reps = args.lift(1).map(_.toInt).getOrElse(20)
