@@ -332,7 +332,48 @@ object Events {
       .orderBy("touch")
   }
 
+  /** Interval-union coverage — the sweep-line "merge overlapping
+    * intervals" operator (the temporal complement of [[qSessionize]]'s
+    * gap split: sessions split on IDLE time between points; coverage
+    * unions EXTENTS that themselves overlap): each event opens an
+    * interval of floor(value·60000) ms, and per user the merged-block
+    * count, total covered ms, and span utilization come out — the
+    * machine-utilization / incident-overlap / speaker-overlap shape.
+    *
+    * Exact integer ms end-to-end; the only FP op is the duration
+    * floor, evaluated with the identical expression in both engines.
+    *
+    * Shape: one per-user window family (running max-end marks block
+    * breaks, running sum numbers blocks) then two key-bounded
+    * aggregations — a single hash-partitioned shuffle on user_id, no
+    * self-join (the naive overlap query is O(n²) per user; the
+    * sweep is O(n log n) and partitions cleanly at any user count). */
+  val qEventsCoverage: Q = (s, d) => {
+    val iv = Tables.events(s, d)
+      .where(col("user_id") % 40 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("st"),
+        (unix_millis(col("ts"))
+          + floor(col("value") * lit(60000.0)).cast("long")).as("en"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("st"), col("event_id"))
+    val prevMax = max("en").over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    val blocks = iv
+      .withColumn("brk",
+        when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+      .withColumn("blk",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "blk")
+      .agg(min("st").as("bs"), max("en").as("be"), count(lit(1)).as("n_ev"))
+    blocks.groupBy("user_id")
+      .agg(sum("n_ev").as("n_events"), count(lit(1)).as("n_blocks"),
+        sum(col("be") - col("bs")).as("covered_ms"),
+        (max("be") - min("bs")).as("span_ms"))
+      .withColumn("util_bp", expr("(covered_ms * 10000) div span_ms"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_events_coverage" -> qEventsCoverage,
     "q_events_attrib" -> qEventsAttrib,
     "q_events_concurrency" -> qEventsConcurrency,
     "q_events_rfm" -> qEventsRfm,
@@ -344,6 +385,28 @@ object Events {
     "q_events_anomaly" -> qEventsAnomaly)
 
   def oracleSql: Map[String, String] = Map(
+    "q_events_coverage" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_ms(ts) AS st,
+        |    epoch_ms(ts) + CAST(floor(value * 60000.0) AS BIGINT) AS en
+        |  FROM events WHERE user_id % 40 = 0),
+        |g AS (SELECT user_id, event_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |b AS (SELECT user_id, event_id, st, en,
+        |    CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS brk FROM g),
+        |blk AS (SELECT user_id, st, en,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS blk FROM b),
+        |per AS (SELECT user_id, blk, min(st) AS bs, max(en) AS be,
+        |          count(*) AS n_ev FROM blk GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  count(*) AS n_blocks,
+        |  CAST(sum(be - bs) AS BIGINT) AS covered_ms,
+        |  CAST(max(be) - min(bs) AS BIGINT) AS span_ms,
+        |  (CAST(sum(be - bs) AS BIGINT) * 10000)
+        |    // CAST(max(be) - min(bs) AS BIGINT) AS util_bp
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          |v AS (SELECT user_id, min(us) AS tv FROM ev

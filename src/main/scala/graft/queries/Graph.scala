@@ -251,6 +251,62 @@ object Graph {
     }
   }
 
+  private val KT_ROUNDS = 2
+  private val KT_SUPPORT = 3 // k-truss with k = KT_SUPPORT + 2
+
+  /** k-truss peeling (Cohen 2008, "Trusses: cohesive subgraphs for
+    * social network analysis") on the NEAR-DUP graph — the edge-level
+    * sibling of [[qGraphKcore]]'s node-degree peel: iteratively remove
+    * every edge whose SUPPORT (number of triangles through it) is
+    * below k−2. Where connected components give dedup CLUSTERS
+    * (q_dedup_cluster) and k-core gives dense nodes, the k-truss is
+    * the standard tighter-than-component cluster CORE — the edges
+    * that survive are mutually triangle-reinforced near-duplicates,
+    * dropping the chance band-collision bridges that chain distinct
+    * templates into one component. Output: edge and triangle counts
+    * after each of [[KT_ROUNDS]] peel rounds (round 0 = input graph).
+    *
+    * Scale: the substrate is the banded-minhash near-dup graph
+    * (bounded degree by construction at any corpus size — never a
+    * corpus-saturating pair domain), so triangle enumeration is the
+    * same bounded wedge join q_graph_triangles runs; each round is
+    * that join + one edge-keyed aggregate + a semi-join, on
+    * monotonically shrinking tables, localCheckpointed eagerly like
+    * the kcore loop so counts never replay the peel prefix. */
+  val qGraphKtruss: Q = (s, d) => {
+    import s.implicits._
+    val sig = Dedup.minhashSignatures16Of(
+      Tables.documents(s, d).where(col("doc_id") % 25 === 0))
+    Scoped.withCached(sig) {
+      // canonical a<b by construction (band candidates use doc_id <)
+      var edges = Dedup.verifiedPairsOf(sig, Dedup.CLUSTER_MIN_AGREE)
+        .select(col("da").as("a"), col("db").as("b"))
+        .repartition(4, col("a")).localCheckpoint(true)
+      // triangles (u<v<w), each found exactly once on canonical edges
+      def triOf(e: DataFrame): DataFrame =
+        e.select(col("a").as("ta"), col("b").as("tb"))
+          .join(e.select(col("a").as("tb"), col("b").as("tc")), "tb")
+          .join(e.select(col("a").as("ta"), col("b").as("tc")), Seq("ta", "tc"),
+            "left_semi")
+          .select("ta", "tb", "tc")
+      val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      for (r <- 0 to KT_ROUNDS) {
+        val tri = triOf(edges).localCheckpoint(true)
+        rows += ((r, edges.count(), tri.count()))
+        if (r < KT_ROUNDS) {
+          val sup = tri.select(col("ta").as("a"), col("tb").as("b"))
+            .unionAll(tri.select(col("tb").as("a"), col("tc").as("b")))
+            .unionAll(tri.select(col("ta").as("a"), col("tc").as("b")))
+            .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+          edges = edges
+            .join(sup.where(col("sup") >= KT_SUPPORT), Seq("a", "b"), "left_semi")
+            .repartition(4, col("a")).localCheckpoint(true)
+        }
+      }
+      rows.toSeq.toDF("round", "n_edges", "n_tri").orderBy("round")
+    }
+  }
+
   private val GJ_TOPK = 16
 
   /** Neighbor-set Jaccard similarity — the classic link-prediction /
@@ -459,6 +515,7 @@ object Graph {
     "q_graph_assort" -> qGraphAssort,
     "q_graph_labelprop" -> qLabelProp,
     "q_graph_kcore" -> qGraphKcore,
+    "q_graph_ktruss" -> qGraphKtruss,
     "q_graph_triangles" -> qTriangles)
 
   def oracleSql: Map[String, String] = {
@@ -613,6 +670,50 @@ object Graph {
          |${iterCte("r3", "r2")}
          |SELECT node, CAST(rank AS BIGINT) AS rank
          |FROM r3 ORDER BY rank DESC, node ASC""".stripMargin,
+    "q_graph_ktruss" -> {
+      // same near-dup edge derivation as the triangles oracle; every
+      // peel CTE MATERIALIZED (multiply referenced — the kcore lesson)
+      def tri(en: String, tn: String) =
+        s"""$tn AS MATERIALIZED (
+           |  SELECT x.a AS ta, x.b AS tb, y.b AS tc
+           |  FROM $en x JOIN $en y ON x.b = y.a
+           |  WHERE EXISTS (SELECT 1 FROM $en z WHERE z.a = x.a AND z.b = y.b))""".stripMargin
+      def peel(tn: String, en: String, nextEn: String) =
+        s"""$nextEn AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM $en e JOIN (
+           |    SELECT a, b, count(*) AS sup FROM (
+           |      SELECT ta AS a, tb AS b FROM $tn
+           |      UNION ALL SELECT tb, tc FROM $tn
+           |      UNION ALL SELECT ta, tc FROM $tn) u GROUP BY a, b) s
+           |    ON e.a = s.a AND e.b = s.b
+           |  WHERE s.sup >= $KT_SUPPORT)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |uh AS (SELECT DISTINCT doc_id,
+         |         CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u),
+         |sig AS MATERIALIZED (SELECT doc_id, ${Dedup.mhColsSql} FROM uh GROUP BY doc_id),
+         |bands AS (${Dedup.bandSelectsSql}),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.sig = b.sig
+         |             AND a.doc_id < b.doc_id),
+         |e0 AS MATERIALIZED (SELECT da AS a, db AS b FROM cand
+         |          JOIN sig sa ON cand.da = sa.doc_id
+         |          JOIN sig sb ON cand.db = sb.doc_id
+         |          WHERE ${Dedup.agreeSumSql} >= ${Dedup.CLUSTER_MIN_AGREE}),
+         |${tri("e0", "t0")},
+         |${peel("t0", "e0", "e1")},
+         |${tri("e1", "t1")},
+         |${peel("t1", "e1", "e2")},
+         |${tri("e2", "t2")}
+         |SELECT 0 AS round, (SELECT count(*) FROM e0) AS n_edges,
+         |       (SELECT count(*) FROM t0) AS n_tri
+         |UNION ALL SELECT 1, (SELECT count(*) FROM e1), (SELECT count(*) FROM t1)
+         |UNION ALL SELECT 2, (SELECT count(*) FROM e2), (SELECT count(*) FROM t2)
+         |ORDER BY round""".stripMargin
+    },
     "q_graph_triangles" -> {
       val orient = "x.deg < y.deg OR (x.deg = y.deg AND e.da < e.db)"
       s"""WITH toks AS (SELECT doc_id,

@@ -434,6 +434,76 @@ object Relational {
     }
   }
 
+  private val BLOOM_M = 2048 // bits per filter
+  private val BLOOM_K = 4    // hash functions
+  private val BLOOM_PROBES = 2000
+
+  /** Bloom filter (Bloom 1970) — the third mergeable sketch beside
+    * [[qAggHll]] (cardinality) and [[qAggCms]] (point frequency):
+    * set MEMBERSHIP with one-sided error, the primitive behind
+    * runtime bloom-join pruning and scan skipping. One filter of
+    * m=[[BLOOM_M]] bits × k=[[BLOOM_K]] hashes per `l_returnflag`
+    * over that flag's distinct part keys, REPRESENTED as the
+    * distinct set-bit-position table (≤ m rows per flag — exactly the
+    * filter's information content, mergeable by union under any
+    * partitioning, and replayable in the oracle with no 64-bit
+    * shift/overflow hazards). Bit positions come from the shared
+    * deterministic [[hash28]], salted by hash index.
+    *
+    * Output per flag: inserted-key count, set-bit count, the
+    * apriori estimate (bits_set/m)^k in INTEGER ppm arithmetic
+    * (exact in both engines — no FP on a decision edge), and the
+    * MEASURED false-positive count over [[BLOOM_PROBES]] probe keys
+    * disjoint from the inserted domain by construction — so the
+    * oracle hash pins the membership law itself, not just the bits.
+    *
+    * Shape: key dedup is a map-side-combined distinct bounded by the
+    * key domain; the filter build collapses to ≤ m·|flags| rows
+    * regardless of corpus size; the probe test is a broadcast join of
+    * the 8 k probe-position rows against the bounded position table.
+    * A probe row counts 4 matched rows iff every (possibly
+    * duplicated) hash position is set — identical counting on both
+    * engines. */
+  val qAggBloom: Q = (s, d) => {
+    import s.implicits._
+    def positions(key: Column): Column = array((0 until BLOOM_K).map(j =>
+      hash28(concat(lit(s"$j"), lit(":"), key)) % BLOOM_M): _*)
+    // bounded key domain (l_partkey mod 512): the filter must NOT
+    // saturate as the corpus grows — raw part keys fill all m bits
+    // past tiny scale and the sketch degenerates to fp=1. ~512 keys ×
+    // k=4 into m=2048 bits sits at the canonical ~63% fill (fp ≈ 16%),
+    // stable at every SF.
+    val keys = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        (col("l_partkey") % 512).cast("string").as("k"))
+      .distinct()
+    val setBits = keys
+      .select(col("flag"), explode(positions(col("k"))).as("pos"))
+      .distinct() // ≤ m rows per flag: the filter itself
+    Scoped.withCached(setBits) {
+      val stats = keys.groupBy("flag").agg(count(lit(1)).as("n_keys"))
+        .join(setBits.groupBy("flag").agg(count(lit(1)).as("bits_set")), "flag")
+      val probePos = s.range(BLOOM_PROBES.toLong).toDF("i")
+        .select(col("i"),
+          explode(positions(concat(lit("probe:"), col("i").cast("string")))).as("pos"))
+      val fp = setBits.join(broadcast(probePos), "pos")
+        .groupBy("flag", "i").agg(count(lit(1)).as("c"))
+        .where(col("c") === BLOOM_K)
+        .groupBy("flag").agg(count(lit(1)).as("n_fp"))
+      val m2 = BLOOM_M.toLong * BLOOM_M
+      stats.join(fp, Seq("flag"), "left")
+        .withColumn("n_fp", coalesce(col("n_fp"), lit(0L)))
+        // (bits_set/m)^4 in ppm, pure INTEGER div on both engines
+        // (a double intermediate would hit Spark-truncates-vs-
+        // DuckDB-rounds cast divergence)
+        .withColumn("est_fp_ppm", expr(
+          s"((bits_set * bits_set * 1000000L) div $m2 * bits_set * bits_set) div $m2"))
+        .withColumn("fp_ppm", expr(s"(n_fp * 1000000L) div $BLOOM_PROBES"))
+        .select("flag", "n_keys", "bits_set", "est_fp_ppm", "n_fp", "fp_ppm")
+        .orderBy("flag")
+    }
+  }
+
   /** ROLLUP with grouping_id. */
   val qAggRollup: Q = (s, d) => {
     Tables.lineitem(s, d)
@@ -938,6 +1008,7 @@ object Relational {
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_hll" -> qAggHll,
     "q_agg_cms" -> qAggCms,
+    "q_agg_bloom" -> qAggBloom,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
     "q_agg_gsets" -> qAggGsets,
@@ -1108,6 +1179,33 @@ object Relational {
     // deterministic HLL: every arithmetic step mirrored from qAggHll;
     // 2^-rho via integer shift (exact dyadic), literals cast to DOUBLE
     // (DuckDB decimal literals would otherwise use DECIMAL division)
+    "q_agg_bloom" ->
+      s"""WITH keys AS MATERIALIZED (
+         |  SELECT DISTINCT l_returnflag AS flag, CAST(l_partkey % 512 AS VARCHAR) AS k
+         |  FROM lineitem),
+         |pos AS MATERIALIZED (
+         |  SELECT DISTINCT flag,
+         |    CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', k)), 1, 7))
+         |      AS BIGINT) % $BLOOM_M AS pos
+         |  FROM keys, unnest([0,1,2,3]) u(j)),
+         |nk AS (SELECT flag, count(*) AS n_keys FROM keys GROUP BY flag),
+         |bs AS (SELECT flag, count(*) AS bits_set FROM pos GROUP BY flag),
+         |probes AS MATERIALIZED (
+         |  SELECT i,
+         |    CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':',
+         |      concat('probe:', CAST(i AS VARCHAR)))), 1, 7))
+         |      AS BIGINT) % $BLOOM_M AS pos
+         |  FROM range(0, $BLOOM_PROBES) t(i), unnest([0,1,2,3]) u(j)),
+         |hits AS (SELECT p.flag, pr.i, count(*) AS c
+         |         FROM probes pr JOIN pos p ON pr.pos = p.pos GROUP BY 1, 2),
+         |fp AS (SELECT flag, count(*) AS n_fp FROM hits WHERE c = $BLOOM_K GROUP BY flag)
+         |SELECT nk.flag AS flag, n_keys, bits_set,
+         |  ((bits_set * bits_set * 1000000) // ${BLOOM_M.toLong * BLOOM_M}
+         |    * bits_set * bits_set) // ${BLOOM_M.toLong * BLOOM_M} AS est_fp_ppm,
+         |  coalesce(n_fp, 0) AS n_fp,
+         |  (coalesce(n_fp, 0) * 1000000) // $BLOOM_PROBES AS fp_ppm
+         |FROM nk JOIN bs USING (flag) LEFT JOIN fp USING (flag)
+         |ORDER BY flag""".stripMargin,
     "q_agg_cms" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -412,7 +412,74 @@ object Streaming {
       col("firstEvent").as("first_event"))
     .orderBy("user_id", "start_ms")
 
+  /** One upsert event and the running per-key CDC state. */
+  final case class CdcEvent(userId: Long, tsMs: Long, eventId: Long, etype: String)
+  final case class CdcRow(userId: Long, etype: String, tsMs: Long,
+      eventId: Long, nUpdates: Long)
+
+  /** Last-writer-wins fold: comparison-based (max (ts, event_id) seen),
+    * so the result is invariant under ANY micro-batch split of the
+    * input — the property that makes a CDC consumer replayable. */
+  private[graft] def cdcUpdate(userId: Long, it: Iterator[CdcEvent],
+      state: org.apache.spark.sql.streaming.GroupState[CdcRow]): CdcRow = {
+    var cur =
+      if (state.exists) state.get
+      else CdcRow(userId, null, Long.MinValue, Long.MinValue, 0L)
+    it.foreach { e =>
+      val newer = e.tsMs > cur.tsMs ||
+        (e.tsMs == cur.tsMs && e.eventId > cur.eventId)
+      cur = CdcRow(userId,
+        if (newer) e.etype else cur.etype,
+        if (newer) e.tsMs else cur.tsMs,
+        if (newer) e.eventId else cur.eventId,
+        cur.nUpdates + 1)
+    }
+    state.update(cur)
+    cur
+  }
+
+  /** Streaming CDC apply — the dimension-maintenance pattern: an
+    * upsert stream keyed by entity folds into one LAST-WRITER-WINS
+    * state row per key via mapGroupsWithState in UPDATE output mode
+    * (the one stateful-operator shape the surface didn't yet cover:
+    * Sessionizer is flatMapGroupsWithState+Append, dedup is
+    * dropDuplicatesWithinWatermark, the rollups are windowed aggs).
+    * Each micro-batch emits the keys it touched; the finish picks each
+    * key's final emission by the monotone update counter, so the
+    * contraction is batch-count independent. State: ONE row per
+    * entity — at 100 TB it scales with dimension cardinality, not
+    * event volume, the same law as the sessionizer. */
+  val qStreamCdc: Q = (parent, d) => onStreamSession(parent) { s =>
+    import s.implicits._
+    val schema = eventsSchema(s, d)
+    val name = "stream_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = scopedCheckpoint(name)
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normalizeTs)
+      .where(col("user_id") % 15 === 0)
+      .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),
+        col("event_id").as("eventId"), col("event_type").as("etype"))
+      .as[CdcEvent]
+    val q = src.groupByKey(_.userId)
+      .mapGroupsWithState(
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(cdcUpdate)
+      .toDF()
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name) { df =>
+      val w = Window.partitionBy("userId").orderBy(col("nUpdates").desc)
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("userId").as("user_id"), col("etype").as("last_type"),
+          col("tsMs").as("last_ts_ms"), col("eventId").as("last_event_id"),
+          col("nUpdates").as("n_updates"))
+        .orderBy("user_id")
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_cdc" -> qStreamCdc,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_static_join" -> qStreamStaticJoin,
     "q_stream_hourly" -> qStreamHourly,
@@ -425,6 +492,20 @@ object Streaming {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // CDC apply: the final state per key is the argmax-(ts, event_id)
+    // upsert with the total update count — batch-split invariant by
+    // the comparison-based fold.
+    "q_stream_cdc" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+        |           FROM events WHERE user_id % 15 = 0),
+        |r AS (SELECT user_id, event_type, t, event_id,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY t DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n
+        |      FROM e)
+        |SELECT user_id, event_type AS last_type, t AS last_ts_ms,
+        |  event_id AS last_event_id, CAST(n AS BIGINT) AS n_updates
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // Sessions: the batch gap-split rule; every non-final session per
     // user emits (closed by a later event); the final one emits only
     // if its timeout (end + gap) fell strictly before the final
