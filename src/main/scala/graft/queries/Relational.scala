@@ -504,6 +504,98 @@ object Relational {
     }
   }
 
+  private val KMV_K = 128
+
+  /** KMV / bottom-k theta sketch (Bar-Yossef et al. 2002; Beyer et al.
+    * SIGMOD 2007 "On synopses for distinct value estimation under
+    * multiset operations") — the fourth mergeable sketch beside
+    * [[qAggHll]] / [[qAggCms]] / [[qAggBloom]], and the one that
+    * supports SET ALGEBRA: keeping the K smallest distinct hash values
+    * of a set yields an unbiased distinct estimate (K−1)/θ_K, and two
+    * sketches MERGE by taking the bottom-K of their union — which is
+    * exactly the bottom-K sketch of the union — so union sizes and,
+    * via the match fraction ρ = |bottom-K(A∪B) ∩ A_sk ∩ B_sk| / K,
+    * intersection sizes of ANY source pair fall out of the 128-row
+    * samples alone. This is the cross-source overlap matrix
+    * [[graft.queries.Curation]]'s q_source_overlap computes EXACTLY,
+    * re-derived from fixed-size sketches: at 100 TB the pair algebra
+    * still runs on S·K ≤ 2,560 rows regardless of corpus size.
+    *
+    * Elements are word 3-shingles of each source's documents, hashed
+    * with the shared deterministic [[hash28]] (uniform on [0, 2^28),
+    * replayable in the oracle). Sketch construction is the ONLY
+    * corpus-scale pass: a two-phase (source, h) distinct, then the
+    * bottom-K per source — written in the row_number window form that
+    * [[graft.plans.RewriteTopKWindow]] rewrites to the bounded-heap
+    * operator (no full per-source sort at scale). The exact distinct /
+    * intersection columns are the AUDIT the sketch replaces, kept so
+    * the oracle hash pins estimator error, not just the samples;
+    * per-key fan-out of the exact hash self-join is bounded by the
+    * source count. Sources with fewer than K distinct elements fall
+    * back to their exact count (θ = 1), per the estimator's law. */
+  val qAggKmv: Q = (s, d) => {
+    val hh = Tables.documents(s, d)
+      .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .select(col("source"), hash28(col("sh")).as("h"))
+      .distinct()
+    Scoped.withCached(hh) {
+      val sk = hh
+        .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
+        .where(col("rn") <= KMV_K)
+        .select("source", "h")
+      Scoped.withCached(sk) {
+        val nd = hh.groupBy("source").agg(count(lit(1)).as("nd"))
+        // estimates in INTEGER MILLI units — pure BIGINT division on
+        // both engines (a round()ed double estimate hit a genuine
+        // half-ulp divergence vs DuckDB at sf0.1; the Bloom ppm rule:
+        // no FP on a decision edge). (K−1)·2^28·1000 < 2^63.
+        val est = sk.groupBy("source").agg(max("h").as("hk"), count(lit(1)).as("kk"))
+          .join(nd, "source")
+          .withColumn("est_milli", when(col("kk") < KMV_K, col("kk") * 1000L)
+            .otherwise(expr("((kk - 1) * 268435456 * 1000) div hk")))
+        val pairs = est.select(col("source").as("src_a"), col("est_milli").as("est_a"),
+            col("nd").as("nd_a"))
+          .crossJoin(broadcast(est.select(col("source").as("src_b"),
+            col("est_milli").as("est_b"), col("nd").as("nd_b"))))
+          .where(col("src_a") < col("src_b"))
+        // merged bottom-K per pair: the sketch UNION (tag side, dedup h,
+        // re-take the K smallest) — S²·K rows, corpus-size-independent
+        val mA = pairs.select("src_a", "src_b")
+          .join(sk.select(col("source").as("src_a"), col("h")), "src_a")
+          .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+        val mB = pairs.select("src_a", "src_b")
+          .join(sk.select(col("source").as("src_b"), col("h")), "src_b")
+          .withColumn("in_a", lit(0)).withColumn("in_b", lit(1))
+        val merged = mA.select("src_a", "src_b", "h", "in_a", "in_b")
+          .unionByName(mB.select("src_a", "src_b", "h", "in_a", "in_b"))
+          .groupBy("src_a", "src_b", "h")
+          .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("src_a", "src_b").orderBy("h")))
+          .where(col("rn") <= KMV_K)
+        val un = merged.groupBy("src_a", "src_b").agg(
+          max("h").as("hu"), count(lit(1)).as("ku"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+            .as("matches"))
+          .withColumn("est_union", when(col("ku") < KMV_K, col("ku") * 1000L)
+            .otherwise(expr("((ku - 1) * 268435456 * 1000) div hu")))
+          .withColumn("est_inter", expr("(matches * est_union) div ku"))
+        // exact audit: full hash-set intersection (per-h fan-out ≤ S)
+        val ex = hh.select(col("source").as("src_a"), col("h"))
+          .join(hh.select(col("source").as("src_b"), col("h")), "h")
+          .where(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
+        pairs.join(un, Seq("src_a", "src_b"))
+          .join(ex, Seq("src_a", "src_b"), "left")
+          .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+          .withColumn("exact_union", col("nd_a") + col("nd_b") - col("exact_inter"))
+          .select("src_a", "src_b", "est_a", "est_b", "est_union", "exact_union",
+            "est_inter", "exact_inter")
+          .orderBy("src_a", "src_b")
+      }
+    }
+  }
+
   /** ROLLUP with grouping_id. */
   val qAggRollup: Q = (s, d) => {
     Tables.lineitem(s, d)
@@ -1009,6 +1101,7 @@ object Relational {
     "q_agg_hll" -> qAggHll,
     "q_agg_cms" -> qAggCms,
     "q_agg_bloom" -> qAggBloom,
+    "q_agg_kmv" -> qAggKmv,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
     "q_agg_gsets" -> qAggGsets,
@@ -1206,6 +1299,66 @@ object Relational {
          |  (coalesce(n_fp, 0) * 1000000) // $BLOOM_PROBES AS fp_ppm
          |FROM nk JOIN bs USING (flag) LEFT JOIN fp USING (flag)
          |ORDER BY flag""".stripMargin,
+    // KMV: same distinct-shingle universe, same md5-derived hash, the
+    // bottom-K rank and every estimate arithmetic step mirrored from
+    // qAggKmv (268435456 = 2^28, the hash28 range); estimates are
+    // BIGINT MILLI units via // division — no FP on a decision edge
+    "q_agg_kmv" ->
+      s"""WITH t AS (
+         |  SELECT source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             x -> x != '') AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM t, unnest(range(1, len(w) - 1)) u(i)),
+         |hh AS MATERIALIZED (
+         |  SELECT DISTINCT source,
+         |    CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT) AS h
+         |  FROM sh),
+         |nd AS (SELECT source, count(*) AS nd FROM hh GROUP BY 1),
+         |rk AS (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |       FROM hh),
+         |sk AS MATERIALIZED (SELECT source, h FROM rk WHERE rn <= $KMV_K),
+         |est AS MATERIALIZED (
+         |  SELECT kv.source, nd.nd,
+         |    CASE WHEN kk < $KMV_K THEN kk * 1000
+         |         ELSE ((kk - 1) * 268435456 * 1000) // hk END AS est_milli
+         |  FROM (SELECT source, max(h) AS hk, count(*) AS kk FROM sk GROUP BY 1) kv
+         |  JOIN nd ON kv.source = nd.source),
+         |pr AS MATERIALIZED (
+         |  SELECT a.source AS src_a, b.source AS src_b, a.est_milli AS est_a,
+         |         b.est_milli AS est_b, a.nd AS nd_a, b.nd AS nd_b
+         |  FROM est a, est b WHERE a.source < b.source),
+         |mg AS (
+         |  SELECT p.src_a, p.src_b, s.h,
+         |    max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM pr p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+         |  GROUP BY 1, 2, 3),
+         |mr AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+         |         ORDER BY h) AS rn FROM mg),
+         |un AS (
+         |  SELECT src_a, src_b, max(h) AS hu, count(*) AS ku,
+         |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS matches
+         |  FROM mr WHERE rn <= $KMV_K GROUP BY 1, 2),
+         |ux AS (
+         |  SELECT src_a, src_b, matches, ku,
+         |    CASE WHEN ku < $KMV_K THEN ku * 1000
+         |         ELSE ((ku - 1) * 268435456 * 1000) // hu END AS est_union
+         |  FROM un),
+         |ex AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS exact_inter
+         |  FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, CAST(p.est_a AS BIGINT) AS est_a,
+         |  CAST(p.est_b AS BIGINT) AS est_b, CAST(u.est_union AS BIGINT) AS est_union,
+         |  CAST(p.nd_a + p.nd_b - coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_union,
+         |  CAST((u.matches * u.est_union) // u.ku AS BIGINT) AS est_inter,
+         |  CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter
+         |FROM pr p JOIN ux u USING (src_a, src_b)
+         |LEFT JOIN ex USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin,
     "q_agg_cms" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

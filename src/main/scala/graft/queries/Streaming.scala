@@ -478,7 +478,94 @@ object Streaming {
     }
   }
 
+  /** Sessions with per-session type diversity on the Spark 4
+    * `transformWithState` path — [[graft.streaming.TypeSessionizer]]'s
+    * StatefulProcessor (ValueState + MapState + event-time TIMERS)
+    * under the same oracle discipline as the flatMapGroupsWithState
+    * [[qStreamSessions]]: closed sessions emit from the data batch, a
+    * user's final open session emits only when its timer (last + gap)
+    * expires against the final watermark (max sampled ts − 10 s,
+    * advanced by the closing no-data micro-batch). The v2 API requires
+    * the RocksDB state-store provider — set on this query's own child
+    * session (the session-isolation pattern all streaming queries here
+    * use), so no other query observes it. Disjoint user sample
+    * (user_id % 9 = 4) from the v1 sessions query. */
+  val qStreamTws: Q = (parent, d) => onStreamSession(parent) { s =>
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = eventsSchema(s, d)
+    val name = "stream_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = scopedCheckpoint(name)
+    val q = twsLogic(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name)(twsFinish)
+  }
+
+  /** The transformWithState plan on a raw events stream — shared by
+    * [[qStreamTws]] and the checkpoint-restart RecoverySpec, so v2
+    * state (ValueState + MapState + timers) recovery is proven on the
+    * exact production plan. */
+  private[graft] def twsLogic(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .transform(Tables.normalizeTs)
+      .where(col("user_id") % 9 === 4)
+      .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),
+        col("event_id").as("eventId"), col("event_type").as("etype"))
+      .as[graft.streaming.TypeSessionizer.TEvent]
+    graft.streaming.TypeSessionizer.sessionize(typed, 1800000L, "10 seconds").toDF()
+  }
+
+  /** Renames the drained tws rows to the oracle shape. */
+  private[graft] def twsFinish(df: DataFrame): DataFrame = df
+    .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+      col("endMs").as("end_ms"), col("nEvents").as("n_events"),
+      col("nTypes").as("n_types"))
+    .orderBy("user_id", "start_ms")
+
+  /** Sessionized aggregate on Spark's NATIVE session_window operator —
+    * the fourth sessionization path beside the batch window-function
+    * form ([[qSessionize]]), flatMapGroupsWithState
+    * ([[qStreamSessions]]) and transformWithState ([[qStreamTws]]):
+    * here the ENGINE owns the session state (window merge on overlap,
+    * finalize when the watermark passes window end = last event +
+    * gap), and the query is a plain declarative groupBy — the form a
+    * SQL user writes, and the one that rides every future engine
+    * improvement for free. Append mode: only watermark-finalized
+    * sessions emit; the oracle applies the same end ≤ (max ts − 10 s)
+    * cutoff. Disjoint user sample (% 11 = 5) from the other three.
+    * State is one merged-window record per (user, open session) —
+    * active-user cardinality, not event volume. */
+  val qStreamSessWin: Q = (parent, d) => onStreamSession(parent) { s =>
+    val schema = eventsSchema(s, d)
+    val name = "stream_sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = scopedCheckpoint(name)
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normalizeTs)
+      .where(col("user_id") % 11 === 5)
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name)(_
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("n"), col("sum_v"))
+      .orderBy("user_id", "start_ms"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_sesswin" -> qStreamSessWin,
+    "q_stream_tws" -> qStreamTws,
     "q_stream_cdc" -> qStreamCdc,
     "q_stream_sessions" -> qStreamSessions,
     "q_stream_static_join" -> qStreamStaticJoin,
@@ -492,6 +579,56 @@ object Streaming {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // native session_window: gap-split sessions where the WINDOW is
+    // [min t, max t + gap); append mode emits only sessions the final
+    // watermark (max sampled ts − 10 s) finalized — end <= cut
+    "q_stream_sesswin" ->
+      """WITH ev AS (SELECT user_id, event_id, value, epoch_ms(ts) AS t
+        |            FROM events WHERE user_id % 11 = 5),
+        |wm AS (SELECT max(t) - 10000 AS cut FROM ev),
+        |g AS (SELECT user_id, event_id, value, t,
+        |        t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        |      FROM ev),
+        |sd AS (SELECT user_id, value, t,
+        |         sum(CASE WHEN gap IS NULL OR gap >= 1800000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |       FROM g),
+        |sess AS (SELECT user_id, sid, min(t) AS start_ms,
+        |           max(t) + 1800000 AS end_ms,
+        |           count(*) AS n, round(sum(value), 2) AS sum_v
+        |         FROM sd GROUP BY 1, 2)
+        |SELECT user_id, start_ms, end_ms, CAST(n AS BIGINT) AS n, sum_v
+        |FROM sess, wm WHERE end_ms <= wm.cut
+        |ORDER BY user_id, start_ms""".stripMargin,
+    // transformWithState sessions: the qStreamSessions gap-split replay
+    // on the % 9 = 4 sample, plus per-session distinct-type counts; the
+    // final open session's timer fires only strictly before the final
+    // watermark (max sampled ts − 10 s) — the event-time timer contract.
+    "q_stream_tws" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t
+        |            FROM events WHERE user_id % 9 = 4),
+        |wm AS (SELECT max(t) - 10000 AS cut FROM ev),
+        |g AS (SELECT user_id, event_id, event_type, t,
+        |        t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        |      FROM ev),
+        |sd AS MATERIALIZED (
+        |  SELECT user_id, event_type, t,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, min(t) AS start_ms, max(t) AS end_ms,
+        |           count(*) AS n_events,
+        |           count(DISTINCT event_type) AS n_types
+        |         FROM sd GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+        |SELECT s.user_id, s.start_ms, s.end_ms,
+        |  CAST(s.n_events AS BIGINT) AS n_events,
+        |  CAST(s.n_types AS BIGINT) AS n_types
+        |FROM sess s JOIN mx ON s.user_id = mx.user_id, wm
+        |WHERE s.sid < mx.last_sid OR s.end_ms + 1800000 < wm.cut
+        |ORDER BY s.user_id, s.start_ms""".stripMargin,
     // CDC apply: the final state per key is the argmax-(ts, event_id)
     // upsert with the total update count — batch-split invariant by
     // the comparison-based fold.

@@ -786,7 +786,72 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // A-priori level-1 prune anchored to the DENSEST item (integer
+  // tenths: supp·10 ≥ max_supp·6, i.e. ≥60% of the max item support)
+  // and a top-K pair output. A corpus-absolute or permille threshold
+  // is NOT scale-portable on this fixture — per-item support permille
+  // dilutes as the corpus grows (94‰ max at 500 docs, 68‰ at 5,000),
+  // so any fixed cut degenerates to all-items or no-items at some SF;
+  // anchoring to the observed max keeps the prune meaningful at every
+  // scale, and the top-K output bounds the result (Han et al.
+  // ICDM 2002's top-k frequent-pattern framing).
+  private val ITEMSET_F1_PCT10 = 6
+  private val ITEMSET_TOPK = 50
+
+  /** Frequent-itemset mining (Agrawal & Srikant VLDB 1994's A-priori,
+    * level 2) over document bigram "items" — the co-occurrence miner a
+    * curation pipeline runs to find boilerplate template pairs (two
+    * phrases that keep appearing in the SAME documents signal a shared
+    * generator even when neither is a duplicate span). Items are
+    * distinct word bigrams per document (the unigram vocabulary is too
+    * small to carry support structure — same fixture reasoning as
+    * [[graft.queries.Relational]]'s CMS); an item is frequent at
+    * support ≥ [[ITEMSET_F1_PCT10]]/10 of the MAX item support, and
+    * ONLY frequent items form candidate pairs (the A-priori
+    * downward-closure prune — the whole point of the algorithm: the
+    * pair join's per-doc fan-out is bounded by the doc's
+    * FREQUENT-item count squared, never its full item count). The
+    * top-[[ITEMSET_TOPK]] pairs by (co-support desc, i1, i2) emit
+    * with confidence c(a→b) and lift, both in round-4 doubles.
+    *
+    * Shape: bigram explode is map-side (native [[shingles]]); item
+    * supports are one map-side-combined groupBy bounded by the bigram
+    * type count; the frequent-item filter broadcasts back (a K-row
+    * model, the qSelectDsir posture); the candidate self-join is an
+    * equi-join ON doc_id over the PRUNED per-doc item lists with
+    * map-side-combined pair counting — at 100 TB the pair space stays
+    * |F1|²-bounded regardless of corpus size. */
+  val qTextItemsets: Q = (s, d) => {
+    val items = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("item"))
+    Scoped.withCached(items) {
+      val n = items.agg(countDistinct("doc_id").as("n_docs"))
+      val supp = items.groupBy("item").agg(count(lit(1)).as("supp"))
+      Scoped.withCached(supp) {
+        val mx = supp.agg(max("supp").as("max_supp"))
+        val f1 = supp.crossJoin(broadcast(mx))
+          .where(col("supp") * 10 >= col("max_supp") * ITEMSET_F1_PCT10)
+        val fdocs = items.join(broadcast(f1.select("item", "supp")), "item")
+        val pairs = fdocs
+          .select(col("doc_id"), col("item").as("i1"), col("supp").as("supp_a"))
+          .join(fdocs.select(col("doc_id"), col("item").as("i2"),
+            col("supp").as("supp_b")), "doc_id")
+          .where(col("i1") < col("i2"))
+          .groupBy("i1", "i2", "supp_a", "supp_b")
+          .agg(count(lit(1)).as("supp_ab"))
+        pairs.crossJoin(broadcast(n))
+          .withColumn("conf", round(col("supp_ab").cast("double") / col("supp_a"), 4))
+          .withColumn("lift", round(col("supp_ab").cast("double") * col("n_docs")
+            / (col("supp_a") * col("supp_b")), 4))
+          .select("i1", "i2", "supp_a", "supp_b", "supp_ab", "conf", "lift")
+          .orderBy(col("supp_ab").desc, col("i1"), col("i2"))
+          .limit(ITEMSET_TOPK)
+      }
+    }
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_text_itemsets" -> qTextItemsets,
     "q_text_charcov" -> qTextCharCoverage,
     "q_text_llr" -> qTextLlr,
     "q_tokenize_unigram" -> qTokenizeUnigram,
@@ -855,6 +920,35 @@ object TextAnalysis {
   }.mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
+    // A-priori level 2: same bigram items, same max-anchored F1 prune,
+    // same top-K cut; ratios in explicit DOUBLE casts (DuckDB's bare
+    // 1.0 literal is DECIMAL and divides differently)
+    "q_text_itemsets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                             x -> x != '') AS w
+         |  FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS item
+         |  FROM t, unnest(range(1, len(w))) u(i)),
+         |n AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n_docs FROM bg),
+         |s AS MATERIALIZED (SELECT item, count(*) AS supp FROM bg GROUP BY 1),
+         |m AS (SELECT max(supp) AS max_supp FROM s),
+         |f1 AS MATERIALIZED (
+         |  SELECT item, supp FROM s, m WHERE supp * 10 >= max_supp * $ITEMSET_F1_PCT10),
+         |fd AS MATERIALIZED (
+         |  SELECT b.doc_id, b.item, f1.supp FROM bg b JOIN f1 USING (item)),
+         |p AS (
+         |  SELECT a.item AS i1, b.item AS i2, a.supp AS supp_a, b.supp AS supp_b,
+         |    count(*) AS supp_ab
+         |  FROM fd a JOIN fd b ON a.doc_id = b.doc_id AND a.item < b.item
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT i1, i2, CAST(supp_a AS BIGINT) AS supp_a,
+         |  CAST(supp_b AS BIGINT) AS supp_b, CAST(supp_ab AS BIGINT) AS supp_ab,
+         |  round(CAST(supp_ab AS DOUBLE) / supp_a, 4) AS conf,
+         |  round(CAST(supp_ab AS DOUBLE) * n_docs / (supp_a * supp_b), 4) AS lift
+         |FROM p, n
+         |ORDER BY supp_ab DESC, i1, i2 LIMIT $ITEMSET_TOPK""".stripMargin,
     "q_text_charcov" ->
       s"""WITH chs AS (SELECT substr(text, CAST(i AS INT), 1) AS ch
          |             FROM documents, unnest(range(1, len(text) + 1)) t(i)),

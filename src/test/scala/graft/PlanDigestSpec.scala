@@ -31,7 +31,9 @@ class PlanDigestSpec extends AnyFunSuite {
     "q_ann_ivf_pq", "q_graph_pagerank", "q_dedup_cluster", "q_semdedup",
     "q_ann_rq", "q_quality_classifier", "q_select_dsir", "q_sql_recursive",
     "q_select_rho", "q_mine_bitext", "q_agg_cms", "q_dedup_trim",
-    "q_join_salted", "q_link_records", "q_dedup_minhash")
+    "q_join_salted", "q_link_records", "q_dedup_minhash",
+    // round-11 additions heavy enough to digest-pin
+    "q_agg_kmv", "q_text_itemsets")
 
   /** The merged fingerprint of EVERY SQL execution the query runs —
     * bounded-model fits, loop materializations, and the final frame

@@ -433,6 +433,7 @@ class PlanSpec extends AnyFunSuite {
       "event_type",  // bounded type id — only ever composed with user_id
       "day",  // sweep-line partition; hierarchical shard-merge posture at scale (Events.scala)
       "band_id", "sig", "src", "grp", "bucket",          // bounded band/cell/demo ids
+      "src_a", "src_b",  // KMV pair sketches: |sources|² groups of ≤ 2K rows each
       "o_orderpriority", "c_nationkey", "o_custkey",     // TPC-H dimensions
       "l_orderkey", "key")
     val offenders = graft.queries.Scoped.planOnly {

@@ -101,6 +101,115 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(split == one, "micro-batch split must not change the final state")
     assert(reversed == one, "arrival order must not change the final state")
   }
+
+  test("kmv: estimator error bound, set-algebra laws, and the merge theorem") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{hash28, shingles, tokens}
+    val rows = SparkEntry.queries("q_agg_kmv")(spark, SF).collect()
+    assert(rows.length == 190, "20 sources -> 190 ordered pairs")
+    // exact distinct-hash counts per source, recomputed independently
+    val nd = Tables.documents(spark, SF)
+      .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .select(col("source"), hash28(col("sh")).as("h")).distinct()
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val estA = r.getAs[Long]("est_a") / 1000.0
+      val estU = r.getAs[Long]("est_union") / 1000.0
+      val estI = r.getAs[Long]("est_inter") / 1000.0
+      val exI = r.getAs[Long]("exact_inter")
+      val exU = r.getAs[Long]("exact_union")
+      // set algebra on the exact side
+      assert(exI <= math.min(nd(a), nd(b)) && exU >= math.max(nd(a), nd(b)))
+      assert(exU == nd(a) + nd(b) - exI)
+      // estimator side: intersection cannot exceed union; K=128 puts
+      // sigma ~ 1/sqrt(K-2) ~ 8.9% — allow 4 sigma
+      assert(estI <= estU + 1e-9)
+      assert(math.abs(estA - nd(a)) / nd(a) < 0.36,
+        s"$a: est $estA vs exact ${nd(a)}")
+      assert(math.abs(estU - exU) / exU < 0.36, s"($a,$b): union $estU vs $exU")
+    }
+    // merge theorem (Beyer et al. 2007): bottom-K of the UNION of two
+    // full sets == bottom-K of the union of the two bottom-K samples
+    val hh = Tables.documents(spark, SF)
+      .where(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("sh"))
+      .select(col("source"), hash28(col("sh")).as("h")).distinct()
+    val full = hh.select("h").distinct().collect().map(_.getLong(0)).sorted.take(128)
+    val perSrc = hh.collect().groupBy(_.getString(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).sorted.take(128) }
+    val mergedSamples = (perSrc("src0") ++ perSrc("src1")).distinct.sorted.take(128)
+    assert(mergedSamples.toSeq == full.toSeq,
+      "union-of-sketches bottom-K must equal the union's own sketch")
+  }
+
+  test("itemsets: downward closure, frequent-only items, bounded top-k") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.{shingles, tokens}
+    val rows = SparkEntry.queries("q_text_itemsets")(spark, SF).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // independent item-support recount
+    val supp = Tables.documents(spark, SF)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("item"))
+      .groupBy("item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxSupp = supp.values.max
+    rows.foreach { r =>
+      val (i1, i2) = (r.getAs[String]("i1"), r.getAs[String]("i2"))
+      val (sa, sb, sab) = (r.getAs[Long]("supp_a"), r.getAs[Long]("supp_b"),
+        r.getAs[Long]("supp_ab"))
+      assert(sa == supp(i1) && sb == supp(i2), "reported supports must be real")
+      assert(sab <= math.min(sa, sb), "downward closure: P(a,b) <= min support")
+      assert(sa * 10 >= maxSupp * 6 && sb * 10 >= maxSupp * 6,
+        "every emitted item must have survived the F1 prune")
+      val conf = r.getAs[Double]("conf")
+      val lift = r.getAs[Double]("lift")
+      assert(conf > 0 && conf <= 1.0 + 1e-9)
+      assert(lift > 0)
+    }
+    // the cut is the exact top-k by (supp_ab desc, i1, i2): emitted
+    // min co-support must be >= any non-emitted pair's co-support is
+    // not checkable without re-mining; instead pin the ordering law
+    val order = rows.map(r => (-r.getAs[Long]("supp_ab"),
+      r.getAs[String]("i1"), r.getAs[String]("i2"))).toSeq
+    assert(order == order.sorted, "output must be ordered by the top-k key")
+  }
+
+  test("tws: streaming v2 sessions match the batch gap-split law incl. type counts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q_stream_tws")(spark, SF).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+        r.getAs[Long]("end_ms"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_types"))).toSet
+    assert(got.nonEmpty)
+    // batch replay of the same law with window functions (independent
+    // of the StatefulProcessor code path)
+    val ev = Tables.events(spark, SF).where(col("user_id") % 9 === 4)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"))
+    val wOrd = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val sess = ev
+      .withColumn("gap", col("t") - lag("t", 1).over(wOrd))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > 1800000L, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("start_ms"), max("t").as("end_ms"),
+        count(lit(1)).as("n_events"),
+        countDistinct("event_type").as("n_types"))
+    val cut = ev.agg(max("t")).head().getLong(0) - 10000L
+    val lastSid = sess.groupBy("user_id").agg(max("sid").as("last_sid"))
+    val expected = sess.join(lastSid, "user_id")
+      .where(col("sid") < col("last_sid") || col("end_ms") + 1800000L < cut)
+      .select("user_id", "start_ms", "end_ms", "n_events", "n_types")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected,
+      s"${got.size} streamed vs ${expected.size} batch-replayed sessions")
+  }
 }
 
 /** Minimal in-memory GroupState for unit-driving state folds. */

@@ -23,7 +23,10 @@ import graft.queries.Streaming
   *  - `q_stream_join_outer`: stream-stream left-outer interval join —
   *    join state and its watermark EVICTION bookkeeping must survive
   *    (an evicted click must emit exactly once, never twice or zero
-  *    times, whichever side of the kill the eviction lands on).
+  *    times, whichever side of the kill the eviction lands on);
+  *  - `q_stream_tws`: the transformWithState v2 path — a ValueState,
+  *    a MapState, and registered event-time TIMERS must all reload
+  *    from the RocksDB checkpoint and fire correctly post-restart.
   *
   * Both runs drive the EXACT production plans
   * ([[Streaming.sessionsLogic]] / [[Streaming.joinOuterLogic]] — the
@@ -93,8 +96,13 @@ class RecoverySpec extends AnyFunSuite {
     * checkpoint, drain, and return (rows read back through the sink's
     * commit log, kill batch id, first batch id after restart). */
   private def runWithKill(logic: DataFrame => DataFrame,
-      finish: DataFrame => DataFrame): (Seq[Seq[Any]], Long, Long) = {
+      finish: DataFrame => DataFrame,
+      rocksdb: Boolean = false): (Seq[Seq[Any]], Long, Long) = {
     val s = child()
+    // transformWithState (the v2 stateful API) requires the RocksDB
+    // provider — same per-child-session switch qStreamTws uses
+    if (rocksdb) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = splitInput.toString
     val ck = Files.createTempDirectory("graft-rec-ck").toString
     val out = Files.createTempDirectory("graft-rec-out").toString
@@ -148,6 +156,19 @@ class RecoverySpec extends AnyFunSuite {
       s"restart must resume AFTER the kill point, not replay from scratch " +
         s"(killed at $killedAt, resumed at $resumedAt)")
     val expected = oracleEntry("q_stream_sessions")
+    assert(rows.nonEmpty && rows == expected,
+      s"recovered drain diverged from the oracle-gated single run: " +
+        s"${rows.length} vs ${expected.length} rows")
+  }
+
+  test("transformWithState: ValueState + MapState + timers survive a mid-drain kill") {
+    val (rows, killedAt, resumedAt) =
+      runWithKill(Streaming.twsLogic, Streaming.twsFinish, rocksdb = true)
+    assert(killedAt >= 0)
+    assert(resumedAt > killedAt,
+      s"restart must resume AFTER the kill point, not replay from scratch " +
+        s"(killed at $killedAt, resumed at $resumedAt)")
+    val expected = oracleEntry("q_stream_tws")
     assert(rows.nonEmpty && rows == expected,
       s"recovered drain diverged from the oracle-gated single run: " +
         s"${rows.length} vs ${expected.length} rows")
