@@ -563,7 +563,77 @@ object Streaming {
       .orderBy("user_id", "start_ms"))
   }
 
+  /** Batch-bootstrap → stream HANDOFF on transformWithState's
+    * initial-state path — the warm-start every backfill-then-stream
+    * deployment needs: the sample's FIRST time-half is folded as a
+    * BATCH (window functions — already-closed sessions emitted
+    * directly; each user's still-open session becomes a
+    * [[graft.streaming.TypeSessionizer.BootState]]), the processor
+    * re-seats ValueState + MapState + the inactivity TIMER from that
+    * snapshot via `handleInitialState`, and only the SECOND half
+    * streams. The oracle replays the plain full-sample session law —
+    * hash equality IS the lossless-handoff proof (state crossing the
+    * batch/stream boundary loses nothing: sessions spanning the
+    * midpoint merge exactly as if the whole history had streamed;
+    * boot-only users' timers still fire against the stream's final
+    * watermark). Disjoint sample (% 9 = 7) from [[qStreamTws]].
+    * At 100 TB this is the migration path: fold years of history at
+    * batch prices, hand the open tails to the stream. */
+  val qStreamTwsBoot: Q = (parent, d) => onStreamSession(parent) { s =>
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    import graft.streaming.TypeSessionizer.{BootState, TSession}
+    val ev = Tables.events(s, d).where(col("user_id") % 9 === 7)
+      .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),
+        col("event_id").as("eventId"), col("event_type").as("etype"))
+    // midpoint split: one bounded driver agg (2 longs)
+    val mm = ev.agg(min("tsMs"), max("tsMs")).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    // batch fold of the first half: gap-split sessions per user
+    val wOrd = Window.partitionBy("userId").orderBy("tsMs", "eventId")
+    val sess = ev.where(col("tsMs") < mid)
+      .withColumn("gap", col("tsMs") - lag("tsMs", 1).over(wOrd))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > 1800000L, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("userId", "sid")
+      .agg(min("tsMs").as("start"), max("tsMs").as("last"),
+        count(lit(1)).as("n"), sort_array(collect_set("etype")).as("types"))
+      .withColumn("lastSid",
+        max("sid").over(Window.partitionBy("userId")))
+    val closed = sess.where(col("sid") < col("lastSid"))
+      .select(col("userId"), col("start").as("startMs"), col("last").as("endMs"),
+        col("n").as("nEvents"), size(col("types")).cast("long").as("nTypes"))
+      .as[TSession]
+    val boot = sess.where(col("sid") === col("lastSid"))
+      .select(col("userId"), col("start"), col("last"), col("n"), col("types"))
+      .as[(Long, Long, Long, Long, Seq[String])]
+      .map { case (u, st, la, n, ty) => (u, BootState(st, la, n, ty)) }
+      .groupByKey(_._1).mapValues(_._2)
+    val name = "stream_twsboot_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = scopedCheckpoint(name)
+    val schema = eventsSchema(s, d)
+    val typed = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normalizeTs)
+      .where(col("user_id") % 9 === 7)
+      .select(col("user_id").as("userId"), unix_millis(col("ts")).as("tsMs"),
+        col("event_id").as("eventId"), col("event_type").as("etype"))
+      .where(col("tsMs") >= mid)
+      .as[graft.streaming.TypeSessionizer.TEvent]
+    val q = graft.streaming.TypeSessionizer
+      .sessionizeWithInit(typed, boot, 1800000L, "10 seconds").toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name)(streamed =>
+      twsFinish(streamed.unionByName(closed.toDF())))
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_stream_tws_boot" -> qStreamTwsBoot,
     "q_stream_sesswin" -> qStreamSessWin,
     "q_stream_tws" -> qStreamTws,
     "q_stream_cdc" -> qStreamCdc,
@@ -601,6 +671,33 @@ object Streaming {
         |SELECT user_id, start_ms, end_ms, CAST(n AS BIGINT) AS n, sum_v
         |FROM sess, wm WHERE end_ms <= wm.cut
         |ORDER BY user_id, start_ms""".stripMargin,
+    // batch-bootstrap handoff: the oracle is the PLAIN full-sample
+    // session replay — it does not know a midpoint exists; hash
+    // equality proves the batch→stream state handoff is lossless
+    "q_stream_tws_boot" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t
+        |            FROM events WHERE user_id % 9 = 7),
+        |wm AS (SELECT max(t) - 10000 AS cut FROM ev),
+        |g AS (SELECT user_id, event_id, event_type, t,
+        |        t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+        |      FROM ev),
+        |sd AS MATERIALIZED (
+        |  SELECT user_id, event_type, t,
+        |    sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, min(t) AS start_ms, max(t) AS end_ms,
+        |           count(*) AS n_events,
+        |           count(DISTINCT event_type) AS n_types
+        |         FROM sd GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+        |SELECT s.user_id, s.start_ms, s.end_ms,
+        |  CAST(s.n_events AS BIGINT) AS n_events,
+        |  CAST(s.n_types AS BIGINT) AS n_types
+        |FROM sess s JOIN mx ON s.user_id = mx.user_id, wm
+        |WHERE s.sid < mx.last_sid OR s.end_ms + 1800000 < wm.cut
+        |ORDER BY s.user_id, s.start_ms""".stripMargin,
     // transformWithState sessions: the qStreamSessions gap-split replay
     // on the % 9 = 4 sample, plus per-session distinct-type counts; the
     // final open session's timer fires only strictly before the final

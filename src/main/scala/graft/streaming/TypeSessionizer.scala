@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.{Dataset, Encoders, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig}
 
 /** Sessionization with per-session TYPE diversity on the Spark 4
   * arbitrary-stateful v2 path — `transformWithState` with a
@@ -34,8 +34,20 @@ object TypeSessionizer {
   final case class TSession(userId: Long, startMs: Long, endMs: Long,
       nEvents: Long, nTypes: Long)
 
+  /** One user's open session handed over from a batch bootstrap: the
+    * running (start, last, n) plus the session's distinct types —
+    * exactly the composite the processor keeps in (ValueState,
+    * MapState), flattened to one encodable row. */
+  final case class BootState(start: Long, last: Long, n: Long, types: Seq[String])
+
+  /** The processor extends the INITIAL-STATE variant (a subclass of
+    * plain StatefulProcessor, so the no-bootstrap [[sessionize]] path
+    * uses the same class): `handleInitialState` re-seats a
+    * batch-computed open session — ValueState, MapState set AND the
+    * inactivity timer — before the first micro-batch, which is the
+    * warm-start contract a backfill-then-stream deployment needs. */
   class Processor(gapMs: Long)
-      extends StatefulProcessor[Long, TEvent, TSession] {
+      extends StatefulProcessorWithInitialState[Long, TEvent, TSession, BootState] {
     @transient private var sess: org.apache.spark.sql.streaming.ValueState[TState] = _
     @transient private var types: org.apache.spark.sql.streaming.MapState[String, Boolean] = _
 
@@ -84,6 +96,13 @@ object TypeSessionizer {
       out.result().iterator
     }
 
+    override def handleInitialState(userId: Long, s0: BootState,
+        timers: TimerValues): Unit = {
+      sess.update(TState(s0.start, s0.last, s0.n))
+      s0.types.foreach(t => types.updateValue(t, true))
+      getHandle.registerTimer(s0.last + gapMs)
+    }
+
     override def handleExpiredTimer(userId: Long, timers: TimerValues,
         expired: ExpiredTimerInfo): Iterator[TSession] =
       if (sess.exists()) {
@@ -111,5 +130,23 @@ object TypeSessionizer {
       .groupByKey(_.userId)
       .transformWithState(new Processor(gapMs), TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  /** [[sessionize]] with a warm start: `init` carries each user's open
+    * session from a batch bootstrap; the processor re-seats state and
+    * timers from it before the first micro-batch. */
+  def sessionizeWithInit(events: Dataset[TEvent],
+      init: KeyValueGroupedDataset[Long, BootState], gapMs: Long,
+      watermark: String = "10 seconds"): Dataset[TSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    events
+      .withColumn("eventTime", timestamp_millis(col("tsMs")))
+      .withWatermark("eventTime", watermark)
+      .as[TEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new Processor(gapMs), TimeMode.EventTime(),
+        OutputMode.Append(), init)
   }
 }
