@@ -552,6 +552,65 @@ object MicroBench {
           if (sustained.isEmpty) 0L
           else (users.toDouble / (sustained.sum / sustained.length)).toLong
         println(s"""{"bench":"sessionstate","provider":"$provider","users":$users,"batches":$batches,"per_batch":[$pb],"sustained_rows_per_sec":$rps,"drained_state_rows":$drained,"closed_sessions":$closed,"state_one_row_per_user":$ok}""")
+      case "twsstate" =>
+        // The v2-API counterpart of `sessionstate`: drive the
+        // transformWithState TypeSessionizer (ValueState + MapState +
+        // timers on the MANDATORY RocksDB provider) with the same
+        // one-event-per-user-per-batch worst case, so the v1-vs-v2
+        // stateful API cost carries a measured number instead of an
+        // assumption. Event types rotate over a 3-letter alphabet, so
+        // the MapState converges to ≤ 3 entries per user — state rows
+        // must go FLAT once the alphabet saturates, however many
+        // batches accumulate.
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.TypeSessionizer
+        val users = args.lift(1).map(_.toInt).getOrElse(1000000)
+        val batches = args.lift(2).map(_.toInt).getOrElse(4)
+        val s = spark.newSession()
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val ms = MemoryStream[TypeSessionizer.TEvent]
+        val gapMs = 1800000L
+        val qn = "tws_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = java.nio.file.Files.createTempDirectory("ck_tws_state").toString
+        val q = TypeSessionizer.sessionize(ms.toDS(), gapMs, "10 seconds")
+          .writeStream.outputMode("append").format("memory").queryName(qn)
+          .option("checkpointLocation", ck).start()
+        val base = 1700000000000L
+        def stateRows: Long =
+          Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        val perBatch = (1 to batches).map { b =>
+          val ts = base + b.toLong * 60000L
+          ms.addData((0 until users).map(u =>
+            TypeSessionizer.TEvent(u.toLong, ts + u % 1000,
+              b.toLong * users + u, "t" + (b % 3))))
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          (b, stateRows, sec)
+        }
+        val far = base + batches.toLong * 60000L + gapMs + 3600000L
+        ms.addData(Seq(TypeSessionizer.TEvent(-1L, far, -1L, "t0")))
+        q.processAllAvailable()
+        ms.addData(Seq(TypeSessionizer.TEvent(-1L, far + 1000L, -2L, "t0")))
+        q.processAllAvailable()
+        val drained = stateRows
+        val closed = s.table(qn).count()
+        q.stop()
+        // every user's events sit inside one gap → exactly one session
+        // per user closes via the timer; only the sentinel stays open
+        val ok = closed == users.toLong &&
+          perBatch.drop(2).map(_._2).distinct.sizeIs <= 2
+        val pb = perBatch.map { case (b, st, sec) =>
+          f"""{"batch":$b,"state_rows":$st,"sec":$sec%.2f}"""
+        }.mkString(",")
+        val sustained = perBatch.drop(1).map(_._3)
+        val rps =
+          if (sustained.isEmpty) 0L
+          else (users.toDouble / (sustained.sum / sustained.length)).toLong
+        println(s"""{"bench":"twsstate","provider":"rocksdb","users":$users,"batches":$batches,"per_batch":[$pb],"sustained_rows_per_sec":$rps,"drained_state_rows":$drained,"closed_sessions":$closed,"state_flat_and_drained":$ok}""")
       case "decode" =>
         // single-threaded PNG decode: fast path vs ImageIO, same bytes
         val w = 2048; val h = 2048; val reps = args.lift(1).map(_.toInt).getOrElse(20)
