@@ -232,6 +232,12 @@ object Streaming {
     val src = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .transform(Tables.normalizeTs)
+      // project to the dedup key + watermark column + the one column
+      // the audit aggregates BEFORE the stateful operator: the state
+      // store, the memory sink, and the post-drain re-ship all carry
+      // 3 narrow columns instead of the full event row (the wide sink
+      // showed up as a 92 MB single-task ship at sf4)
+      .select(col("ts"), col("event_id"), col("event_type"))
     val q = src
       .withColumn("copy", explode(array(lit(0), lit(1)))).drop("copy")
       .withWatermark("ts", "10 minutes")
