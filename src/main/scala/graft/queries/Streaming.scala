@@ -337,6 +337,57 @@ object Streaming {
       "left_outer")
   }
 
+  /** Stream-stream FULL-outer interval join — completes the streaming
+    * join matrix (inner [[qStreamJoin]], left-outer
+    * [[qStreamJoinOuter]]): BOTH sides' state-eviction semantics are
+    * under the oracle gate at once. A click with no purchase in its
+    * following hour emits null-padded when the watermark passes its
+    * join window (c_ts + 1h); a purchase with no click in its
+    * PRECEDING hour emits null-padded when the watermark passes the
+    * purchase itself (no future click can have an earlier timestamp) —
+    * the two asymmetric eviction bounds Spark derives from the same
+    * range condition. Disjoint user sample (% 10 = 1) from the other
+    * interval joins. State on each side is bounded by its eviction
+    * horizon — watermark delay + the hour window — never stream
+    * length. */
+  val qStreamJoinFull: Q = (parent, d) => onStreamSession(parent) { s =>
+    val schema = eventsSchema(s, d)
+    val name = "stream_joinfull_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = scopedCheckpoint(name)
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normalizeTs)
+      .where(col("user_id") % 10 === 1)
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "full_outer")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name)(_
+      .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
+      .agg(
+        sum(when(col("click_id").isNotNull && col("purchase_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_pairs"),
+        sum(when(col("click_id").isNotNull && col("purchase_id").isNull, 1L)
+          .otherwise(0L)).as("n_uncl"),
+        sum(when(col("click_id").isNull && col("purchase_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_unpu"),
+        countDistinct("click_id").as("n_clicks"),
+        countDistinct("purchase_id").as("n_purchases"))
+      .orderBy("user_id"))
+  }
+
   /** Contraction of the drained join-outer rows to the oracle shape. */
   private[graft] def joinOuterFinish(df: DataFrame): DataFrame = df
     .groupBy(col("c_user").as("user_id"))
@@ -639,6 +690,7 @@ object Streaming {
   }
 
   def queries: Map[String, Q] = Map(
+    "q_stream_join_full" -> qStreamJoinFull,
     "q_stream_tws_boot" -> qStreamTwsBoot,
     "q_stream_sesswin" -> qStreamSessWin,
     "q_stream_tws" -> qStreamTws,
@@ -832,6 +884,39 @@ object Streaming {
     // either side is EMPTY its operator's watermark never advances and
     // the global min stays put, so NOTHING evicts: cut_ms is NULL then
     // (DuckDB's least would otherwise ignore the NULL side and evict).
+    // full outer: both unmatched sides, each under its own eviction
+    // bound — clicks at c_ts + 1h (the join window), purchases at
+    // p_ts itself (no future click can precede it); same NULL-guarded
+    // min-across-operators watermark as the left-outer oracle
+    "q_stream_join_full" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
+        |           WHERE user_id % 10 = 1 AND event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+        |      WHERE user_id % 10 = 1 AND event_type = 'purchase'),
+        |wm AS (SELECT CASE WHEN (SELECT max(epoch_ms(ts)) FROM c) IS NULL
+        |                     OR (SELECT max(epoch_ms(ts)) FROM p) IS NULL
+        |         THEN NULL
+        |         ELSE least((SELECT max(epoch_ms(ts)) FROM c),
+        |                    (SELECT max(epoch_ms(ts)) FROM p)) - 600000
+        |       END AS cut_ms),
+        |j AS (SELECT coalesce(c.user_id, p.user_id) AS user_id, c.click_id,
+        |        epoch_us(c.ts) AS c_us, p.purchase_id, epoch_us(p.ts) AS p_us
+        |      FROM c FULL JOIN p ON c.user_id = p.user_id
+        |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |e AS (SELECT j.* FROM j, wm
+        |      WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+        |         OR (purchase_id IS NULL AND c_us + 3600000000 < cut_ms * 1000)
+        |         OR (click_id IS NULL AND p_us < cut_ms * 1000))
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN click_id IS NOT NULL AND purchase_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN click_id IS NOT NULL AND purchase_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_uncl,
+        |  CAST(sum(CASE WHEN click_id IS NULL AND purchase_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unpu,
+        |  count(DISTINCT click_id) AS n_clicks,
+        |  count(DISTINCT purchase_id) AS n_purchases
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_stream_join_outer" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events
         |           WHERE user_id % 10 = 0 AND event_type = 'click'),
