@@ -580,10 +580,18 @@ object Relational {
           .withColumn("est_union", when(col("ku") < KMV_K, col("ku") * 1000L)
             .otherwise(expr("((ku - 1) * 268435456 * 1000) div hu")))
           .withColumn("est_inter", expr("(matches * est_union) div ku"))
-        // exact audit: full hash-set intersection (per-h fan-out ≤ S)
-        val ex = hh.select(col("source").as("src_a"), col("h"))
-          .join(hh.select(col("source").as("src_b"), col("h")), "h")
-          .where(col("src_a") < col("src_b"))
+        // exact audit: full hash-set intersection. One groupBy(h) with
+        // map-side combine + a ≤C(S,2) pair explode per shared hash —
+        // half the shuffle of the equivalent self-join (which ships hh
+        // twice); the pair space is the bounded source alphabet
+        val ex = hh.groupBy("h")
+          .agg(sort_array(collect_set("source")).as("ss"))
+          .where(size(col("ss")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ss, (a, i) ->
+              |  transform(slice(ss, i + 2, size(ss)),
+              |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+          .select(col("p.src_a"), col("p.src_b"))
           .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
         pairs.join(un, Seq("src_a", "src_b"))
           .join(ex, Seq("src_a", "src_b"), "left")
