@@ -354,8 +354,20 @@ object Streaming {
     val schema = eventsSchema(s, d)
     val name = "stream_joinfull_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val q = joinFullLogic(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    finishAndDrop(s, name)(joinFullFinish)
+  }
+
+  /** The full-outer interval-join plan on a raw events stream — shared
+    * by [[qStreamJoinFull]] and the checkpoint-restart RecoverySpec,
+    * so BOTH sides' eviction recovery is proven on the exact
+    * production plan. */
+  private[graft] def joinFullLogic(events: DataFrame): DataFrame = {
+    def src = events
       .transform(Tables.normalizeTs)
       .where(col("user_id") % 10 === 1)
     val clicks = src.where(col("event_type") === "click")
@@ -366,27 +378,26 @@ object Streaming {
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "10 minutes")
-    val q = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
-        "full_outer")
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .option("checkpointLocation", ck).start()
-    drainScoped(q, ck)
-    finishAndDrop(s, name)(_
-      .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
-      .agg(
-        sum(when(col("click_id").isNotNull && col("purchase_id").isNotNull, 1L)
-          .otherwise(0L)).as("n_pairs"),
-        sum(when(col("click_id").isNotNull && col("purchase_id").isNull, 1L)
-          .otherwise(0L)).as("n_uncl"),
-        sum(when(col("click_id").isNull && col("purchase_id").isNotNull, 1L)
-          .otherwise(0L)).as("n_unpu"),
-        countDistinct("click_id").as("n_clicks"),
-        countDistinct("purchase_id").as("n_purchases"))
-      .orderBy("user_id"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+      col("p_ts") >= col("c_ts") &&
+      col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
   }
+
+  /** Contraction of the drained full-outer rows to the oracle shape. */
+  private[graft] def joinFullFinish(df: DataFrame): DataFrame = df
+    .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
+    .agg(
+      sum(when(col("click_id").isNotNull && col("purchase_id").isNotNull, 1L)
+        .otherwise(0L)).as("n_pairs"),
+      sum(when(col("click_id").isNotNull && col("purchase_id").isNull, 1L)
+        .otherwise(0L)).as("n_uncl"),
+      sum(when(col("click_id").isNull && col("purchase_id").isNotNull, 1L)
+        .otherwise(0L)).as("n_unpu"),
+      countDistinct("click_id").as("n_clicks"),
+      countDistinct("purchase_id").as("n_purchases"))
+    .orderBy("user_id")
 
   /** Contraction of the drained join-outer rows to the oracle shape. */
   private[graft] def joinOuterFinish(df: DataFrame): DataFrame = df

@@ -186,4 +186,17 @@ class RecoverySpec extends AnyFunSuite {
       s"recovered drain diverged from the oracle-gated single run: " +
         s"${rows.length} vs ${expected.length} rows")
   }
+
+  test("full-outer join: BOTH sides' eviction emits exactly once across a restart") {
+    val (rows, killedAt, resumedAt) =
+      runWithKill(Streaming.joinFullLogic, Streaming.joinFullFinish)
+    assert(killedAt >= 0)
+    assert(resumedAt > killedAt,
+      s"restart must resume AFTER the kill point, not replay from scratch " +
+        s"(killed at $killedAt, resumed at $resumedAt)")
+    val expected = oracleEntry("q_stream_join_full")
+    assert(rows.nonEmpty && rows == expected,
+      s"recovered drain diverged from the oracle-gated single run: " +
+        s"${rows.length} vs ${expected.length} rows")
+  }
 }
