@@ -612,24 +612,33 @@ object Streaming {
     val schema = eventsSchema(s, d)
     val name = "stream_sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .transform(Tables.normalizeTs)
-      .where(col("user_id") % 11 === 5)
-      .withWatermark("ts", "10 seconds")
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
-    val q = stream.writeStream.outputMode("append")
+    val q = sessWinLogic(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .option("checkpointLocation", ck).start()
     drainScoped(q, ck)
-    finishAndDrop(s, name)(_
-      .select(col("user_id"),
-        unix_millis(col("session_window.start")).as("start_ms"),
-        unix_millis(col("session_window.end")).as("end_ms"),
-        col("n"), col("sum_v"))
-      .orderBy("user_id", "start_ms"))
+    finishAndDrop(s, name)(sessWinFinish)
   }
+
+  /** The native session_window plan on a raw events stream — shared by
+    * [[qStreamSessWin]] and the checkpoint-restart RecoverySpec, so
+    * the ENGINE-owned merged-window state is recovery-proven on the
+    * exact production plan. */
+  private[graft] def sessWinLogic(events: DataFrame): DataFrame = events
+    .transform(Tables.normalizeTs)
+    .where(col("user_id") % 11 === 5)
+    .withWatermark("ts", "10 seconds")
+    .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+    .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+
+  /** Contraction of the drained session-window rows to the oracle shape. */
+  private[graft] def sessWinFinish(df: DataFrame): DataFrame = df
+    .select(col("user_id"),
+      unix_millis(col("session_window.start")).as("start_ms"),
+      unix_millis(col("session_window.end")).as("end_ms"),
+      col("n"), col("sum_v"))
+    .orderBy("user_id", "start_ms")
 
   /** Batch-bootstrap → stream HANDOFF on transformWithState's
     * initial-state path — the warm-start every backfill-then-stream

@@ -26,7 +26,11 @@ import graft.queries.Streaming
   *    times, whichever side of the kill the eviction lands on);
   *  - `q_stream_tws`: the transformWithState v2 path — a ValueState,
   *    a MapState, and registered event-time TIMERS must all reload
-  *    from the RocksDB checkpoint and fire correctly post-restart.
+  *    from the RocksDB checkpoint and fire correctly post-restart;
+  *  - `q_stream_join_full`: the full-outer interval join — BOTH
+  *    sides' watermark-eviction bookkeeping across the kill;
+  *  - `q_stream_sesswin`: the native session_window aggregate —
+  *    the ENGINE's merged-window state, not ours, across the kill.
   *
   * Both runs drive the EXACT production plans
   * ([[Streaming.sessionsLogic]] / [[Streaming.joinOuterLogic]] — the
@@ -182,6 +186,19 @@ class RecoverySpec extends AnyFunSuite {
       s"restart must resume AFTER the kill point, not replay from scratch " +
         s"(killed at $killedAt, resumed at $resumedAt)")
     val expected = oracleEntry("q_stream_join_outer")
+    assert(rows.nonEmpty && rows == expected,
+      s"recovered drain diverged from the oracle-gated single run: " +
+        s"${rows.length} vs ${expected.length} rows")
+  }
+
+  test("native session_window: engine-owned merged-window state survives a restart") {
+    val (rows, killedAt, resumedAt) =
+      runWithKill(Streaming.sessWinLogic, Streaming.sessWinFinish)
+    assert(killedAt >= 0)
+    assert(resumedAt > killedAt,
+      s"restart must resume AFTER the kill point, not replay from scratch " +
+        s"(killed at $killedAt, resumed at $resumedAt)")
+    val expected = oracleEntry("q_stream_sesswin")
     assert(rows.nonEmpty && rows == expected,
       s"recovered drain diverged from the oracle-gated single run: " +
         s"${rows.length} vs ${expected.length} rows")
