@@ -407,10 +407,12 @@ object MicroBench {
         // summed codebook-lookup distance; recall measures how much
         // ranking fidelity the 64×-compressed codes preserve (PQ is a
         // compression tier, not a pruning tier — candidate frac is 1).
-        // localCheckpoint: the fit's per-round actions and the encode
+        // materializeRound: the fit's per-round actions and the encode
         // below all re-read sv (the fit no longer caches internally)
-        val sv = graft.queries.Similarity.pqSubvecs(spark, sf).localCheckpoint(true)
-        val cb = graft.queries.Similarity.pqFit(sv).localCheckpoint(true)
+        val sv = graft.queries.Scoped.materializeRound(
+          graft.queries.Similarity.pqSubvecs(spark, sf))
+        val cb = graft.queries.Scoped.materializeRound(
+          graft.queries.Similarity.pqFit(sv))
         val codes = graft.queries.Similarity.pqAssign(sv, cb)
         val dtq = sv.where(col("vec_id") < nq)
           .join(broadcast(cb), "m")
@@ -433,10 +435,11 @@ object MicroBench {
         // Householder rotation that balances top-PC energy across
         // subspaces — the recall delta vs pq above IS the measured
         // value of the rotation at the same 6-byte code budget.
-        val svO = graft.queries.Similarity
-          .pqSubvecsOf(graft.queries.Similarity.opqRotatedVecs(spark, sf))
-          .localCheckpoint(true)
-        val cbO = graft.queries.Similarity.pqFit(svO).localCheckpoint(true)
+        val svO = graft.queries.Scoped.materializeRound(
+          graft.queries.Similarity
+            .pqSubvecsOf(graft.queries.Similarity.opqRotatedVecs(spark, sf)))
+        val cbO = graft.queries.Scoped.materializeRound(
+          graft.queries.Similarity.pqFit(svO))
         val codesO = graft.queries.Similarity.pqAssign(svO, cbO)
         val dtqO = svO.where(col("vec_id") < nq)
           .join(broadcast(cbO), "m")

@@ -275,15 +275,19 @@ object Dedup {
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
       .repartition(loopParts, col("da"))
       .cache()
-    // localCheckpoint (NOT cache) each round: iteration i's plan embeds
-    // iteration i-1's TWICE (union + join), so without lineage
+    // materializeRound (NOT bare cache) each round: iteration i's plan
+    // embeds iteration i-1's TWICE (union + join), so without lineage
     // truncation the logical tree — and per-round analysis time — grows
-    // as 2^i. Checkpointing pins each round to its materialized RDD and
-    // keeps every round's plan constant-size; this is the difference
-    // between O(rounds) and O(2^rounds) on any iterative dataflow.
-    var labels = sig.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      .repartition(loopParts, col("id"))
-      .localCheckpoint(true)
+    // as 2^i. Eager materialization pins each round to its computed
+    // RDD and keeps every round's plan constant-size; this is the
+    // difference between O(rounds) and O(2^rounds) on any iterative
+    // dataflow. The helper picks localCheckpoint only on a local
+    // master — on a cluster it uses the reliable checkpoint dir (or
+    // persist), so a lost executor recomputes instead of killing the
+    // loop.
+    var labels = Scoped.materializeRound(
+      sig.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+        .repartition(loopParts, col("id")))
     try {
       // min-label propagation is monotone (labels only ever decrease),
       // so the exact integer sum of labels strictly decreases until the
@@ -295,11 +299,12 @@ object Dedup {
       while (!converged && it < CLUSTER_MAX_ITERS) {
         val prop = edges.join(labels, col("da") === col("id"))
           .select(col("db").as("id"), col("lbl"))
-        val next = labels.union(prop)
-          .repartition(loopParts, col("id"))
-          .groupBy("id").agg(min("lbl").as("lbl"))
-          .localCheckpoint(true)
+        val next = Scoped.materializeRound(
+          labels.union(prop)
+            .repartition(loopParts, col("id"))
+            .groupBy("id").agg(min("lbl").as("lbl")))
         val nextSum = next.agg(sum("lbl")).head.getLong(0)
+        Scoped.releaseRound(labels) // prior round done; `next` owns state
         labels = next
         converged = nextSum == prevSum
         prevSum = nextSum

@@ -368,7 +368,10 @@ object Events {
       .agg(sum("n_ev").as("n_events"), count(lit(1)).as("n_blocks"),
         sum(col("be") - col("bs")).as("covered_ms"),
         (max("be") - min("bs")).as("span_ms"))
-      .withColumn("util_bp", expr("(covered_ms * 10000) div span_ms"))
+      // nullif: a user whose intervals are ALL zero-length at one
+      // timestamp has span_ms = 0 — Spark `div` would yield NULL but
+      // DuckDB `//` raises, so guard identically in both engines
+      .withColumn("util_bp", expr("(covered_ms * 10000) div nullif(span_ms, 0)"))
       .orderBy("user_id")
   }
 
@@ -405,7 +408,7 @@ object Events {
         |  CAST(sum(be - bs) AS BIGINT) AS covered_ms,
         |  CAST(max(be) - min(bs) AS BIGINT) AS span_ms,
         |  (CAST(sum(be - bs) AS BIGINT) * 10000)
-        |    // CAST(max(be) - min(bs) AS BIGINT) AS util_bp
+        |    // nullif(CAST(max(be) - min(bs) AS BIGINT), 0) AS util_bp
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_funnel" ->
       s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -227,26 +227,30 @@ object Graph {
         .agg(max("deg")).head().getLong(0)
       val rows = scala.collection.mutable.ArrayBuffer(
         (0, nNodes0, und0.count()))
-      // each round's keep/edges are localCheckpointed EAGERLY before
-      // their counts: without the checkpoint, round r's lineage chains
-      // r rounds of joins back to und0 and every count() action (two
-      // per round) re-executes the whole prefix — measured 6.9 s at
-      // sf0.1; checkpointed, each round runs its joins exactly once
-      // and the counts are scans (~1.5 s)
+      // each round's keep/edges are materialized EAGERLY before their
+      // counts: without lineage truncation, round r's plan chains r
+      // rounds of joins back to und0 and every count() action (two per
+      // round) re-executes the whole prefix — measured 6.9 s at
+      // sf0.1; materialized, each round runs its joins exactly once
+      // and the counts are scans (~1.5 s). materializeRound picks the
+      // deployment-correct mechanism (local / reliable / cache-only).
       var edges = und0
       for (r <- 1 to KC_ROUNDS) {
-        val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= k).select("src")
-          .repartition(loopParts, col("src"))
-          .localCheckpoint(true)
-        edges = edges
-          .join(keep, "src")
-          .join(keep.select(col("src").as("dst")), "dst")
-          .select("src", "dst")
-          .repartition(loopParts, col("src"))
-          .localCheckpoint(true)
+        val keep = Scoped.materializeRound(
+          edges.groupBy("src").agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= k).select("src")
+            .repartition(loopParts, col("src")))
+        val prev = edges
+        edges = Scoped.materializeRound(
+          prev.join(keep, "src")
+            .join(keep.select(col("src").as("dst")), "dst")
+            .select("src", "dst")
+            .repartition(loopParts, col("src")))
         rows += ((r, keep.count(), edges.count()))
+        Scoped.releaseRound(keep)
+        if (r > 1) Scoped.releaseRound(prev)
       }
+      Scoped.releaseRound(edges) // counts collected; round state done
       rows.toSeq.toDF("round", "n_nodes", "n_edges").orderBy("round")
     }
   }
@@ -279,9 +283,10 @@ object Graph {
       Tables.documents(s, d).where(col("doc_id") % 25 === 0))
     Scoped.withCached(sig) {
       // canonical a<b by construction (band candidates use doc_id <)
-      var edges = Dedup.verifiedPairsOf(sig, Dedup.CLUSTER_MIN_AGREE)
-        .select(col("da").as("a"), col("db").as("b"))
-        .repartition(4, col("a")).localCheckpoint(true)
+      var edges = Scoped.materializeRound(
+        Dedup.verifiedPairsOf(sig, Dedup.CLUSTER_MIN_AGREE)
+          .select(col("da").as("a"), col("db").as("b"))
+          .repartition(4, col("a")))
       // triangles (u<v<w), each found exactly once on canonical edges
       def triOf(e: DataFrame): DataFrame =
         e.select(col("a").as("ta"), col("b").as("tb"))
@@ -291,18 +296,22 @@ object Graph {
           .select("ta", "tb", "tc")
       val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
       for (r <- 0 to KT_ROUNDS) {
-        val tri = triOf(edges).localCheckpoint(true)
+        val tri = Scoped.materializeRound(triOf(edges))
         rows += ((r, edges.count(), tri.count()))
         if (r < KT_ROUNDS) {
           val sup = tri.select(col("ta").as("a"), col("tb").as("b"))
             .unionAll(tri.select(col("tb").as("a"), col("tc").as("b")))
             .unionAll(tri.select(col("ta").as("a"), col("tc").as("b")))
             .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-          edges = edges
-            .join(sup.where(col("sup") >= KT_SUPPORT), Seq("a", "b"), "left_semi")
-            .repartition(4, col("a")).localCheckpoint(true)
-        }
+          val prev = edges
+          edges = Scoped.materializeRound(
+            prev.join(sup.where(col("sup") >= KT_SUPPORT), Seq("a", "b"),
+                "left_semi")
+              .repartition(4, col("a")))
+          Scoped.releaseRound(prev, tri)
+        } else Scoped.releaseRound(tri)
       }
+      Scoped.releaseRound(edges) // counts collected; round state done
       rows.toSeq.toDF("round", "n_edges", "n_tri").orderBy("round")
     }
   }
@@ -445,8 +454,8 @@ object Graph {
     * reported at dist −1. Each round is ONE frontier ⋈ edges
     * equi-join (both sides keyed on node) plus a left-anti join
     * against the assigned set — the Pregel superstep shape, with the
-    * frontier `localCheckpoint`ed per round so lineage stays flat
-    * (the q_dedup_cluster treatment). Set-BFS (min over seeds) keeps
+    * frontier materialized per round ([[Scoped.materializeRound]]) so
+    * lineage stays flat (the q_dedup_cluster treatment). Set-BFS (min over seeds) keeps
     * state one row per node; the per-root variant multiplies state by
     * |roots| and is the same plan with root in the key.
     *
@@ -471,8 +480,8 @@ object Graph {
       .distinct()
     Scoped.withCached(und) {
       val nodes = und.select(col("src").as("node")).distinct()
-      var assigned = nodes.where(col("node") < BFS_SEEDS)
-        .withColumn("dist", lit(0)).localCheckpoint(true)
+      var assigned = Scoped.materializeRound(nodes.where(col("node") < BFS_SEEDS)
+        .withColumn("dist", lit(0)))
       var frontier = assigned.select("node")
       // state row counts: free under planOnly (no checkpoint to count),
       // one trivial cached-block scan per round otherwise
@@ -486,10 +495,14 @@ object Graph {
         val useBcast = stateRows <= bcastMaxRows
         val fHinted = if (useBcast) broadcast(frontier) else frontier
         val aHinted = if (useBcast) broadcast(assigned) else assigned
-        frontier = fHinted.join(und, col("node") === col("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(aHinted, Seq("node"), "left_anti")
-          .localCheckpoint(true)
+        // round frames are NOT released here: `assigned` is a lazy
+        // union of every round's frontier, consumed by the final
+        // aggregate after the loop — they are node-domain-bounded and
+        // the checkpoint branches reference-track them anyway
+        frontier = Scoped.materializeRound(
+          fHinted.join(und, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(aHinted, Seq("node"), "left_anti"))
         // assigned stays a lazy union of CHECKPOINTED frontier frames —
         // re-scanning k tiny frames per anti-join is cheaper than
         // materializing the accumulated union every round

@@ -224,7 +224,7 @@ object Relational {
     val sc = s.sparkContext
     if (Scoped.isPlanOnly || (!sc.isLocal && sc.getCheckpointDir.isEmpty)) agg
     else {
-      val out = if (sc.isLocal) agg.localCheckpoint(true) else agg.checkpoint(true)
+      val out = Scoped.materializeRound(agg)
       dropBucketedLayout(s, d)
       out
     }

@@ -56,6 +56,55 @@ object Scoped {
       }
     }
 
+  /** Deployment-aware loop-round materialization — the ONE primitive
+    * every iterative dataflow (kcore/ktruss/BFS peel rounds, label
+    * propagation) must use instead of calling `localCheckpoint`
+    * directly. Each round's plan embeds the previous round's (often
+    * twice), so without eager lineage truncation both the logical tree
+    * and per-action analysis time grow exponentially in the round
+    * count; but the RIGHT truncation depends on where the job runs:
+    *
+    *   - local master: `localCheckpoint(eager)` — blocks live in the
+    *     one JVM; executor loss is process death anyway.
+    *   - cluster master with a checkpoint dir: reliable
+    *     `checkpoint(eager)` — `localCheckpoint` would tie round-state
+    *     blocks to executor liveness, and one preempted/lost executor
+    *     then kills an hours-long loop with NO recompute path
+    *     (truncated lineage). Spark's docs warn against exactly this.
+    *   - cluster master without a checkpoint dir: persist
+    *     (memory-and-disk) + eager materialize. Lineage is NOT
+    *     truncated, so a lost block recomputes from source — slower,
+    *     never wrong; the logical plan still grows with rounds, which
+    *     is why deployments should set a checkpoint dir (SCALE.md).
+    *     Loops call [[releaseRound]] on a round's frames once the next
+    *     round is materialized and counted, so persisted round state
+    *     never outlives its use (no-op in the checkpoint branches,
+    *     where the ContextCleaner reference-tracks checkpoint RDDs).
+    *
+    * Unlike [[withCached]], this is NOT disabled under [[planOnly]]:
+    * plan guards on iterative queries assert on per-round trees whose
+    * inputs are already materialized, and skipping truncation would
+    * both change those trees and re-introduce the exponential analysis
+    * blowup inside the guard itself.
+    */
+  def materializeRound(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.isLocal) df.localCheckpoint(true)
+    else if (sc.getCheckpointDir.nonEmpty) df.checkpoint(true)
+    else {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+  }
+
+  /** Drop a finished round's persisted blocks. Only the cache-only
+    * branch of [[materializeRound]] registers anything with the
+    * CacheManager, so this is a no-op for checkpointed frames — safe
+    * to call unconditionally from loop bodies. */
+  def releaseRound(dfs: DataFrame*): Unit =
+    dfs.foreach(_.unpersist(blocking = false))
+
   /** Variant for bodies that RUN driver actions against the cached
     * inputs while constructing the result — e.g. the iterative model
     * fits, which collect a tiny model once per Lloyd round. Caches

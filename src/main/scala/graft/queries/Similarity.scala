@@ -679,10 +679,11 @@ object Similarity {
     * operating point. */
   private[graft] def kmeansModel(s: SparkSession, d: String, nq: Int,
       maxProbe: Int = KMEANS_PROBE): (DataFrame, DataFrame) = {
-    // localCheckpoint materializes the quantized vectors once for the
-    // fit's per-round actions + both returned plans; the blocks release
-    // via ContextCleaner when the caller drops the DataFrames
-    val vecs = quantizedVecs(s, d).localCheckpoint(true)
+    // materializeRound: the quantized vectors are computed once for the
+    // fit's per-round actions + both returned plans, via the
+    // deployment-correct mechanism; the blocks release via
+    // ContextCleaner when the caller drops the DataFrames
+    val vecs = Scoped.materializeRound(quantizedVecs(s, d))
     val cent = kmeansFit(vecs) // driver-local relation already
     val cells = kmeansAssign(vecs, cent)
     val probes = vecs.where(col("vec_id") < nq)
@@ -1329,8 +1330,9 @@ object Similarity {
   private[graft] def semDedupCellsOf(s: SparkSession, d: String): DataFrame = {
     val vecs = quantizedVecs(s, d)
     Scoped.withCachedEager(vecs) {
+      // no extra checkpoint here: withCachedEager already materializes
+      // the result with the deployment-correct mechanism
       kmeansAssign(vecs, kmeansFitK(vecs, semDedupK(vecs.count())))
-        .localCheckpoint(true)
     }
   }
 

@@ -457,8 +457,40 @@ object Streaming {
     finishAndDrop(s, name)(sessionsFinish)
   }
 
+  /** [[qStreamSessions]] through the PRODUCTION parquet FILE sink —
+    * the path a deployment actually runs (the memory sink is a demo
+    * drain). The sessionization plan streams into a parquet directory
+    * whose `_spark_metadata` commit log is the sink's exactly-once
+    * mechanism; the result is then read BACK through that commit log
+    * (a plain `spark.read.parquet` on the sink dir resolves committed
+    * files only) and hash-gated against the SAME DuckDB oracle as the
+    * memory-sink twin. RecoverySpec drives this exact plan+sink
+    * combination through a kill-after-batch-0 restart, so the entry
+    * chains end-to-end: production sink, crash recovery, and oracle
+    * hash on one plan. Sink files are scoped to the invocation and
+    * removed after localization, like every demo drain. */
+  val qStreamSessionsFsink: Q = (parent, d) => onStreamSession(parent) { s =>
+    val schema = eventsSchema(s, d)
+    val name = "stream_sessf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = scopedCheckpoint(name)
+    val outDir = scopedCheckpoint(name + "_out")
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val q = sessionsLogic(src)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ck).start()
+    drainScoped(q, ck)
+    try {
+      val out = sessionsFinish(s.read.parquet(outDir))
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      s.createDataFrame(rows, out.schema)
+    } finally deleteRecursively(outDir)
+  }
+
   /** The flatMapGroupsWithState sessionization plan on a raw events
-    * stream — shared by [[qStreamSessions]] and the checkpoint-restart
+    * stream — shared by [[qStreamSessions]], its file-sink twin
+    * [[qStreamSessionsFsink]], and the checkpoint-restart
     * RecoverySpec, so recovery is proven on the exact production plan. */
   private[graft] def sessionsLogic(events: DataFrame): DataFrame = {
     val s = events.sparkSession
@@ -716,6 +748,7 @@ object Streaming {
     "q_stream_tws" -> qStreamTws,
     "q_stream_cdc" -> qStreamCdc,
     "q_stream_sessions" -> qStreamSessions,
+    "q_stream_sessions_fsink" -> qStreamSessionsFsink,
     "q_stream_static_join" -> qStreamStaticJoin,
     "q_stream_hourly" -> qStreamHourly,
     "q_stream_topk" -> qStreamTopk,
@@ -725,6 +758,41 @@ object Streaming {
     "q_stream_join_outer" -> qStreamJoinOuter,
     "q_sessionize" -> qSessionize
   )
+
+  /** Sessions oracle: the batch gap-split rule; every non-final
+    * session per user emits (closed by a later event); the final one
+    * emits only if its timeout (end + gap) fell strictly before the
+    * final watermark (max sampled ts − 10 s) — the
+    * flatMapGroupsWithState EventTimeTimeout contract. Shared verbatim
+    * by the memory-sink and file-sink entries. */
+  private val sessionsOracleSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events
+      |            WHERE user_id % 25 = 0),
+      |wm AS (SELECT max(t) - 10000 AS cut FROM ev),
+      |g AS (SELECT user_id, event_id, t,
+      |        t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+      |      FROM ev),
+      |b AS (SELECT user_id, event_id, t,
+      |        CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS brk
+      |      FROM g),
+      |sd AS (SELECT user_id, event_id, t,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
+      |       FROM b),
+      |fe AS (SELECT user_id, sid, event_id AS first_event FROM sd
+      |       WHERE rn = (SELECT min(s2.rn) FROM sd s2
+      |                   WHERE s2.user_id = sd.user_id AND s2.sid = sd.sid)),
+      |sess AS (SELECT sd.user_id, sd.sid, min(t) AS start_ms, max(t) AS end_ms,
+      |           count(*) AS n_events
+      |         FROM sd GROUP BY 1, 2),
+      |mx AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+      |SELECT s.user_id AS user_id, s.start_ms, s.end_ms, s.n_events, fe.first_event
+      |FROM sess s
+      |JOIN fe ON s.user_id = fe.user_id AND s.sid = fe.sid
+      |JOIN mx ON s.user_id = mx.user_id, wm
+      |WHERE s.sid < mx.last_sid OR s.end_ms + 1800000 < wm.cut
+      |ORDER BY s.user_id, s.start_ms""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // native session_window: gap-split sessions where the WINDOW is
@@ -823,34 +891,10 @@ object Streaming {
     // if its timeout (end + gap) fell strictly before the final
     // watermark (max sampled ts − 10 s) — the flatMapGroupsWithState
     // EventTimeTimeout contract.
-    "q_stream_sessions" ->
-      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS t FROM events
-        |            WHERE user_id % 25 = 0),
-        |wm AS (SELECT max(t) - 10000 AS cut FROM ev),
-        |g AS (SELECT user_id, event_id, t,
-        |        t - lag(t, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
-        |      FROM ev),
-        |b AS (SELECT user_id, event_id, t,
-        |        CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END AS brk
-        |      FROM g),
-        |sd AS (SELECT user_id, event_id, t,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
-        |       FROM b),
-        |fe AS (SELECT user_id, sid, event_id AS first_event FROM sd
-        |       WHERE rn = (SELECT min(s2.rn) FROM sd s2
-        |                   WHERE s2.user_id = sd.user_id AND s2.sid = sd.sid)),
-        |sess AS (SELECT sd.user_id, sd.sid, min(t) AS start_ms, max(t) AS end_ms,
-        |           count(*) AS n_events
-        |         FROM sd GROUP BY 1, 2),
-        |mx AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
-        |SELECT s.user_id AS user_id, s.start_ms, s.end_ms, s.n_events, fe.first_event
-        |FROM sess s
-        |JOIN fe ON s.user_id = fe.user_id AND s.sid = fe.sid
-        |JOIN mx ON s.user_id = mx.user_id, wm
-        |WHERE s.sid < mx.last_sid OR s.end_ms + 1800000 < wm.cut
-        |ORDER BY s.user_id, s.start_ms""".stripMargin,
+    "q_stream_sessions" -> sessionsOracleSql,
+    // file-sink twin: identical semantics, identical oracle — the
+    // difference under test is the SINK (parquet commit log vs memory)
+    "q_stream_sessions_fsink" -> sessionsOracleSql,
     "q_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM events JOIN customer ON user_id = c_custkey

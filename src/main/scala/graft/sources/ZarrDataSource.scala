@@ -515,9 +515,7 @@ class ZarrDataWriter(store: String, fieldNames: Array[String], chunk: Seq[Int],
     val tmp = new HPath(dir, s".$name.tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
     try out.write(payload) finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(target, false); fs.rename(tmp, target)
-    }
+    graft.imaging.SmartSpimPipeline.commitTmp(fs, tmp, target)
   }
 
   override def write(r: InternalRow): Unit = {

@@ -30,7 +30,13 @@ object Sessionizer {
     events.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
       state match {
         case Some(s) if e.tsMs - s.last <= gapMs =>
-          state = Some(s.copy(last = e.tsMs, n = s.n + 1))
+          // a late event inside the watermark can sort BEFORE the prior
+          // batch's state (negative delta): extend with min/max so it
+          // can neither shrink the gap deadline nor move `start` late —
+          // matches the batch gap-split oracle across micro-batches
+          val first = if (e.tsMs < s.start) e.eventId else s.firstEvent
+          state = Some(SessionState(math.min(s.start, e.tsMs),
+            math.max(s.last, e.tsMs), s.n + 1, first))
         case Some(s) =>
           out += Session(userId, s.start, s.last, s.n, s.firstEvent)
           state = Some(SessionState(e.tsMs, e.tsMs, 1, e.eventId))

@@ -74,7 +74,11 @@ object TypeSessionizer {
       rows.toSeq.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
         cur match {
           case Some(s) if e.tsMs - s.last <= gapMs =>
-            cur = Some(s.copy(last = e.tsMs, n = s.n + 1))
+            // min/max extend: a cross-batch late event (within the
+            // watermark, earlier than state.last) must not shrink the
+            // timer deadline or move `start` late — batch-oracle parity
+            cur = Some(TState(math.min(s.start, e.tsMs),
+              math.max(s.last, e.tsMs), s.n + 1))
           case Some(s) =>
             out += closeSession(userId, s)
             cur = Some(TState(e.tsMs, e.tsMs, 1))

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.sys.process._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executor-loss recovery for the iterative loops (round-12 verdict
+  * item 1): q_graph_kcore runs on a standalone two-worker mini-cluster
+  * with a RELIABLE checkpoint dir — the deployment posture
+  * `Scoped.materializeRound` selects off-local — and one executor is
+  * killed the moment the first round checkpoint hits disk (cached
+  * input blocks lost, in-flight tasks failed, mid-loop). The query
+  * must still complete with exactly the rows the local oracle-gated
+  * run produces: reliable-checkpoint recovery proven, not asserted.
+  */
+class WorkerKillRecoverySpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("kcore survives an executor kill mid-loop under a reliable checkpoint dir") {
+    assume(Files.isDirectory(java.nio.file.Paths.get(sfDir)), s"$sfDir missing")
+    // expected rows: the same query on the in-process local session
+    // (the configuration CORRECTNESS gates against the DuckDB oracle)
+    val spark = SparkSessionTestWrapper.spark
+    val expected = SparkEntry.queries("q_graph_kcore")(spark, sfDir)
+      .collect()
+      .map(r => s"${r.get(0)},${r.get(1)},${r.get(2)}")
+      .toSeq
+    assert(expected.nonEmpty)
+
+    val ckpt = Files.createTempDirectory("graft-kcore-ckpt")
+    val out = new StringBuilder
+    val cmd = Seq("java") ++
+      Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+        "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED")) ++
+      Seq("-Xmx2g", "-cp", sys.props("java.class.path"),
+        "org.apache.spark.deploy.KcoreRecoveryProbe",
+        sfDir, ckpt.toString)
+    val code = Process(cmd, None,
+      "SPARK_HOME" -> "/opt/spark", "SPARK_SCALA_VERSION" -> "2.13") !
+      ProcessLogger(
+        l => { out.append(l).append('\n'); () },
+        l => { out.append(l).append('\n'); () })
+    val text = out.toString
+    assert(code == 0, s"probe failed:\n${text.takeRight(4000)}")
+    val rows = "ROW=([^\\s]+)".r.findAllMatchIn(text).map(_.group(1)).toSeq
+    assert(rows == expected,
+      s"post-kill result diverged: got $rows expected $expected")
+    val removed = "REMOVED=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    assert(removed.exists(_ > 0),
+      s"no executor removal observed — the run proves nothing\n${text.takeRight(2000)}")
+    assert(text.contains("MIDQUERY=true"),
+      "executor kill was requested only after the query finished; tighten timing")
+  }
+}
