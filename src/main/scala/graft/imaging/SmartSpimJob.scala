@@ -120,13 +120,21 @@ object SmartSpimJob {
     infos.groupBy(_.extension).foreach { case (extension, group) =>
       // v3 sharded mode keys every level's ONE rechunk/merge shuffle by
       // the shard grid, so the sharded writer streams whole shard
-      // objects per-partition with no second exchange (round-11)
+      // objects per-partition with no second exchange (round-11); the
+      // probed shapes give the exact shard count per level, which sizes
+      // that shuffle (round-12 — see colocatedParts)
       val shardKey = settings.shardGrid
-      val level0 = SmartSpimPipeline.rechunk(
-        SmartSpimPipeline.slices(spark, group.map(_.dir.toString), extension), chunk,
-        shardKey)
+      def shardsOf(shape: Seq[Int], grid: Seq[Int]): Long =
+        shape.lazyZip(chunk).lazyZip(grid).map { (s, c, g) =>
+          (((s + c - 1) / c + g - 1) / g).toLong }.product
+      def partsFor(shapeMap: Map[String, Seq[Int]]): Option[Int] =
+        shardKey.map(g => SmartSpimPipeline.colocatedParts(
+          spark, shapeMap.values.map(shardsOf(_, g)).sum))
       var shapes: Map[String, Seq[Int]] =
         group.map(i => i.dir.toString -> i.shape0).toMap
+      val level0 = SmartSpimPipeline.rechunk(
+        SmartSpimPipeline.slices(spark, group.map(_.dir.toString), extension), chunk,
+        shardKey, partsFor(shapes))
       var current = level0
       // previous level, still persisted: it may only be unpersisted
       // AFTER the level derived from it has been materialized by an
@@ -151,12 +159,13 @@ object SmartSpimJob {
             compressed)
         }
         if (level < settings.downsampleLevels - 1) {
+          val nextShapes = shapes.view.mapValues(_.zip(settings.scaleFactor)
+            .map { case (s, f) => (s + f - 1) / f }).toMap
           val next = SmartSpimPipeline.downsampleLevel(current, chunk,
-            settings.scaleFactor, shardKey)
+            settings.scaleFactor, shardKey, partsFor(nextShapes))
           prev = Some(current)
           current = next
-          shapes = shapes.view.mapValues(_.zip(settings.scaleFactor)
-            .map { case (s, f) => (s + f - 1) / f }).toMap
+          shapes = nextShapes
         }
       }
       prev.foreach(_.unpersist(blocking = false))

@@ -132,7 +132,8 @@ object SmartSpimPipeline {
     * shard grid instead, producing shard-co-located chunks (see
     * [[assembleFragments]]). */
   def rechunk(slicesDs: Dataset[SliceRow], chunk: Seq[Int],
-      shard: Option[Seq[Int]] = None): Dataset[ChunkRow] = {
+      shard: Option[Seq[Int]] = None,
+      parts: Option[Int] = None): Dataset[ChunkRow] = {
     val spark = slicesDs.sparkSession
     import spark.implicits._
     val Seq(cz, cy, cx) = chunk
@@ -156,7 +157,7 @@ object SmartSpimPipeline {
     }
     assembleFragments(frags.map(f =>
       SubBlock(f.stack, f.zc, f.yc, f.xc, f.zoff, f.yoff, f.xoff, 1, f.dy, f.dx, f.data)),
-      shard)
+      shard, parts)
   }
 
   /** Copy one chunk's sub-blocks into place. Chunk dims are the
@@ -194,15 +195,41 @@ object SmartSpimPipeline {
     * stream whole shard objects with NO second exchange
     * ([[writeLevelBy]] `colocated=true`). Peak task memory stays one
     * chunk's fragments (the sort spills; runs are consumed
-    * incrementally), not one shard's. */
+    * incrementally), not one shard's.
+    *
+    * `parts` (round-12) widens THAT shuffle when the caller knows the
+    * shard count: hash-placing k shards into p partitions leaves the
+    * slowest partition with ~max-bucket shards (balls-in-bins), and in
+    * the small-job regime (k within a few× of the core count — every
+    * pyramid level above 0, and level 0 itself on a single stack) the
+    * straggler bucket is 2-3× the mean, which gates the whole write
+    * stage. 2× the shard count in partitions makes buckets mostly
+    * singletons, so the stage makespan is total-work/cores instead of
+    * max-bucket. At real scale (shards ≫ partitions) the hint is
+    * inert: [[colocatedParts]] never drops below the session's
+    * configured shuffle width. */
+  /** Shuffle width for a shard-keyed assembly with a KNOWN shard
+    * count: 2× the shards (mostly-singleton hash buckets, makespan ≈
+    * total/cores) capped at 4 tasks per core, never below the
+    * session's configured shuffle width — so a real deployment's
+    * bytes-based sizing always wins and only the small-job straggler
+    * regime is widened. */
+  def colocatedParts(spark: SparkSession, shardCount: Long): Int = {
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val cap = 4L * spark.sparkContext.defaultParallelism
+    math.max(conf.toLong, math.min(2L * math.max(shardCount, 1L), cap)).toInt
+  }
+
   private def assembleFragments(frags: Dataset[SubBlock],
-      shard: Option[Seq[Int]] = None): Dataset[ChunkRow] = {
+      shard: Option[Seq[Int]] = None,
+      parts: Option[Int] = None): Dataset[ChunkRow] = {
     val spark = frags.sparkSession
     import spark.implicits._
     shard match {
       case Some(Seq(gz, gy, gx)) =>
         frags
-          .repartition(col("stack"), expr(s"zc div $gz"),
+          .repartition(parts.getOrElse(spark.sessionState.conf.numShufflePartitions),
+            col("stack"), expr(s"zc div $gz"),
             expr(s"yc div $gy"), expr(s"xc div $gx"))
           .sortWithinPartitions(col("stack"), expr(s"zc div $gz"),
             expr(s"yc div $gy"), expr(s"xc div $gx"),
@@ -286,7 +313,8 @@ object SmartSpimPipeline {
     * chunk dims to be divisible by the scale factor (true for the
     * reference defaults 128³ / 2³). */
   def downsampleLevel(chunks: Dataset[ChunkRow], chunk: Seq[Int],
-      factor: Seq[Int], shard: Option[Seq[Int]] = None): Dataset[ChunkRow] = {
+      factor: Seq[Int], shard: Option[Seq[Int]] = None,
+      parts: Option[Int] = None): Dataset[ChunkRow] = {
     val spark = chunks.sparkSession
     import spark.implicits._
     val Seq(cz, cy, cx) = chunk
@@ -299,7 +327,7 @@ object SmartSpimPipeline {
         (c.zc % sz) * (cz / sz), (c.yc % sy) * (cy / sy), (c.xc % sx) * (cx / sx),
         oz, oy, ox, data)
     }
-    assembleFragments(sub, shard)
+    assembleFragments(sub, shard, parts)
   }
 
   /** Fused multi-level downsample: compute pyramid level `levels`
@@ -387,6 +415,24 @@ object SmartSpimPipeline {
     else full
   }
 
+  /** Commit a fully-written temp object to its deterministic target.
+    * First rename can lose only to a concurrent retry of the SAME
+    * deterministic write (identical bytes): delete and retry once. A
+    * second failure with the target present means the racer re-won —
+    * drop our tmp; with no target it's a real store fault, and
+    * silently dropping the object would corrupt the array, so throw
+    * (the task retries). */
+  private[graft] def commitTmp(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: HPath, target: HPath): Unit =
+    if (!fs.rename(tmp, target)) {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) {
+        if (fs.exists(target)) fs.delete(tmp, false)
+        else throw new java.io.IOException(
+          s"store commit failed: rename $tmp -> $target")
+      }
+    }
+
   /** Atomic whole-object store write: temp + rename so task retries
     * are safe (deterministic paths make retries idempotent). */
   private def atomicPut(dir: HPath, name: String, payload: Array[Byte]): Unit = {
@@ -396,9 +442,7 @@ object SmartSpimPipeline {
     val tmp = new HPath(dir, s".$name.tmp-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, true)
     try out.write(payload) finally out.close()
-    if (!fs.rename(tmp, target)) { // e.g. concurrent retry won the race
-      fs.delete(target, false); fs.rename(tmp, target)
-    }
+    commitTmp(fs, tmp, target)
   }
 
   /** Multi-store variant: `storeOf` maps a chunk row's stack key to its
@@ -443,9 +487,7 @@ object SmartSpimPipeline {
           var target: HPath = null
           def flush(): Unit = if (key != null) {
             out.write(ZarrShard.index(offsets, lens)); out.close(); out = null
-            if (!fs.rename(tmp, target)) { // concurrent retry won the race
-              fs.delete(target, false); fs.rename(tmp, target)
-            }
+            commitTmp(fs, tmp, target)
             key = null
           }
           try {
@@ -472,7 +514,12 @@ object SmartSpimPipeline {
               out.write(payload); off += payload.length
             }
             flush()
-          } finally if (out != null) out.close() // failed task: drop the tmp
+          } finally if (out != null) {
+            // failed task: close AND delete the open tmp, or retries
+            // accumulate `.N.tmp-UUID` orphans in the store
+            out.close()
+            if (fs != null && tmp != null) fs.delete(tmp, false)
+          }
         }
       case Some(Seq(gz, gy, gx)) if format == 3 =>
         val session = chunks.sparkSession
@@ -510,9 +557,7 @@ object SmartSpimPipeline {
               }
               out.write(ZarrShard.index(offsets, lens))
             } finally out.close()
-            if (!fs.rename(tmp, target)) { // concurrent retry won the race
-              fs.delete(target, false); fs.rename(tmp, target)
-            }
+            commitTmp(fs, tmp, target)
             1
           }
           .foreach((_: Int) => ()) // side-effecting write: force execution

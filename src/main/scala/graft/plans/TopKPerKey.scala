@@ -104,8 +104,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
       // current worst; a row sorting strictly before it evicts it.
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       it.foreach { row =>
-        val h = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[UnsafeRow](ord.asInstanceOf[Ordering[UnsafeRow]]))
+        // probe with the projection's reused buffer; copy the key ONLY
+        // on first sight — the per-row copy was an allocation per input
+        // row, and was the measured overhead in the rows/key ≈ k regime
+        val probe = keyProj(row)
+        var h = heaps.getOrElse(probe, null)
+        if (h == null) {
+          h = mutable.PriorityQueue.empty[UnsafeRow](ord.asInstanceOf[Ordering[UnsafeRow]])
+          heaps.put(probe.copy(), h)
+        }
         if (h.size < limit) h.enqueue(rowProj(row).copy())
         else if (ord.compare(row, h.head) < 0) {
           h.dequeue(); h.enqueue(rowProj(row).copy())
