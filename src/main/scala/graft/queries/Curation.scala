@@ -1253,8 +1253,62 @@ object Curation {
       .orderBy("level")
   }
 
+  /** Width of one skyline bucket on the length axis (chars). */
+  private val SKY_BUCKET_W = 256
+
+  /** 2-D Pareto frontier (skyline) over documents on (length,
+    * lexical-diversity) — multi-objective corpus selection: keep the
+    * documents no other document beats on BOTH length (n_chars) and
+    * type-token ratio; everything dominated is a candidate to drop.
+    * The skyline operator (Börzsönyi et al. ICDE 2001) composed from
+    * relational pieces, no quadratic dominance self-join anywhere.
+    *
+    * Metric grain: ttr_milli = (distinct_toks · 1000) div toks —
+    * integer in both engines, no FP boundary. Per distinct length the
+    * best (max ttr, then min doc_id as witness) survives first; the
+    * frontier test is then "ttr strictly above every point with
+    * strictly greater length".
+    *
+    * Shape at scale — the distributed skyline recipe: (1) one
+    * partial-aggregated groupBy(n_chars) collapses the corpus to ≤
+    * |distinct lengths| points; (2) points bucket by length range and
+    * each bucket computes its LOCAL frontier with a bucket-partitioned
+    * window (parallel, no global sort); (3) a bucket-level max-ttr
+    * table (|buckets| rows, broadcast) supplies "best in any higher
+    * bucket", and a point survives iff it beats both the local running
+    * max and every higher bucket's max. No stage ever holds more than
+    * one bucket's points in a single task; the only driver-sized
+    * object is the |buckets|-row summary. The oracle replays the
+    * equivalent single-window form — same set, different plan. */
+  val qCurationSkyline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.documents(s, d)
+      .withColumn("w", tokens(col("text")))
+      .select(col("doc_id"), col("n_chars").as("len"),
+        expr("size(array_distinct(w)) * 1000L div size(w)").as("ttr_milli"))
+      .groupBy("len")
+      .agg(max("ttr_milli").as("ttr"), count(lit(1)).as("n_docs"))
+    val bucketed = pts.withColumn("bkt", expr(s"len div $SKY_BUCKET_W"))
+    val byBkt = Window.partitionBy("bkt").orderBy(col("len").desc)
+    val localMax = max("ttr").over(byBkt.rowsBetween(Window.unboundedPreceding, -1))
+    val hiW = Window.orderBy(col("bkt").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val hi = bucketed.groupBy("bkt").agg(max("ttr").as("bmax"))
+      .withColumn("hi_max", max("bmax").over(hiW))
+      .select("bkt", "hi_max")
+    bucketed
+      .withColumn("lmax", localMax)
+      .join(broadcast(hi), "bkt")
+      // greatest() skips nulls; both-null (the single highest bucket's
+      // longest point) falls back to an unbeatable-by-nothing floor
+      .where(col("ttr") > coalesce(greatest(col("lmax"), col("hi_max")),
+        lit(Long.MinValue)))
+      .select(col("len"), col("ttr").as("ttr_milli"), col("n_docs"))
+      .orderBy(col("len"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_privacy_kanon" -> qPrivacyKanon,
+    "q_curation_skyline" -> qCurationSkyline,
     "q_profile_drift" -> qProfileDrift,
     "q_select_dsir" -> qSelectDsir,
     "q_quality_mad" -> qQualityMad,
@@ -1330,6 +1384,23 @@ object Curation {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // skyline oracle: the equivalent single-window form (max ttr over
+    // strictly-longer points in len-desc order) — same frontier set,
+    // different plan than the bucketed distributed recipe
+    "q_curation_skyline" ->
+      s"""WITH t AS (SELECT doc_id, n_chars AS len, $toksAll AS w
+         |           FROM documents),
+         |m AS (SELECT len, (len(list_distinct(w)) * 1000) // len(w) AS ttr
+         |      FROM t),
+         |p AS (SELECT len, max(ttr) AS ttr, count(*) AS n_docs
+         |      FROM m GROUP BY len),
+         |f AS (SELECT len, ttr, n_docs, max(ttr) OVER (
+         |        ORDER BY len DESC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+         |      FROM p)
+         |SELECT len, ttr AS ttr_milli, n_docs
+         |FROM f WHERE runmax IS NULL OR ttr > runmax
+         |ORDER BY len""".stripMargin,
     "q_privacy_kanon" ->
       """WITH c AS (
         |  SELECT c_nationkey AS nk, c_mktsegment AS seg,

@@ -129,6 +129,69 @@ object Dedup {
       .orderBy("rn")
   }
 
+  /** Jaccard threshold numerator/denominator: t = 3/5 = 0.6. */
+  private val PJ_NUM = 3
+  private val PJ_DEN = 5
+
+  /** EXACT set-similarity join via prefix filtering (SSJoin /
+    * AllPairs / PPJoin family — Chaudhuri et al. ICDE 2006, Bayardo
+    * et al. WWW 2007, Xiao et al. WWW 2008): every document pair with
+    * shingle-Jaccard ≥ t, with NO similarity missed — the exactness
+    * the MinHash/SimHash probes trade away, at a cost that is still
+    * nowhere near all-pairs. Order each doc's shingles by a global
+    * total order (df ascending, shingle — rarest first); if
+    * J(A,B) ≥ t, the pigeonhole argument forces A and B to share a
+    * shingle within their first |X| − ⌈t·|X|⌉ + 1 shingles, so the
+    * candidate equi-join runs on PREFIXES only, plus the standard
+    * length filter t·max ≤ min in the join condition. Unlike
+    * [[ngramPairStats]]'s df-cap (which can DROP a true pair whose
+    * every shared shingle is hot), the prefix bound loses nothing —
+    * Round12OpsSpec pins prefix-join ≡ brute-force on the fixture.
+    *
+    * All-integer decision edges: the threshold test 5·|∩| ≥ 3·|∪| and
+    * the reported jac_bp are integer arithmetic in both engines.
+    *
+    * Shape at scale: shingle pass + df count + per-doc prefix window
+    * (bounded by doc length) are shuffle-parallel on doc_id/shingle;
+    * the candidate join fans out only on PREFIX shingles, whose df is
+    * naturally lowest-in-corpus (rarest-first order concentrates
+    * candidates on the discriminative end); verification joins the
+    * bounded candidate set back to the shingle table co-partitioned
+    * on doc_id. Nothing is ever all-pairs and nothing collects. */
+  val qDedupPrefixJoin: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
+    Scoped.withCached(sh) {
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      val prefix = sh.join(dfc, "s").join(cnt, "doc_id")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+        .where(col("r") <=
+          col("c") - expr(s"($PJ_NUM * c + ${PJ_DEN - 1}) div $PJ_DEN") + 1)
+        .select(col("doc_id"), col("s"), col("c"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+            && lit(PJ_NUM) * greatest(col("a.c"), col("b.c"))
+               <= lit(PJ_DEN) * least(col("a.c"), col("b.c")))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.c").as("ca"), col("b.c").as("cb"))
+        .distinct()
+      cand
+        .join(sh.as("ta"), col("da") === col("ta.doc_id"))
+        .join(sh.as("tb"),
+          col("db") === col("tb.doc_id") && col("ta.s") === col("tb.s"))
+        .groupBy("da", "db", "ca", "cb")
+        .agg(count(lit(1)).as("inter"))
+        .where(lit(PJ_DEN) * col("inter")
+          >= lit(PJ_NUM) * (col("ca") + col("cb") - col("inter")))
+        .withColumn("jac_bp", expr("(inter * 10000) div (ca + cb - inter)"))
+        .select("da", "db", "inter", "ca", "cb", "jac_bp")
+        .orderBy("da", "db")
+    }
+  }
+
   /** Distinct-unigram 28-bit hashes of any (doc_id, text) DataFrame —
     * the generic base of the MinHash machinery, so callers (e.g. the
     * end-to-end pipeline) can cluster a filtered doc set. */
@@ -981,6 +1044,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_exact_keep" -> qDedupExactKeep,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard,
+    "q_dedup_prefixjoin" -> qDedupPrefixJoin,
     "q_dedup_containment" -> qDedupContainment,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -1313,6 +1377,37 @@ object Dedup {
          |SELECT rn, da, db, inter, uni, jac FROM (
          |  SELECT *, row_number() OVER (ORDER BY jac DESC, da ASC, db ASC) AS rn FROM j) t
          |WHERE rn <= 20 ORDER BY rn""".stripMargin,
+    // prefix-filter exact similarity join: full corpus (no %5 sample —
+    // the prefix bound is the pruning mechanism), rarest-first global
+    // order (df, shingle), pigeonhole prefix length, length filter in
+    // the candidate join, all-integer threshold test
+    "q_dedup_prefixjoin" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      t -> t != '') AS w FROM documents),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM toks, unnest(range(1, len(w) - 1)) t(i)),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+         |      FROM sh GROUP BY 1),
+         |f AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         |r AS (SELECT sh.doc_id, sh.s, c.c, row_number() OVER (
+         |        PARTITION BY sh.doc_id ORDER BY f.df, sh.s) AS r
+         |      FROM sh JOIN f USING (s) JOIN c USING (doc_id)),
+         |p AS MATERIALIZED (SELECT doc_id, s, c FROM r
+         |     WHERE r <= c - ($PJ_NUM * c + ${PJ_DEN - 1}) // $PJ_DEN + 1),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |         a.c AS ca, b.c AS cb
+         |       FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       WHERE $PJ_NUM * greatest(a.c, b.c) <= $PJ_DEN * least(a.c, b.c)),
+         |i AS (SELECT cand.da, cand.db, cand.ca, cand.cb, count(*) AS inter
+         |      FROM cand JOIN sh ta ON cand.da = ta.doc_id
+         |                JOIN sh tb ON cand.db = tb.doc_id AND ta.s = tb.s
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT da, db, inter, ca, cb,
+         |  (inter * 10000) // (ca + cb - inter) AS jac_bp
+         |FROM i WHERE $PJ_DEN * inter >= $PJ_NUM * (ca + cb - inter)
+         |ORDER BY da, db""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH toks AS ($toksSql),
          |sh_all AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s

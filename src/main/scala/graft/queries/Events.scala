@@ -375,6 +375,56 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Time-series gap-fill (resample + forward-fill) — the
+    * regularization step every metrics/feature pipeline runs before
+    * windowed models: snap each user's irregular event stream onto an
+    * hourly grid over that user's own [first, last] hour span, carry
+    * the last observation forward across empty hours (LOCF), and
+    * report per-user fill accounting plus the exact carried sum.
+    *
+    * Grain exactness: hours are `unix_micros div 3.6e9` longs, values
+    * are floor(value·100) cents longs — the fill decision and the
+    * carried sum are integer-exact in both engines. Per (user, hour)
+    * the observation is the LAST event (max ts, then event_id).
+    *
+    * Shape at scale: one groupBy(user, hour) with map-side combine,
+    * one groupBy(user) span pass, `sequence`+`explode` generates the
+    * grid WITHOUT a cross join against a calendar table, and the
+    * forward fill is `last(ignoreNulls)` over a per-user window — all
+    * stages hash-partition on user_id, so the whole query is one
+    * shuffle family and the grid is bounded by Σ_user span_hours
+    * (linear in users for a bounded retention window, never
+    * |users|×|calendar|). */
+  val qEventsGapfill: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(100.0)).cast("long").as("vc"))
+      .withColumn("h", expr("us div 3600000000"))
+    val byUserHour = Window.partitionBy("user_id", "h")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val obs = ev
+      .withColumn("rn", row_number().over(byUserHour))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("vc"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("h").as("hmin"), max("h").as("hmax"))
+      .select(col("user_id"),
+        explode(sequence(col("hmin"), col("hmax"))).as("h"))
+    val ff = last("vc", ignoreNulls = true).over(
+      Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    grid.join(obs, Seq("user_id", "h"), "left")
+      .withColumn("ff", ff)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("vc")).as("n_obs"),
+        sum(when(col("vc").isNull && col("ff").isNotNull, 1L).otherwise(0L))
+          .as("n_filled"),
+        sum("ff").as("ff_sum_cents"))
+      .orderBy("user_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_events_coverage" -> qEventsCoverage,
     "q_events_attrib" -> qEventsAttrib,
@@ -382,6 +432,7 @@ object Events {
     "q_events_rfm" -> qEventsRfm,
     "q_events_twap" -> qEventsTwap,
     "q_events_scd2" -> qEventsScd2,
+    "q_events_gapfill" -> qEventsGapfill,
     "q_events_funnel" -> qEventsFunnel,
     "q_events_retention" -> qEventsRetention,
     "q_events_transitions" -> qEventsTransitions,
@@ -511,6 +562,33 @@ object Events {
         |           THEN (valid_to - us) // 1000000 ELSE 0 END) AS BIGINT)
         |    AS closed_dur_s
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gap-fill: hourly grid per user via generate_series, LOCF via
+    // last_value IGNORE NULLS — grain-exact (hours + cents, both
+    // integer) so the carried sum hash-matches bit-for-bit
+    "q_events_gapfill" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |        epoch_us(ts) // 3600000000 AS h,
+        |        CAST(floor("value" * 100) AS BIGINT) AS vc FROM events),
+        |obs AS (SELECT user_id, h, vc FROM (
+        |    SELECT user_id, h, vc, row_number() OVER (
+        |      PARTITION BY user_id, h ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev) q WHERE rn = 1),
+        |span AS (SELECT user_id, min(h) AS hmin, max(h) AS hmax
+        |         FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(hmin, hmax)) AS h
+        |         FROM span),
+        |f AS (SELECT g.user_id, g.h, o.vc,
+        |        last_value(o.vc IGNORE NULLS) OVER (
+        |          PARTITION BY g.user_id ORDER BY g.h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+        |      FROM grid g LEFT JOIN obs o
+        |        ON g.user_id = o.user_id AND g.h = o.h)
+        |SELECT user_id, count(*) AS n_hours,
+        |  count(vc) AS n_obs,
+        |  CAST(sum(CASE WHEN vc IS NULL AND ff IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_filled,
+        |  CAST(sum(ff) AS BIGINT) AS ff_sum_cents
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_concurrency" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
         |        epoch_us(ts) // 86400000000 AS day FROM events),

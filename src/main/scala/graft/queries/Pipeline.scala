@@ -50,6 +50,62 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** JSONL ingestion with poison-line tolerance — the interchange
+    * format a training-data pipeline eats at 100 TB, where some shard
+    * ALWAYS contains a truncated line. The query round-trips
+    * `documents` through real newline-delimited JSON text files
+    * (`to_json` escapes embedded newlines — one record per line),
+    * deterministically corrupting every 37th record by dropping its
+    * closing brace, then reads them back with `spark.read.json` in
+    * PERMISSIVE mode with a corrupt-record column: malformed lines
+    * land in `_corrupt_record` with the typed fields null instead of
+    * failing the job. Output: per-lang parsed counts and char sums
+    * plus a `_corrupt` bucket counting the poison lines.
+    *
+    * Scale: export and read are parallel line-oriented scans;
+    * PERMISSIVE parsing is map-side; the rollup is one
+    * partial-aggregated shuffle. The oracle predicts the result from
+    * the parquet table alone (the corruption rule is deterministic),
+    * so what the hash gates is the JSONL round trip itself — writer
+    * escaping, reader schema projection, and corrupt-line capture.
+    * Files are scoped to the invocation; the result is localized
+    * before the scratch dir is removed. */
+  val qSourceJsonl: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    try {
+      val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+      Tables.documents(s, d)
+        .withColumn("line", line)
+        .select(when(col("doc_id") % 37 === 0,
+            expr("substring(line, 1, length(line) - 1)"))
+          .otherwise(col("line")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+      val out = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+        .groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("lang")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_corrupt_record").isNull, col("n_chars")))
+            .cast("long").as("chars"))
+        .orderBy("bucket")
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      s.createDataFrame(rows, out.schema)
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(new java.io.File(tmp))
+    }
+  }
+
   /** Per-language selection weights for the priority sample. */
   private val PRI_WEIGHTS = Seq("en" -> 4, "de" -> 2, "fr" -> 2)
   private val PRI_DEFAULT_W = 1
@@ -787,6 +843,7 @@ object Pipeline {
     "q_diff_snapshot" -> qDiffSnapshot,
     "q_chunk_sliding" -> qChunkSliding,
     "q_sample_stratified" -> qSampleStratified,
+    "q_source_jsonl" -> qSourceJsonl,
     "q_sample_priority" -> qSamplePriority,
     "q_mix_anneal" -> qMixAnneal,
     "q_mix_budget" -> qMixBudget,
@@ -1040,6 +1097,16 @@ object Pipeline {
          |SELECT lang, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept,
          |  round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS ratio
          |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    // the JSONL round trip is internal to the Spark query; the oracle
+    // predicts its outcome from the parquet table and the
+    // deterministic every-37th poison rule
+    "q_source_jsonl" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN doc_id % 37 = 0 THEN '_corrupt' ELSE lang END AS bucket,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL ELSE n_chars END AS nc
+        |  FROM documents)
+        |SELECT bucket, count(*) AS n, CAST(sum(nc) AS BIGINT) AS chars
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT lang, CAST(doc_id % $PACK_SHARDS AS INT) AS shard, doc_id,
          |             len($toksAll) AS n_tok FROM documents),

@@ -293,6 +293,66 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  private val BJ_M = 1 << 18 // bloom bits (32 KB as booleans / row never)
+  private val BJ_K = 4
+
+  /** Runtime bloom-filter semi-join reduction — the 100 TB join
+    * technique this engine's big-join story rests on: when a selective
+    * dimension filter leaves a key set too large to ship as an IN-list
+    * but small enough to sketch, build a Bloom filter over the dim
+    * keys and apply it to the FACT SCAN as a plain codegen'd predicate
+    * BEFORE any exchange, so the shuffle/join only sees rows that can
+    * possibly match (what Spark's own `runtime.bloomFilter` rule
+    * injects — constructed here explicitly so the mechanism itself is
+    * oracle-gated). False positives are removed by the exact broadcast
+    * join after the pre-filter; the result is identical to the plain
+    * join BY CONSTRUCTION, and the output's n_pass column hash-pins
+    * the sketch behavior itself (both engines replay the same
+    * md5-derived bit positions).
+    *
+    * The collected bit set is a bounded driver-local model in the
+    * documented K-row-centroid sense: ≤ m = 2^18 bits regardless of
+    * corpus size, shipped once as a plan literal.
+    *
+    * Shape at scale: fact side is scanned once, filtered map-side at
+    * ~4 hash probes/row inside WholeStageCodegen, then broadcast-
+    * joined; the dim side is aggregated to ≤ 4·|keys| positions with
+    * map-side combine. No shuffle ever carries a non-candidate row. */
+  val qJoinBloom: Q = (s, d) => {
+    def positions(key: Column): Column = array((0 until BJ_K).map(j =>
+      hash28(concat(lit(s"bj$j:"), key)) % BJ_M): _*)
+    val dim = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT"
+        && expr("o_orderdate >= timestamp'2000-01-01'")
+        && expr("o_orderdate < timestamp'2000-04-01'"))
+      .select(col("o_orderkey")).distinct()
+    val bm = new Array[Boolean](BJ_M)
+    dim.select(explode(positions(col("o_orderkey").cast("string"))).as("pos"))
+      .distinct().collect().foreach(r => bm(r.getLong(0).toInt) = true)
+    val bloomPass = (0 until BJ_K).map { j =>
+      val pos = hash28(concat(lit(s"bj$j:"), col("l_orderkey").cast("string"))) % BJ_M
+      get(lit(bm), pos.cast("int"))
+    }.reduce(_ && _)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val totals = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+    val passAgg = li.where(bloomPass)
+      .join(broadcast(dim.withColumn("hit", lit(1L))),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_pass"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_join"),
+        sum(when(col("hit").isNotNull, col("l_quantity")).otherwise(0.0))
+          .as("sum_qty"))
+    totals.join(passAgg, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"),
+        col("n_rows"),
+        coalesce(col("n_pass"), lit(0L)).as("n_pass"),
+        coalesce(col("n_join"), lit(0L)).as("n_join"),
+        coalesce(col("sum_qty"), lit(0.0)).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Wide→long unpivot (melt): per-measure rows from the lineitem
     * measure columns. Pure map-side row expansion — the inverse surface
     * of `q_agg_pivot`. */
@@ -674,6 +734,59 @@ object Relational {
       round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
       round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
       round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+  }
+
+  /** Mergeable consistent-sample quantile sketch with an exact rank
+    * audit — the missing member of the §2.5 sketch family next to
+    * HLL/CMS/Bloom/KMV. Per event type, the sketch is the bottom-K
+    * rows by a deterministic md5-derived per-row [[hash28]]: a uniform
+    * consistent sample that MERGES like KMV (bottom-K of a union =
+    * bottom-K of the parts' bottom-Ks), so shards sample independently
+    * and combine loss-free — the property t-digest needs approximate
+    * centroid merging for, obtained here exactly. Quantile estimates
+    * are DISCRETE order statistics of the sample (index ceil(q·n) in
+    * (value, id) order): no interpolation arithmetic, so each estimate
+    * is a value read straight from parquet — bit-identical
+    * cross-engine, no rounding hazard. The audit reports each
+    * estimate's exact rank over the FULL table in basis points
+    * (integer division both engines) — honest error accounting in the
+    * CMS/KMV style.
+    *
+    * Scale: the sample is the row_number-≤-K window form that
+    * [[graft.plans.RewriteTopKWindow]] executes as the bounded heap
+    * (K·|types| rows of state, ONE shuffle, no per-type sort); the
+    * order statistics run on ≤ K·|types| rows; the audit broadcasts
+    * the |types|×3-row estimate table into one scan of the corpus. At
+    * 100 TB you keep the sketch and drop the audit. */
+  val qAggQsketch: Q = (s, d) => {
+    val K = 256
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    Scoped.withCached(ev) {
+      val samp = ev
+        .withColumn("h", hash28(concat(col("event_id").cast("string"), lit(":qs"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("h"), col("event_id"))))
+        .where(col("rn") <= K)
+      val sn = samp.groupBy("event_type").agg(count(lit(1)).as("sample_n"))
+      val so = samp.withColumn("rs", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      val qs = s.range(1)
+        .select(explode(array(lit(2500), lit(5000), lit(9000))).as("q_bp"))
+      val est = so.join(broadcast(sn), "event_type")
+        .join(broadcast(qs),
+          col("rs") === expr("(sample_n * q_bp + 9999) div 10000"))
+        .select(col("event_type"), col("q_bp"), col("value").as("est"),
+          col("sample_n"))
+      ev.join(broadcast(est), "event_type")
+        .groupBy("event_type", "q_bp", "est", "sample_n")
+        .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("q_bp"), col("est"), col("sample_n"),
+          expr("(le * 10000) div cnt").as("rank_bp"))
+        .withColumn("err_bp", abs(col("rank_bp") - col("q_bp")))
+        .orderBy("event_type", "q_bp")
+    }
   }
 
   /** Top-k per group via ranking window. */
@@ -1095,6 +1208,7 @@ object Relational {
     "q_join_bucketed" -> qJoinBucketed,
     "q_merge_upsert" -> qMergeUpsert,
     "q_join_salted" -> qJoinSalted,
+    "q_join_bloom" -> qJoinBloom,
     "q_join_left" -> qJoinLeft,
     "q_join_right" -> qJoinRight,
     "q_join_full" -> qJoinFull,
@@ -1116,6 +1230,7 @@ object Relational {
     "q_agg_stats" -> qAggStats,
     "q_agg_mode" -> qAggMode,
     "q_agg_percentile" -> qAggPercentile,
+    "q_agg_qsketch" -> qAggQsketch,
     "q_topk_per_group" -> qTopkPerGroup,
     "q_win_rank" -> qWinRank,
     "q_win_ntile" -> qWinNtile,
@@ -1203,6 +1318,43 @@ object Relational {
         |FROM lineitem JOIN nation
         |  ON l_orderkey % 10 = n_nationkey AND n_nationkey < 10
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // bloom semi-join reduction: the oracle replays the md5-derived bit
+    // positions (set construction AND per-row probes) so n_pass pins
+    // the sketch itself; n_join/sum_qty pin join exactness
+    "q_join_bloom" -> {
+      def h28(x: String) =
+        s"CAST(concat('0x', substr(md5($x), 1, 7)) AS BIGINT)"
+      def pos(j: Int, key: String) =
+        s"${h28(s"concat('bj$j:', CAST($key AS VARCHAR))")} % $BJ_M"
+      val dimPos = (0 until BJ_K).map(j => pos(j, "o_orderkey")).mkString(",\n|    ")
+      val probes = (0 until BJ_K)
+        .map(j => s"${pos(j, "l_orderkey")} IN (SELECT pos FROM sb)")
+        .mkString("\n|    AND ")
+      s"""WITH dim AS MATERIALIZED (
+         |  SELECT DISTINCT o_orderkey FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'
+         |    AND o_orderdate >= TIMESTAMP '2000-01-01'
+         |    AND o_orderdate < TIMESTAMP '2000-04-01'),
+         |sb AS MATERIALIZED (SELECT DISTINCT pos FROM dim, unnest([
+         |    $dimPos]) t(pos)),
+         |pass AS (SELECT l_orderkey, l_returnflag, l_quantity FROM lineitem
+         |  WHERE $probes),
+         |pa AS (SELECT p.l_returnflag, count(*) AS n_pass,
+         |    CAST(sum(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_join,
+         |    sum(CASE WHEN d.o_orderkey IS NOT NULL THEN p.l_quantity
+         |        ELSE 0 END) AS sum_qty
+         |  FROM pass p LEFT JOIN dim d ON p.l_orderkey = d.o_orderkey
+         |  GROUP BY 1),
+         |t AS (SELECT l_returnflag, count(*) AS n_rows FROM lineitem
+         |      GROUP BY 1)
+         |SELECT t.l_returnflag, t.n_rows,
+         |  coalesce(pa.n_pass, 0) AS n_pass,
+         |  coalesce(pa.n_join, 0) AS n_join,
+         |  CAST(coalesce(pa.sum_qty, 0) AS DOUBLE) AS sum_qty
+         |FROM t LEFT JOIN pa ON t.l_returnflag = pa.l_returnflag
+         |ORDER BY t.l_returnflag""".stripMargin
+    },
     "q_join_left" ->
       """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_matched
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
@@ -1460,6 +1612,38 @@ object Relational {
         |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
         |FROM lineitem""".stripMargin,
+    // consistent-sample quantile sketch: deterministic md5-derived
+    // per-row hash replayed in SQL; discrete order statistics (no
+    // interpolation arithmetic); ranks in basis points via integer //
+    "q_agg_qsketch" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_type, event_id, value FROM events),
+        |h AS (SELECT event_type, event_id, value,
+        |    CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR), ':qs')),
+        |      1, 7)) AS BIGINT) AS h
+        |  FROM ev),
+        |samp AS MATERIALIZED (SELECT event_type, event_id, value FROM (
+        |    SELECT event_type, event_id, value,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+        |    FROM h) t
+        |  WHERE rn <= 256),
+        |sn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS sample_n
+        |       FROM samp GROUP BY 1),
+        |so AS (SELECT event_type, value, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rs
+        |  FROM samp),
+        |qs AS (SELECT * FROM (VALUES (2500), (5000), (9000)) t(q_bp)),
+        |est AS (SELECT so.event_type, qs.q_bp, so.value AS est, sn.sample_n
+        |  FROM so JOIN sn ON so.event_type = sn.event_type
+        |  JOIN qs ON so.rs = (sn.sample_n * qs.q_bp + 9999) // 10000),
+        |aud AS (SELECT e.event_type, e.q_bp, e.est, e.sample_n,
+        |    (CAST(sum(CASE WHEN ev.value <= e.est THEN 1 ELSE 0 END) AS BIGINT)
+        |      * 10000) // CAST(count(*) AS BIGINT) AS rank_bp
+        |  FROM ev JOIN est e ON ev.event_type = e.event_type
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, q_bp, est, sample_n, rank_bp,
+        |  abs(rank_bp - q_bp) AS err_bp
+        |FROM aud ORDER BY event_type, q_bp""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

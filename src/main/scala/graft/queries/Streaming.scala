@@ -131,6 +131,57 @@ object Streaming {
       .orderBy("hour_ms", "event_type"))
   }
 
+  /** Daily rollup driven through a `foreachBatch` PRODUCTION sink —
+    * the standard exactly-once upsert recipe onto a sink with no
+    * transactions. Update mode emits each micro-batch's CHANGED daily
+    * windows; the batch function writes them to a parquet table
+    * PARTITIONED BY THE WINDOW KEY under dynamic partition overwrite,
+    * so re-emitting a window replaces exactly that window's partition
+    * and a checkpoint-replayed batch lands idempotently
+    * (last-writer-wins per window). Partition key == upsert key is
+    * the correctness condition: each emitted row carries its window's
+    * COMPLETE latest state, so overwriting the whole partition can
+    * never drop data. Unlike the complete-mode memory sink, state
+    * shipping per batch is the DELTA, not the world. The converged
+    * table is read back and hash-gated against the batch oracle; sink
+    * files are scoped to the invocation and removed after
+    * localization. (Window grain day, not hour: one partition dir per
+    * window means the grain sets the object count — the same
+    * object-budget trade as the imaging store's shard size.) */
+  val qStreamFbatch: Q = (parent, d) => onStreamSession(parent) { s =>
+    val schema = eventsSchema(s, d)
+    val name = "stream_fbatch_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val ck = scopedCheckpoint(name)
+    val outDir = scopedCheckpoint(name + "_out")
+    val agg = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .transform(Tables.normalizeTs)
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      .select(unix_millis(col("window.start")).as("day_ms"), col("event_type"),
+        col("n"), col("sum_v"))
+    val upsert: (DataFrame, Long) => Unit = (batch, _) => {
+      batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day_ms")
+        .parquet(outDir)
+      ()
+    }
+    val q = agg.writeStream.outputMode("update")
+      .option("checkpointLocation", ck)
+      .foreachBatch(upsert).start()
+    drainScoped(q, ck)
+    try {
+      val out = s.read.parquet(outDir)
+        .select(col("day_ms").cast("long"), col("event_type"), col("n"),
+          col("sum_v"))
+        .orderBy("day_ms", "event_type")
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      s.createDataFrame(rows, out.schema)
+    } finally deleteRecursively(outDir)
+  }
+
   /** Streaming heavy hitters: per-hour top-3 users by event count, the
     * leaderboard every ops dashboard runs on a firehose. The STREAMING
     * stage is the stateful piece — an event-time tumbling-window ×
@@ -751,6 +802,7 @@ object Streaming {
     "q_stream_sessions_fsink" -> qStreamSessionsFsink,
     "q_stream_static_join" -> qStreamStaticJoin,
     "q_stream_hourly" -> qStreamHourly,
+    "q_stream_fbatch" -> qStreamFbatch,
     "q_stream_topk" -> qStreamTopk,
     "q_stream_hourly_wm" -> qStreamHourlyWm,
     "q_stream_dedup" -> qStreamDedup,
@@ -758,6 +810,14 @@ object Streaming {
     "q_stream_join_outer" -> qStreamJoinOuter,
     "q_sessionize" -> qSessionize
   )
+
+  /** Hourly tumbling-window rollup oracle — shared verbatim by the
+    * memory-sink entry and its foreachBatch parquet-upsert twin. */
+  private val hourlyOracleSql: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS sum_v
+      |FROM events GROUP BY hour_ms, event_type
+      |ORDER BY hour_ms, event_type""".stripMargin
 
   /** Sessions oracle: the batch gap-split rule; every non-final
     * session per user emits (closed by a later event); the final one
@@ -900,11 +960,15 @@ object Streaming {
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE event_type = 'purchase'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "q_stream_hourly" ->
-      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+    "q_stream_hourly" -> hourlyOracleSql,
+    // foreachBatch twin of the rollup family at day grain — what the
+    // hash gates is the SINK path (dynamic-partition-overwrite parquet
+    // upsert + read-back vs the complete-mode memory drain)
+    "q_stream_fbatch" ->
+      """SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_v
-        |FROM events GROUP BY hour_ms, event_type
-        |ORDER BY hour_ms, event_type""".stripMargin,
+        |FROM events GROUP BY day_ms, event_type
+        |ORDER BY day_ms, event_type""".stripMargin,
     "q_stream_topk" ->
       """WITH c AS (
         |  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, user_id,

@@ -435,7 +435,11 @@ class PlanSpec extends AnyFunSuite {
       "band_id", "sig", "src", "grp", "bucket",          // bounded band/cell/demo ids
       "src_a", "src_b",  // KMV pair sketches: |sources|² groups of ≤ 2K rows each
       "o_orderpriority", "c_nationkey", "o_custkey",     // TPC-H dimensions
-      "l_orderkey", "key")
+      "l_orderkey", "key",
+      "h",   // gap-fill epoch-hour, only composed with user_id: a group
+             // is one user's events within one hour — bounded by rate
+      "bkt") // skyline length-range bucket: ≤ SKY_BUCKET_W distinct
+             // lengths per bucket after the groupBy(len) collapse
     val offenders = graft.queries.Scoped.planOnly {
       SparkEntry.queries.keySet.toSeq.sorted.flatMap { name =>
         SparkEntry.queries(name)(spark, SF).queryExecution.optimizedPlan.collect {
