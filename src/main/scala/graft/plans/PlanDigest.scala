@@ -54,9 +54,16 @@ object PlanDigest {
     def walk(p: SparkPlan): Unit = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case s: QueryStageExec => walk(s.plan)
-      // a reused exchange is the REUSE of a counted one: record the
-      // reuse itself, don't double-count the shared subtree
-      case _: ReusedExchangeExec => add("ReusedExchange")
+      // a reused exchange is a second CONSUMPTION of a counted one.
+      // Whether AQE reuses (a self-join's identical sides race stage
+      // materialization) is run-dependent, so count it as the wrapped
+      // exchange TYPE — the digest then reads the same whether the
+      // planner deduplicated or not — without re-descending into the
+      // shared subtree (its operators are counted where the original
+      // exchange sits)
+      case r: ReusedExchangeExec =>
+        add(if (r.child.getClass.getSimpleName.contains("Shuffle"))
+          "ShuffleExchange" else "BroadcastExchange")
       case other =>
         val n = other.getClass.getSimpleName.stripSuffix("Exec")
         if (Interesting(n)) add(n)

@@ -33,7 +33,15 @@ class PlanDigestSpec extends AnyFunSuite {
     "q_select_rho", "q_mine_bitext", "q_agg_cms", "q_dedup_trim",
     "q_join_salted", "q_link_records", "q_dedup_minhash",
     // round-11 additions heavy enough to digest-pin
-    "q_agg_kmv", "q_text_itemsets")
+    "q_agg_kmv", "q_text_itemsets",
+    // round-12 additions: the qsketch's bounded-heap window +
+    // broadcast audit and the bloom join's scan-side pre-filter +
+    // broadcast are exactly the plan properties a regression would
+    // silently drop. (q_dedup_prefixjoin is NOT digest-pinned: its
+    // self-join's identical sides make one exchange's AQE reuse
+    // run-dependent even after reuse-invariant counting — its plan
+    // discipline is asserted structurally in PlanSpec instead.)
+    "q_agg_qsketch", "q_join_bloom")
 
   /** The merged fingerprint of EVERY SQL execution the query runs —
     * bounded-model fits, loop materializations, and the final frame

@@ -134,7 +134,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("near-dup candidate generation is bucketed equi-joins, never all-pairs") {
-    for (q <- Seq("q_dedup_simhash", "q_dedup_embcos", "q_ann_quantized")) {
+    // q_dedup_prefixjoin: candidates must come from the prefix-shingle
+    // equi-join (digest-pinning it is impossible — its self-join's
+    // identical sides make one exchange's AQE reuse run-dependent)
+    for (q <- Seq("q_dedup_simhash", "q_dedup_embcos", "q_ann_quantized",
+        "q_dedup_prefixjoin")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q must not contain an all-pairs join")
