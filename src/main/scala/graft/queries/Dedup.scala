@@ -170,6 +170,12 @@ object Dedup {
           Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
         .where(col("r") <=
           col("c") - expr(s"($PJ_NUM * c + ${PJ_DEN - 1}) div $PJ_DEN") + 1)
+        // a df=1 shingle occupies its prefix slot (the rank above runs
+        // over ALL shingles — required for the pigeonhole bound) but
+        // can never MATCH another doc, so it is dead weight in the
+        // self-join: dropping it shrinks the join input to the shared
+        // tail of the df distribution with zero effect on the result
+        .where(col("df") >= 2)
         .select(col("doc_id"), col("s"), col("c"))
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")

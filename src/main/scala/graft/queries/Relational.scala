@@ -30,9 +30,16 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        // price sums as exact integer cents / 10^-4 units: a double Σ
+        // over tens of millions of rows per group is summation-order-
+        // dependent in the 2nd decimal past sf4 (ulp ≈ 2e-3 at 1e13);
+        // the long Σ is order-free and its final /100 is bit-identical
+        // cross-engine (< 2^53)
+        (sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")) / 100.0)
+          .as("sum_base_price"),
+        (sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"
+          + " * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+          / 10000.0).as("sum_disc_price"),
         round(avg("l_quantity"), 6).as("avg_qty"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -76,11 +83,19 @@ object Relational {
 
   /** Large-large equi-join (sort-merge / shuffle-hash territory). */
   val qJoinShuffle: Q = (s, d) => {
+    // revenue in exact integer 10^-4 units: at sf4+ the row count
+    // pushes a double Σ price·(1−disc) into the magnitude where
+    // summation ORDER moves the 2nd decimal (ulp ≈ 6e-5 at 3e11), and
+    // Spark's partial-agg order differs from DuckDB's — a long Σ is
+    // order-independent, and the final long→double /10000 conversion
+    // is bit-identical in both engines (< 2^53)
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        (sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"
+          + " * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+          / 10000.0).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("o_orderpriority")
   }
@@ -214,7 +229,11 @@ object Relational {
   val qJoinBucketed: Q = (s, d) => {
     val agg = bucketedJoin(s, d)
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      // exact integer cents (see qJoinShuffle): a double Σ of 1M+
+      // prices diverges from DuckDB in the 2nd decimal at sf4
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")) / 100.0)
+          .as("revenue"))
       .orderBy("c_mktsegment")
     // Materialize, then DROP the layout: the per-dataset table names
     // fix cross-dataset clobbering, but without a drop the catalog
@@ -1265,11 +1284,15 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // price sums as exact longs divided once at the end (see q1Agg)
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+        |    AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) / 10000.0
+        |    AS sum_disc_price,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_discount), 6) AS avg_disc,
         |  count(*) AS count_order
@@ -1290,15 +1313,19 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // revenue as an exact long in 10^-4 units divided once at the end —
+    // a double sum's order-dependence moves the 2nd decimal at sf4+
     "q_join_shuffle" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) / 10000.0
+        |    AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_merge_upsert" ->
