@@ -24,7 +24,15 @@ con = duckdb.connect()
 # bound DuckDB's spill so a pathological oracle (e.g. the iterative-CTE
 # graph replays on a 10x-dense sf1 graph) can't exhaust the disk
 con.execute("SET temp_directory='/tmp/graft_duck_tmp'")
-con.execute("SET max_temp_directory_size='40GB'")
+con.execute("SET max_temp_directory_size='%s'"
+            % os.environ.get("GRAFT_DUCK_TMP_MAX", "40GB"))
+# bound RESIDENT memory too: DuckDB's default (80% of RAM) OOM-kills
+# the whole process when a pathological oracle materializes a huge
+# intermediate while anything else shares the host — a limit makes it
+# spill to the temp dir (or fail that one cell) instead
+mem = os.environ.get("GRAFT_DUCK_MEM")
+if mem:
+    con.execute(f"SET memory_limit='{mem}'")
 for t in TABLES:
     p = f"{sf}/{t}.parquet"
     if os.path.exists(p):

@@ -898,10 +898,17 @@ object Relational {
   val qWinCume: Q = (s, d) => {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wAll = Window.partitionBy("o_orderpriority")
+    // cume_dist in integer ppm: the built-in returns rank/total as a
+    // DOUBLE whose round(6) is half-ulp-divergent cross-engine at big
+    // partitions (hit at sf4) — with the tie-broken order the quotient
+    // is rank/total exactly, so compute it with integer div
     Tables.orders(s, d).where(col("o_orderkey") % 200 === 0)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("total", count(lit(1)).over(wAll))
       .select(col("o_orderpriority"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"),
-        round(cume_dist().over(w), 6).as("cd"),
+        expr("(rnk * 1000000L) div total").as("cd_ppm"),
         nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
@@ -967,14 +974,23 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
-  /** percent_rank / cume_dist relative-position analytics. */
+  /** percent_rank / cume_dist relative-position analytics — in exact
+    * integer ppm (see [[qWinCume]]): with the tie-broken order these
+    * are (rank−1)/(total−1) and rank/total exactly, and integer div is
+    * the only cross-engine-stable way to report the quotient. */
   val qWinPctRank: Q = (s, d) => {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val wAll = Window.partitionBy("c_nationkey")
     Tables.customer(s, d).where(col("c_custkey") % 40 === 0)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("total", count(lit(1)).over(wAll))
       .select(col("c_nationkey"), col("c_custkey"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        // single-row partition: percent_rank is 0 by definition in
+        // both engines — spell the case out, (0 div 0) is NULL not 0
+        expr("CASE WHEN total = 1 THEN 0L"
+          + " ELSE ((rnk - 1) * 1000000L) div (total - 1) END").as("pct_ppm"),
+        expr("(rnk * 1000000L) div total").as("cume_ppm"))
       .orderBy("c_nationkey", "c_custkey")
   }
 
@@ -1706,9 +1722,12 @@ object Relational {
         |FROM events WHERE user_id % 50 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    // cume_dist replayed as exact integer ppm (rank/total with the
+    // tie-broken order) — round(double, 6) splits at half-ulp at sf4
     "q_win_cume" ->
       """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
-        |  round(cume_dist() OVER w, 6) AS cd,
+        |  (rank() OVER w * 1000000)
+        |    // (count(*) OVER (PARTITION BY o_orderpriority)) AS cd_ppm,
         |  nth_value(o_orderkey, 2) OVER w AS second_key
         |FROM orders WHERE o_orderkey % 200 = 0
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
@@ -1786,13 +1805,17 @@ object Relational {
         |  CAST(count(DISTINCT c_mktsegment) AS INT) AS n_seg,
         |  count(*) AS n_cust
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // percent_rank/cume_dist as exact integer ppm (see q_win_cume)
     "q_win_pctrank" ->
       """SELECT c_nationkey, c_custkey,
-        |  round(percent_rank() OVER (PARTITION BY c_nationkey
-        |    ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS pct_rank,
-        |  round(cume_dist() OVER (PARTITION BY c_nationkey
-        |    ORDER BY c_acctbal ASC, c_custkey ASC), 6) AS cume
+        |  CASE WHEN count(*) OVER p = 1 THEN CAST(0 AS BIGINT)
+        |    ELSE ((rank() OVER w - 1) * 1000000) // (count(*) OVER p - 1)
+        |  END AS pct_ppm,
+        |  (rank() OVER w * 1000000) // (count(*) OVER p) AS cume_ppm
         |FROM customer WHERE c_custkey % 40 = 0
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal ASC, c_custkey ASC),
+        |       p AS (PARTITION BY c_nationkey)
         |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "q_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
