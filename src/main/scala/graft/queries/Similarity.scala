@@ -1614,13 +1614,13 @@ object Similarity {
          |        i -> (list_extract($v.q, i) * 1000 - list_extract($c.c, i))
          |           * (list_extract($v.q, i) * 1000 - list_extract($c.c, i))))""".stripMargin
     def assignCte(name: String, cent: String) =
-      s"""$name AS (SELECT vec_id, cid AS cell FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
          |  SELECT v.vec_id, $cent.cid,
          |    row_number() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${dist("v", cent)}, $cent.cid) AS rnk
          |  FROM v, $cent) r WHERE rnk = 1)""".stripMargin
     def updateCte(name: String, assign: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT cid, list(cv ORDER BY i) AS c FROM (
          |    SELECT $assign.cell AS cid, t.i AS i,
          |      CAST(floor(sum(list_extract(v.q, t.i)) * 1000.0 / count(*)) AS BIGINT) AS cv
@@ -1680,7 +1680,7 @@ object Similarity {
          |      ORDER BY ${dist(vTab, cent)}, $cent.cid) AS rnk
          |  FROM $vTab, $cent) r WHERE rnk = 1)""".stripMargin
     def updateCte(name: String, vTab: String, assign: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT cid, list(cv ORDER BY i) AS c FROM (
          |    SELECT $assign.cell AS cid, t.i AS i,
          |      CAST(floor(sum(list_extract($vTab.q, t.i)) * 1000.0 / count(*)) AS BIGINT) AS cv
@@ -1693,7 +1693,7 @@ object Similarity {
          |    CAST(${dist(vTab, cent)} AS BIGINT) // 1000000 AS e
          |  FROM $vTab JOIN $assign USING (vec_id)
          |  JOIN $cent ON $assign.cell = $cent.cid)""".stripMargin
-    s"""WITH v AS (SELECT vec_id,
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |${initCte("c0", "v")},
@@ -1778,7 +1778,7 @@ object Similarity {
     * per-subspace Lloyd fit (md5-seeded init, PQ_ITERS rounds), corpus
     * encoding, query distance tables, summed-lookup ranking. */
   private val pqOracleSql: String =
-    s"""WITH v AS (SELECT vec_id,
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |$pqChainAfterV""".stripMargin
@@ -1790,7 +1790,7 @@ object Similarity {
     val dist =
       s"""list_sum(list_transform(range(1, ${sub + 1}),
          |  i -> (sv.sq[i] * 1000 - cb2.c[i]) * (sv.sq[i] * 1000 - cb2.c[i])))""".stripMargin
-    s"""WITH v AS (SELECT vec_id,
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |$pqChainCtes,
@@ -1929,13 +1929,13 @@ object Similarity {
          |        i -> (list_extract($v.q, i) * 1000 - list_extract($c.c, i))
          |           * (list_extract($v.q, i) * 1000 - list_extract($c.c, i))))""".stripMargin
     def kAssignCte(name: String, cent: String) =
-      s"""$name AS (SELECT vec_id, cid AS cell FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
          |  SELECT v.vec_id, $cent.cid,
          |    row_number() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${kdist("v", cent)}, $cent.cid) AS rnk
          |  FROM v, $cent) r WHERE rnk = 1)""".stripMargin
     def kUpdateCte(name: String, assign: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT cid, list(cv ORDER BY i) AS c FROM (
          |    SELECT $assign.cell AS cid, t.i AS i,
          |      CAST(floor(sum(list_extract(v.q, t.i)) * 1000.0 / count(*)) AS BIGINT) AS cv
@@ -2003,7 +2003,7 @@ object Similarity {
   }
 
   private val ivfPqOracleSql: String =
-    s"""WITH v AS (SELECT vec_id,
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |$ivfPqChainAfterV""".stripMargin
@@ -2023,14 +2023,22 @@ object Similarity {
       s"""list_sum(list_transform(range(1, ${DIMS + 1}),
          |        i -> (list_extract($v.q, i) * 1000 - list_extract($c.c, i))
          |           * (list_extract($v.q, i) * 1000 - list_extract($c.c, i))))""".stripMargin
+    // arg_min over a packed (dist, cid) HUGEINT key instead of a
+    // row_number window on the n x k cross join: the window form makes
+    // DuckDB MATERIALIZE all n x k rows before ranking (>110 GB RSS /
+    // >55 GB spill at sf4's 320k x 5k), while the grouped arg_min
+    // streams in O(n) memory. dist < 2^48 and cid < 2^20, so the
+    // packed key is exact and the cid tie-break matches the window's
+    // ORDER BY dist, cid.
     def kAssignCte(name: String, cent: String) =
-      s"""$name AS (SELECT vec_id, cid AS cell FROM (
-         |  SELECT v.vec_id, $cent.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${kdist("v", cent)}, $cent.cid) AS rnk
-         |  FROM v, $cent) r WHERE rnk = 1)""".stripMargin
+      s"""$name AS MATERIALIZED (
+         |  SELECT v.vec_id AS vec_id,
+         |    arg_min($cent.cid,
+         |      CAST(${kdist("v", cent)} AS HUGEINT) * 1048576 + $cent.cid)
+         |      AS cell
+         |  FROM v, $cent GROUP BY v.vec_id)""".stripMargin
     def kUpdateCte(name: String, assign: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT cid, list(cv ORDER BY i) AS c FROM (
          |    SELECT $assign.cell AS cid, t.i AS i,
          |      CAST(floor(sum(list_extract(v.q, t.i)) * 1000.0 / count(*)) AS BIGINT) AS cv
@@ -2039,7 +2047,7 @@ object Similarity {
          |  GROUP BY cid)""".stripMargin
     def norm(a: String) =
       s"sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    s"""WITH v AS (SELECT vec_id,
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |kn AS (SELECT CAST((count(*) + ${SEMDEDUP_CELL_W - 1}) // $SEMDEDUP_CELL_W AS BIGINT) AS k FROM v),
@@ -2055,7 +2063,7 @@ object Similarity {
        |${kAssignCte("ka2", "kc1")},
        |${kUpdateCte("kc2", "ka2")},
        |${kAssignCte("cells", "kc2")},
-       |e AS (SELECT emb.vec_id, emb.embedding, cells.cell
+       |e AS MATERIALIZED (SELECT emb.vec_id, emb.embedding, cells.cell
        |      FROM embeddings emb JOIN cells USING (vec_id)),
        |drp AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b
        |        ON a.cell = b.cell AND a.vec_id < b.vec_id
