@@ -1284,6 +1284,9 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val pts = Tables.documents(s, d)
       .withColumn("w", tokens(col("text")))
+      // zero-token docs have no TTR; filtered identically in the oracle
+      // (DuckDB's `//` would raise on 0 where Spark's `div` yields NULL)
+      .where(size(col("w")) > 0)
       .select(col("doc_id"), col("n_chars").as("len"),
         expr("size(array_distinct(w)) * 1000L div size(w)").as("ttr_milli"))
       .groupBy("len")
@@ -1391,7 +1394,7 @@ object Curation {
       s"""WITH t AS (SELECT doc_id, n_chars AS len, $toksAll AS w
          |           FROM documents),
          |m AS (SELECT len, (len(list_distinct(w)) * 1000) // len(w) AS ttr
-         |      FROM t),
+         |      FROM t WHERE len(w) > 0),
          |p AS (SELECT len, max(ttr) AS ttr, count(*) AS n_docs
          |      FROM m GROUP BY len),
          |f AS (SELECT len, ttr, n_docs, max(ttr) OVER (

@@ -74,6 +74,61 @@ object Streaming {
     try q.processAllAvailable()
     finally { q.stop(); deleteRecursively(ck) }
 
+  /** Per-query StreamingQueryProgress trail captured after the drain,
+    * keyed by inventory name — evidence for the multi-batch gates
+    * (Round13OpsSpec asserts the interval joins really crossed >= 3
+    * micro-batches with state rows evicted between them). Overwritten
+    * per invocation; a few small JSON-backed objects. */
+  private[graft] val progressTrail =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Array[org.apache.spark.sql.streaming.StreamingQueryProgress]]()
+
+  /** Stage the events fixture into `n` TIME-CONTIGUOUS single-file
+    * parquet slices with ascending mtimes under a scoped dir. A file
+    * source reading the dir with `maxFilesPerTrigger=1` then replays
+    * the fixture as `n` micro-batches in event-time order — the
+    * multi-micro-batch regime an unbounded production stream actually
+    * runs in (watermark advancing batch over batch, join/agg state
+    * evicted between batches), instead of one batch dominating the
+    * drain. Time-contiguity is the correctness keystone: every slice-k
+    * event's timestamp is >= every slice-(k-1) event's, so nothing
+    * ever arrives behind the watermark and the drained result equals
+    * the single-batch (= batch-oracle) result for watermark-correct
+    * operators; only the BATCH STRUCTURE changes. The slices are
+    * resident only for the invocation (caller deletes). */
+  private def stageEventsByTime(s: SparkSession, d: String, name: String,
+      n: Int = 3): String = {
+    val dir = scopedCheckpoint(name + "_src")
+    new java.io.File(dir).mkdirs()
+    // slices carry the NORMALIZED ts (proper TimestampType): the
+    // queries' own normalizeTs is then a no-op on the staged schema,
+    // and the slice key is plain epoch millis for any fixture encoding
+    val ev = Tables.normalizeTs(
+      s.read.option("pathGlobFilter", "events.parquet").parquet(d))
+    val t = unix_millis(col("ts"))
+    val Array(mn, mx) = ev.agg(min(t), max(t)).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(1L, mx - mn + 1)
+    val sliced = ev.withColumn("__slice",
+      least(lit(n - 1), ((t - mn) * n / span).cast("int")))
+    val t0 = System.currentTimeMillis() - 600000
+    (0 until n).foreach { k =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_slice_$k")
+      sliced.where(col("__slice") === k).drop("__slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      val dest = new java.io.File(dir, f"slice_$k%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(t0 + k * 10000L)
+      deleteRecursively(tmp.toString)
+    }
+    dir
+  }
+
   /** events.parquet schema, probed once per dataset (each probe is a
     * file listing + footer read; five streaming queries share it). The
     * key carries the file's (mtime, length) so a dataset REGENERATED at
@@ -135,13 +190,17 @@ object Streaming {
     * the standard exactly-once upsert recipe onto a sink with no
     * transactions. Update mode emits each micro-batch's CHANGED daily
     * windows; the batch function writes them to a parquet table
-    * PARTITIONED BY THE WINDOW KEY under dynamic partition overwrite,
-    * so re-emitting a window replaces exactly that window's partition
-    * and a checkpoint-replayed batch lands idempotently
-    * (last-writer-wins per window). Partition key == upsert key is
-    * the correctness condition: each emitted row carries its window's
-    * COMPLETE latest state, so overwriting the whole partition can
-    * never drop data. Unlike the complete-mode memory sink, state
+    * PARTITIONED BY THE FULL GROUPING KEY under dynamic partition
+    * overwrite, so re-emitting a group replaces exactly that group's
+    * partition and a checkpoint-replayed batch lands idempotently
+    * (last-writer-wins per group). Partition key == upsert key is the
+    * correctness condition: update mode emits only CHANGED groups, so
+    * a partition coarser than the grouping key (e.g. day only, when
+    * the key is day × event_type) would overwrite a whole day with
+    * the subset of its event types that changed in this micro-batch,
+    * silently dropping the rest. Each emitted row carries its group's
+    * COMPLETE latest state, so overwriting the (day_ms, event_type)
+    * partition can never drop data. Unlike the complete-mode memory sink, state
     * shipping per batch is the DELTA, not the world. The converged
     * table is read back and hash-gated against the batch oracle; sink
     * files are scoped to the invocation and removed after
@@ -149,12 +208,16 @@ object Streaming {
     * window means the grain sets the object count — the same
     * object-budget trade as the imaging store's shard size.) */
   val qStreamFbatch: Q = (parent, d) => onStreamSession(parent) { s =>
-    val schema = eventsSchema(s, d)
     val name = "stream_fbatch_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
     val outDir = scopedCheckpoint(name + "_out")
-    val agg = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // multi-batch replay (3 time-contiguous slices): each micro-batch
+    // upserts only ITS changed (day, type) groups, so the
+    // partition-key==upsert-key condition is actually exercised — a
+    // single-batch drain would mask a too-coarse partition key
+    val staged = stageEventsByTime(s, d, name)
+    val agg = s.readStream.schema(s.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
       .transform(Tables.normalizeTs)
       .withWatermark("ts", "10 seconds")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -164,7 +227,7 @@ object Streaming {
     val upsert: (DataFrame, Long) => Unit = (batch, _) => {
       batch.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day_ms")
+        .partitionBy("day_ms", "event_type")
         .parquet(outDir)
       ()
     }
@@ -172,6 +235,8 @@ object Streaming {
       .option("checkpointLocation", ck)
       .foreachBatch(upsert).start()
     drainScoped(q, ck)
+    progressTrail.put("q_stream_fbatch", q.recentProgress)
+    deleteRecursively(staged)
     try {
       val out = s.read.parquet(outDir)
         .select(col("day_ms").cast("long"), col("event_type"), col("n"),
@@ -308,11 +373,16 @@ object Streaming {
     * emission doesn't wait on the watermark, so the drained result is
     * exactly the batch join — which is the oracle. */
   val qStreamJoin: Q = (parent, d) => onStreamSession(parent) { s =>
-    val schema = eventsSchema(s, d)
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
+    // three time-contiguous slices, one micro-batch each: the join
+    // runs in the production regime — watermark advancing batch over
+    // batch, state admitted in one batch and matched/evicted in a
+    // later one — with the drained result still the batch oracle's
+    val staged = stageEventsByTime(s, d, name)
+    val schema = s.read.parquet(staged).schema
     def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
       .transform(Tables.normalizeTs)
       .where(col("user_id") % 10 === 0)
     val clicks = src.where(col("event_type") === "click")
@@ -330,6 +400,8 @@ object Streaming {
       .writeStream.outputMode("append").format("memory").queryName(name)
       .option("checkpointLocation", ck).start()
     drainScoped(q, ck)
+    progressTrail.put("q_stream_join", q.recentProgress)
+    deleteRecursively(staged)
     finishAndDrop(s, name)(_
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -354,15 +426,20 @@ object Streaming {
     * bounded by the 1 h + 10 min horizon per side at any scale; the
     * only shuffle is the user-keyed symmetric-hash join. */
   val qStreamJoinOuter: Q = (parent, d) => onStreamSession(parent) { s =>
-    val schema = eventsSchema(s, d)
     val name = "stream_join_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // multi-batch replay (3 time-contiguous slices): unmatched clicks
+    // now flush on MID-STREAM watermark advances, not only at the
+    // final cut — the eviction path a production firehose exercises
+    val staged = stageEventsByTime(s, d, name)
+    val src = s.readStream.schema(s.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
     val q = joinOuterLogic(src)
       .writeStream.outputMode("append").format("memory").queryName(name)
       .option("checkpointLocation", ck).start()
     drainScoped(q, ck)
+    progressTrail.put("q_stream_join_outer", q.recentProgress)
+    deleteRecursively(staged)
     finishAndDrop(s, name)(joinOuterFinish)
   }
 
@@ -402,14 +479,18 @@ object Streaming {
     * horizon — watermark delay + the hour window — never stream
     * length. */
   val qStreamJoinFull: Q = (parent, d) => onStreamSession(parent) { s =>
-    val schema = eventsSchema(s, d)
     val name = "stream_joinfull_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
-    val q = joinFullLogic(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+    // multi-batch replay (3 time-contiguous slices): BOTH sides'
+    // asymmetric eviction bounds fire on mid-stream watermark advances
+    val staged = stageEventsByTime(s, d, name)
+    val q = joinFullLogic(s.readStream.schema(s.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged))
       .writeStream.outputMode("append").format("memory").queryName(name)
       .option("checkpointLocation", ck).start()
     drainScoped(q, ck)
+    progressTrail.put("q_stream_join_full", q.recentProgress)
+    deleteRecursively(staged)
     finishAndDrop(s, name)(joinFullFinish)
   }
 

@@ -33,8 +33,13 @@ object Sessionizer {
           // a late event inside the watermark can sort BEFORE the prior
           // batch's state (negative delta): extend with min/max so it
           // can neither shrink the gap deadline nor move `start` late —
-          // matches the batch gap-split oracle across micro-batches
-          val first = if (e.tsMs < s.start) e.eventId else s.firstEvent
+          // matches the batch gap-split oracle across micro-batches.
+          // firstEvent follows the oracle's min-(ts, event_id) tie-break,
+          // so an equal-timestamp late event with a smaller id wins.
+          val first =
+            if (e.tsMs < s.start ||
+                (e.tsMs == s.start && e.eventId < s.firstEvent)) e.eventId
+            else s.firstEvent
           state = Some(SessionState(math.min(s.start, e.tsMs),
             math.max(s.last, e.tsMs), s.n + 1, first))
         case Some(s) =>

@@ -55,5 +55,19 @@ class WorkerKillRecoverySpec extends AnyFunSuite {
       s"no executor removal observed — the run proves nothing\n${text.takeRight(2000)}")
     assert(text.contains("MIDQUERY=true"),
       "executor kill was requested only after the query finished; tighten timing")
+    // deterministic trigger: the kill fired after round 1 materialized
+    // (counter >= 2) and before the loop's last materialization (< 6:
+    // KC_ROUNDS=3 rounds x {keep, edges}) — provably mid-loop, not
+    // merely mid-query
+    val killAt = "KILL_AT_ROUND=(-?\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    assert(killAt.exists(r => r >= 2 && r < 6),
+      s"kill was not provably mid-loop: KILL_AT_ROUND=$killAt")
+    // Scoped.releaseRound must delete released rounds' reliable
+    // checkpoint files eagerly (the ContextCleaner only would under
+    // cleanCheckpoints=true); only the final withCached result
+    // checkpoint may remain
+    val ckptLeft = "CKPT_DIRS_LEFT=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    assert(ckptLeft.exists(_ <= 1),
+      s"released rounds left reliable checkpoint files behind: CKPT_DIRS_LEFT=$ckptLeft")
   }
 }

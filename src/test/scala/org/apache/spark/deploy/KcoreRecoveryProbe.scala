@@ -56,22 +56,39 @@ object KcoreRecoveryProbe {
     })
     @volatile var queryDone = false
     @volatile var killRequestedMidQuery = false
+    @volatile var killAtRound = -1L
+    // Deterministic trigger (round-12 verdict item 1): kill once the
+    // loop's FIRST round is fully materialized — observed via
+    // Scoped.roundsMaterialized (kcore materializes keep+edges per
+    // round, so counter >= 2 == round 1 on reliable storage, rounds
+    // 2..KC_ROUNDS still to run). The old file-appearance poll shifted
+    // under host load (Files.walk latency + fixed sleep) and could
+    // race query completion; the counter cannot — it advances only
+    // with the loop itself. The kill retries while the query is
+    // provably mid-loop in case a victim id goes stale.
     val killer = new Thread(() => {
-      val ckpt = Paths.get(ckptDir)
-      def ckptFiles(): Long = {
-        val s = Files.walk(ckpt)
-        try s.filter(p => Files.isRegularFile(p)).count() finally s.close()
-      }
-      // the first reliable round checkpoint on disk == the loop is
-      // mid-flight with rounds still to run
-      while (!queryDone && ckptFiles() == 0) Thread.sleep(10)
-      if (!queryDone) {
-        var ids = sc.getExecutorIds()
-        while (!queryDone && ids.isEmpty) { Thread.sleep(10); ids = sc.getExecutorIds() }
-        if (ids.nonEmpty && !queryDone) {
+      val rounds = graft.queries.Scoped.roundsMaterialized
+      val base = rounds.get()
+      while (!queryDone && rounds.get() - base < 2) Thread.sleep(5)
+      var attempts = 0
+      while (!queryDone && removed.get == 0 && attempts < 3) {
+        val ids = sc.getExecutorIds()
+        if (ids.nonEmpty) {
+          // the FIRST request is the mid-loop proof; later iterations
+          // are retries for a stale victim id and the removal event can
+          // trail the original kill by seconds, so don't overwrite
+          if (killAtRound < 0) {
+            killAtRound = rounds.get() - base
+            killRequestedMidQuery = !queryDone
+          }
           sc.killAndReplaceExecutor(ids.head)
-          killRequestedMidQuery = !queryDone
-        }
+          attempts += 1
+          // give the removal event a moment before concluding the
+          // victim id was stale and re-killing
+          val until = System.nanoTime() + 3000000000L
+          while (!queryDone && removed.get == 0 && System.nanoTime() < until)
+            Thread.sleep(20)
+        } else Thread.sleep(10)
       }
     })
     killer.setDaemon(true)
@@ -80,11 +97,24 @@ object KcoreRecoveryProbe {
     queryDone = true
     killer.join(10000)
     // the removal event can trail the collect — wait for it briefly
-    val deadline = System.nanoTime() + 15000000000L
+    val deadline = System.nanoTime() + 30000000000L
     while (removed.get == 0 && System.nanoTime() < deadline) Thread.sleep(50)
     rows.foreach(r => println(s"ROW=${r.get(0)},${r.get(1)},${r.get(2)}"))
     println(s"REMOVED=${removed.get}")
     println(s"MIDQUERY=$killRequestedMidQuery")
+    println(s"KILL_AT_ROUND=$killAtRound")
+    // released rounds must not leave reliable checkpoint files behind
+    // (Scoped.releaseRound deletes them eagerly; the ContextCleaner
+    // would only do so under cleanCheckpoints=true). Exactly the final
+    // withCached result checkpoint may remain.
+    val ckpt = Paths.get(ckptDir)
+    val leftover = { // layout: ckptDir/<session-uuid>/rdd-<id>/part-*
+      val s = Files.walk(ckpt)
+      try s.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")).count()
+      finally s.close()
+    }
+    println(s"CKPT_DIRS_LEFT=$leftover")
     spark.stop()
     MiniClusterProbe.stop(clusterEnvs)
     sys.exit(0) // non-daemon cluster threads otherwise keep the JVM up
