@@ -116,11 +116,20 @@ class RecoverySpec extends AnyFunSuite {
         s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in))
         .writeStream.outputMode("append").format("parquet")
         .option("path", out).option("checkpointLocation", ck)
-      // run 1 idles 30 s between micro-batches, so the kill lands
-      // deterministically AFTER batch 0 commits and BEFORE batch 1
-      // starts — state from batch 0 must carry the restart alone
+      // run 1 idles 10 MINUTES between micro-batches, so the kill
+      // lands deterministically AFTER batch 0 commits and BEFORE
+      // batch 1 starts — state from batch 0 must carry the restart
+      // alone. The interval must dwarf any load-stretched batch-0
+      // duration: with a short interval (observed at 30 s under
+      // 32-way suite + ambient load), batch 0 overruns the trigger,
+      // batch 1 fires PAST-DUE immediately after it, and the
+      // stop() races batch 1's commit — if batch 1 wins, the restart
+      // has nothing left to do, runs zero batches, and the
+      // resumed-after-kill assertion reads -1. Batch 0 itself is one
+      // tiny file gated by the 120 s progress deadline below, so the
+      // wide interval never slows the test.
       (if (throttled) w.trigger(
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime("30 seconds"))
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("10 minutes"))
        else w).start()
     }
     val q1 = start(throttled = true)
