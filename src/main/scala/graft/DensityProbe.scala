@@ -42,6 +42,11 @@ object DensityProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // match graft.Bench's session exactly (the numbers this probe
+    // adjudicates were measured there): the bounded top-k physical
+    // operator installed, codegen warmed
+    graft.plans.TopKPerKeyPlans.install(spark)
+    spark.range(1000).selectExpr("sum(id)").collect()
     import graft.functions.GraftFunctions.{shingles, tokens}
 
     if (mode == "counts" || mode == "both") {
