@@ -598,6 +598,16 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
     Scoped.withCached(docs) {
+      // Grams stay RAW-string-keyed through both exchanges, by
+      // measurement: md5-keying them first (the qDedupLines pattern,
+      // 32-byte fixed keys, shuffle bytes 3-4x down) read 1.22x
+      // SLOWER end-to-end at the 2.6 GB fixture (221 vs 180 s solo,
+      // min-of-2 calm at 16 g) — occ is evaluated twice (dup agg +
+      // join probe), so the crypto-hash CPU over 2x95 M grams beats
+      // the byte saving while the shuffle is machine-local. On a
+      // network-shuffle cluster the trade can flip; if it does, key
+      // BOTH engine and oracle with md5 (they agree bit-for-bit) so
+      // the gate stays exact.
       val occ = MULTI_LENS.map { n =>
         docs.select(col("doc_id"), lit(n.toLong).as("gl"),
           explode(shingles(col("w"), n)).as("sp"))
