@@ -1170,6 +1170,71 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift gate — per (lang, source)
+    * one-vs-rest distribution shift on document length, the check a
+    * corpus pipeline runs when a source is re-crawled or a new dump
+    * lands: a high KS against the rest of the language's corpus flags
+    * the source whose length profile drifted (truncation bugs,
+    * boilerplate regressions, contamination) before it skews mixing
+    * weights. KS = sup_x |F_source(x) − F_rest(x)|; the supremum over
+    * all real x is attained at a support point of either sample, so
+    * the max over the language's DISTINCT length grid is exact.
+    *
+    * Determinism/overflow: both CDFs are floored to integer ppm
+    * (`cum·10⁶ div n` — the repo's ratio convention), so the reported
+    * statistic is a ppm-quantized KS (within 2 ppm of the real-valued
+    * sup), identical in both engines by construction, and every
+    * intermediate fits a long up to ~9·10¹² docs per group (no
+    * decimal promotion needed; the EXACT cross-product form
+    * `cum_s·n_r − cum_r·n_s` would overflow long at ~10¹¹ docs).
+    *
+    * Shape at 100 TB: ONE corpus-sized scan — the (lang, source,
+    * n_chars) histogram (map-side partial agg absorbs the Zipf mass);
+    * everything after runs on the histogram, whose size is bounded by
+    * |distinct lengths| × |sources|, not docs. The grid × sources
+    * fan-out is a bounded equi-join on lang (sources are bounded
+    * entities, the [[qSourceOverlap]] argument); the cumulative sums
+    * are per-(lang, source) windows over the grid — thousands of rows
+    * per partition at any corpus size. Single-source languages have
+    * no rest sample and are excluded (n_rest = 0). */
+  val qQualityKs: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars").as("x"))
+      .groupBy("lang", "source", "x").agg(count(lit(1)).as("n"))
+    Scoped.withCached(c) {
+      val grid = c.select("lang", "x").distinct()
+      val srcs = c.groupBy("lang", "source").agg(sum("n").as("n_s"))
+      val tot = c.groupBy("lang").agg(sum("n").as("n_all"))
+      // lang-wide cumulative at every grid point (window over the
+      // per-(lang, x) histogram — grid-sized, not corpus-sized)
+      val cumAll = c.groupBy("lang", "x").agg(sum("n").as("n_x"))
+        .withColumn("cum_all",
+          sum("n_x").over(Window.partitionBy("lang").orderBy("x")))
+        .select("lang", "x", "cum_all")
+      // per-source cumulative at every grid point: fan the grid out to
+      // the lang's sources (bounded), attach own counts, window-sum
+      val cum = grid.join(srcs.select("lang", "source"), "lang")
+        .join(c, Seq("lang", "source", "x"), "left")
+        .select(col("lang"), col("source"), col("x"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("cum_s",
+          sum("n").over(Window.partitionBy("lang", "source").orderBy("x")))
+      cum.join(cumAll, Seq("lang", "x"))
+        .join(srcs, Seq("lang", "source"))
+        .join(tot, "lang")
+        .where(col("n_all") > col("n_s"))
+        .select(col("lang"), col("source"), col("n_s"),
+          (col("n_all") - col("n_s")).as("n_rest"),
+          abs(expr("cum_s * 1000000L div n_s") -
+            expr("(cum_all - cum_s) * 1000000L div (n_all - n_s)")).as("dppm"))
+        .groupBy("lang", "source")
+        .agg(first("n_s").as("n_s"), first("n_rest").as("n_rest"),
+          max("dppm").as("ks_ppm"))
+        .orderBy("lang", "source")
+    }
+  }
+
   private val OVL_N = 8 // word-gram order for the cross-source overlap
 
   /** Cross-source duplication matrix — the inter-source counterpart of
@@ -1334,6 +1399,7 @@ object Curation {
     "q_source_stats" -> qSourceStats,
     "q_source_overlap" -> qSourceOverlap,
     "q_quality_winsor" -> qQualityWinsor,
+    "q_quality_ks" -> qQualityKs,
     "q_filter_blocklist" -> qFilterBlocklist,
     "q_filter_ac" -> qFilterAc
   )
@@ -1857,6 +1923,36 @@ object Curation {
          |    AS mean_winsor
          |FROM documents d JOIN edges e ON d.lang = e.lang
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_quality_ks" ->
+      """WITH c AS (SELECT lang, source, n_chars AS x, count(*) AS n
+        |           FROM documents GROUP BY 1, 2, 3),
+        |grid AS (SELECT DISTINCT lang, x FROM c),
+        |srcs AS (SELECT lang, source, sum(n) AS n_s FROM c GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n) AS n_all FROM c GROUP BY 1),
+        |lx AS (SELECT lang, x, sum(n) AS n_x FROM c GROUP BY 1, 2),
+        |call AS (SELECT lang, x,
+        |           sum(n_x) OVER (PARTITION BY lang ORDER BY x) AS cum_all
+        |         FROM lx),
+        |cum AS (SELECT g.lang, s.source, g.x,
+        |          sum(coalesce(c.n, 0))
+        |            OVER (PARTITION BY g.lang, s.source ORDER BY g.x) AS cum_s
+        |        FROM grid g
+        |        JOIN srcs s ON s.lang = g.lang
+        |        LEFT JOIN c ON c.lang = g.lang AND c.source = s.source
+        |                   AND c.x = g.x)
+        |SELECT cum.lang, cum.source,
+        |  CAST(any_value(s.n_s) AS BIGINT) AS n_s,
+        |  CAST(any_value(t.n_all - s.n_s) AS BIGINT) AS n_rest,
+        |  CAST(max(abs((cum_s * 1000000) // s.n_s
+        |        - ((a.cum_all - cum_s) * 1000000) // (t.n_all - s.n_s)))
+        |    AS BIGINT) AS ks_ppm
+        |FROM cum
+        |JOIN call a ON a.lang = cum.lang AND a.x = cum.x
+        |JOIN srcs s ON s.lang = cum.lang AND s.source = cum.source
+        |JOIN tot t ON t.lang = cum.lang
+        |WHERE t.n_all > s.n_s
+        |GROUP BY cum.lang, cum.source
+        |ORDER BY cum.lang, cum.source""".stripMargin,
     "q_source_overlap" -> {
       val gram = (0 until OVL_N)
         .map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString(" || ' ' || ")

@@ -79,6 +79,41 @@ class Round13OpsSpec extends AnyFunSuite {
     assertMultiBatchEviction("q_stream_join_full")
   }
 
+  test("q_quality_ks equals an in-JVM brute-force KS on every (lang, source)") {
+    // independent of BOTH engines' SQL: recompute the ppm-quantized
+    // one-vs-rest KS from raw collected rows (sf0.001 = 5k docs) and
+    // require exact equality — grid construction, window cumulation,
+    // and the div-floored ppm CDFs all re-derived from first principles
+    val raw = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = raw.groupBy(_._1).flatMap { case (lang, rows) =>
+      val grid = rows.map(_._3).distinct.sorted
+      val nAll = rows.length.toLong
+      rows.groupBy(_._2).collect { case (src, mine) if mine.length < nAll =>
+        val nS = mine.length.toLong
+        val nR = nAll - nS
+        val ks = grid.map { x =>
+          val cumS = mine.count(_._3 <= x).toLong
+          val cumR = rows.count(_._3 <= x).toLong - cumS
+          math.abs(cumS * 1000000L / nS - cumR * 1000000L / nR)
+        }.max
+        (lang, src) -> (nS, nR, ks)
+      }
+    }
+    val got = SparkEntry.queries("q_quality_ks")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"group sets diverge: ${got.keySet.size} vs ${expected.keySet.size}")
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"$k: query ${got(k)} != brute $v")
+    }
+    // sanity on the statistic itself: a ppm CDF difference is bounded
+    assert(got.values.forall { case (_, _, ks) => ks >= 0 && ks <= 1000000 })
+  }
+
   test("foreachBatch upsert converges across >= 3 micro-batches to the batch aggregate") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q_stream_fbatch")(spark, SF)
