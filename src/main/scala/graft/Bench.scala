@@ -166,7 +166,19 @@ object Bench {
     // (0.414 stood from rounds 6-7; round 8 observed 0.409 twice.)
     val calibFloor = 0.409
     val calibContended = calib > 1.1 * calibFloor
-    val contended = (passes > 1 && spreadMedian > contentionBar) || calibContended
+    // The contended FLAG keys on the calibration pair, not on raw
+    // spread: this host's IDLE JIT/GC signature puts full-inventory
+    // median spread at 1.5-1.6 (BASELINE.md, rounds 9-13), so a
+    // spread-keyed flag was always-on and carried no information —
+    // round-13 artifacts with calib pairs UNDER the calm floor still
+    // flagged true. Spread stays in the artifact as `ambient_jitter`
+    // (and still drives the extra-pass retries above); only an extreme
+    // spread (>2x median — far above the idle signature, seen only
+    // under deliberate load) independently flags contention, catching
+    // intermittent bursts that leave both calibration endpoints calm.
+    val extremeSpreadBar = 2.0
+    val contended =
+      calibContended || (passes > 1 && spreadMedian > extremeSpreadBar)
     val timed: Seq[(String, Seq[Double])] = names.zip(raw.toSeq)
     val results = timed.map { case (k, ts) => k -> ts.min }
     val total = results.map(_._2).sum
@@ -200,7 +212,7 @@ object Bench {
     val allSpreads = spreads.map { case (k, v) =>
       s"\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","loop":"$loopMode","spread_median":$spreadMedian,"contended":$contended,"calib_sec":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_floor":$calibFloor,"calib_contended":$calibContended,"queries":$qsFull,"passes":$allPasses,"spreads":$allSpreads,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","loop":"$loopMode","spread_median":$spreadMedian,"ambient_jitter":$spreadMedian,"contended":$contended,"calib_sec":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_floor":$calibFloor,"calib_contended":$calibContended,"queries":$qsFull,"passes":$allPasses,"spreads":$allSpreads,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -220,7 +232,7 @@ object Bench {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val sp = noisy.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","loop":"$loopMode","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"calib_pre":${fmt(calibPre, 3)},"calib_post":${fmt(calibPost, 3)},"calib_floor":$calibFloor,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","loop":"$loopMode","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"ambient_jitter":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"calib_pre":${fmt(calibPre, 3)},"calib_post":${fmt(calibPost, 3)},"calib_floor":$calibFloor,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     val candidates =

@@ -190,6 +190,12 @@ object Graph {
   private val KC_MOD = 500   // sparser derived graph than PageRank's
   private val KC_ROUNDS = 3
 
+  /** Total [[Scoped.materializeRound]] calls one qGraphKcore run makes
+    * (keep + edges per peel round) — the recovery probe derives its
+    * "kill fired mid-loop" upper bound from this instead of hardcoding
+    * it, so changing KC_ROUNDS can't silently break the gate. */
+  val kcoreMaterializations: Int = KC_ROUNDS * 2
+
   /** k-core peeling (Seidman 1983, "Network structure and minimum
     * degree"): iteratively remove nodes of degree < k; the surviving
     * subgraph after convergence is the k-core, the standard

@@ -134,13 +134,17 @@ object Scoped {
       df.queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD =>
           l.rdd.getCheckpointFile.foreach { p =>
-            val path = new org.apache.hadoop.fs.Path(p)
             // best-effort: a failed delete degrades to the documented
-            // cleanCheckpoints=true deployment posture, never to error
+            // cleanCheckpoints=true deployment posture, never to error.
+            // NonFatal, not just IOException: Path construction /
+            // getFileSystem / FS impls can throw non-IO exceptions
+            // (e.g. IllegalArgumentException on unusual checkpoint
+            // URIs), which must not abort an hours-long loop mid-round.
             try {
+              val path = new org.apache.hadoop.fs.Path(p)
               val conf = df.sparkSession.sparkContext.hadoopConfiguration
               path.getFileSystem(conf).delete(path, true)
-            } catch { case _: java.io.IOException => () }
+            } catch { case scala.util.control.NonFatal(_) => () }
           }
         case _ => ()
       }

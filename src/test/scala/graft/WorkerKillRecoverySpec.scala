@@ -55,13 +55,16 @@ class WorkerKillRecoverySpec extends AnyFunSuite {
       s"no executor removal observed — the run proves nothing\n${text.takeRight(2000)}")
     assert(text.contains("MIDQUERY=true"),
       "executor kill was requested only after the query finished; tighten timing")
-    // deterministic trigger: the kill fired after round 1 materialized
-    // (counter >= 2) and before the loop's last materialization (< 6:
-    // KC_ROUNDS=3 rounds x {keep, edges}) — provably mid-loop, not
-    // merely mid-query
+    // deterministic trigger: the kill trigger fired after round 1
+    // materialized (counter >= 2, captured at the probe's wait-loop
+    // exit) and before the loop's last materialization (< bound, the
+    // probe-reported KC_ROUNDS x {keep, edges} derived from the query's
+    // own loop shape) — provably mid-loop, not merely mid-query
     val killAt = "KILL_AT_ROUND=(-?\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
-    assert(killAt.exists(r => r >= 2 && r < 6),
-      s"kill was not provably mid-loop: KILL_AT_ROUND=$killAt")
+    val bound = "KILL_ROUND_BOUND=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
+    assert(bound.exists(_ >= 2), s"probe did not report a loop bound: $bound")
+    assert(killAt.exists(r => r >= 2 && r < bound.get),
+      s"kill was not provably mid-loop: KILL_AT_ROUND=$killAt bound=$bound")
     // Scoped.releaseRound must delete released rounds' reliable
     // checkpoint files eagerly (the ContextCleaner only would under
     // cleanCheckpoints=true); only the final withCached result

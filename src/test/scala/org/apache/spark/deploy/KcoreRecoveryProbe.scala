@@ -70,17 +70,21 @@ object KcoreRecoveryProbe {
       val rounds = graft.queries.Scoped.roundsMaterialized
       val base = rounds.get()
       while (!queryDone && rounds.get() - base < 2) Thread.sleep(5)
+      // capture the trigger round AT WAIT-LOOP EXIT: a slow
+      // getExecutorIds after a fast loop could otherwise legitimately
+      // read a counter past the loop's last materialization and fail
+      // the mid-loop gate spuriously (the kill request follows within
+      // the same scheduling quantum; MIDQUERY still separately proves
+      // the request preceded query completion)
+      killAtRound = rounds.get() - base
       var attempts = 0
       while (!queryDone && removed.get == 0 && attempts < 3) {
         val ids = sc.getExecutorIds()
         if (ids.nonEmpty) {
-          // the FIRST request is the mid-loop proof; later iterations
+          // the FIRST request is the mid-query proof; later iterations
           // are retries for a stale victim id and the removal event can
           // trail the original kill by seconds, so don't overwrite
-          if (killAtRound < 0) {
-            killAtRound = rounds.get() - base
-            killRequestedMidQuery = !queryDone
-          }
+          if (!killRequestedMidQuery) killRequestedMidQuery = !queryDone
           sc.killAndReplaceExecutor(ids.head)
           attempts += 1
           // give the removal event a moment before concluding the
@@ -103,6 +107,9 @@ object KcoreRecoveryProbe {
     println(s"REMOVED=${removed.get}")
     println(s"MIDQUERY=$killRequestedMidQuery")
     println(s"KILL_AT_ROUND=$killAtRound")
+    // upper bound for "mid-loop" derived from the query's own loop
+    // shape, not hardcoded in the spec
+    println(s"KILL_ROUND_BOUND=${graft.queries.Graph.kcoreMaterializations}")
     // released rounds must not leave reliable checkpoint files behind
     // (Scoped.releaseRound deletes them eagerly; the ContextCleaner
     // would only do so under cleanCheckpoints=true). Exactly the final
