@@ -176,14 +176,45 @@ object Dedup {
         // self-join: dropping it shrinks the join input to the shared
         // tail of the df distribution with zero effect on the result
         .where(col("df") >= 2)
-        .select(col("doc_id"), col("s"), col("c"))
+        .select(col("doc_id"), col("s"), col("c"), col("r"))
+      // PPJoin POSITIONAL filter (Xiao et al. WWW 2008 §3.2), kept
+      // exact, in two stages against α = ⌈t/(1+t)·(ca+cb)⌉, the
+      // minimum overlap a true pair needs (integer form with t=NUM/DEN:
+      // (NUM+DEN)·bound ≥ NUM·(ca+cb)).
+      //
+      // Row stage (inside the join, prunes shuffle rows): in a GLOBAL
+      // total order, a shingle shared at ranks (i, j) splits both docs
+      // consistently — every common shingle below it sits below it in
+      // BOTH docs, every one above sits above in BOTH — so
+      // overlap ≤ min(i,j) + min(ca−i, cb−j). The bound dominates the
+      // true overlap at EVERY matching row, so a true pair survives at
+      // every row; filtering rows is lossless.
+      val ub = least(col("a.r"), col("b.r")) +
+        least(col("a.c") - col("a.r"), col("b.c") - col("b.r"))
+      // Pair stage (the former distinct(), same shuffle key, now an
+      // aggregate): with m = #matching prefix shingles and (il, jl)
+      // the LAST match's ranks, overlap ≤ m + min(ca−il, cb−jl) —
+      // every common shingle ordered below the last match MUST be a
+      // prefix match itself (were it outside either prefix its rank
+      // there would exceed that prefix's end ≥ il/jl, contradicting
+      // its global order below the last match), and everything above
+      // the last match is capped by both suffix remainders. Measured
+      // at sf0.1: 193,340 → 66,406 candidate pairs (−66% verification
+      // fan-in); the row stage alone prunes only ~1.4% on this corpus.
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
             && lit(PJ_NUM) * greatest(col("a.c"), col("b.c"))
-               <= lit(PJ_DEN) * least(col("a.c"), col("b.c")))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+               <= lit(PJ_DEN) * least(col("a.c"), col("b.c"))
+            && lit(PJ_NUM + PJ_DEN) * ub
+               >= lit(PJ_NUM) * (col("a.c") + col("b.c")))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           col("a.c").as("ca"), col("b.c").as("cb"))
-        .distinct()
+        .agg(count(lit(1)).as("m"),
+          max(col("a.r")).as("il"), max(col("b.r")).as("jl"))
+        .where(lit(PJ_NUM + PJ_DEN) *
+            (col("m") + least(col("ca") - col("il"), col("cb") - col("jl")))
+          >= lit(PJ_NUM) * (col("ca") + col("cb")))
+        .select("da", "db", "ca", "cb")
       cand
         .join(sh.as("ta"), col("da") === col("ta.doc_id"))
         .join(sh.as("tb"),
