@@ -657,6 +657,262 @@ object Dedup {
     }
   }
 
+  /** Distributed order index: assumes `df` is GLOBALLY sorted (range
+    * partitioned + sorted within partitions) and appends a dense
+    * 0-based position column via `RDD.zipWithIndex` — the standard
+    * two-pass distributed sequence number (one job counts partition
+    * sizes, the map adds offsets). No single-partition window
+    * anywhere; determinism needs unique sort keys (all call sites
+    * sort on key sets that are distinct by construction). */
+  private def zipIdx(df: DataFrame, idx: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sch = df.schema.add(idx, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, sch)
+  }
+
+  /** EXACT longest-duplicate-substring per document — the suffix-
+    * array-grade measurement of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499,
+    * §4: ExactSubstr dedup via suffix arrays), distributed. Where
+    * [[qDedupMultilen]] BRACKETS each doc's longest verbatim shared
+    * span with a {8,16,32,64} doubling ladder (within 2× by
+    * construction), this computes the true token length of the longest
+    * substring each doc shares verbatim with at least one OTHER
+    * document — the number a surgical trim pass actually wants.
+    *
+    * Three exact phases, each sized to the docs that need it:
+    *
+    *  1. LADDER: per-doc largest power-of-two shared-gram length g_d
+    *     over {1,2,4,8} ([[qDedupSpans]]'s bounded aggregate-join
+    *     shape). By substring closure g_d ≤ L_d < 2·g_d for g_d < 8,
+    *     and g_d = 8 ⟺ L_d ≥ 8 — a SCALE-INDEPENDENT split: the
+    *     ladder top is a constant, not a data bound.
+    *  2. SHORT REFINEMENT (docs with g_d < 8, i.e. L_d ≤ 7): gram
+    *     frequency at every length ℓ ∈ [1, min(2g_d−1, 7, n_d)].
+    *     Emission is enough for support too: a witness of a shared
+    *     ℓ-gram has its own L ≥ ℓ, hence cap ≥ min(2·2^⌊log₂ℓ⌋−1, 7)
+    *     ≥ ℓ — so every truly shared length is emitted by BOTH
+    *     partners and the per-(ℓ, gram) doc count sees it. Work is
+    *     O(n · 8) rows — bounded by the constant cap, never by doc
+    *     length.
+    *  3. SUFFIX TAIL (docs with g_d = 8, i.e. L_d ≥ 8 — the docs a
+    *     trim pass actually acts on): prefix-doubling suffix ranks
+    *     (Manber & Myers 1993, SIAM J. Comput. 22(5); distributed as
+    *     in Flick & Aluru, SC 2015 "Parallel distributed memory
+    *     construction of suffix and LCP arrays") over ONLY these
+    *     docs. The subset is CLOSED: a doc with a shared span of
+    *     length ≥ 8 has a partner sharing that same span, whose own
+    *     longest is then also ≥ 8 — so restricting the suffix
+    *     structure to the subset loses no witness, and in web-scale
+    *     corpora it prunes the expensive structure to the
+    *     boilerplate-heavy tail.
+    *
+    * The doubling loop seeds at span 8 with the ORDER OF 8-GRAM
+    * STRINGS — space-joined token grams sort exactly like token
+    * sequences with a minimal end sentinel (the separator 0x20 is
+    * below every token char, and truncated grams are equal iff both
+    * docs end there with equal content) — then doubles
+    * rank_k(p) = order(rank_{k−1}(p), rank_{k−1}(p+2^{k−1})), missing
+    * half → −1, per level ONE lead()-window over the doc partition
+    * (positions are dense, so lead(span) IS the rank at p+span) plus
+    * ONE range shuffle whose partition-local dense index
+    * ((pid << 40) | idx) is an order-preserving rank without any
+    * extra job or join-back. Levels stop when ranks go unique (all
+    * remaining suffix pairs already differ) or span ≥ longest doc.
+    *
+    * Suffix-order adjacency then bounds LCE queries: for a
+    * lexicographic order, LCP(sᵢ, sⱼ) = min of adjacent LCPs over
+    * (i, j], so each doc's best partner LCP is achieved at a
+    * CROSS-doc ADJACENT pair — the n−1 LCE candidates collapse to the
+    * cross-doc boundary set. The LCE descent walks spans
+    * {128…8} against the retained rank tables and {4,2,1} against
+    * raw-gram tables (short strings, map-only from the cached docs);
+    * equal ranks advance ℓ by min(span, both remainders), exact for
+    * short tails by the sentinel semantics.
+    *
+    * Scale: phases 1–2 are the multilen posture (bounded keys, partial
+    * agg, one shuffle_hash join each); phase 3 is O(m log L) on the
+    * long-dup subset m — log L rounds of two shuffles each, rank
+    * tables retained across the descent (the documented log L × m
+    * footprint of distributed suffix structures, released at the
+    * end), descent joins on the shrinking cross-doc boundary table.
+    * The driver sees only bounded scalars (max doc length, uniqueness
+    * flag, subset emptiness). The DuckDB oracle computes the same
+    * number by the phase-1/2 method alone with a data-sized ladder —
+    * an INDEPENDENT exact algorithm for the hash gate — and
+    * Round14OpsSpec pins brute-force equality plus the multilen 2×
+    * bracket law. */
+  val qDedupSuffix: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val LADDER = Seq(1, 2, 4, 8)
+    val TOP = 8L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    Scoped.withCachedEager(docs) {
+      // ----- phase 1: power-of-two ladder, multilen's bounded shape.
+      // Both gram passes stay RAW-string-keyed and DOUBLE-evaluATED
+      // (dup aggregate + probe join) by measurement, like multilen: an
+      // md5-keyed single-pass variant (native incremental-buffer
+      // hasher) ran ~1.8x SLOWER end-to-end at sf0.1 — per-gram digest
+      // and dedup-set costs beat the string-build saving when every
+      // gram is <= 8 tokens and the shuffle is machine-local.
+      val occ1 = LADDER.map { n =>
+        docs.select(col("doc_id"), lit(n.toLong).as("gl"),
+          explode(shingles(col("w"), n)).as("sp"))
+      }.reduce(_ unionAll _)
+      val dup = occ1.groupBy("gl", "sp").agg(count(lit(1)).as("ndocs"))
+        .where(col("ndocs") >= 2).select("gl", "sp")
+      val gm = Scoped.materializeRound(
+        occ1.join(dup.hint("shuffle_hash"), Seq("gl", "sp"))
+          .groupBy("doc_id").agg(max("gl").as("g")))
+      // ----- phase 2: exact refinement under the constant cap; one
+      // branch per length 1..TOP-1, each pruned BEFORE the explode to
+      // the docs whose cap reaches it (gm broadcasts)
+      val capped = docs.join(gm, Seq("doc_id"))
+        .select(col("doc_id"), col("w"),
+          least(col("g") * 2 - 1, lit(TOP - 1),
+            size(col("w")).cast("long")).as("cap"))
+      val occ2 = (1 until TOP.toInt).map { l =>
+        capped.where(col("cap") >= l)
+          .select(col("doc_id"), lit(l.toLong).as("l"),
+            explode(shingles(col("w"), l)).as("sp"))
+      }.reduce(_ unionAll _)
+      val dup2 = occ2.groupBy("l", "sp").agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 2).select("l", "sp")
+      val ex2 = occ2.join(dup2.hint("shuffle_hash"), Seq("l", "sp"))
+        .groupBy("doc_id").agg(max("l").as("l2"))
+      // ----- phase 3: prefix-doubling suffix ranks on the closed tail
+      val sub = docs.join(gm.where(col("g") === TOP).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n"))
+      val l3 = if (gm.where(col("g") === TOP).isEmpty)
+        docs.limit(0).select(col("doc_id"), lit(0L).as("l3"))
+      else {
+        val nd = sub.select(col("doc_id"), col("n"))
+        val maxn = math.max(1L,
+          nd.agg(coalesce(max("n"), lit(1L))).head().getLong(0))
+        val byDoc = Window.partitionBy("doc_id").orderBy("p")
+        // seed: order of 8-gram strings == span-8 suffix ranks
+        val seed = denseRankSorted(
+          sub.select(col("doc_id"), col("w"), posexplode(col("w")))
+            .select(col("doc_id"), col("pos").cast("long").as("p"),
+              array_join(slice(col("w"), col("pos") + 1, lit(8)), " ").as("k"))
+            .repartitionByRange(col("k")).sortWithinPartitions("k"),
+          Seq("k"), "r").select(col("doc_id"), col("p"), col("r"))
+        var levels = List[(Long, DataFrame)]((8L, Scoped.materializeRound(seed)))
+        var span = 8L
+        var unique = false
+        while (span < maxn && !unique) {
+          val lvl = levels.head._2
+          val paired = lvl
+            .withColumn("r2", coalesce(lead("r", span.toInt).over(byDoc), lit(-1L)))
+            .repartitionByRange(col("r"), col("r2"))
+            .sortWithinPartitions("r", "r2")
+          // tie accumulator piggybacks the uniqueness check on the
+          // rank pass itself (no extra distinct+count job); a retried
+          // task can only OVERcount ties, which at worst runs one more
+          // round — never a wrong stop
+          val acc = s.sparkContext.longAccumulator(s"sfx_ties_$span")
+          val nxt = Scoped.materializeRound(
+            denseRankSorted(paired, Seq("r", "r2"), "nr", Some(acc))
+              .select(col("doc_id"), col("p"), col("nr").as("r")))
+          span = span * 2
+          levels = (span, nxt) :: levels
+          unique = acc.value == 0L
+        }
+        // descent tables below the seed span: raw short grams (exact
+        // string equality, no hashing), map-only from the cached docs
+        val gramLevels = Seq(4, 2, 1).map { k =>
+          k.toLong -> sub.select(col("doc_id"), col("w"), posexplode(col("w")))
+            .select(col("doc_id"), col("pos").cast("long").as("p"),
+              array_join(slice(col("w"), col("pos") + 1, lit(k)), " ").as("r"))
+        }
+        val ord = zipIdx(levels.head._2
+          .repartitionByRange(col("r"), col("doc_id"), col("p"))
+          .sortWithinPartitions("r", "doc_id", "p"), "i")
+          .select(col("doc_id"), col("p"), col("i"))
+        val adj = ord.as("x").join(ord.as("y"), col("x.i") + 1 === col("y.i"))
+          .where(col("x.doc_id") =!= col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("x.p").as("pa"),
+            col("y.doc_id").as("db"), col("y.p").as("pb"))
+          .join(broadcast(nd.select(col("doc_id").as("da"), col("n").as("na"))), "da")
+          .join(broadcast(nd.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+          .withColumn("ell", lit(0L))
+        var pairs = Scoped.materializeRound(adj)
+        // the descent CHAINS unmaterialized: each level's frame is
+        // consumed exactly once by the next (linear lineage, no
+        // exponential re-execution), so the 2·K joins pipeline into
+        // one job instead of K checkpointed rounds — the K round trips
+        // were pure latency at every scale
+        (levels ++ gramLevels).foreach { case (sp, lvl) =>
+          val la = lvl.select(col("doc_id").as("dak"), col("p").as("qa"),
+            col("r").as("ra"))
+          val lb = lvl.select(col("doc_id").as("dbk"), col("p").as("qb"),
+            col("r").as("rb"))
+          pairs = pairs
+            .join(la, col("da") === col("dak")
+              && col("pa") + col("ell") === col("qa"), "left")
+            .join(lb, col("db") === col("dbk")
+              && col("pb") + col("ell") === col("qb"), "left")
+            .withColumn("ell2", when(col("ra").isNotNull && col("ra") === col("rb"),
+              col("ell") + least(lit(sp), col("na") - col("pa") - col("ell"),
+                col("nb") - col("pb") - col("ell"))).otherwise(col("ell")))
+            .select(col("da"), col("pa"), col("db"), col("pb"),
+              col("na"), col("nb"), col("ell2").as("ell"))
+        }
+        val best = pairs.select(col("da").as("doc_id"), col("ell"))
+          .unionAll(pairs.select(col("db").as("doc_id"), col("ell"))) 
+          .groupBy("doc_id").agg(max("ell").as("l3"))
+        val res = Scoped.materializeRound(best)
+        levels.foreach { case (_, lvl) => Scoped.releaseRound(lvl) }
+        Scoped.releaseRound(pairs)
+        res
+      }
+      docs.select(col("doc_id"), col("lang"))
+        .join(gm, Seq("doc_id"), "left")
+        .join(ex2, Seq("doc_id"), "left")
+        .join(l3, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("g") === TOP, coalesce(col("l3"), lit(0L)))
+            .otherwise(coalesce(col("l2"), lit(0L))).as("l_exact"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Order-preserving rank of rows GLOBALLY SORTED by `keys` (range
+    * partitioned + sorted within partitions): rank =
+    * (partitionId << 40) | partition-local dense index. Equal keys
+    * share a partition (range partitioning keeps equal keys together)
+    * and a local index; ranks increase with global key order because
+    * range partition ids are ordered. One mapPartitions — no extra
+    * count job (unlike zipWithIndex), no distinct + join-back. Dense
+    * GLOBAL numbering is not needed by callers, only order
+    * preservation and equality. 2^40 rows per partition / 2^23
+    * partitions bound the packing. */
+  private def denseRankSorted(df: DataFrame, keys: Seq[String],
+      out: String,
+      ties: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sch = df.schema.add(out, LongType, nullable = false)
+    val ki = keys.map(df.schema.fieldIndex)
+    val rdd = df.rdd.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var last: Seq[Any] = null
+      var idx = -1L
+      it.map { r =>
+        val k = ki.map(r.get)
+        if (last == null || k != last) { idx += 1; last = k }
+        else ties.foreach(_.add(1L))
+        Row.fromSeq(r.toSeq :+ ((pid << 40) | idx))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, sch)
+  }
+
+
   private val LINE_W = 5
 
   /** Line-granularity EXACT dedup — the C4 rule (Raffel et al. 2020,
@@ -1086,6 +1342,7 @@ object Dedup {
     "q_dedup_cdc" -> qDedupCdc,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_multilen" -> qDedupMultilen,
+    "q_dedup_suffix" -> qDedupSuffix,
     "q_dedup_trim" -> qDedupTrim,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_exact" -> qDedupExact,
@@ -1331,6 +1588,42 @@ object Dedup {
          |  round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
          |FROM sh JOIN df USING (sp)
          |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    // Independent exact algorithm (vs the engine's suffix ranks): a
+    // per-doc power-of-two gram ladder finds g_d = the largest power
+    // with a cross-doc shared gram — by substring closure the true
+    // longest L_d satisfies g_d ≤ L_d < 2·g_d — then a refinement pass
+    // hashes every gram of length 1..min(2g_d−1, n_d) per doc. Any
+    // truly shared ℓ-gram has ℓ ≤ L of BOTH partners, so both emit it
+    // and the distinct-doc count ≥ 2 sees every shared length. The
+    // bracket bounds the emission: Σ n_d·2g_d gram hashes, not n².
+    "q_dedup_suffix" -> {
+      val pows = "[1, 2, 4, 8, 16, 32, 64, 128, 256, 512]"
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
+         |  FROM documents),
+         |lad AS MATERIALIZED (
+         |  SELECT doc_id, l, md5(array_to_string(w[i:i+l-1], ' ')) AS h
+         |  FROM toks, (SELECT unnest($pows) AS l) pw,
+         |       unnest(range(1, len(w) + 2 - l)) t2(i)),
+         |laddup AS (SELECT l, h FROM lad GROUP BY l, h
+         |           HAVING count(DISTINCT doc_id) >= 2),
+         |g AS MATERIALIZED (SELECT doc_id, max(l) AS g
+         |     FROM lad JOIN laddup USING (l, h) GROUP BY doc_id),
+         |ref AS MATERIALIZED (
+         |  SELECT toks.doc_id, q.l, md5(array_to_string(w[q.i:q.i+q.l-1], ' ')) AS h
+         |  FROM toks JOIN g USING (doc_id),
+         |       LATERAL (SELECT ll.l, ii.i
+         |         FROM unnest(range(1, least(2 * g.g, len(w) + 1))) ll(l),
+         |              unnest(range(1, len(w) + 2 - ll.l)) ii(i)) q),
+         |refdup AS (SELECT l, h FROM ref GROUP BY l, h
+         |           HAVING count(DISTINCT doc_id) >= 2),
+         |ex AS (SELECT doc_id, max(l) AS l_exact
+         |       FROM ref JOIN refdup USING (l, h) GROUP BY doc_id)
+         |SELECT toks.doc_id, toks.lang,
+         |  CAST(coalesce(ex.l_exact, 0) AS BIGINT) AS l_exact
+         |FROM toks LEFT JOIN ex USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     "q_dedup_multilen" -> {
       // array_to_string over a slice, not a || chain: a 64-term concat
