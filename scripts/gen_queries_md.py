@@ -52,7 +52,7 @@ def doc_for(lines, idx):
     return strip_doc(lines[j : end + 1])
 
 def posture_of(doc):
-    m = re.search(r"(?:Scale shape|Shape|Scale posture)\s*:\s*(.*)", doc)
+    m = re.search(r"(?:Scale shape|Shape|Scale posture|Scale)\s*:\s*(.*)", doc)
     return first_sentence(m.group(1), 200) if m else ""
 
 entries = []  # (module, qname, file, line, summary, posture)
