@@ -1597,12 +1597,15 @@ object Dedup {
     // truly shared ℓ-gram has ℓ ≤ L of BOTH partners, so both emit it
     // and the distinct-doc count ≥ 2 sees every shared length. The
     // bracket bounds the emission: Σ n_d·2g_d gram hashes, not n².
+    // lad/ref are deliberately NOT MATERIALIZED: each is referenced
+    // exactly twice (linear 2× recompute), while materializing them at
+    // the 2.6 GB fixture would spill tens of GB of gram rows to temp.
     "q_dedup_suffix" -> {
       val pows = "[1, 2, 4, 8, 16, 32, 64, 128, 256, 512]"
       s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang,
          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
          |  FROM documents),
-         |lad AS MATERIALIZED (
+         |lad AS (
          |  SELECT doc_id, l, md5(array_to_string(w[i:i+l-1], ' ')) AS h
          |  FROM toks, (SELECT unnest($pows) AS l) pw,
          |       unnest(range(1, len(w) + 2 - l)) t2(i)),
@@ -1610,7 +1613,7 @@ object Dedup {
          |           HAVING count(DISTINCT doc_id) >= 2),
          |g AS MATERIALIZED (SELECT doc_id, max(l) AS g
          |     FROM lad JOIN laddup USING (l, h) GROUP BY doc_id),
-         |ref AS MATERIALIZED (
+         |ref AS (
          |  SELECT toks.doc_id, q.l, md5(array_to_string(w[q.i:q.i+q.l-1], ' ')) AS h
          |  FROM toks JOIN g USING (doc_id),
          |       LATERAL (SELECT ll.l, ii.i
