@@ -178,14 +178,25 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
-  /** Equi-join with a range (theta) residual predicate. */
+  /** Equi-join with a range (theta) residual predicate.
+    *
+    * sum_price is summed in EXACT integer cents, not as a double:
+    * at the 2.6 GB fixture the group sums reach ~8·10¹¹, where a
+    * double carries only ~4 decimal digits and the accumulation ORDER
+    * moves round(sum, 2) by more than a cent (measured: Spark .22 vs
+    * DuckDB .29 on 13M rows — the first scale decade to falsify the
+    * "round(sum,2) never diverges" rule). Prices are 2-decimal by
+    * construction, so round(x·100) is the exact cent count in both
+    * engines and the long sum is order-independent. */
   val qJoinRange: Q = (s, d) => {
     Tables.lineitem(s, d)
       .join(Tables.part(s, d),
         col("l_partkey") === col("p_partkey") &&
         col("l_extendedprice") > col("p_retailprice") * 20.0)
       .groupBy("p_type")
-      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long")).cast("double")
+          / 100.0).as("sum_price"))
       .orderBy("p_type")
   }
 
@@ -1428,7 +1439,8 @@ object Relational {
         |                  AND o_totalprice > 300000.0)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_range" ->
-      """SELECT p_type, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+      """SELECT p_type, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_extendedprice > p_retailprice * 20.0
         |GROUP BY p_type ORDER BY p_type""".stripMargin,

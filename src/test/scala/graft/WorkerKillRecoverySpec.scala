@@ -47,7 +47,7 @@ class WorkerKillRecoverySpec extends AnyFunSuite {
         l => { out.append(l).append('\n'); () })
     val text = out.toString
     assert(code == 0, s"probe failed:\n${text.takeRight(4000)}")
-    val rows = "ROW=([^\\s]+)".r.findAllMatchIn(text).map(_.group(1)).toSeq
+    val rows = "(?m)^ROW=([^\\s]+)".r.findAllMatchIn(text).map(_.group(1)).toSeq
     assert(rows == expected,
       s"post-kill result diverged: got $rows expected $expected")
     val removed = "REMOVED=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
@@ -65,12 +65,25 @@ class WorkerKillRecoverySpec extends AnyFunSuite {
     assert(bound.exists(_ >= 2), s"probe did not report a loop bound: $bound")
     assert(killAt.exists(r => r >= 2 && r < bound.get),
       s"kill was not provably mid-loop: KILL_AT_ROUND=$killAt bound=$bound")
+    // the OTHER reliable-branch loops (ADVICE round 13): ktruss and
+    // label propagation ran on the same post-kill cluster session;
+    // their rows must equal the local oracle-gated runs
+    val ktExpected = SparkEntry.queries("q_graph_ktruss")(spark, sfDir)
+      .collect().map(_.toSeq.mkString(",")).toSeq
+    val lpExpected = SparkEntry.queries("q_graph_labelprop")(spark, sfDir)
+      .collect().map(_.toSeq.mkString(",")).toSeq
+    val ktRows = "(?m)^KTROW=([^\\s]+)".r.findAllMatchIn(text).map(_.group(1)).toSeq
+    val lpRows = "(?m)^LPROW=([^\\s]+)".r.findAllMatchIn(text).map(_.group(1)).toSeq
+    assert(ktRows == ktExpected,
+      s"ktruss on the post-kill cluster diverged: got ${ktRows.size} rows, expected ${ktExpected.size}")
+    assert(lpRows == lpExpected,
+      s"labelprop on the post-kill cluster diverged: got ${lpRows.size} rows, expected ${lpExpected.size}")
     // Scoped.releaseRound must delete released rounds' reliable
     // checkpoint files eagerly (the ContextCleaner only would under
-    // cleanCheckpoints=true); only the final withCached result
-    // checkpoint may remain
+    // cleanCheckpoints=true); only each query's final withCached
+    // result checkpoint may remain (kcore + ktruss + labelprop = 3)
     val ckptLeft = "CKPT_DIRS_LEFT=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
-    assert(ckptLeft.exists(_ <= 1),
+    assert(ckptLeft.exists(_ <= 3),
       s"released rounds left reliable checkpoint files behind: CKPT_DIRS_LEFT=$ckptLeft")
   }
 }

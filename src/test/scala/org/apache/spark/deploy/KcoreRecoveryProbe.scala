@@ -100,10 +100,21 @@ object KcoreRecoveryProbe {
     val rows = graft.SparkEntry.queries("q_graph_kcore")(spark, sfDir).collect()
     queryDone = true
     killer.join(10000)
+    // The OTHER reliable-branch loops (ADVICE round 13): run ktruss and
+    // label propagation on the same cluster session — post-kill, with
+    // the replaced executor, under the same reliable checkpoint dir —
+    // so their materializeRound/releaseRound paths (including the
+    // eager checkpoint-file deletion the local suite cannot exercise)
+    // run on a real cluster too. Rows are echoed for the spec's
+    // equality check against the local oracle-gated runs.
+    val ktRows = graft.SparkEntry.queries("q_graph_ktruss")(spark, sfDir).collect()
+    val lpRows = graft.SparkEntry.queries("q_graph_labelprop")(spark, sfDir).collect()
     // the removal event can trail the collect — wait for it briefly
     val deadline = System.nanoTime() + 30000000000L
     while (removed.get == 0 && System.nanoTime() < deadline) Thread.sleep(50)
     rows.foreach(r => println(s"ROW=${r.get(0)},${r.get(1)},${r.get(2)}"))
+    ktRows.foreach(r => println(s"KTROW=${r.toSeq.mkString(",")}"))
+    lpRows.foreach(r => println(s"LPROW=${r.toSeq.mkString(",")}"))
     println(s"REMOVED=${removed.get}")
     println(s"MIDQUERY=$killRequestedMidQuery")
     println(s"KILL_AT_ROUND=$killAtRound")
@@ -112,8 +123,9 @@ object KcoreRecoveryProbe {
     println(s"KILL_ROUND_BOUND=${graft.queries.Graph.kcoreMaterializations}")
     // released rounds must not leave reliable checkpoint files behind
     // (Scoped.releaseRound deletes them eagerly; the ContextCleaner
-    // would only do so under cleanCheckpoints=true). Exactly the final
-    // withCached result checkpoint may remain.
+    // would only do so under cleanCheckpoints=true). Only each query's
+    // final withCached result checkpoint may remain — one for kcore,
+    // ktruss, and labelprop apiece.
     val ckpt = Paths.get(ckptDir)
     val leftover = { // layout: ckptDir/<session-uuid>/rdd-<id>/part-*
       val s = Files.walk(ckpt)
