@@ -474,33 +474,35 @@ object Dedup {
     }
   }
 
-  /** Probe masks within hamming `r` of 0 over an 8-bit bucket id. */
-  private[queries] def probeMasks(r: Int): Seq[Int] =
-    (0 until 256).filter(Integer.bitCount(_) <= r)
-
-  /** Embedding-cosine near-dup pairs: candidates from the 8-hyperplane
-    * LSH bucket (Similarity.lshBucket) with multi-probe radius 3 —
-    * expressed as an EQUI-join of 93 exploded probe buckets against the
-    * true bucket — then the exact double-precision cosine on candidates
-    * only. A pair qualifies iff its buckets differ in ≤ 3 bits, so each
-    * candidate matches exactly one probe mask (no dedup shuffle). The
-    * probe side carries only (vec_id, probe); vectors are fetched back
-    * by key, so the 93× explode never multiplies embedding payloads.
-    * Measured recall vs the all-pairs brute pass at the 0.35 threshold:
-    * 12/13 at sf0.01 (RecallSpec pins candidates == brute ∩ hamming≤3);
-    * the oracle applies the same candidate rule. */
+  /** Embedding-cosine near-dup pairs: candidates from the banded
+    * hyperplane LSH (Similarity.bandVals — 8 bands × log-n-adaptive
+    * rows per band; a pair qualifies iff at least one band matches
+    * exactly), then the exact double-precision cosine on candidates
+    * only. The per-band bucket alphabet (2^rows) grows WITH the
+    * corpus, so candidates stay ~linear in n at any scale — the
+    * round-14 sf16d sweep falsified the fixed-alphabet radius-3
+    * multiprobe predecessor (256 buckets forever → n² candidates,
+    * 60 GB of spill at 1600× the gate SF). The band explode carries
+    * only (vec_id, band_id, bv); embeddings are fetched back by key,
+    * so banding never multiplies vector payloads. RecallSpec pins
+    * candidates == brute ∩ the band rule, and measures recall vs the
+    * unrestricted threshold pairs; the oracle applies the identical
+    * candidate rule (Similarity.bandedSqlCtes). */
   val qDedupEmbCos: Q = (s, d) => {
-    val e = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.lshBucket(col("embedding")).as("bucket"))
+    val sample = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
+    val r = Similarity.bandedRows(sample.count())
+    val e = sample.select(col("vec_id"), col("embedding"),
+      Similarity.bandVals(col("embedding"), r).as("bands"))
     Scoped.withCached(e) {
-      val probes = e.select(col("vec_id").as("va"),
-        explode(array(probeMasks(3).map(m =>
-          col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
-      probes.join(
-          e.select(col("vec_id").as("vb"), col("bucket"), col("embedding").as("eb")),
-          col("probe") === col("bucket") && col("va") < col("vb"))
-        .select(col("va"), col("vb"), col("eb"))
+      val bands = e.select(col("vec_id"), explode(col("bands")).as("bs"))
+        .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct() // a pair may agree on more than one band
+      cand
+        .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
         .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
         .select(col("va"), col("vb"),
           round(cosine(col("ea"), col("eb")), 4).as("cos"))
@@ -1808,19 +1810,19 @@ object Dedup {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY da, db""".stripMargin,
-    // Candidate rule (LSH bucket hamming <= 3) is part of the operator's
-    // definition, mirrored here exactly — same convention as the
-    // minhash oracle reproducing the banding.
+    // Candidate rule (banded hyperplane LSH: >=1 exact band match, rows
+    // per band adaptive in log n) is part of the operator's definition,
+    // mirrored here exactly via Similarity.bandedSqlCtes — same
+    // convention as the minhash oracle reproducing the banding.
     "q_dedup_embcos" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         |             $lshBucketSql AS bucket
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |           FROM embeddings WHERE vec_id % 5 = 0),
-         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |${Similarity.bandedSqlCtes},
+         |p AS (SELECT c.va, c.vb,
          |        round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
          |          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
          |             * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
-         |      FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |        AND bit_count(xor(a.bucket, b.bucket)) <= 3)
+         |      FROM gcand c JOIN e a ON c.va = a.vec_id JOIN e b ON c.vb = b.vec_id)
          |SELECT va, vb, cos FROM p WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin
   )
 }

@@ -63,16 +63,24 @@ object Multimodal {
     * (a multimodal training pipeline dedups screenshots/thumbnails
     * exactly this way): aHash fingerprints through the REAL PNG
     * encode→decode path ([[graft.multimodal.MediaColumns
-    * .perceptualHashes]]), then near-dup pairs at hamming ≤ 3 via the
-    * same 4-band pigeonhole equi-join as q_dedup_simhash — hamming ≤ 3
-    * over 4×12-bit bands means at least one band matches exactly, so
-    * banding is provably lossless at the threshold and the plan is
-    * never all-pairs. Fixture images are deterministic in-plan: groups
-    * of four share a base pattern with member m inverting its first m
-    * pixels, so intra-group pairs land at small hamming distances.
-    * The oracle replays pixel synthesis, the strict integer aHash
-    * threshold (bit set iff v·n > Σv) and brute-force hamming in SQL —
-    * gating the codec roundtrip byte-for-byte. */
+    * .perceptualHashes]]), collapsed to DISTINCT-hash clusters
+    * (ph, count, min-pk representative) BEFORE the 4-band pigeonhole
+    * equi-join — hamming ≤ 3 over 4×12-bit bands means at least one
+    * band matches exactly, so banding is provably lossless at the
+    * threshold and the plan is never all-pairs. The collapse is the
+    * round-14 sf16d lesson: duplicate-heavy populations repeat hash
+    * values, so banding RAW rows makes both the hot bucket and the
+    * output itself quadratic in the duplicate count; at the distinct-
+    * hash level an exact-dup cluster of k images is ONE row (npairs =
+    * k·(k−1)/2) and cross-hash near-dups are (rep, rep, hamming,
+    * na·nb) rows — output linear in distinct hashes. Fixture images
+    * are deterministic in-plan: groups of four share a base pattern
+    * with member m inverting its first m pixels, so intra-group pairs
+    * land at small hamming distances. The oracle replays pixel
+    * synthesis, the strict integer aHash threshold (bit set iff
+    * v·n > Σv), the hash collapse and brute-force hamming over
+    * distinct hashes in SQL — gating the codec roundtrip
+    * byte-for-byte. */
   val qMmPhash: Q = (s, d) => {
     import s.implicits._
     import graft.multimodal.MediaColumns
@@ -95,22 +103,32 @@ object Multimodal {
       }
     }
     val hashed = MediaColumns.perceptualHashes(media).toDF("pk", "ph")
-    Scoped.withCached(hashed) {
+    val clusters = hashed.groupBy("ph")
+      .agg(count(lit(1)).as("n"), min("pk").as("rep"))
+    Scoped.withCached(clusters) {
       val bandStructs = array((0 until PH_BANDS).map { b =>
         struct(lit(b).as("band_id"),
           (shiftright(col("ph"), b * PH_BAND_BITS) % lit(1 << PH_BAND_BITS)).as("bk"))
       }: _*)
-      val bands = hashed.select(col("pk"), col("ph"), explode(bandStructs).as("bs"))
-        .select(col("pk"), col("ph"),
+      val bands = clusters
+        .select(col("ph"), col("n"), col("rep"), explode(bandStructs).as("bs"))
+        .select(col("ph"), col("n"), col("rep"),
           col("bs.band_id").as("band_id"), col("bs.bk").as("bk"))
-      bands.as("a").join(bands.as("b"),
+      val near = bands.as("a").join(bands.as("b"),
           col("a.band_id") === col("b.band_id") && col("a.bk") === col("b.bk") &&
-          col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("pa"), col("b.pk").as("pb"),
-          expr("bit_count(a.ph ^ b.ph)").as("hamming"))
-        .distinct()
+          col("a.ph") < col("b.ph"))
+        .select(least(col("a.rep"), col("b.rep")).as("pa"),
+          greatest(col("a.rep"), col("b.rep")).as("pb"),
+          expr("bit_count(a.ph ^ b.ph)").as("hamming"),
+          (col("a.n") * col("b.n")).as("npairs"))
+        .distinct() // a hash pair may agree on more than one band
         .where(col("hamming") <= PH_MAX_HAM)
-        .orderBy("pa", "pb")
+      val exact = clusters.where(col("n") >= 2)
+        .select(col("rep").as("pa"), col("rep").as("pb"),
+          lit(0).as("hamming"),
+          // n·(n−1) is even, so the halving is exact in longs
+          ((col("n") * (col("n") - 1)) / 2).cast("long").as("npairs"))
+      near.unionByName(exact).orderBy("pa", "pb")
     }
   }
 
@@ -585,11 +603,18 @@ object Multimodal {
          |h AS (SELECT px.pk,
          |        CAST(sum(CASE WHEN v * $n > sv
          |                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ph
-         |      FROM px JOIN s USING (pk) GROUP BY px.pk)
-         |SELECT a.pk AS pa, b.pk AS pb,
-         |  bit_count(xor(a.ph, b.ph)) AS hamming
-         |FROM h a JOIN h b ON a.pk < b.pk
-         |WHERE bit_count(xor(a.ph, b.ph)) <= $PH_MAX_HAM
+         |      FROM px JOIN s USING (pk) GROUP BY px.pk),
+         |cl AS (SELECT ph, count(*) AS cn, min(pk) AS rep FROM h GROUP BY ph),
+         |near AS (SELECT least(a.rep, b.rep) AS pa, greatest(a.rep, b.rep) AS pb,
+         |           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming,
+         |           a.cn * b.cn AS npairs
+         |         FROM cl a JOIN cl b ON a.ph < b.ph
+         |         WHERE bit_count(xor(a.ph, b.ph)) <= $PH_MAX_HAM),
+         |ex AS (SELECT rep AS pa, rep AS pb, CAST(0 AS INT) AS hamming,
+         |         (cn * (cn - 1)) // 2 AS npairs
+         |       FROM cl WHERE cn >= 2)
+         |SELECT pa, pb, hamming, npairs
+         |FROM (SELECT * FROM near UNION ALL SELECT * FROM ex) u
          |ORDER BY pa, pb""".stripMargin
     },
     "q_mm_resize" ->

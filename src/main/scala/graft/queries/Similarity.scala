@@ -449,8 +449,11 @@ object Similarity {
     * Precomputed once at the driver (the planes are data-independent)
     * and shipped as literals — the DuckDB oracle re-derives the same
     * values from md5, but the Spark side never hashes per row.
+    * 128 planes: j < 8 are the legacy [[lshBucket]] planes (bit-
+    * identical — same seed formula); the rest feed the banded family
+    * ([[bandVals]]) up to its 8-band × 16-row ceiling.
     */
-  private lazy val planes: Array[Array[Double]] = Array.tabulate(8, 64) { (j, d) =>
+  private lazy val planes: Array[Array[Double]] = Array.tabulate(128, 64) { (j, d) =>
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.substring(0, 7)
@@ -475,6 +478,82 @@ object Similarity {
       |      ((CAST(concat('0x', substr(md5(concat(j, '_', d)), 1, 7)) AS BIGINT) % 2001 - 1000)
       |        / 1000.0))) > 0
       |    THEN (1 << j) ELSE 0 END))""".stripMargin
+
+  // ---- banded hyperplane LSH (AND-OR) -----------------------------------
+  //
+  // The round-14 sf16d sweep falsified the fixed 8-plane/256-bucket
+  // multiprobe at 1600× the gate SF: with a bucket alphabet that never
+  // grows, radius-3 candidates grow as ~n²·93/512 (≈10⁹ pairs at 64 k
+  // sampled vectors — 60 GB of spill before ENOSPC). The successor is
+  // the minhash AND-OR structure over hyperplane bits (Indyk–Motwani /
+  // Charikar): BANDS bands of r planes each; a pair is a candidate iff
+  // it agrees on ALL r bits of at least one band. r adapts in log n so
+  // the per-band bucket alphabet (2^r) grows WITH the corpus and the
+  // expected bucket stays ~2^BAND_TARGET_LOG rows — candidates stay
+  // ~BANDS · 2^(BAND_TARGET_LOG-1) · n, linear in n at any scale.
+  // Recall follows the LSH S-curve 1-(1-p^r)^B with p = 1 - θ/π: at
+  // r = 4 it is ≥ 0.98 for cos ≥ 0.8 pairs (RecallSpec measures the
+  // fixture's actual recall against brute); higher r trades tail
+  // recall for the linear candidate bound — the standard, documented
+  // LSH contract. Both engines derive r from the same integer-exact
+  // count, so the candidate rule stays a deterministic, oracle-
+  // mirrorable declaration.
+
+  private[graft] val LSH_BANDS = 8
+  private[graft] val BAND_ROWS_MIN = 4
+  private[graft] val BAND_ROWS_MAX = 16
+  private[graft] val BAND_TARGET_LOG = 5 // expected bucket ≈ 2^5 = 32 rows
+
+  /** Integer ceil(log2(n)): smallest r with 2^r ≥ n (n ≥ 1 → 0 for n=1).
+    * Pure integer arithmetic — the DuckDB twin replays it exactly. */
+  private[graft] def ceilLog2(n: Long): Int =
+    (0 until 62).filter(j => (1L << j) < n).lastOption.map(_ + 1).getOrElse(0)
+
+  /** Adaptive rows-per-band: 2^r ≈ n / 2^BAND_TARGET_LOG, clamped. */
+  private[graft] def bandedRows(n: Long): Int =
+    math.min(BAND_ROWS_MAX,
+      math.max(BAND_ROWS_MIN, ceilLog2(math.max(n, 2L)) - BAND_TARGET_LOG))
+
+  /** Banded signature: array of (band_id, bv) structs. Band b uses
+    * planes j = k·LSH_BANDS + b for k < r — the plane→band assignment
+    * is independent of r, so growing r refines every band in place. */
+  private[graft] def bandVals(emb: Column, r: Int): Column =
+    array((0 until LSH_BANDS).map { b =>
+      struct(lit(b).as("band_id"),
+        (0 until r).map(k => when(
+            graft.functions.VectorExpressions.dot(
+              emb, typedLit(planes(k * LSH_BANDS + b).toSeq)) > 0,
+            lit(1L << k)).otherwise(0L))
+          .reduce(_ + _).as("bv"))
+    }: _*)
+
+  /** DuckDB twin of the banded candidate generation, shared by the
+    * embcos and quantized-cosine oracles. Emits CTEs `r(rr)`,
+    * `gbits(vec_id, bs)` and `gbands(vec_id, band_id, bv)` given an
+    * existing CTE `e(vec_id, v, …)` with v = DOUBLE list — the caller
+    * closes with its own candidate join + exact verify. The integer
+    * rows-per-band derivation replays [[bandedRows]] exactly. */
+  def bandedSqlCtes: String =
+    s"""r AS (SELECT GREATEST($BAND_ROWS_MIN, LEAST($BAND_ROWS_MAX,
+       |    COALESCE((SELECT max(j) + 1 FROM range(0, 62) t(j)
+       |              WHERE (CAST(1 AS BIGINT) << j) < (SELECT count(*) FROM e)), 0)
+       |    - $BAND_TARGET_LOG)) AS rr),
+       |gbits AS (SELECT vec_id,
+       |    list_transform(range(0, $LSH_BANDS * rr), j ->
+       |      CASE WHEN list_sum(list_transform(range(0, 64), d ->
+       |        v[d + 1] *
+       |        ((CAST(concat('0x', substr(md5(concat(j, '_', d)), 1, 7)) AS BIGINT) % 2001 - 1000)
+       |          / 1000.0))) > 0
+       |      THEN 1 ELSE 0 END) AS bs
+       |  FROM e, r),
+       |gbands AS (SELECT vec_id, bb.b AS band_id,
+       |    list_sum(list_transform(range(0, rr), k ->
+       |      CASE WHEN bs[k * $LSH_BANDS + bb.b + 1] = 1
+       |           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS bv
+       |  FROM gbits, r, range(0, $LSH_BANDS) bb(b)),
+       |gcand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM gbands a JOIN gbands b
+       |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.vec_id < b.vec_id)""".stripMargin
 
   /** LSH bucket histogram: 8 hyperplanes → 256 buckets. The bucket id is
     * the shuffle key at scale; here we validate the bucketing itself. */
@@ -514,33 +593,39 @@ object Similarity {
     * entirely in integers, so the oracle matches bit-for-bit — only
     * the final normalized ratio is rounded.
     *
-    * Pair generation is NOT all-pairs: candidates come from the same
-    * 8-plane LSH bucket with multi-probe radius 3 (93 probe masks,
-    * expressed as an equi-join of exploded probe buckets against the
-    * true bucket — each qualifying pair matches exactly one mask). The
-    * probe side is (vec_id, probe) only; quantized vectors are fetched
-    * back by key. The oracle applies the identical candidate rule. */
+    * Pair generation is NOT all-pairs: candidates come from the banded
+    * hyperplane LSH ([[bandVals]] — 8 bands × log-n-adaptive rows; a
+    * pair qualifies iff some band matches exactly), so the candidate
+    * count stays ~linear in the corpus at any scale — the round-14
+    * sf16d sweep killed the fixed-alphabet radius-3 multiprobe
+    * predecessor (bucket alphabet stuck at 256 → n²-growth, 60 GB of
+    * spill at 1600× the gate SF). The band explode carries only
+    * (vec_id, band_id, bv); quantized vectors are fetched back by
+    * key. The oracle applies the identical candidate rule. */
   val qAnnQuantized: Q = (s, d) => {
-    val masks = (0 until 256).filter(Integer.bitCount(_) <= 3)
-    val e = Tables.embeddings(s, d).where(col("vec_id") % 7 === 0)
+    val sample = Tables.embeddings(s, d).where(col("vec_id") % 7 === 0)
+    val r = bandedRows(sample.count())
+    val e = sample
       .withColumn("maxabs",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .where(col("maxabs") > 0)
       .withColumn("q", transform(col("embedding"),
         x => floor(x.cast("double") / col("maxabs") * lit(127.0)).cast("long")))
       .withColumn("qnorm", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
-      .withColumn("bucket", lshBucket(col("embedding")))
-      .select(col("vec_id"), col("q"), col("qnorm"), col("bucket"))
+      .withColumn("bands", bandVals(col("embedding"), r))
+      .select(col("vec_id"), col("q"), col("qnorm"), col("bands"))
     // scoped cache: quantized vectors are 4× smaller; reused by all
     // three roles, released when the result is materialized
     Scoped.withCached(e) {
-      val probes = e.select(col("vec_id").as("va"),
-        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
-      probes.join(
-          e.select(col("vec_id").as("vb"), col("bucket"),
-            col("q").as("qb"), col("qnorm").as("nb")),
-          col("probe") === col("bucket") && col("va") < col("vb"))
-        .select(col("va"), col("vb"), col("qb"), col("nb"))
+      val bands = e.select(col("vec_id"), explode(col("bands")).as("bs"))
+        .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.bv").as("bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct() // a pair may agree on more than one band
+      cand
+        .join(e.select(col("vec_id").as("vb"), col("q").as("qb"), col("qnorm").as("nb")), "vb")
         .join(e.select(col("vec_id").as("va"), col("q").as("qa"), col("qnorm").as("na")), "va")
         .select(col("va"), col("vb"),
           round(
@@ -2353,27 +2438,26 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
          |  FROM scored) t
          |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-    // candidate rule (bucket hamming <= 3) mirrored from qAnnQuantized
+    // candidate rule (banded hyperplane LSH, >=1 exact band match, rows
+    // adaptive in log n) mirrored from qAnnQuantized via bandedSqlCtes
     "q_ann_quantized" ->
       s"""WITH e AS (
-         |  SELECT vec_id,
-         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs,
-         |    $lshBucketSql AS bucket,
-         |    embedding
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings WHERE vec_id % 7 = 0),
+         |$bandedSqlCtes,
          |q AS (
-         |  SELECT vec_id, bucket,
-         |    list_transform(embedding,
-         |      x -> CAST(floor((CAST(x AS DOUBLE) / maxabs) * 127.0) AS BIGINT)) AS q
-         |  FROM e WHERE maxabs > 0),
-         |n AS (SELECT vec_id, bucket, q,
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor((x / maxabs) * 127.0) AS BIGINT)) AS q
+         |  FROM (SELECT vec_id, v,
+         |          list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e) m
+         |  WHERE maxabs > 0),
+         |n AS (SELECT vec_id, q,
          |        list_sum(list_transform(q, x -> x * x)) AS qnorm FROM q),
-         |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |p AS (SELECT c.va, c.vb,
          |        round(CAST(list_sum(list_transform(range(1, 65),
          |            i -> a.q[i] * b.q[i])) AS DOUBLE)
          |          / (sqrt(CAST(a.qnorm AS DOUBLE)) * sqrt(CAST(b.qnorm AS DOUBLE))), 4) AS qcos
-         |      FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |        AND bit_count(xor(a.bucket, b.bucket)) <= 3)
+         |      FROM gcand c JOIN n a ON c.va = a.vec_id JOIN n b ON c.vb = b.vec_id)
          |SELECT va, vb, qcos FROM p WHERE qcos >= 0.3 ORDER BY va, vb""".stripMargin,
     "q_ann_ivf_label" ->
       s"""WITH scored AS (
