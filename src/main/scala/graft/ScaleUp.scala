@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   *    disjoint, so near-dup structure exists only WITHIN a copy and
   *    every dedup/text workload scales linearly with rows. n_chars
   *    recomputed.
-  *  - embeddings: vec_id offset; copies i>0 rotate the vector by i
-  *    positions — norm-preserving and decorrelating, so ANN/near-dup
-  *    bucket densities grow linearly, not quadratically.
+  *  - embeddings: vec_id offset; copies i>0 rotate the vector by
+  *    i mod dim positions, composed (once i exceeds the dimension)
+  *    with a deterministic per-(cycle, position) sign flip — both are
+  *    norm-preserving per-copy isometries, so ANN/near-dup bucket
+  *    densities grow linearly, not quadratically, at any factor.
   *
   * All transforms are pure deterministic column expressions of a
   * deterministic fixture — repeated runs are bit-identical. Output is
@@ -47,6 +49,27 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleUp <srcDir> <destDir> <factor>
   */
 object ScaleUp {
+  /** SQL for copy i's embedding isometry over an `embedding` column of
+    * dimension `dim`: rotate by i mod dim positions; once i exceeds
+    * the dimension (rotation alone would repeat every dim copies, and
+    * a raw slice by i > dim is invalid — its length goes negative),
+    * compose with a deterministic per-(cycle, position) Rademacher
+    * sign flip. Both parts are per-copy isometries (norms and
+    * intra-copy distances unchanged) that break cross-copy
+    * correlation for ANY factor; copies with i < dim are
+    * bit-identical to the pure rotation, so fixtures built with
+    * factor <= dim are unchanged. */
+  private[graft] def embeddingCopyExpr(dim: Int, i: Int): String = {
+    val (rot, cyc) = (i % dim, i / dim)
+    val rotated =
+      if (rot == 0) "embedding"
+      else s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), " +
+           s"slice(embedding, 1, $rot))"
+    if (cyc == 0) rotated
+    else s"transform($rotated, (x, p) -> cast(x * (1 - 2 * " +
+         s"(conv(substr(md5(concat('$cyc', ':', p)), 1, 1), 16, 10) % 2)) as float))"
+  }
+
   def main(args: Array[String]): Unit = {
     val (src, dest, factor) = (args(0), args(1), args(2).toInt)
     require(factor >= 1, "factor must be >= 1")
@@ -132,15 +155,11 @@ object ScaleUp {
           regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$i"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
     write(scaled(embs) { (d, i) =>
       val shifted = shift(d, i, "vec_id" -> offV)
       if (i == 0) shifted
-      else {
-        val rot = i.toString
-        shifted.withColumn("embedding",
-          expr(s"concat(slice(embedding, $rot + 1, size(embedding) - $rot), " +
-               s"slice(embedding, 1, $rot))"))
-      }
+      else shifted.withColumn("embedding", expr(embeddingCopyExpr(dim, i)))
     }, "embeddings")
 
     spark.stop()

@@ -686,19 +686,19 @@ object Dedup {
     *
     * Three exact phases, each sized to the docs that need it:
     *
-    *  1. LADDER: per-doc largest power-of-two shared-gram length g_d
-    *     over {1,2,4,8} ([[qDedupSpans]]'s bounded aggregate-join
-    *     shape). By substring closure g_d ≤ L_d < 2·g_d for g_d < 8,
-    *     and g_d = 8 ⟺ L_d ≥ 8 — a SCALE-INDEPENDENT split: the
-    *     ladder top is a constant, not a data bound.
-    *  2. SHORT REFINEMENT (docs with g_d < 8, i.e. L_d ≤ 7): gram
-    *     frequency at every length ℓ ∈ [1, min(2g_d−1, 7, n_d)].
-    *     Emission is enough for support too: a witness of a shared
-    *     ℓ-gram has its own L ≥ ℓ, hence cap ≥ min(2·2^⌊log₂ℓ⌋−1, 7)
-    *     ≥ ℓ — so every truly shared length is emitted by BOTH
-    *     partners and the per-(ℓ, gram) doc count sees it. Work is
-    *     O(n · 8) rows — bounded by the constant cap, never by doc
-    *     length.
+    *  1.+2. LADDER + SHORT REFINEMENT, one fused distinct-gram pass at
+    *     every length ℓ ∈ [1, 8]: per-doc largest power-of-two shared
+    *     length g_d (the phase-3 gate — by substring closure
+    *     g_d ≤ L_d < 2·g_d for g_d < 8, and g_d = 8 ⟺ L_d ≥ 8, a
+    *     SCALE-INDEPENDENT split) and the exact short answer
+    *     l2 = max shared ℓ ≤ 7, both from the same shared-gram join.
+    *     Every doc emits every length ≤ 8, so a shared length is
+    *     witnessed from both partners by construction. Work is
+    *     O(n · 8) rows — bounded by the constant ladder top, never by
+    *     doc length. (A capped per-doc emission bound was measured
+    *     useless here: the long-dup tail has cap = 7 anyway, so the
+    *     original split phases exploded 4+7 corpus passes where this
+    *     fused pass explodes 8.)
     *  3. SUFFIX TAIL (docs with g_d = 8, i.e. L_d ≥ 8 — the docs a
     *     trim pass actually acts on): prefix-doubling suffix ranks
     *     (Manber & Myers 1993, SIAM J. Comput. 22(5); distributed as
@@ -753,14 +753,25 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
     Scoped.withCachedEager(docs) {
-      // ----- phase 1: power-of-two ladder, multilen's bounded shape.
-      // Both gram passes stay RAW-string-keyed and DOUBLE-evaluATED
+      // ----- phases 1+2 MERGED: one distinct-gram pass at EVERY length
+      // 1..TOP (round-14 continuation): the original phase 2 "cap"
+      // prune never pruned the long-dup tail — a doc with g = 8 has
+      // cap = min(2g−1, TOP−1, n) = 7, so lengths 1..7 exploded over
+      // ALL docs anyway, AFTER phase 1 had already exploded {1,2,4,8}.
+      // Emitting lengths 1..8 once (8 corpus passes instead of 4+7,
+      // one dup aggregate + probe join instead of two) computes both
+      // numbers from the same shared-gram join: g = the largest shared
+      // POWER-OF-TWO length (the ladder, phase-3 gate), l2 = the
+      // largest shared length < TOP (the exact short answer). The
+      // witness argument is unchanged — every length ≤ 7 is emitted by
+      // every doc, so a shared length is counted from both partners.
+      // The gram pass stays RAW-string-keyed and DOUBLE-evaluated
       // (dup aggregate + probe join) by measurement, like multilen: an
       // md5-keyed single-pass variant (native incremental-buffer
       // hasher) ran ~1.8x SLOWER end-to-end at sf0.1 — per-gram digest
       // and dedup-set costs beat the string-build saving when every
       // gram is <= 8 tokens and the shuffle is machine-local.
-      val occ1 = LADDER.map { n =>
+      val occ1 = (1 to TOP.toInt).map { n =>
         docs.select(col("doc_id"), lit(n.toLong).as("gl"),
           explode(shingles(col("w"), n)).as("sp"))
       }.reduce(_ unionAll _)
@@ -768,23 +779,10 @@ object Dedup {
         .where(col("ndocs") >= 2).select("gl", "sp")
       val gm = Scoped.materializeRound(
         occ1.join(dup.hint("shuffle_hash"), Seq("gl", "sp"))
-          .groupBy("doc_id").agg(max("gl").as("g")))
-      // ----- phase 2: exact refinement under the constant cap; one
-      // branch per length 1..TOP-1, each pruned BEFORE the explode to
-      // the docs whose cap reaches it (gm broadcasts)
-      val capped = docs.join(gm, Seq("doc_id"))
-        .select(col("doc_id"), col("w"),
-          least(col("g") * 2 - 1, lit(TOP - 1),
-            size(col("w")).cast("long")).as("cap"))
-      val occ2 = (1 until TOP.toInt).map { l =>
-        capped.where(col("cap") >= l)
-          .select(col("doc_id"), lit(l.toLong).as("l"),
-            explode(shingles(col("w"), l)).as("sp"))
-      }.reduce(_ unionAll _)
-      val dup2 = occ2.groupBy("l", "sp").agg(count(lit(1)).as("nd"))
-        .where(col("nd") >= 2).select("l", "sp")
-      val ex2 = occ2.join(dup2.hint("shuffle_hash"), Seq("l", "sp"))
-        .groupBy("doc_id").agg(max("l").as("l2"))
+          .groupBy("doc_id").agg(
+            max(when(col("gl").isInCollection(LADDER.map(_.toLong)), col("gl")))
+              .as("g"),
+            max(when(col("gl") < TOP, col("gl"))).as("l2")))
       // ----- phase 3: prefix-doubling suffix ranks on the closed tail
       val sub = docs.join(gm.where(col("g") === TOP).select("doc_id"),
         Seq("doc_id"), "left_semi")
@@ -874,7 +872,6 @@ object Dedup {
       }
       docs.select(col("doc_id"), col("lang"))
         .join(gm, Seq("doc_id"), "left")
-        .join(ex2, Seq("doc_id"), "left")
         .join(l3, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           when(col("g") === TOP, coalesce(col("l3"), lit(0L)))
