@@ -46,7 +46,7 @@ import org.apache.spark.sql.functions._
   * matching the driver fixture layout so `graft.Tables` and the
   * DuckDB oracle read both the same way.
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <destDir> <factor>
+  * Usage: runMain graft.ScaleUp <srcDir> <destDir> <factor> [tables-csv]
   */
 object ScaleUp {
   /** SQL for copy i's embedding isometry over an `embedding` column of
@@ -72,6 +72,11 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val (src, dest, factor) = (args(0), args(1), args(2).toInt)
+    // optional 4th arg: comma-separated table subset to emit (e.g.
+    // "embeddings" builds a vector-only decade fixture for the banded-
+    // LSH candidate-growth probe without paying for 16x of lineitem)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     require(factor >= 1, "factor must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -117,6 +122,7 @@ object ScaleUp {
       * read_parquet and Spark both load it unchanged; Spark still
       * splits a single file by row group for parallel scans). */
     def write(df: DataFrame, name: String): Unit = {
+      if (!only.forall(_.contains(name))) return
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dest), conf)
       val tmp = new org.apache.hadoop.fs.Path(s"$dest/.tmp_$name")
@@ -155,7 +161,21 @@ object ScaleUp {
           regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$i"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
-    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    // One aggregate proves the dimension is uniform (the rotation SQL
+    // slices by size(embedding), but `rot` derives from this value — a
+    // mixed-dimension table would regress to the negative-slice crash
+    // for rows shorter than rot) and gives a clear error on an empty
+    // table instead of head()'s NoSuchElementException.
+    val dimRow = embs.agg(
+      min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head()
+    require(!dimRow.isNullAt(0),
+      s"embeddings at $src is empty — nothing to scale")
+    require(dimRow.getInt(0) == dimRow.getInt(1),
+      s"embeddings at $src has mixed vector dimensions " +
+        s"(${dimRow.getInt(0)}..${dimRow.getInt(1)}); the per-copy " +
+        "rotation isometry requires one uniform dimension")
+    val dim = dimRow.getInt(0)
     write(scaled(embs) { (d, i) =>
       val shifted = shift(d, i, "vec_id" -> offV)
       if (i == 0) shifted

@@ -101,9 +101,94 @@ case class CosineSim(left: Expression, right: Expression) extends FloatVectorBin
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** The full banded-LSH signature — array of (band_id, bv) structs —
+  * in ONE expression: band b's bit k is sign(emb · planes[k·bands+b]).
+  * The unrolled when-chain form (rows·bands DotProduct sub-expressions,
+  * each with a 64-double literal) exceeds janino's method/constant
+  * limits past ~120 planes (measured: InternalCompilerException at
+  * r = 17 × B = 9 → whole-stage codegen falls back to interpreted for
+  * the entire projection). Here the planes ride as ONE reference
+  * object and the codegen emits a single static call, so the stage
+  * stays compiled at ANY (rows, bands) — the post-2^21 corpus sizes
+  * where the adaptive banding grows are exactly where the signature
+  * pass must stay a tight loop. Accumulation order matches
+  * [[DotProduct]] (ascending index), so results are bit-identical to
+  * the when-chain form at every scale.
+  */
+case class BandedSignature(
+    child: Expression,
+    planes: Array[Array[Double]], // row-major: plane j = k·bands + b
+    rows: Int,
+    bands: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band_id", IntegerType, nullable = false),
+    StructField("bv", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"banded_sig requires array<float|double>, got $other")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    BandedSignature.compute(v.asInstanceOf[ArrayData], planes, rows, bands, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.BandedSignature.compute(" +
+        s"$v, $planesRef, $rows, $bands, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object BandedSignature {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Shared by eval and the codegen'd call — one JIT-compiled loop. */
+  def compute(emb: ArrayData, planes: Array[Array[Double]],
+      rows: Int, bands: Int, isFloat: Boolean): ArrayData = {
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var bv = 0L
+      var k = 0
+      while (k < rows) {
+        val p = planes(k * bands + b)
+        val n = math.min(emb.numElements(), p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += (if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)) * p(i)
+          i += 1
+        }
+        if (acc > 0) bv |= (1L << k)
+        k += 1
+      }
+      out(b) = InternalRow(b, bv)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
   def cosineFast(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+
+  def bandedSig(emb: Column, planes: Array[Array[Double]],
+      rows: Int, bands: Int): Column =
+    column(BandedSignature(expression(emb), planes, rows, bands))
 
   /** SQL registration (`SELECT cosine_sim(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

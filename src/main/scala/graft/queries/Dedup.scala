@@ -475,14 +475,20 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs: candidates from the banded
-    * hyperplane LSH (Similarity.bandVals — 8 bands × log-n-adaptive
-    * rows per band; a pair qualifies iff at least one band matches
-    * exactly), then the exact double-precision cosine on candidates
-    * only. The per-band bucket alphabet (2^rows) grows WITH the
-    * corpus, so candidates stay ~linear in n at any scale — the
-    * round-14 sf16d sweep falsified the fixed-alphabet radius-3
-    * multiprobe predecessor (256 buckets forever → n² candidates,
-    * 60 GB of spill at 1600× the gate SF). The band explode carries
+    * hyperplane LSH (Similarity.bandVals — log-n-adaptive rows per
+    * band, band count growing ceil(·9/8) per extra row past r = 16;
+    * a pair qualifies iff at least one band matches exactly), then
+    * the exact double-precision cosine on candidates only. The
+    * per-band bucket alphabet (2^rows) grows WITH the corpus at EVERY
+    * scale, so candidates stay ~B(n)·n·16 ≈ n^1.17 (sub-quadratic,
+    * recall conserved to second order at cos ≈ 0.94 and strictly
+    * non-decreasing for cos ≳ 0.95 — the contract in Similarity's
+    * banded section) — the round-14 sf16d sweep
+    * falsified the fixed-alphabet radius-3 multiprobe predecessor
+    * (256 buckets forever → n² candidates, 60 GB of spill at 1600×
+    * the gate SF), and the round-15 clamp lift removed the same
+    * failure one decade up (r froze at 16 past n ≈ 2^21). The band
+    * explode carries
     * only (vec_id, band_id, bv); embeddings are fetched back by key,
     * so banding never multiplies vector payloads. RecallSpec pins
     * candidates == brute ∩ the band rule, and measures recall vs the
@@ -490,9 +496,9 @@ object Dedup {
     * candidate rule (Similarity.bandedSqlCtes). */
   val qDedupEmbCos: Q = (s, d) => {
     val sample = Tables.embeddings(s, d).where(col("vec_id") % 5 === 0)
-    val r = Similarity.bandedRows(sample.count())
+    val bp = Similarity.bandedParams(sample.count())
     val e = sample.select(col("vec_id"), col("embedding"),
-      Similarity.bandVals(col("embedding"), r).as("bands"))
+      Similarity.bandVals(col("embedding"), bp).as("bands"))
     Scoped.withCached(e) {
       val bands = e.select(col("vec_id"), explode(col("bands")).as("bs"))
         .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.bv").as("bv"))
@@ -754,10 +760,14 @@ object Dedup {
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
     Scoped.withCachedEager(docs) {
       // ----- phases 1+2 MERGED: one distinct-gram pass at EVERY length
-      // 1..TOP (round-14 continuation): the original phase 2 "cap"
-      // prune never pruned the long-dup tail — a doc with g = 8 has
-      // cap = min(2g−1, TOP−1, n) = 7, so lengths 1..7 exploded over
-      // ALL docs anyway, AFTER phase 1 had already exploded {1,2,4,8}.
+      // 1..TOP (round-14 continuation). The trade: the old phase-2
+      // "cap" prune emitted length l only for docs with cap ≥ l (a
+      // g = 1 doc exploded 1 length, g = 2 three), so on a LOW-
+      // duplication corpus the fused all-lengths pass emits strictly
+      // more rows; but it never prunes the long-dup tail (g = 8 ⇒
+      // cap = 7 ⇒ all lengths anyway), and on the benchmarked
+      // fixtures (sf0.1/sf1/sf16d, dup-heavy by construction) the
+      // fusion measured favorable: 8.25 → 4.76 s calm at sf0.1.
       // Emitting lengths 1..8 once (8 corpus passes instead of 4+7,
       // one dup aggregate + probe join instead of two) computes both
       // numbers from the same shared-gram join: g = the largest shared
@@ -787,12 +797,16 @@ object Dedup {
       val sub = docs.join(gm.where(col("g") === TOP).select("doc_id"),
         Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n"))
-      val l3 = if (gm.where(col("g") === TOP).isEmpty)
+      // one aggregate answers BOTH "is the closed subset empty?" (null
+      // max) and "how long is its longest doc?" — folding the former's
+      // separate isEmpty probe job into the latter (round-15, verdict
+      // item 4: one fewer driver round-trip on the critical path)
+      val maxnRow = sub.agg(max("n")).head()
+      val l3 = if (maxnRow.isNullAt(0))
         docs.limit(0).select(col("doc_id"), lit(0L).as("l3"))
       else {
         val nd = sub.select(col("doc_id"), col("n"))
-        val maxn = math.max(1L,
-          nd.agg(coalesce(max("n"), lit(1L))).head().getLong(0))
+        val maxn = math.max(1L, maxnRow.getLong(0))
         val byDoc = Window.partitionBy("doc_id").orderBy("p")
         // seed: order of 8-gram strings == span-8 suffix ranks
         val seed = denseRankSorted(

@@ -37,9 +37,23 @@ object Streaming {
     // heap once per-executor state EXCEEDS memory (billions of keys);
     // a deployment at that scale flips it with this env var or its
     // own session conf.
-    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb")) {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Provider tuning (round 15, verdict item 5 — q_stream_dedup was
+      // 2.18x the in-memory store at sf1's millions of state rows):
+      //  - changelog checkpointing ships per-batch deltas instead of
+      //    re-snapshotting SST files into the checkpoint every commit —
+      //    the dominant per-batch cost for state-row-heavy shapes;
+      //  - the default 8 MB block cache / 64 MB write buffer are sized
+      //    for hundreds of partitions per executor; at shuffle
+      //    partitions = 2 each store can afford real memory, keeping
+      //    read-modify-write dedup probes out of SST re-reads.
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "256")
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "128")
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "4")
+    }
     body(s)
   }
 

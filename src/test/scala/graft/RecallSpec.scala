@@ -85,9 +85,9 @@ class RecallSpec extends AnyFunSuite {
 
   test("embcos banded pairs == brute pairs restricted to the band rule; recall measured") {
     val sample = graft.Tables.embeddings(spark, SF).where(col("vec_id") % 5 === 0)
-    val r = Similarity.bandedRows(sample.count())
+    val bp = Similarity.bandedParams(sample.count())
     val e = sample.select(col("vec_id"), col("embedding"),
-      Similarity.bandVals(col("embedding"), r).as("bands"))
+      Similarity.bandVals(col("embedding"), bp).as("bands"))
     val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.bands").as("ba"), col("b.bands").as("bb"),
@@ -115,7 +115,7 @@ class RecallSpec extends AnyFunSuite {
 
   test("quantized-cosine banded pairs == brute pairs restricted to the band rule") {
     val sample = graft.Tables.embeddings(spark, SF).where(col("vec_id") % 7 === 0)
-    val r = Similarity.bandedRows(sample.count())
+    val bp = Similarity.bandedParams(sample.count())
     val e = sample
       .withColumn("maxabs",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
@@ -123,7 +123,7 @@ class RecallSpec extends AnyFunSuite {
       .withColumn("q", transform(col("embedding"),
         x => floor(x.cast("double") / col("maxabs") * lit(127.0)).cast("long")))
       .withColumn("qnorm", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
-      .withColumn("bands", Similarity.bandVals(col("embedding"), r))
+      .withColumn("bands", Similarity.bandVals(col("embedding"), bp))
     val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.bands").as("ba"), col("b.bands").as("bb"),
@@ -142,6 +142,79 @@ class RecallSpec extends AnyFunSuite {
       .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
     assert(banded == restricted,
       "banded equi-join must find exactly the >=1-band-match pairs")
+  }
+
+  test("banded-params laws: recurrence values, recall monotone for p >= 8/9, sub-quadratic candidates") {
+    // pinned recurrence: B = 8 through r = 16, then one ceil(·9/8)
+    // step per extra row — these exact values are also what the SQL
+    // twin's generated VALUES table carries
+    assert((4 to 16).forall(r => Similarity.bandedBands(r) == 8))
+    assert(Seq(17, 18, 19, 20, 24, 34).map(Similarity.bandedBands)
+      == Seq(9, 11, 13, 15, 26, 95))
+    // rows are derived from n with no upper clamp below the Long-bitset
+    // bound: the round-14 BAND_ROWS_MAX=16 cliff is gone
+    assert(Similarity.bandedParams(1L << 21).rows == 16)
+    assert(Similarity.bandedParams((1L << 21) + 1).rows == 17)
+    assert(Similarity.bandedParams(1L << 30).rows == 25)
+    assert(Similarity.bandedParams(Long.MaxValue).rows == 57)
+    // recall-monotonicity law: each recurrence step multiplies B by
+    // >= 9/8, so B·p^r is non-decreasing for p >= 8/9 — which pins the
+    // S-curve 1-(1-p^r)^B(r) to FIRST order. At p = 8/9 exactly
+    // (cos ~ 0.94) the product is conserved but the second-order term
+    // of (1-x)^B dips recall by at most 0.0034 absolute (measured over
+    // all r <= 57); for p >= 0.90 (cos >= ~0.95) the 9/8-vs-1/p slack
+    // dominates and recall is STRICTLY non-decreasing in n.
+    def recall(p: Double, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(p, r), Similarity.bandedBands(r))
+    for (r <- 17 to 57) {
+      assert(recall(8.0 / 9.0, r) >= recall(8.0 / 9.0, 16) - 0.004,
+        s"recall at p=8/9 dropped past second order from r=16 to r=$r")
+      for (p <- Seq(0.90, 0.95, 0.99))
+        assert(recall(p, r) >= recall(p, 16) - 1e-12,
+          s"recall at p=$p dropped from r=16 to r=$r")
+    }
+    // candidate bound stays sub-quadratic: expected candidates
+    // ~ B(r)·n·2^(TARGET-1); check the growth exponent over 20 corpus
+    // doublings past the old clamp is < 1.25 (vs 2.0 for the old cliff)
+    val n0 = 1L << 21; val n1 = 1L << 41
+    def cand(n: Long): Double = {
+      val bp = Similarity.bandedParams(n)
+      bp.bands.toDouble * n * 16
+    }
+    val exponent = math.log(cand(n1) / cand(n0)) / math.log(n1.toDouble / n0)
+    assert(exponent < 1.25 && exponent >= 1.0,
+      s"candidate growth exponent $exponent out of the sub-quadratic band")
+  }
+
+  test("forced post-clamp params (r=17, B=9): banded join == band-rule replay on brute pairs") {
+    // the gate fixture can't reach n > 2^21, so exercise the B > 8
+    // plane assignment (j = k·B + b) directly with forced params —
+    // this is the exact shape the first corpus doubling past the old
+    // clamp produces
+    val bp = Similarity.BandedParams(17, 9)
+    val sample = graft.Tables.embeddings(spark, SF).where(col("vec_id") % 5 === 0)
+    val e = sample.select(col("vec_id"), col("embedding"),
+      Similarity.bandVals(col("embedding"), bp).as("bands"))
+    val bands = e.select(col("vec_id"), explode(col("bands")).as("bs"))
+      .select(col("vec_id"), col("bs.band_id").as("band_id"), col("bs.bv").as("bv"))
+    val banded = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bv") === col("b.bv") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val replay = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        col("a.bands").as("ba"), col("b.bands").as("bb"))
+      .collect()
+      .filter(row => bandMatch(row.getSeq[org.apache.spark.sql.Row](2),
+        row.getSeq[org.apache.spark.sql.Row](3)))
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(banded == replay,
+      "B=9 banded equi-join must equal the row-at-a-time band-rule replay")
+    // signature shape: 9 bands, bv fits 17 bits
+    val sig = e.select(col("bands")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(sig.length == 9 && sig.forall(r => r.getLong(1) < (1L << 17)))
   }
 
   test("PQ codebook/encoding invariants: full coverage, valid codes, exact ADC sums") {
