@@ -26,14 +26,22 @@ import org.apache.spark.sql.functions._
   * exponent (design target: sub-quadratic, ~n^1.17 past the old
   * cliff; see the banded section of Similarity.scala and SCALE.md).
   *
-  * Usage: runMain graft.BandProbe <fixtureDir> [moduli-csv]
+  * Usage: runMain graft.BandProbe <fixtureDir> [moduli-csv] [rows:bands]
   * e.g.   runMain graft.BandProbe /tmp/sfvec 64,16,4,2,1
+  *        runMain graft.BandProbe /tmp/sfvec 4,2,1 16:8   # frozen-clamp
+  *        counterfactual: what the round-14 BAND_ROWS_MAX=16 design
+  *        would generate at the same n
   */
 object BandProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val moduli = (if (args.length > 1) args(1) else "64,16,4,2,1")
       .split(",").map(_.trim.toLong).filter(_ >= 1)
+    val forced: Option[(Int, Int)] =
+      if (args.length > 2) {
+        val Array(r, b) = args(2).split(":").map(_.trim.toInt)
+        Some((r, b))
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,7 +55,8 @@ object BandProbe {
     val out = moduli.sorted.reverse.map { m =>
       val sub = emb.where(col("vec_id") % m === 0)
       val n = sub.count()
-      val bp = queries.Similarity.bandedParams(n)
+      val bp = forced.map { case (r, b) => queries.Similarity.BandedParams(r, b) }
+        .getOrElse(queries.Similarity.bandedParams(n))
       val t0 = System.nanoTime()
       // exact pre-distinct candidate pairs: per-(band, bucket) c·(c−1)/2
       val pairs = sub

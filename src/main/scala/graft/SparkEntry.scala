@@ -41,4 +41,13 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   val oracleSql: Map[String, String] = modules.map(_._2).reduceOption(_ ++ _).getOrElse(Map.empty)
+
+  /** Sharded DuckDB replay recipes — (sliceKind, defaultSlices, steps)
+    * per heavy oracle; same algorithms as [[oracleSql]], re-staged so
+    * scale-fixture verification fits DuckDB temp/time budgets. Dumped
+    * by [[Verify]] as oracle_sharded.json, run by
+    * scripts/sharded_check.py (step grammar + slice-validity rules
+    * documented there). */
+  val shardedOracleSql: Map[String, (String, Int, Seq[String])] =
+    q.Dedup.shardedOracle ++ q.Similarity.shardedOracle ++ q.Graph.shardedOracle
 }

@@ -47,6 +47,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val sharded = SparkEntry.shardedOracleSql.map { case (k, (kind, slices, steps)) =>
+      s"${q(k)}: {${q("kind")}: ${q(kind)}, ${q("slices")}: $slices, " +
+        s"${q("steps")}: ${steps.map(q).mkString("[", ",", "]")}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sharded.json"), sharded)
     spark.stop()
   }
 }

@@ -1419,6 +1419,96 @@ object Dedup {
        |comp AS (SELECT id, min(lbl) AS root FROM reach GROUP BY id)""".stripMargin
   }
 
+  /** The q_dedup_suffix DuckDB replay (data-sized ladder + refinement
+    * CTEs), parameterized by a doc filter so the sharded runner can
+    * execute it once per fixture copy (see [[shardedOracle]]). */
+  private def suffixOracleBody(docFilter: String): String = {
+    val pows = "[1, 2, 4, 8, 16, 32, 64, 128, 256, 512]"
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
+       |  FROM documents WHERE $docFilter),
+       |lad AS (
+       |  SELECT doc_id, l, md5(array_to_string(w[i:i+l-1], ' ')) AS h
+       |  FROM toks, (SELECT unnest($pows) AS l) pw,
+       |       unnest(range(1, len(w) + 2 - l)) t2(i)),
+       |laddup AS (SELECT l, h FROM lad GROUP BY l, h
+       |           HAVING count(DISTINCT doc_id) >= 2),
+       |g AS MATERIALIZED (SELECT doc_id, max(l) AS g
+       |     FROM lad JOIN laddup USING (l, h) GROUP BY doc_id),
+       |ref AS (
+       |  SELECT toks.doc_id, q.l, md5(array_to_string(w[q.i:q.i+q.l-1], ' ')) AS h
+       |  FROM toks JOIN g USING (doc_id),
+       |       LATERAL (SELECT ll.l, ii.i
+       |         FROM unnest(range(1, least(2 * g.g, len(w) + 1))) ll(l),
+       |              unnest(range(1, len(w) + 2 - ll.l)) ii(i)) q),
+       |refdup AS (SELECT l, h FROM ref GROUP BY l, h
+       |           HAVING count(DISTINCT doc_id) >= 2),
+       |ex AS (SELECT doc_id, max(l) AS l_exact
+       |       FROM ref JOIN refdup USING (l, h) GROUP BY doc_id)
+       |SELECT toks.doc_id, toks.lang,
+       |  CAST(coalesce(ex.l_exact, 0) AS BIGINT) AS l_exact
+       |FROM toks LEFT JOIN ex USING (doc_id)""".stripMargin
+  }
+
+  /** Sharded DuckDB replay recipes (round-15 verdict item 2): the SAME
+    * algorithms as the [[oracleSql]] entries, re-staged as temp tables
+    * so no single DuckDB statement needs a data-sized window sort or
+    * an unbounded candidate join held at once. Step grammar and
+    * slice-kind semantics: scripts/sharded_check.py. Values are
+    * (kind, defaultSlices, steps). */
+  def shardedOracle: Map[String, (String, Int, Seq[String])] = Map(
+    // per-copy slices: ScaleUp suffixes every alnum token with x<i> in
+    // copy i, so no gram of ANY length matches across copies — both
+    // HAVING count(DISTINCT doc_id) >= 2 aggregations decompose
+    // exactly along the equal-width doc_id copy ranges ((max+1)/S
+    // wide by ScaleUp's offset construction).
+    "q_dedup_suffix" -> (("copy", 1, Seq(
+      "CREATE TEMP TABLE cw AS SELECT (max(doc_id) + 1) // {S} AS w FROM documents",
+      "CREATE TEMP TABLE res (doc_id BIGINT, lang VARCHAR, l_exact BIGINT)",
+      // DuckDB's binder rejects INSERT INTO … WITH when the final
+      // select qualifies a CTE name (Duplicate alias) — wrap in a
+      // subquery
+      "EACH: INSERT INTO res SELECT * FROM (\n" +
+        suffixOracleBody("doc_id // (SELECT w FROM cw) = {s}") + "\n) final_q",
+      "SELECT doc_id, lang, l_exact FROM res ORDER BY doc_id"))),
+    // hash slices on the pair's LEFT doc id: every stage groups or
+    // pairs by da — the per-doc prefix window partitions by doc_id,
+    // and a candidate pair (da, db) is generated/aggregated only in
+    // da's slice, so slices are disjoint at ANY slice count. Stage SQL
+    // mirrors the q_dedup_prefixjoin oracle above — keep in lock-step.
+    "q_dedup_prefixjoin" -> (("hash", 8, Seq(
+      """CREATE TEMP TABLE sh AS SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |            t -> t != '') AS w FROM documents) toks,
+        |  unnest(range(1, len(w) - 1)) t(i)""".stripMargin,
+      "CREATE TEMP TABLE c AS SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1",
+      "CREATE TEMP TABLE f AS SELECT s, count(*) AS df FROM sh GROUP BY 1",
+      "CREATE TEMP TABLE p (doc_id BIGINT, s VARCHAR, c BIGINT)",
+      s"""EACH: INSERT INTO p SELECT doc_id, s, c FROM (
+         |  SELECT sh.doc_id, sh.s, c.c, row_number() OVER (
+         |      PARTITION BY sh.doc_id ORDER BY f.df, sh.s) AS r
+         |  FROM sh JOIN f USING (s) JOIN c USING (doc_id)
+         |  WHERE hash(sh.doc_id) % {S} = {s}) rr
+         |WHERE r <= c - ($PJ_NUM * c + ${PJ_DEN - 1}) // $PJ_DEN + 1""".stripMargin,
+      "CREATE TEMP TABLE res (da BIGINT, db BIGINT, inter BIGINT, ca BIGINT, cb BIGINT, jac_bp BIGINT)",
+      s"""EACH: INSERT INTO res
+         |WITH cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |         a.c AS ca, b.c AS cb
+         |       FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |       WHERE hash(a.doc_id) % {S} = {s}
+         |         AND $PJ_NUM * greatest(a.c, b.c) <= $PJ_DEN * least(a.c, b.c)),
+         |i AS (SELECT cand.da, cand.db, cand.ca, cand.cb, count(*) AS inter
+         |      FROM cand JOIN sh ta ON cand.da = ta.doc_id
+         |                JOIN sh tb ON cand.db = tb.doc_id AND ta.s = tb.s
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT da, db, inter, ca, cb,
+         |  (inter * 10000) // (ca + cb - inter) AS jac_bp
+         |FROM i WHERE $PJ_DEN * inter >= $PJ_NUM * (ca + cb - inter)""".stripMargin,
+      "SELECT da, db, inter, ca, cb, jac_bp FROM res ORDER BY da, db")))
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q_link_records" ->
       """WITH a AS (
@@ -1613,34 +1703,7 @@ object Dedup {
     // lad/ref are deliberately NOT MATERIALIZED: each is referenced
     // exactly twice (linear 2× recompute), while materializing them at
     // the 2.6 GB fixture would spill tens of GB of gram rows to temp.
-    "q_dedup_suffix" -> {
-      val pows = "[1, 2, 4, 8, 16, 32, 64, 128, 256, 512]"
-      s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang,
-         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS w
-         |  FROM documents),
-         |lad AS (
-         |  SELECT doc_id, l, md5(array_to_string(w[i:i+l-1], ' ')) AS h
-         |  FROM toks, (SELECT unnest($pows) AS l) pw,
-         |       unnest(range(1, len(w) + 2 - l)) t2(i)),
-         |laddup AS (SELECT l, h FROM lad GROUP BY l, h
-         |           HAVING count(DISTINCT doc_id) >= 2),
-         |g AS MATERIALIZED (SELECT doc_id, max(l) AS g
-         |     FROM lad JOIN laddup USING (l, h) GROUP BY doc_id),
-         |ref AS (
-         |  SELECT toks.doc_id, q.l, md5(array_to_string(w[q.i:q.i+q.l-1], ' ')) AS h
-         |  FROM toks JOIN g USING (doc_id),
-         |       LATERAL (SELECT ll.l, ii.i
-         |         FROM unnest(range(1, least(2 * g.g, len(w) + 1))) ll(l),
-         |              unnest(range(1, len(w) + 2 - ll.l)) ii(i)) q),
-         |refdup AS (SELECT l, h FROM ref GROUP BY l, h
-         |           HAVING count(DISTINCT doc_id) >= 2),
-         |ex AS (SELECT doc_id, max(l) AS l_exact
-         |       FROM ref JOIN refdup USING (l, h) GROUP BY doc_id)
-         |SELECT toks.doc_id, toks.lang,
-         |  CAST(coalesce(ex.l_exact, 0) AS BIGINT) AS l_exact
-         |FROM toks LEFT JOIN ex USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_dedup_suffix" -> (suffixOracleBody("TRUE") + "\nORDER BY doc_id"),
     "q_dedup_multilen" -> {
       // array_to_string over a slice, not a || chain: a 64-term concat
       // exceeds DuckDB's 128-deep binder recursion limit.

@@ -537,6 +537,39 @@ object Graph {
     "q_graph_ktruss" -> qGraphKtruss,
     "q_graph_triangles" -> qTriangles)
 
+  /** Sharded DuckDB replay recipe (round-15 verdict item 2) for
+    * q_graph_bfs: the single-statement recursive level pyramid makes
+    * DuckDB hold every level's anti-join input at once (14 GiB temp
+    * exhaustion at sf16d, where the lineitem edge-distinct alone is a
+    * 96M-row pass); staging each level as a temp table bounds peak
+    * memory to one level. No slicing needed — the staged form is the
+    * whole fix (kind=hash, 1 slice). Level SQL mirrors the plain
+    * oracle below — keep in lock-step. */
+  def shardedOracle: Map[String, (String, Int, Seq[String])] = {
+    val levels = (1 to BFS_DEPTH).flatMap { k =>
+      Seq(
+        s"""CREATE TEMP TABLE f$k AS SELECT DISTINCT u.dst AS node
+           |FROM f${k - 1} f JOIN und u ON f.node = u.src
+           |WHERE u.dst NOT IN (SELECT node FROM a${k - 1})""".stripMargin,
+        s"""CREATE TEMP TABLE a$k AS SELECT node, dist FROM a${k - 1}
+           |UNION ALL SELECT node, $k FROM f$k""".stripMargin)
+    }
+    Map("q_graph_bfs" -> (("hash", 1,
+      Seq(
+        s"""CREATE TEMP TABLE e AS SELECT DISTINCT l_partkey % $BFS_MOD AS a,
+           |  l_suppkey % $BFS_MOD AS b FROM lineitem
+           |WHERE l_partkey % $BFS_MOD <> l_suppkey % $BFS_MOD""".stripMargin,
+        """CREATE TEMP TABLE und AS SELECT DISTINCT src, dst FROM (
+          |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e) u""".stripMargin,
+        "CREATE TEMP TABLE nodes AS SELECT DISTINCT src AS node FROM und",
+        s"CREATE TEMP TABLE a0 AS SELECT node, 0 AS dist FROM nodes WHERE node < $BFS_SEEDS",
+        "CREATE TEMP TABLE f0 AS SELECT node FROM a0") ++ levels ++
+      Seq(
+        s"""SELECT CAST(coalesce(a.dist, -1) AS INT) AS dist, count(*) AS n_nodes
+           |FROM nodes n LEFT JOIN a$BFS_DEPTH a ON n.node = a.node
+           |GROUP BY 1 ORDER BY dist""".stripMargin))))
+  }
+
   def oracleSql: Map[String, String] = {
     val S = PR_SCALE
     def iterCte(name: String, prev: String) =

@@ -2220,6 +2220,220 @@ object Similarity {
        |GROUP BY e.cell ORDER BY cell""".stripMargin
   }
 
+  /** Sharded DuckDB replay recipes (round-15 verdict item 2) — step
+    * grammar and slice-kind semantics in scripts/sharded_check.py.
+    * q_semdedup's single-statement oracle is TIME-bound at scale
+    * fixtures (three n×k integer-exact assigns, each a data-sized
+    * list-lambda pass — >3300 s at sf16d); staging the same chain as
+    * temp tables with hash-sliced assigns bounds peak memory, gives
+    * per-slice progress, and lets the heavy cell run resumable in the
+    * background. Slice validity: every EACH step groups by vec_id or
+    * by cell, and the slice key hashes exactly that group key. */
+  def shardedOracle: Map[String, (String, Int, Seq[String])] = {
+    def kdist =
+      s"""list_sum(list_transform(range(1, ${DIMS + 1}),
+         |        i -> (list_extract(v.q, i) * 1000 - list_extract(cent.c, i))
+         |           * (list_extract(v.q, i) * 1000 - list_extract(cent.c, i))))""".stripMargin
+    def assignSteps(name: String, cent: String) = Seq(
+      s"CREATE TEMP TABLE $name (vec_id BIGINT, cell BIGINT)",
+      s"""EACH: INSERT INTO $name
+         |SELECT v.vec_id, arg_min(cent.cid,
+         |    CAST($kdist AS HUGEINT) * 1048576 + cent.cid) AS cell
+         |FROM v, $cent cent WHERE hash(v.vec_id) % {S} = {s}
+         |GROUP BY v.vec_id""".stripMargin)
+    def updateStep(name: String, assign: String) =
+      s"""CREATE TEMP TABLE $name AS
+         |SELECT cid, list(cv ORDER BY i) AS c FROM (
+         |    SELECT $assign.cell AS cid, t.i AS i,
+         |      CAST(floor(sum(list_extract(v.q, t.i)) * 1000.0 / count(*)) AS BIGINT) AS cv
+         |    FROM v JOIN $assign USING (vec_id), range(1, ${DIMS + 1}) t(i)
+         |    GROUP BY $assign.cell, t.i) u
+         |  GROUP BY cid""".stripMargin
+    val norm = (a: String) =>
+      s"sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    // ---- PQ/OPQ/IVF/RQ family: temp-table staged replays -------------
+    //
+    // The single-statement CTE forms re-inline the whole upstream fit
+    // into EVERY reference (DuckDB expands unreferenced-once CTEs per
+    // use): the final ADC re-computes the Lloyd chain ~6x over, which
+    // measured 50+ minutes at sf16d where the staged form runs each
+    // stage ONCE — 11 s per sv x codebook assign, ~2 min per query
+    // end-to-end. Same algorithm, same integer arithmetic; both forms
+    // are checked against the same engine dumps, so any drift between
+    // them fails a hash.
+    val sub = PQ_SUBDIM
+    def pdist(cb: String) =
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> (sv.sq[i] * 1000 - $cb.c[i]) * (sv.sq[i] * 1000 - $cb.c[i])))"
+    def passign(name: String, cb: String) =
+      s"CREATE TEMP TABLE $name AS SELECT sv.vec_id, sv.m, " +
+        s"arg_min($cb.cid, CAST(${pdist(cb)} AS HUGEINT) * 1048576 + $cb.cid) AS cell " +
+        s"FROM sv JOIN $cb ON sv.m = $cb.m GROUP BY sv.vec_id, sv.m"
+    def pupdate(name: String, a: String) =
+      s"""CREATE TEMP TABLE $name AS SELECT m, cid, list(cv ORDER BY i) AS c FROM (
+         |  SELECT $a.m AS m, $a.cell AS cid, t.i AS i,
+         |    CAST(floor(sum(sv.sq[t.i]) * 1000.0 / count(*)) AS BIGINT) AS cv
+         |  FROM sv JOIN $a ON sv.vec_id = $a.vec_id AND sv.m = $a.m,
+         |       range(1, ${sub + 1}) t(i)
+         |  GROUP BY $a.m, $a.cell, t.i) u GROUP BY m, cid""".stripMargin
+    def fdist(vT: String, cT: String) =
+      s"list_sum(list_transform(range(1, ${DIMS + 1}), i -> (list_extract($vT.q, i) * 1000 - list_extract($cT.c, i)) * (list_extract($vT.q, i) * 1000 - list_extract($cT.c, i))))"
+    def kassign(name: String, vT: String, cent: String) =
+      s"CREATE TEMP TABLE $name AS SELECT $vT.vec_id, " +
+        s"arg_min($cent.cid, CAST(${fdist(vT, cent)} AS HUGEINT) * 1048576 + $cent.cid) AS cell " +
+        s"FROM $vT, $cent GROUP BY $vT.vec_id"
+    def kupdate(name: String, vT: String, a: String) =
+      s"""CREATE TEMP TABLE $name AS SELECT cid, list(cv ORDER BY i) AS c FROM (
+         |  SELECT $a.cell AS cid, t.i AS i,
+         |    CAST(floor(sum(list_extract($vT.q, t.i)) * 1000.0 / count(*)) AS BIGINT) AS cv
+         |  FROM $vT JOIN $a USING (vec_id), range(1, ${DIMS + 1}) t(i)
+         |  GROUP BY $a.cell, t.i) u GROUP BY cid""".stripMargin
+    def kinit(name: String, vT: String) =
+      s"""CREATE TEMP TABLE $name AS
+         |SELECT CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid,
+         |       list_transform(q, x -> x * 1000) AS c
+         |FROM (SELECT vec_id, q,
+         |        CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS hk
+         |      FROM $vT ORDER BY hk, vec_id LIMIT $KMEANS_K) s""".stripMargin
+    val plainV =
+      "CREATE TEMP TABLE v AS SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q FROM embeddings"
+    val rerankV =
+      "CREATE TEMP TABLE v AS SELECT vec_id, embedding, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q FROM embeddings"
+    // the OPQ rotation prefix is a self-contained WITH chain ending at
+    // CTE `v` — materialize its output once as the temp table `v`
+    val opqV = s"CREATE TEMP TABLE v AS $opqVPrefixSql SELECT vec_id, q FROM v"
+    def pqCore(vStep: String) = Seq(
+      vStep,
+      s"CREATE TEMP TABLE sv AS SELECT vec_id, m, list_transform(range(1, ${sub + 1}), " +
+        s"i -> q[m * $sub + i]) AS sq FROM v, range(0, $PQ_M) t(m)",
+      s"""CREATE TEMP TABLE seed AS
+         |SELECT vec_id, CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid
+         |FROM (SELECT vec_id,
+         |        CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT) AS hk
+         |      FROM v ORDER BY hk, vec_id LIMIT $PQ_K) s""".stripMargin,
+      "CREATE TEMP TABLE cb0 AS SELECT sv.m, seed.cid, " +
+        "list_transform(sv.sq, x -> x * 1000) AS c FROM sv JOIN seed ON sv.vec_id = seed.vec_id",
+      passign("pa1", "cb0"), pupdate("cb1", "pa1"),
+      passign("pa2", "cb1"), pupdate("cb2", "pa2"),
+      passign("codes", "cb2"),
+      s"CREATE TEMP TABLE dt AS SELECT sv.vec_id AS qid, sv.m AS m, cb2.cid AS cid, " +
+        s"${pdist("cb2")} AS dt FROM sv JOIN cb2 ON sv.m = cb2.m WHERE sv.vec_id < $PQ_NQ")
+    val plainAdc =
+      """CREATE TEMP TABLE adc AS SELECT dt.qid, codes.vec_id, CAST(sum(dt.dt) AS BIGINT) AS adist
+        |FROM codes JOIN dt ON codes.m = dt.m AND codes.cell = dt.cid AND codes.vec_id != dt.qid
+        |GROUP BY dt.qid, codes.vec_id""".stripMargin
+    val ivfStages = Seq(
+      kinit("kc0", "v"),
+      kassign("ka1", "v", "kc0"), kupdate("kc1", "v", "ka1"),
+      kassign("ka2", "v", "kc1"), kupdate("kc2", "v", "ka2"),
+      kassign("cells", "v", "kc2"),
+      s"""CREATE TEMP TABLE qprobe AS SELECT vec_id AS qid, cid AS pcell FROM (
+         |  SELECT v.vec_id, kc2.cid, row_number() OVER (PARTITION BY v.vec_id
+         |    ORDER BY ${fdist("v", "kc2")}, kc2.cid) AS pr
+         |  FROM v, kc2 WHERE v.vec_id < $PQ_NQ) p WHERE pr <= $KMEANS_PROBE""".stripMargin,
+      """CREATE TEMP TABLE adc AS SELECT dt.qid, codes.vec_id, CAST(sum(dt.dt) AS BIGINT) AS adist
+        |FROM codes JOIN cells ON codes.vec_id = cells.vec_id
+        |JOIN qprobe ON cells.cell = qprobe.pcell
+        |JOIN dt ON codes.m = dt.m AND codes.cell = dt.cid
+        |  AND dt.qid = qprobe.qid AND codes.vec_id != dt.qid
+        |GROUP BY dt.qid, codes.vec_id""".stripMargin)
+    val top3Tail =
+      """SELECT qid, rn, vec_id, adist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY adist ASC, vec_id ASC) AS rn FROM adc) t
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    val cosRerank =
+      s"""round(list_sum(list_transform(range(1, ${DIMS + 1}),
+         |    i -> CAST(qv.embedding[i] AS DOUBLE) * CAST(cv.embedding[i] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(qv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |     * sqrt(list_sum(list_transform(cv.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)""".stripMargin
+    // ---- RQ: two staged full-dim Lloyd chains + residual map ---------
+    def errSel(stage: String, vT: String, a: String, cT: String) =
+      s"SELECT '$stage' AS stage, CAST(${fdist(vT, cT)} AS BIGINT) // 1000000 AS e " +
+        s"FROM $vT JOIN $a USING (vec_id) JOIN $cT ON $a.cell = $cT.cid"
+    val rqSteps = Seq(
+      plainV, kinit("c0", "v"),
+      kassign("a1", "v", "c0"), kupdate("c1", "v", "a1"),
+      kassign("a2", "v", "c1"), kupdate("cf", "v", "a2"),
+      kassign("af", "v", "cf"),
+      s"CREATE TEMP TABLE e1 AS ${errSel("s1_coarse", "v", "af", "cf")}",
+      s"""CREATE TEMP TABLE rv AS SELECT v.vec_id,
+         |  list_transform(range(1, ${DIMS + 1}),
+         |    i -> CAST(floor((list_extract(v.q, i) * 1000 - list_extract(cf.c, i)) / 1000.0) AS BIGINT)) AS q
+         |FROM v JOIN af USING (vec_id) JOIN cf ON af.cell = cf.cid""".stripMargin,
+      kinit("rc0", "rv"),
+      kassign("ra1", "rv", "rc0"), kupdate("rc1", "rv", "ra1"),
+      kassign("ra2", "rv", "rc1"), kupdate("rcf", "rv", "ra2"),
+      kassign("raf", "rv", "rcf"),
+      s"CREATE TEMP TABLE e2 AS ${errSel("s2_residual", "rv", "raf", "rcf")}",
+      """SELECT stage, count(*) AS n,
+        |  CAST(sum(e) AS BIGINT) AS err_sum,
+        |  CAST(sum(e) AS BIGINT) // count(*) AS err_mean,
+        |  CAST(max(e) AS BIGINT) AS err_max
+        |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) u
+        |GROUP BY stage ORDER BY stage""".stripMargin)
+    Map(
+      "q_ann_pq_adc" -> (("hash", 1, pqCore(plainV) ++ Seq(plainAdc, top3Tail))),
+      "q_ann_opq" -> (("hash", 1, pqCore(opqV) ++ Seq(plainAdc, top3Tail))),
+      "q_ann_ivf_pq" -> (("hash", 1, pqCore(plainV) ++ ivfStages ++ Seq(top3Tail))),
+      "q_ann_ivf_opq" -> (("hash", 1, pqCore(opqV) ++ ivfStages ++ Seq(top3Tail))),
+      "q_embed_pqdist" -> (("hash", 1, pqCore(plainV) ++ Seq(
+        s"""SELECT CAST(m AS INT) AS m, count(*) AS n,
+           |  CAST(sum(e) AS BIGINT) AS err_sum, CAST(max(e) AS BIGINT) AS err_max,
+           |  CAST(sum(e) // count(*) AS BIGINT) AS err_mean
+           |FROM (SELECT sv.m, ${pdist("cb2")} AS e
+           |      FROM sv JOIN codes ON sv.vec_id = codes.vec_id AND sv.m = codes.m
+           |      JOIN cb2 ON cb2.m = codes.m AND cb2.cid = codes.cell) recon
+           |GROUP BY m ORDER BY m""".stripMargin))),
+      "q_ann_rerank" -> (("hash", 1, pqCore(rerankV) ++ Seq(plainAdc,
+        s"""CREATE TEMP TABLE short AS SELECT qid, vec_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |    ORDER BY adist ASC, vec_id ASC) AS sr FROM adc) t
+           |WHERE sr <= $RERANK_R""".stripMargin,
+        s"""SELECT qid, rn, vec_id, cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |    ORDER BY cos DESC, vec_id ASC) AS rn FROM (
+           |    SELECT s.qid, s.vec_id, $cosRerank AS cos
+           |    FROM short s JOIN v qv ON qv.vec_id = s.qid
+           |                 JOIN v cv ON cv.vec_id = s.vec_id) rr) t
+           |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))),
+      "q_ann_rq" -> (("hash", 1, rqSteps)),
+      "q_semdedup" -> (("hash", 8,
+        Seq(
+          """CREATE TEMP TABLE v AS SELECT vec_id,
+            |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+            |  FROM embeddings""".stripMargin,
+          s"CREATE TEMP TABLE kn AS SELECT CAST((count(*) + ${SEMDEDUP_CELL_W - 1}) // $SEMDEDUP_CELL_W AS BIGINT) AS k FROM v",
+          s"""CREATE TEMP TABLE kc0 AS
+             |SELECT CAST(s.rn - 1 AS BIGINT) AS cid, list_transform(q, x -> x * 1000) AS c
+             |FROM (SELECT vec_id, q,
+             |        row_number() OVER (ORDER BY
+             |          CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 7)) AS BIGINT),
+             |          vec_id) AS rn
+             |      FROM v) s, kn WHERE s.rn <= kn.k""".stripMargin) ++
+        assignSteps("ka1", "kc0") ++ Seq(updateStep("kc1", "ka1")) ++
+        assignSteps("ka2", "kc1") ++ Seq(updateStep("kc2", "ka2")) ++
+        assignSteps("cells", "kc2") ++
+        Seq(
+          """CREATE TEMP TABLE e AS SELECT emb.vec_id, emb.embedding, cells.cell
+            |FROM embeddings emb JOIN cells USING (vec_id)""".stripMargin,
+          "CREATE TEMP TABLE res (cell BIGINT, n_vecs BIGINT, n_dropped BIGINT)",
+          s"""EACH: INSERT INTO res
+             |WITH drp AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b
+             |        ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |        WHERE hash(a.cell) % {S} = {s}
+             |          AND round(list_sum(list_transform(range(1, ${DIMS + 1}),
+             |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             |          / (${norm("a")} * ${norm("b")}), 4) >= $SEMDEDUP_TAU)
+             |SELECT e.cell, count(*) AS n_vecs,
+             |  CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+             |FROM e LEFT JOIN drp ON e.vec_id = drp.vec_id
+             |WHERE hash(e.cell) % {S} = {s}
+             |GROUP BY e.cell""".stripMargin,
+          "SELECT cell, n_vecs, n_dropped FROM res ORDER BY cell"))))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_sim_sparse" -> sparseSql,
     "q_select_kcenter" -> {
