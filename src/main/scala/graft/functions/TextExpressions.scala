@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass tokenizer. Semantically IDENTICAL BY CONSTRUCTION
@@ -63,6 +63,30 @@ case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextExpressions.shinglesUtf8($c, $n, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** Every (length, shingle) pair for lengths 1..maxN in one pass — see
+  * [[TextExpressions.shinglesMultiUtf8]]. Output rows (gl BIGINT,
+  * sp STRING) match the tagged union of per-length [[Shingles]]
+  * explodes (the q_dedup_suffix fused gram pass), at one array scan
+  * and one byte-buffer write per position. */
+case class ShinglesMulti(child: Expression, maxN: Int) extends UnaryExpression {
+  require(maxN >= 1, s"max shingle width must be >= 1, got $maxN")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles_multi requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gl", LongType, nullable = false),
+    StructField("sp", StringType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.shinglesMultiUtf8(input.asInstanceOf[ArrayData], maxN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextExpressions.shinglesMultiUtf8($c, $maxN)")
+  override protected def withNewChildInternal(newChild: Expression): ShinglesMulti =
     copy(child = newChild)
 }
 
@@ -194,8 +218,50 @@ object TextExpressions {
     new GenericArrayData(out.toArray(new Array[AnyRef](out.size)))
   }
 
+  /** All (length, shingle) pairs for lengths 1..maxN in ONE token walk
+    * — row-for-row what `union over n of explode(shingles(toks, n))
+    * tagged with n` produces (per-length distinct, non-null tokens),
+    * but with one array scan instead of maxN and each window's bytes
+    * written ONCE: the length-j gram at position i is a prefix of the
+    * length-(j+1) gram, so every emitted UTF8String shares one backing
+    * buffer per position (maxN token copies per position instead of
+    * the triangular maxN·(maxN+1)/2 the per-length concats pay). */
+  def shinglesMultiUtf8(a: ArrayData, maxN: Int): ArrayData = {
+    val len = a.numElements()
+    val seen = Array.fill(maxN)(new java.util.HashSet[UTF8String]())
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < len) {
+      val lim = math.min(maxN, len - i)
+      var total = 0
+      var j = 0
+      while (j < lim) {
+        total += a.getUTF8String(i + j).numBytes + (if (j > 0) 1 else 0)
+        j += 1
+      }
+      val buf = new Array[Byte](total)
+      var off = 0
+      j = 0
+      while (j < lim) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val tb = a.getUTF8String(i + j).getBytes
+        System.arraycopy(tb, 0, buf, off, tb.length)
+        off += tb.length
+        val sp = UTF8String.fromBytes(buf, 0, off)
+        if (seen(j).add(sp))
+          out.add(org.apache.spark.sql.catalyst.InternalRow((j + 1).toLong, sp))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def shinglesFast(toks: Column, n: Int): Column =
     column(Shingles(expression(toks), n))
+
+  def shinglesMultiFast(toks: Column, maxN: Int): Column =
+    column(ShinglesMulti(expression(toks), maxN))
 
   /** Every n-window in position order (no dedupe) — feeds posexplode
     * position arithmetic and frequency bigrams. */

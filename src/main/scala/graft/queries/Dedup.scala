@@ -781,10 +781,15 @@ object Dedup {
       // hasher) ran ~1.8x SLOWER end-to-end at sf0.1 — per-gram digest
       // and dedup-set costs beat the string-build saving when every
       // gram is <= 8 tokens and the shuffle is machine-local.
-      val occ1 = (1 to TOP.toInt).map { n =>
-        docs.select(col("doc_id"), lit(n.toLong).as("gl"),
-          explode(shingles(col("w"), n)).as("sp"))
-      }.reduce(_ unionAll _)
+      // one native pass (ShinglesMulti) emits every (length, gram)
+      // pair: same rows as the 8 per-length explodes, but one token
+      // walk and one byte-buffer write per position (round 15; the
+      // per-length form paid 8 cache scans + triangular string builds
+      // per evaluation, and this pass is evaluated twice by design)
+      val occ1 = docs.select(col("doc_id"),
+          explode(graft.functions.TextExpressions
+            .shinglesMultiFast(col("w"), TOP.toInt)).as("gs"))
+        .select(col("doc_id"), col("gs.gl").as("gl"), col("gs.sp").as("sp"))
       val dup = occ1.groupBy("gl", "sp").agg(count(lit(1)).as("ndocs"))
         .where(col("ndocs") >= 2).select("gl", "sp")
       val gm = Scoped.materializeRound(
