@@ -37,24 +37,33 @@ object Streaming {
     // heap once per-executor state EXCEEDS memory (billions of keys);
     // a deployment at that scale flips it with this env var or its
     // own session conf.
-    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb")) {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // Provider tuning (round 15, verdict item 5 — q_stream_dedup was
-      // 2.18x the in-memory store at sf1's millions of state rows):
-      //  - changelog checkpointing ships per-batch deltas instead of
-      //    re-snapshotting SST files into the checkpoint every commit —
-      //    the dominant per-batch cost for state-row-heavy shapes;
-      //  - the default 8 MB block cache / 64 MB write buffer are sized
-      //    for hundreds of partitions per executor; at shuffle
-      //    partitions = 2 each store can afford real memory, keeping
-      //    read-modify-write dedup probes out of SST re-reads.
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "256")
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "128")
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "4")
-    }
+    if (sys.env.get("SPARK_GRAFT_STATE_PROVIDER").contains("rocksdb"))
+      useRocksDb(s)
     body(s)
+  }
+
+  /** RocksDB provider + tuning for a child session (round 15, verdict
+    * item 5 — q_stream_dedup was 2.18x the in-memory store at sf1's
+    * millions of state rows):
+    *  - changelog checkpointing ships per-batch deltas instead of
+    *    re-snapshotting SST files into the checkpoint every commit —
+    *    the dominant per-batch cost for state-row-heavy shapes;
+    *  - the default 8 MB block cache / 64 MB write buffer are sized
+    *    for hundreds of partitions per executor; at shuffle
+    *    partitions = 2 each store can afford real memory, keeping
+    *    read-modify-write probes out of SST re-reads.
+    * Measured paired at sf1 (bench_r15_streams_sf1_{default,rocksdb}):
+    * family total 1.34x → 0.93x vs the in-memory store; the
+    * transformWithState queries (which REQUIRE RocksDB) gained 1.8x /
+    * 2.8x from the same tuning, which is why they call this helper
+    * unconditionally. */
+  private def useRocksDb(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "256")
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "128")
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "4")
   }
 
   /** Scoped checkpoint root for a drained demo query: tmpfs when the
@@ -758,8 +767,7 @@ object Streaming {
     * use), so no other query observes it. Disjoint user sample
     * (user_id % 9 = 4) from the v1 sessions query. */
   val qStreamTws: Q = (parent, d) => onStreamSession(parent) { s =>
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    useRocksDb(s)
     val schema = eventsSchema(s, d)
     val name = "stream_tws_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = scopedCheckpoint(name)
@@ -856,8 +864,7 @@ object Streaming {
     * At 100 TB this is the migration path: fold years of history at
     * batch prices, hand the open tails to the stream. */
   val qStreamTwsBoot: Q = (parent, d) => onStreamSession(parent) { s =>
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    useRocksDb(s)
     import s.implicits._
     import graft.streaming.TypeSessionizer.{BootState, TSession}
     val ev = Tables.events(s, d).where(col("user_id") % 9 === 7)
