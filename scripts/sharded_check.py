@@ -32,10 +32,15 @@ Recipes carry a slice KIND:
     recipe default.
   - "copy": slices are the scale fixture's key-range copies (valid
     ONLY because ScaleUp's per-token suffixing makes copy vocabularies
-    disjoint); the TRUE copy count must be passed as GRAFT_COPIES
-    (sf1=10, sf16d=16 when built per SCALE.md). Defaults to 1 —
-    running the recipe unsliced — so an unscaled fixture can never be
-    sliced incorrectly.
+    disjoint); the TRUE copy count must be passed as GRAFT_COPIES.
+    Defaults to 1 — running the recipe unsliced — so an unscaled
+    fixture can never be sliced incorrectly. ONE-LEVEL builds only:
+    recursively scaled fixtures reuse suffixes across levels (sf1x16's
+    copy-0/sub-i text is bit-identical to copy-i/sub-0 — measured,
+    round 15: the sf16d suffix slice run hash-mismatched on exactly
+    those cross-copy duplicates, first diff doc_id 5000). Build the
+    verification fixture with a single ScaleUp call from the base
+    (e.g. sf0.1 x 160 documents-only) and pass GRAFT_COPIES=160.
 
 Usage: python3 scripts/sharded_check.py [sfDir] [outDir] [names-csv]
 Env:   GRAFT_DUCK_TMP_MAX, GRAFT_DUCK_MEM, GRAFT_DUCK_THREADS,

@@ -33,7 +33,17 @@ import org.apache.spark.sql.functions._
   *    at factor 10); per-token suffixing makes copy vocabularies
   *    disjoint, so near-dup structure exists only WITHIN a copy and
   *    every dedup/text workload scales linearly with rows. n_chars
-  *    recomputed.
+  *    recomputed. CAVEAT (measured, round 15): vocabulary
+  *    disjointness holds only for ONE-LEVEL builds. Scaling an
+  *    already-scaled fixture reuses suffixes — in sf1×16, outer copy
+  *    i's inner sub-copy 0 carries suffix `x<i>`, bit-identical to
+  *    outer copy 0's inner sub-copy i (verified: sf16d docs 5000+k ≡
+  *    50000+k), fabricating full-document cross-copy duplicates. The
+  *    engine handles them fine (q_dedup_suffix reports the full
+  *    length), but per-copy-sliced verification (sharded_check's
+  *    `copy` kind) is only valid on one-level fixtures — build those
+  *    with a single ScaleUp call from the base fixture (factor 160
+  *    documents-only ≈ the sf16d text volume).
   *  - embeddings: vec_id offset; copies i>0 rotate the vector by
   *    i mod dim positions, composed (once i exceeds the dimension)
   *    with a deterministic per-(cycle, position) sign flip — both are

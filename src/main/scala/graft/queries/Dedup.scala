@@ -806,29 +806,43 @@ object Dedup {
       // max) and "how long is its longest doc?" — folding the former's
       // separate isEmpty probe job into the latter (round-15, verdict
       // item 4: one fewer driver round-trip on the critical path)
-      val maxnRow = sub.agg(max("n")).head()
+      val maxnRow = sub.agg(max("n"), sum("n")).head()
       val l3 = if (maxnRow.isNullAt(0))
         docs.limit(0).select(col("doc_id"), lit(0L).as("l3"))
       else {
         val nd = sub.select(col("doc_id"), col("n"))
         val maxn = math.max(1L, maxnRow.getLong(0))
+        // total suffix positions m — the size of EVERY rank table. The
+        // closed L≥8 subset is typically a sliver of the corpus
+        // (477/5000 docs at sf0.1), so when m fits one task's sort
+        // (≤ 2M rows) the per-level global sort runs as coalesce(1) +
+        // in-task sort: ONE narrow stage, no range-sampling job. Each
+        // repartitionByRange costs an extra sampling JOB per doubling
+        // level — at small m the ~7 levels were paying ~14 driver
+        // round-trips of pure latency. Above the bound the distributed
+        // range-partitioned path is unchanged (denseRankSorted only
+        // needs equal keys co-partitioned + sorted, which both paths
+        // provide).
+        val m = maxnRow.getLong(1)
+        def rankSort(df: DataFrame, keys: Column*): DataFrame =
+          if (m <= 2000000L) df.coalesce(1).sortWithinPartitions(keys: _*)
+          else df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
         val byDoc = Window.partitionBy("doc_id").orderBy("p")
         // seed: order of 8-gram strings == span-8 suffix ranks
         val seed = denseRankSorted(
-          sub.select(col("doc_id"), col("w"), posexplode(col("w")))
+          rankSort(sub.select(col("doc_id"), col("w"), posexplode(col("w")))
             .select(col("doc_id"), col("pos").cast("long").as("p"),
-              array_join(slice(col("w"), col("pos") + 1, lit(8)), " ").as("k"))
-            .repartitionByRange(col("k")).sortWithinPartitions("k"),
+              array_join(slice(col("w"), col("pos") + 1, lit(8)), " ").as("k")),
+            col("k")),
           Seq("k"), "r").select(col("doc_id"), col("p"), col("r"))
         var levels = List[(Long, DataFrame)]((8L, Scoped.materializeRound(seed)))
         var span = 8L
         var unique = false
         while (span < maxn && !unique) {
           val lvl = levels.head._2
-          val paired = lvl
-            .withColumn("r2", coalesce(lead("r", span.toInt).over(byDoc), lit(-1L)))
-            .repartitionByRange(col("r"), col("r2"))
-            .sortWithinPartitions("r", "r2")
+          val paired = rankSort(lvl
+            .withColumn("r2", coalesce(lead("r", span.toInt).over(byDoc), lit(-1L))),
+            col("r"), col("r2"))
           // tie accumulator piggybacks the uniqueness check on the
           // rank pass itself (no extra distinct+count job); a retried
           // task can only OVERcount ties, which at worst runs one more
@@ -848,9 +862,8 @@ object Dedup {
             .select(col("doc_id"), col("pos").cast("long").as("p"),
               array_join(slice(col("w"), col("pos") + 1, lit(k)), " ").as("r"))
         }
-        val ord = zipIdx(levels.head._2
-          .repartitionByRange(col("r"), col("doc_id"), col("p"))
-          .sortWithinPartitions("r", "doc_id", "p"), "i")
+        val ord = zipIdx(rankSort(levels.head._2,
+            col("r"), col("doc_id"), col("p")), "i")
           .select(col("doc_id"), col("p"), col("i"))
         val adj = ord.as("x").join(ord.as("y"), col("x.i") + 1 === col("y.i"))
           .where(col("x.doc_id") =!= col("y.doc_id"))
