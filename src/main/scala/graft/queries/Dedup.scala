@@ -758,6 +758,17 @@ object Dedup {
     val TOP = 8L
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
+    // env-gated phase clock (SPARK_GRAFT_PHASE_LOG=1): each phase ends
+    // at a driver action, so the deltas are real wall attributions
+    val phaseT0 = System.nanoTime()
+    var phaseLast = phaseT0
+    def phase(name: String): Unit =
+      if (sys.env.get("SPARK_GRAFT_PHASE_LOG").contains("1")) {
+        val now = System.nanoTime()
+        System.err.println(f"[sfx-phase] $name%-12s +${(now - phaseLast) / 1e9}%.2fs " +
+          f"(total ${(now - phaseT0) / 1e9}%.2fs)")
+        phaseLast = now
+      }
     Scoped.withCachedEager(docs) {
       // ----- phases 1+2 MERGED: one distinct-gram pass at EVERY length
       // 1..TOP (round-14 continuation). The trade: the old phase-2
@@ -798,6 +809,7 @@ object Dedup {
             max(when(col("gl").isInCollection(LADDER.map(_.toLong)), col("gl")))
               .as("g"),
             max(when(col("gl") < TOP, col("gl"))).as("l2")))
+      phase("grams+gm")
       // ----- phase 3: prefix-doubling suffix ranks on the closed tail
       val sub = docs.join(gm.where(col("g") === TOP).select("doc_id"),
         Seq("doc_id"), "left_semi")
@@ -807,6 +819,7 @@ object Dedup {
       // separate isEmpty probe job into the latter (round-15, verdict
       // item 4: one fewer driver round-trip on the critical path)
       val maxnRow = sub.agg(max("n"), sum("n")).head()
+      phase("probe")
       val l3 = if (maxnRow.isNullAt(0))
         docs.limit(0).select(col("doc_id"), lit(0L).as("l3"))
       else {
@@ -836,6 +849,7 @@ object Dedup {
             col("k")),
           Seq("k"), "r").select(col("doc_id"), col("p"), col("r"))
         var levels = List[(Long, DataFrame)]((8L, Scoped.materializeRound(seed)))
+        phase("seed")
         var span = 8L
         var unique = false
         while (span < maxn && !unique) {
@@ -854,6 +868,7 @@ object Dedup {
           span = span * 2
           levels = (span, nxt) :: levels
           unique = acc.value == 0L
+          phase(s"double@$span")
         }
         // descent tables below the seed span: raw short grams (exact
         // string equality, no hashing), map-only from the cached docs
@@ -898,6 +913,7 @@ object Dedup {
           .unionAll(pairs.select(col("db").as("doc_id"), col("ell"))) 
           .groupBy("doc_id").agg(max("ell").as("l3"))
         val res = Scoped.materializeRound(best)
+        phase("descent")
         levels.foreach { case (_, lvl) => Scoped.releaseRound(lvl) }
         Scoped.releaseRound(pairs)
         res
