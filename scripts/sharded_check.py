@@ -132,6 +132,15 @@ for name in names:
         S = int(os.environ.get("GRAFT_COPIES", "1"))
     else:
         S = int(os.environ.get("GRAFT_SLICES", rec["slices"]))
+    # grammar: the LAST step must be a plain SELECT (it produces the
+    # expected frame); an EACH: or DDL final step is a recipe bug —
+    # report it as a clean per-recipe FAIL, not an AttributeError.
+    final = rec["steps"][-1].strip()
+    if final.startswith("EACH:") or not final.upper().startswith(("SELECT", "WITH")):
+        print(f"FAIL  {name}: recipe grammar: final step must be a plain "
+              f"SELECT, got: {final[:60]!r}", flush=True)
+        n_bad += 1
+        continue
     con = fresh_con()
     t0 = time.time()
     exp = None
@@ -158,6 +167,10 @@ for name in names:
         con.close()
         continue
     con.close()
+    if exp is None:
+        print(f"FAIL  {name}: recipe produced no expected frame", flush=True)
+        n_bad += 1
+        continue
     problems = []
     if sorted(got.columns) != sorted(exp.columns):
         problems.append(f"cols spark={sorted(got.columns)} "

@@ -63,7 +63,7 @@ object BandProbe {
         .select(explode(queries.Similarity.bandVals(col("embedding"), bp)).as("bs"))
         .groupBy(col("bs.band_id"), col("bs.bv"))
         .agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - 1) / 2).cast("long"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)).cast("long"))
         .head().getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
       val line = f"""{"n":$n,"mod":$m,"rows":${bp.rows},"bands":${bp.bands},""" +

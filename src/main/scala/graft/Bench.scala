@@ -148,13 +148,39 @@ object Bench {
         }
       }
     }
-    val spreadMedian = medianSpread()
     // Closing half of the calibration pair (see calibPre above); the
     // contention verdict uses the min of the two — CPU steal inflates
     // the spin proportionally, so artifacts from different rounds stay
     // comparable regardless of when the host was busy.
     val calibPost = calibrate()
-    val calib = math.min(calibPre, calibPost)
+    // Sustained-mild-steal recovery (round 16): the round-15 driver
+    // artifact ran at calib 0.433/0.435 — under the 1.1x contended bar
+    // yet ~6% sustained steal, which per-query spread cannot see (all
+    // passes inflate together) and which overstated the tree ~11% vs
+    // its calm companion run. When EVERY calibration endpoint sits
+    // above a mild bar, the host was never calm during this run: take
+    // one more grouped pass over every query (each min gets a chance
+    // at a calmer window), re-anchor, repeat at most twice — a
+    // genuinely busy host then degrades to the honest contended flag
+    // instead of looping. Disable with SPARK_GRAFT_MILD_RETRY=0.
+    val calibFloor = 0.409 // best calm spin ever observed on this host
+    val mildBar = 1.04 * calibFloor
+    var calibEnds = List(calibPre, calibPost)
+    var mildRetries = 0
+    val mildRetryOn =
+      sys.env.getOrElse("SPARK_GRAFT_MILD_RETRY", "1") == "1" && passes > 1
+    while (mildRetryOn && mildRetries < 2 && calibEnds.min > mildBar) {
+      names.zipWithIndex.foreach { case (name, i) =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        raw(i) = raw(i) :+ (System.nanoTime() - t0) / 1e9
+      }
+      calibEnds = calibEnds :+ calibrate()
+      mildRetries += 1
+    }
+    val spreadMedian = medianSpread()
+    val calib = calibEnds.min
     // Spread catches only INTERMITTENT load; SUSTAINED load slows all
     // passes equally and leaves spread flat (the round-7 artifact
     // self-reported calm at calib 0.426 while calib sat 0.414-0.446
@@ -163,8 +189,8 @@ object Bench {
     // stored artifacts; update only downward if a calmer window ever
     // beats it). Anything 10% above it means CPU steal inflated this
     // run's numbers regardless of how tight the per-pass spread looks.
-    // (0.414 stood from rounds 6-7; round 8 observed 0.409 twice.)
-    val calibFloor = 0.409
+    // (0.414 stood from rounds 6-7; round 8 observed 0.409 twice;
+    // calibFloor is declared above the mild-steal retry loop.)
     val calibContended = calib > 1.1 * calibFloor
     // The contended FLAG keys on the calibration pair, not on raw
     // spread: this host's IDLE JIT/GC signature puts full-inventory
@@ -212,7 +238,8 @@ object Bench {
     val allSpreads = spreads.map { case (k, v) =>
       s"\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","loop":"$loopMode","spread_median":$spreadMedian,"ambient_jitter":$spreadMedian,"contended":$contended,"calib_sec":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_floor":$calibFloor,"calib_contended":$calibContended,"queries":$qsFull,"passes":$allPasses,"spreads":$allSpreads,"sf":"$sfDir"}"""
+    val calibEndsJson = calibEnds.mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","loop":"$loopMode","spread_median":$spreadMedian,"ambient_jitter":$spreadMedian,"contended":$contended,"calib_sec":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_ends":$calibEndsJson,"mild_retries":$mildRetries,"calib_floor":$calibFloor,"calib_contended":$calibContended,"queries":$qsFull,"passes":$allPasses,"spreads":$allSpreads,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -232,7 +259,7 @@ object Bench {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val sp = noisy.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","loop":"$loopMode","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"ambient_jitter":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"calib_pre":${fmt(calibPre, 3)},"calib_post":${fmt(calibPost, 3)},"calib_floor":$calibFloor,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","loop":"$loopMode","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"ambient_jitter":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"calib_pre":${fmt(calibPre, 3)},"calib_post":${fmt(calibPost, 3)},"mild_retries":$mildRetries,"calib_floor":$calibFloor,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     val candidates =

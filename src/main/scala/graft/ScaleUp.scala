@@ -100,23 +100,28 @@ object ScaleUp {
     def keySpan(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head.getLong(0) + 1L
 
-    val customer = Tables.customer(spark, src)
-    val supplier = Tables.supplier(spark, src)
-    val part     = Tables.part(spark, src)
-    val orders   = Tables.orders(spark, src)
-    val lineitem = Tables.lineitem(spark, src)
-    val events   = Tables.events(spark, src)
-    val docs     = Tables.documents(spark, src)
-    val embs     = Tables.embeddings(spark, src)
+    // lazy: a tables-csv subset build must not scan (or require the
+    // existence of) excluded tables — e.g. a documents-only build on a
+    // source fixture with no embeddings.parquet, or the vector-decade
+    // embeddings-only build that would otherwise pay key-span scans of
+    // every relational table.
+    lazy val customer = Tables.customer(spark, src)
+    lazy val supplier = Tables.supplier(spark, src)
+    lazy val part     = Tables.part(spark, src)
+    lazy val orders   = Tables.orders(spark, src)
+    lazy val lineitem = Tables.lineitem(spark, src)
+    lazy val events   = Tables.events(spark, src)
+    lazy val docs     = Tables.documents(spark, src)
+    lazy val embs     = Tables.embeddings(spark, src)
 
-    val offC = keySpan(customer, "c_custkey")
-    val offS = keySpan(supplier, "s_suppkey")
-    val offP = keySpan(part, "p_partkey")
-    val offO = keySpan(orders, "o_orderkey")
-    val offE = keySpan(events, "event_id")
-    val offU = keySpan(events, "user_id")
-    val offD = keySpan(docs, "doc_id")
-    val offV = keySpan(embs, "vec_id")
+    lazy val offC = keySpan(customer, "c_custkey")
+    lazy val offS = keySpan(supplier, "s_suppkey")
+    lazy val offP = keySpan(part, "p_partkey")
+    lazy val offO = keySpan(orders, "o_orderkey")
+    lazy val offE = keySpan(events, "event_id")
+    lazy val offU = keySpan(events, "user_id")
+    lazy val offD = keySpan(docs, "doc_id")
+    lazy val offV = keySpan(embs, "vec_id")
 
     /** union of `factor` copies with per-copy column rewrites */
     def scaled(df: DataFrame)(rewrite: (DataFrame, Int) => DataFrame): DataFrame =
@@ -131,7 +136,7 @@ object ScaleUp {
       * driver fixture layout — a file, not a directory — so DuckDB's
       * read_parquet and Spark both load it unchanged; Spark still
       * splits a single file by row group for parallel scans). */
-    def write(df: DataFrame, name: String): Unit = {
+    def write(df: => DataFrame, name: String): Unit = {
       if (!only.forall(_.contains(name))) return
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dest), conf)
@@ -175,22 +180,26 @@ object ScaleUp {
     // slices by size(embedding), but `rot` derives from this value — a
     // mixed-dimension table would regress to the negative-slice crash
     // for rows shorter than rot) and gives a clear error on an empty
-    // table instead of head()'s NoSuchElementException.
-    val dimRow = embs.agg(
-      min(size(col("embedding"))).as("lo"),
-      max(size(col("embedding"))).as("hi")).head()
-    require(!dimRow.isNullAt(0),
-      s"embeddings at $src is empty — nothing to scale")
-    require(dimRow.getInt(0) == dimRow.getInt(1),
-      s"embeddings at $src has mixed vector dimensions " +
-        s"(${dimRow.getInt(0)}..${dimRow.getInt(1)}); the per-copy " +
-        "rotation isometry requires one uniform dimension")
-    val dim = dimRow.getInt(0)
-    write(scaled(embs) { (d, i) =>
-      val shifted = shift(d, i, "vec_id" -> offV)
-      if (i == 0) shifted
-      else shifted.withColumn("embedding", expr(embeddingCopyExpr(dim, i)))
-    }, "embeddings")
+    // table instead of head()'s NoSuchElementException. Gated on the
+    // same tables-csv subset as write(): a documents-only build must
+    // not pay (or hard-fail on) an embeddings scan the caller excluded.
+    if (only.forall(_.contains("embeddings"))) {
+      val dimRow = embs.agg(
+        min(size(col("embedding"))).as("lo"),
+        max(size(col("embedding"))).as("hi")).head()
+      require(!dimRow.isNullAt(0),
+        s"embeddings at $src is empty — nothing to scale")
+      require(dimRow.getInt(0) == dimRow.getInt(1),
+        s"embeddings at $src has mixed vector dimensions " +
+          s"(${dimRow.getInt(0)}..${dimRow.getInt(1)}); the per-copy " +
+          "rotation isometry requires one uniform dimension")
+      val dim = dimRow.getInt(0)
+      write(scaled(embs) { (d, i) =>
+        val shifted = shift(d, i, "vec_id" -> offV)
+        if (i == 0) shifted
+        else shifted.withColumn("embedding", expr(embeddingCopyExpr(dim, i)))
+      }, "embeddings")
+    }
 
     spark.stop()
   }

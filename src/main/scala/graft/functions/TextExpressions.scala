@@ -236,17 +236,22 @@ object TextExpressions {
       var total = 0
       var j = 0
       while (j < lim) {
-        total += a.getUTF8String(i + j).numBytes + (if (j > 0) 1 else 0)
+        // null tokens contribute nothing (concatWs skips them), mirroring
+        // shinglesUtf8's per-length windows; over-allocate one byte per
+        // window slot for the separator.
+        total += (if (a.isNullAt(i + j)) 0 else a.getUTF8String(i + j).numBytes) + 1
         j += 1
       }
       val buf = new Array[Byte](total)
       var off = 0
       j = 0
       while (j < lim) {
-        if (j > 0) { buf(off) = ' '; off += 1 }
-        val tb = a.getUTF8String(i + j).getBytes
-        System.arraycopy(tb, 0, buf, off, tb.length)
-        off += tb.length
+        if (!a.isNullAt(i + j)) {
+          if (off > 0) { buf(off) = ' '; off += 1 }
+          val tb = a.getUTF8String(i + j).getBytes
+          System.arraycopy(tb, 0, buf, off, tb.length)
+          off += tb.length
+        }
         val sp = UTF8String.fromBytes(buf, 0, off)
         if (seen(j).add(sp))
           out.add(org.apache.spark.sql.catalyst.InternalRow((j + 1).toLong, sp))

@@ -565,9 +565,13 @@ object Similarity {
     * expression ([[graft.functions.BandedSignature]]) computes the
     * whole signature: the unrolled when-chain form broke janino past
     * ~120 planes (r = 17 × B = 9), dropping the projection out of
-    * whole-stage codegen exactly where the adaptive banding grows. */
+    * whole-stage codegen exactly where the adaptive banding grows.
+    * A null embedding coalesces to the empty vector (all dots = 0 →
+    * bv = 0 buckets), matching the DuckDB twin's CASE WHEN — the
+    * native expression alone would return null and drop the row. */
   private[graft] def bandVals(emb: Column, p: BandedParams): Column =
-    graft.functions.VectorExpressions.bandedSig(emb,
+    graft.functions.VectorExpressions.bandedSig(
+      coalesce(emb, typedLit(Array.empty[Float])),
       Array.tabulate(p.rows * p.bands)(plane), p.rows, p.bands)
 
   /** The r → B VALUES table for the SQL twin, generated from

@@ -51,4 +51,19 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(run(2, "héllo", "wörld") ==
       Seq((1L, "héllo"), (2L, "héllo wörld"), (1L, "wörld")))
   }
+
+  test("shinglesMultiUtf8 skips null tokens like concatWs (per-length Shingles parity)") {
+    def arrN(toks: Option[String]*) = new GenericArrayData(
+      toks.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+    val out = TextExpressions.shinglesMultiUtf8(
+      arrN(Some("a"), None, Some("b")), 3)
+    val got = (0 until out.numElements()).map { i =>
+      val row = out.getStruct(i, 2)
+      (row.getLong(0), row.getUTF8String(1).toString)
+    }
+    // windows: [a]→"a", [a,∅]→"a", [a,∅,b]→"a b", [∅]→"", [∅,b]→"b", [b]→"b"
+    // concatWs drops nulls without a separator; per-length dedup applies.
+    assert(got == Seq((1L, "a"), (2L, "a"), (3L, "a b"),
+      (1L, ""), (2L, "b"), (1L, "b")))
+  }
 }
