@@ -690,21 +690,34 @@ object Dedup {
     * substring each doc shares verbatim with at least one OTHER
     * document — the number a surgical trim pass actually wants.
     *
-    * Three exact phases, each sized to the docs that need it:
+    * Two exact phases, each sized to the docs that need it:
     *
-    *  1.+2. LADDER + SHORT REFINEMENT, one fused distinct-gram pass at
-    *     every length ℓ ∈ [1, 8]: per-doc largest power-of-two shared
-    *     length g_d (the phase-3 gate — by substring closure
-    *     g_d ≤ L_d < 2·g_d for g_d < 8, and g_d = 8 ⟺ L_d ≥ 8, a
-    *     SCALE-INDEPENDENT split) and the exact short answer
-    *     l2 = max shared ℓ ≤ 7, both from the same shared-gram join.
-    *     Every doc emits every length ≤ 8, so a shared length is
-    *     witnessed from both partners by construction. Work is
-    *     O(n · 8) rows — bounded by the constant ladder top, never by
-    *     doc length. (A capped per-doc emission bound was measured
-    *     useless here: the long-dup tail has cap = 7 anyway, so the
-    *     original split phases exploded 4+7 corpus passes where this
-    *     fused pass explodes 8.)
+    *  1.+2. SHORT ANSWER BY SORT (round-16 rewrite): ONE global sort
+    *     of every position's 8-token prefix key. For a
+    *     lexicographically sorted sequence, the LCP of any two
+    *     entries is the min of adjacent LCPs between them, so each
+    *     doc's maximum TOKEN-prefix LCP against any OTHER doc is
+    *     achieved at a rank-adjacent cross-doc boundary — per-doc
+    *     lmax = max boundary LCP (capped at 8 by the key width) is
+    *     then EXACTLY "the largest ℓ ≤ 8 such that some ℓ-gram of
+    *     this doc occurs in ≥ 2 docs": an ℓ-token common prefix of
+    *     two position keys IS a shared ℓ-gram, and the interval
+    *     property (a shared ℓ-gram's prefixes are shared) makes the
+    *     single lmax number carry both the old ladder gate
+    *     (g = 8 ⟺ lmax = 8 ⟺ L_d ≥ 8, a SCALE-INDEPENDENT split) and
+    *     the old short refinement (ℓ ≤ 7 answer = lmax). Work is
+    *     O(n) rows through one range shuffle — the previous fused
+    *     gram ladder built O(n · 8) gram rows, evaluated the pass
+    *     twice (dup aggregate + probe join) and paid three full
+    *     shuffles of it; this form builds ONE key per position and
+    *     sorts it once (measured 3.8 s → ~1.3 s at sf0.1). Space-
+    *     joined keys sort exactly like token sequences (the separator
+    *     0x20 is below every [a-z0-9] token byte), and the boundary
+    *     walk counts whole matched tokens, so the LCP is token-exact
+    *     including truncated tail keys. Partition-boundary pairs ride
+    *     a (pid, first, last) collection accumulator — bounded by the
+    *     partition count, deduped by pid against task retries — so no
+    *     second pass over the sorted data is needed.
     *  3. SUFFIX TAIL (docs with g_d = 8, i.e. L_d ≥ 8 — the docs a
     *     trim pass actually acts on): prefix-doubling suffix ranks
     *     (Manber & Myers 1993, SIAM J. Comput. 22(5); distributed as
@@ -718,10 +731,10 @@ object Dedup {
     *     boilerplate-heavy tail.
     *
     * The doubling loop seeds at span 8 with the ORDER OF 8-GRAM
-    * STRINGS — space-joined token grams sort exactly like token
-    * sequences with a minimal end sentinel (the separator 0x20 is
-    * below every token char, and truncated grams are equal iff both
-    * docs end there with equal content) — then doubles
+    * STRINGS — REUSED from the phase-1 global sort: the packed ranks
+    * restricted to the subset keep both order and equality, which is
+    * all the doubling recurrence reads, so phase 3 pays no second
+    * seed sort — then doubles
     * rank_k(p) = order(rank_{k−1}(p), rank_{k−1}(p+2^{k−1})), missing
     * half → −1, per level ONE lead()-window over the doc partition
     * (positions are dense, so lead(span) IS the rank at p+span) plus
@@ -740,8 +753,8 @@ object Dedup {
     * equal ranks advance ℓ by min(span, both remainders), exact for
     * short tails by the sentinel semantics.
     *
-    * Scale: phases 1–2 are the multilen posture (bounded keys, partial
-    * agg, one shuffle_hash join each); phase 3 is O(m log L) on the
+    * Scale: phase 1–2 is one O(n) range shuffle of bounded keys;
+    * phase 3 is O(m log L) on the
     * long-dup subset m — log L rounds of two shuffles each, rank
     * tables retained across the descent (the documented log L × m
     * footprint of distributed suffix structures, released at the
@@ -754,7 +767,6 @@ object Dedup {
     * bracket law. */
   val qDedupSuffix: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val LADDER = Seq(1, 2, 4, 8)
     val TOP = 8L
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
@@ -770,48 +782,106 @@ object Dedup {
         phaseLast = now
       }
     Scoped.withCachedEager(docs) {
-      // ----- phases 1+2 MERGED: one distinct-gram pass at EVERY length
-      // 1..TOP (round-14 continuation). The trade: the old phase-2
-      // "cap" prune emitted length l only for docs with cap ≥ l (a
-      // g = 1 doc exploded 1 length, g = 2 three), so on a LOW-
-      // duplication corpus the fused all-lengths pass emits strictly
-      // more rows; but it never prunes the long-dup tail (g = 8 ⇒
-      // cap = 7 ⇒ all lengths anyway), and on the benchmarked
-      // fixtures (sf0.1/sf1/sf16d, dup-heavy by construction) the
-      // fusion measured favorable: 8.25 → 4.76 s calm at sf0.1.
-      // Emitting lengths 1..8 once (8 corpus passes instead of 4+7,
-      // one dup aggregate + probe join instead of two) computes both
-      // numbers from the same shared-gram join: g = the largest shared
-      // POWER-OF-TWO length (the ladder, phase-3 gate), l2 = the
-      // largest shared length < TOP (the exact short answer). The
-      // witness argument is unchanged — every length ≤ 7 is emitted by
-      // every doc, so a shared length is counted from both partners.
-      // The gram pass stays RAW-string-keyed and DOUBLE-evaluated
-      // (dup aggregate + probe join) by measurement, like multilen: an
-      // md5-keyed single-pass variant (native incremental-buffer
-      // hasher) ran ~1.8x SLOWER end-to-end at sf0.1 — per-gram digest
-      // and dedup-set costs beat the string-build saving when every
-      // gram is <= 8 tokens and the shuffle is machine-local.
-      // one native pass (ShinglesMulti) emits every (length, gram)
-      // pair: same rows as the 8 per-length explodes, but one token
-      // walk and one byte-buffer write per position (round 15; the
-      // per-length form paid 8 cache scans + triangular string builds
-      // per evaluation, and this pass is evaluated twice by design)
-      val occ1 = docs.select(col("doc_id"),
-          explode(graft.functions.TextExpressions
-            .shinglesMultiFast(col("w"), TOP.toInt)).as("gs"))
-        .select(col("doc_id"), col("gs.gl").as("gl"), col("gs.sp").as("sp"))
-      val dup = occ1.groupBy("gl", "sp").agg(count(lit(1)).as("ndocs"))
-        .where(col("ndocs") >= 2).select("gl", "sp")
+      // ----- phases 1+2 BY SORT (round 16; see scaladoc): one global
+      // range sort of every position's 8-token prefix key, then per-doc
+      // lmax = max rank-adjacent cross-doc token-LCP. Replaces the
+      // fused 8-length gram ladder (O(n·8) gram rows, evaluated twice,
+      // three full shuffles — measured 3.8 s of the 6.7 s calm total)
+      // with ONE key per position through one range shuffle, and the
+      // resulting packed ranks double as the phase-3 seed, deleting
+      // the seed's second sort.
+      val pos = docs.select(col("doc_id"), col("w"), posexplode(col("w")))
+        .select(col("doc_id"), col("pos").cast("long").as("p"),
+          array_join(slice(col("w"), col("pos") + 1, lit(TOP.toInt)), " ").as("k"))
+      // always the distributed range sort: a single-task variant for
+      // small corpora was measured SLOWER at sf0.1 (1.68 vs 1.41 s —
+      // the 32-way sort beats skipping the range-sampling job), and a
+      // pre-materialized `pos` measured no better while checkpointing
+      // every position — the double evaluation of the key build is
+      // cheaper than writing it
+      val sorted = pos.repartitionByRange(col("k")).sortWithinPartitions(col("k"))
+      // One pass: partition-local dense rank by k packed as
+      // (pid << 40 | idx) — order- and equality-preserving across
+      // partitions because range partitioning keeps equal keys
+      // together and partition ids follow key order — plus the
+      // token-LCP against the previous row when it belongs to another
+      // doc. Per-partition (first, last) (doc, key) summaries ride a
+      // collection accumulator (bounded by the partition count, deduped
+      // by pid against task retries) so the partition-boundary
+      // adjacent pairs cost no second pass over the sorted data.
+      val edgeAcc = s.sparkContext
+        .collectionAccumulator[(Int, Long, String, Long, String)]("sfx_edges")
+      val rankedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("pd",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("plcp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rankedRdd = sorted.rdd.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var idx = -1L
+        var lastK: String = null
+        var lastDoc = 0L
+        var firstK: String = null
+        var firstDoc = 0L
+        var done = false
+        val base = it.map { row =>
+          val doc = row.getLong(0); val p = row.getLong(1)
+          val k = row.getString(2)
+          if (lastK == null || k != lastK) idx += 1
+          val (pd, plcp) =
+            if (lastK != null && lastDoc != doc) (lastDoc, tokenLcp(lastK, k))
+            else (-1L, -1L)
+          if (firstK == null) { firstK = k; firstDoc = doc }
+          lastK = k; lastDoc = doc
+          org.apache.spark.sql.Row(doc, p, (pid.toLong << 40) | idx, pd, plcp)
+        }
+        new Iterator[org.apache.spark.sql.Row] {
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h && !done) {
+              done = true
+              if (firstK != null)
+                edgeAcc.add((pid, firstDoc, firstK, lastDoc, lastK))
+            }
+            h
+          }
+          def next(): org.apache.spark.sql.Row = base.next()
+        }
+      }
+      val ranked = Scoped.materializeRound(
+        s.createDataFrame(rankedRdd, rankedSchema))
+      phase("possort")
+      // partition-boundary adjacent pairs, computed on the driver from
+      // the accumulator (≤ 2 rows per partition — a bounded model)
+      import scala.jdk.CollectionConverters._
+      val edges = edgeAcc.value.asScala.toList.distinct.sortBy(_._1)
+      val edgeHits: Seq[(Long, Long)] = edges.zip(edges.drop(1)).flatMap {
+        case ((_, _, _, lDoc, lK), (_, fDoc, fK, _, _)) =>
+          if (lDoc != fDoc) {
+            val l = tokenLcp(lK, fK)
+            Seq((lDoc, l), (fDoc, l))
+          } else Nil
+      }
+      val bnd = ranked.where(col("pd") >= 0L)
+      val boundary = bnd.select(col("doc_id"), col("plcp"))
+        .unionAll(bnd.select(col("pd").as("doc_id"), col("plcp")))
+      val withEdges =
+        if (edgeHits.isEmpty) boundary
+        else {
+          import s.implicits._
+          boundary.unionAll(edgeHits.toDF("doc_id", "plcp"))
+        }
       val gm = Scoped.materializeRound(
-        occ1.join(dup.hint("shuffle_hash"), Seq("gl", "sp"))
-          .groupBy("doc_id").agg(
-            max(when(col("gl").isInCollection(LADDER.map(_.toLong)), col("gl")))
-              .as("g"),
-            max(when(col("gl") < TOP, col("gl"))).as("l2")))
-      phase("grams+gm")
+        withEdges.groupBy("doc_id").agg(max(col("plcp")).as("lmax")))
+      phase("lmax")
       // ----- phase 3: prefix-doubling suffix ranks on the closed tail
-      val sub = docs.join(gm.where(col("g") === TOP).select("doc_id"),
+      val sub = docs.join(gm.where(col("lmax") === TOP).select("doc_id"),
         Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n"))
       // one aggregate answers BOTH "is the closed subset empty?" (null
@@ -841,13 +911,15 @@ object Dedup {
           if (m <= 2000000L) df.coalesce(1).sortWithinPartitions(keys: _*)
           else df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
         val byDoc = Window.partitionBy("doc_id").orderBy("p")
-        // seed: order of 8-gram strings == span-8 suffix ranks
-        val seed = denseRankSorted(
-          rankSort(sub.select(col("doc_id"), col("w"), posexplode(col("w")))
-            .select(col("doc_id"), col("pos").cast("long").as("p"),
-              array_join(slice(col("w"), col("pos") + 1, lit(8)), " ").as("k")),
-            col("k")),
-          Seq("k"), "r").select(col("doc_id"), col("p"), col("r"))
+        // seed: the phase-1 global ranks RESTRICTED to the closed
+        // subset — order of 8-gram strings == span-8 suffix ranks, and
+        // a filtered order-preserving equality-preserving rank is
+        // still one (the doubling recurrence reads nothing else), so
+        // the seed costs a semi-join instead of a second global sort
+        val seed = ranked.join(
+            gm.where(col("lmax") === TOP).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("p"), col("r"))
         var levels = List[(Long, DataFrame)]((8L, Scoped.materializeRound(seed)))
         phase("seed")
         var span = 8L
@@ -870,45 +942,118 @@ object Dedup {
           unique = acc.value == 0L
           phase(s"double@$span")
         }
-        // descent tables below the seed span: raw short grams (exact
-        // string equality, no hashing), map-only from the cached docs
-        val gramLevels = Seq(4, 2, 1).map { k =>
-          k.toLong -> sub.select(col("doc_id"), col("w"), posexplode(col("w")))
-            .select(col("doc_id"), col("pos").cast("long").as("p"),
-              array_join(slice(col("w"), col("pos") + 1, lit(k)), " ").as("r"))
-        }
-        val ord = zipIdx(rankSort(levels.head._2,
-            col("r"), col("doc_id"), col("p")), "i")
-          .select(col("doc_id"), col("p"), col("i"))
-        val adj = ord.as("x").join(ord.as("y"), col("x.i") + 1 === col("y.i"))
-          .where(col("x.doc_id") =!= col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("x.p").as("pa"),
-            col("y.doc_id").as("db"), col("y.p").as("pb"))
+        // cross-doc rank-adjacent boundary pairs. Small path (the same
+        // ≤ 2M single-task bound as rankSort): the sorted frame has ONE
+        // partition, so adjacent pairs fall out of one sliding
+        // mapPartitions pass — no zipIdx job and no self-join shuffle.
+        // Distributed path: index + consecutive-index self-join.
+        val ordSorted = rankSort(levels.head._2,
+          col("r"), col("doc_id"), col("p"))
+        val adjBase: DataFrame =
+          if (m <= 2000000L) {
+            val sch = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("da",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("pa",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("db",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("pb",
+                org.apache.spark.sql.types.LongType, nullable = false)))
+            s.createDataFrame(ordSorted.rdd.mapPartitions { it =>
+              var pDoc = 0L; var pPos = 0L; var seen = false
+              it.flatMap { r =>
+                val doc = r.getLong(0); val p = r.getLong(1)
+                val out =
+                  if (seen && pDoc != doc)
+                    Some(org.apache.spark.sql.Row(pDoc, pPos, doc, p))
+                  else None
+                pDoc = doc; pPos = p; seen = true
+                out
+              }
+            }, sch)
+          } else {
+            val ord = zipIdx(ordSorted, "i")
+              .select(col("doc_id"), col("p"), col("i"))
+            ord.as("x").join(ord.as("y"), col("x.i") + 1 === col("y.i"))
+              .where(col("x.doc_id") =!= col("y.doc_id"))
+              .select(col("x.doc_id").as("da"), col("x.p").as("pa"),
+                col("y.doc_id").as("db"), col("y.p").as("pb"))
+          }
+        val adj = adjBase
           .join(broadcast(nd.select(col("doc_id").as("da"), col("n").as("na"))), "da")
           .join(broadcast(nd.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
           .withColumn("ell", lit(0L))
         var pairs = Scoped.materializeRound(adj)
+        phase("adj")
         // the descent CHAINS unmaterialized: each level's frame is
         // consumed exactly once by the next (linear lineage, no
         // exponential re-execution), so the 2·K joins pipeline into
         // one job instead of K checkpointed rounds — the K round trips
-        // were pure latency at every scale
-        (levels ++ gramLevels).foreach { case (sp, lvl) =>
-          val la = lvl.select(col("doc_id").as("dak"), col("p").as("qa"),
-            col("r").as("ra"))
-          val lb = lvl.select(col("doc_id").as("dbk"), col("p").as("qb"),
-            col("r").as("rb"))
+        // were pure latency at every scale.
+        // When the closed subset is small enough (m ≤ 1M positions),
+        // additionally BROADCAST each level's rank table: the 2·K
+        // chained joins then run as BroadcastHashJoins in ONE
+        // whole-stage pipeline with ZERO shuffles, instead of 2·K
+        // sequential shuffle-exchange stages whose scheduling latency
+        // dominated the descent at small SF (measured round 16:
+        // descent ≈ 3.7 s of the 6.7 s calm total at sf0.1 with
+        // m ≈ 240k). Above the bound the shuffle path is unchanged —
+        // the broadcast is a size-gated execution choice, not an
+        // algorithm change.
+        val bcastLevels = m <= 1000000L
+        def side(df: DataFrame): DataFrame =
+          if (bcastLevels) broadcast(df) else df
+        // Rank-table descent only for spans ≥ TAIL_SPAN; both probe
+        // sides join the SAME un-renamed frame (alias-qualified), so
+        // the physical planner's ReuseExchange collapses the two
+        // broadcast builds per level into one. The invariant is the
+        // standard greedy one: before the level of span sp the
+        // remaining LCE is < 2·sp, after it < sp — so after the
+        // smallest rank level (span 32) the remainder is < 32 and is
+        // finished by ONE direct token comparison below (round 16;
+        // the {16, 8, 4, 2, 1} rank/gram levels were 10 more chained
+        // joins of pure latency, and the short-gram tables re-exploded
+        // the subset three times).
+        val TAIL_SPAN = 32L
+        levels.filter(_._1 >= TAIL_SPAN).foreach { case (sp, lvl) =>
+          val lv = side(lvl)
           pairs = pairs
-            .join(la, col("da") === col("dak")
-              && col("pa") + col("ell") === col("qa"), "left")
-            .join(lb, col("db") === col("dbk")
-              && col("pb") + col("ell") === col("qb"), "left")
-            .withColumn("ell2", when(col("ra").isNotNull && col("ra") === col("rb"),
-              col("ell") + least(lit(sp), col("na") - col("pa") - col("ell"),
-                col("nb") - col("pb") - col("ell"))).otherwise(col("ell")))
+            .join(lv.as("lva"), col("da") === col("lva.doc_id")
+              && col("pa") + col("ell") === col("lva.p"), "left")
+            .join(lv.as("lvb"), col("db") === col("lvb.doc_id")
+              && col("pb") + col("ell") === col("lvb.p"), "left")
+            .withColumn("ell2",
+              when(col("lva.r").isNotNull && col("lva.r") === col("lvb.r"),
+                col("ell") + least(lit(sp), col("na") - col("pa") - col("ell"),
+                  col("nb") - col("pb") - col("ell"))).otherwise(col("ell")))
             .select(col("da"), col("pa"), col("db"), col("pb"),
               col("na"), col("nb"), col("ell2").as("ell"))
         }
+        // Tail: the remaining < TAIL_SPAN tokens compared DIRECTLY
+        // against the subset token arrays — a bounded (TAIL_SPAN − 1)-
+        // element zip per pair, scale-independent work, replacing five
+        // chained join levels. Slices past a doc's end shorten or
+        // empty the operands, which reproduces the remainder-clamp
+        // (sentinel) semantics of the rank levels exactly.
+        val subW = side(sub.select(col("doc_id"), col("w")))
+        val tailLen = (TAIL_SPAN - 1).toInt
+        def tail(w: Column, pcol: Column): Column =
+          slice(w, (pcol + col("ell") + 1).cast("int"), lit(tailLen))
+        val zipped = zip_with(col("ta"), col("tb"),
+          (x, y) => x.isNotNull && y.isNotNull && x === y)
+        pairs = pairs
+          .join(subW.as("twa"), col("da") === col("twa.doc_id"), "left")
+          .join(subW.as("twb"), col("db") === col("twb.doc_id"), "left")
+          .withColumn("ta", tail(col("twa.w"), col("pa")))
+          .withColumn("tb", tail(col("twb.w"), col("pb")))
+          .withColumn("z", zipped)
+          .withColumn("hit", array_position(col("z"), lit(false)))
+          .withColumn("ell", col("ell") +
+            when(col("hit") === 0L, size(col("z")).cast("long"))
+              .otherwise(col("hit") - 1L))
+          .select(col("da"), col("pa"), col("db"), col("pb"),
+            col("na"), col("nb"), col("ell"))
         val best = pairs.select(col("da").as("doc_id"), col("ell"))
           .unionAll(pairs.select(col("db").as("doc_id"), col("ell"))) 
           .groupBy("doc_id").agg(max("ell").as("l3"))
@@ -918,14 +1063,39 @@ object Dedup {
         Scoped.releaseRound(pairs)
         res
       }
+      // the global position ranks fed gm (materialized) and the seed
+      // (materialized) — nothing below reads them
+      Scoped.releaseRound(ranked)
       docs.select(col("doc_id"), col("lang"))
         .join(gm, Seq("doc_id"), "left")
         .join(l3, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
-          when(col("g") === TOP, coalesce(col("l3"), lit(0L)))
-            .otherwise(coalesce(col("l2"), lit(0L))).as("l_exact"))
+          when(col("lmax") === TOP, coalesce(col("l3"), lit(0L)))
+            .otherwise(coalesce(col("lmax"), lit(0L))).as("l_exact"))
         .orderBy("doc_id")
     }
+  }
+
+  /** Number of fully-matched space-separated TOKENS in the common
+    * prefix of two space-joined keys. Tokens are [a-z0-9]+ (the
+    * tokens() alphabet), so every token byte > 0x20 and byte order on
+    * joined keys equals lexicographic token-sequence order; a token
+    * counts only when it matches whole — either both keys continue
+    * with the separator, or the exhausted key ends exactly at the
+    * token boundary (the truncated-tail-key case). */
+  private def tokenLcp(a: String, b: String): Long = {
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0L
+    val n = math.min(la, lb)
+    var i = 0; var cnt = 0L
+    while (i < n && a.charAt(i) == b.charAt(i)) {
+      if (a.charAt(i) == ' ') cnt += 1
+      i += 1
+    }
+    if (i == la && i == lb) cnt + 1
+    else if (i == la && b.charAt(i) == ' ') cnt + 1
+    else if (i == lb && a.charAt(i) == ' ') cnt + 1
+    else cnt
   }
 
   /** Order-preserving rank of rows GLOBALLY SORTED by `keys` (range
