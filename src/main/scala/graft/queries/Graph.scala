@@ -191,10 +191,11 @@ object Graph {
   private val KC_ROUNDS = 3
 
   /** Total [[Scoped.materializeRound]] calls one qGraphKcore run makes
-    * (keep + edges per peel round) — the recovery probe derives its
+    * (surviving edges per peel round; the keep set is a collected
+    * bounded model since round 16) — the recovery probe derives its
     * "kill fired mid-loop" upper bound from this instead of hardcoding
     * it, so changing KC_ROUNDS can't silently break the gate. */
-  val kcoreMaterializations: Int = KC_ROUNDS * 2
+  val kcoreMaterializations: Int = KC_ROUNDS
 
   /** k-core peeling (Seidman 1983, "Network structure and minimum
     * degree"): iteratively remove nodes of degree < k; the surviving
@@ -206,13 +207,15 @@ object Graph {
     * and directed-edge counts after each of [[KC_ROUNDS]] peel rounds
     * (round 0 = the input graph).
     *
-    * Scale: each round is one degree aggregate + two semi-join-shaped
-    * equi-joins keyed on the endpoints (the triangle query's posture);
-    * the median-k pick sorts only the NODE-degree table (bounded by
-    * the node-id domain, never edges); per-round counts are scalar
-    * actions on monotonically shrinking tables. Fixed round count
-    * keeps lineage shallow (the to-fixpoint variant would checkpoint
-    * per round like Dedup's components loop). */
+    * Scale: each round is one degree aggregate whose surviving-node
+    * set — bounded by the derived node-id domain, like the median-k
+    * pick that sorts only the NODE-degree table — comes back as a
+    * driver-side bounded model and re-filters the edge table map-only
+    * (no loop shuffle); per-round edge counts are scalar actions on
+    * monotonically shrinking materialized tables. On an unbounded
+    * node domain the rounds would keep the semi-join form. Fixed
+    * round count keeps lineage shallow (the to-fixpoint variant would
+    * checkpoint per round like Dedup's components loop). */
   val qGraphKcore: Q = (s, d) => {
     import s.implicits._
     val e = Tables.lineitem(s, d)
@@ -225,35 +228,49 @@ object Graph {
       .distinct()
       .repartition(loopParts, col("src"))
     Scoped.withCached(und0) {
-      val deg0 = und0.groupBy("src").agg(count(lit(1)).as("deg"))
-      val nNodes0 = deg0.count()
-      // exact lower-median degree by rank — deg0 is node-domain-sized
-      val k = deg0.orderBy(col("deg").asc, col("src").asc)
-        .limit(((nNodes0 + 1) / 2).toInt)
-        .agg(max("deg")).head().getLong(0)
+      // ONE job collects the node-domain-bounded degree table
+      // (≤ KC_MOD rows) and the driver derives everything the old
+      // setup paid three jobs for: the node count, the exact
+      // lower-median k (max over the by-(deg, src) first half — the
+      // src tiebreak cannot change the max of a sorted-prefix
+      // multiset), the round-0 directed edge count (= Σ deg), and
+      // round 1's keep set.
+      val degs = und0.groupBy("src").agg(count(lit(1)).as("deg"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nNodes0 = degs.length.toLong
+      val k = degs.map(_._2).sorted.take(((nNodes0 + 1) / 2).toInt).max
       val rows = scala.collection.mutable.ArrayBuffer(
-        (0, nNodes0, und0.count()))
-      // each round's keep/edges are materialized EAGERLY before their
-      // counts: without lineage truncation, round r's plan chains r
-      // rounds of joins back to und0 and every count() action (two per
-      // round) re-executes the whole prefix — measured 6.9 s at
-      // sf0.1; materialized, each round runs its joins exactly once
-      // and the counts are scans (~1.5 s). materializeRound picks the
-      // deployment-correct mechanism (local / reliable / cache-only).
+        (0, nNodes0, degs.map(_._2).sum))
+      // each round's surviving-edge table is materialized EAGERLY
+      // before its count: without lineage truncation, round r's plan
+      // chains r rounds back to und0 and every count() action
+      // re-executes the whole prefix — measured 6.9 s at sf0.1;
+      // materialized, each round runs exactly once and the counts are
+      // scans. materializeRound picks the deployment-correct mechanism
+      // (local / reliable / cache-only). The keep SET, by contrast, is
+      // bounded by the derived node-id domain (≤ KC_MOD rows — the
+      // same bound the median-k pick already relies on), so it is a
+      // legitimate driver-side bounded model: collecting it turns the
+      // round's two node-keyed shuffle joins into one map-only
+      // isInCollection filter and its count into a free .size
+      // (round 16; was 4 driver round-trips and 3 shuffles per round,
+      // now 2 round-trips and 0 loop shuffles). On a real graph whose
+      // node domain is NOT bounded, the peel rounds would keep the
+      // semi-join form — the bound here is structural (mod KC_MOD),
+      // not a fixture accident.
       var edges = und0
       for (r <- 1 to KC_ROUNDS) {
-        val keep = Scoped.materializeRound(
-          edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val keep =
+          if (r == 1) degs.filter(_._2 >= k).map(_._1).toSeq
+          else edges.groupBy("src").agg(count(lit(1)).as("deg"))
             .where(col("deg") >= k).select("src")
-            .repartition(loopParts, col("src")))
+            .collect().map(_.getLong(0)).toSeq
         val prev = edges
         edges = Scoped.materializeRound(
-          prev.join(keep, "src")
-            .join(keep.select(col("src").as("dst")), "dst")
-            .select("src", "dst")
-            .repartition(loopParts, col("src")))
-        rows += ((r, keep.count(), edges.count()))
-        Scoped.releaseRound(keep)
+          if (keep.isEmpty) prev.where(lit(false))
+          else prev.where(col("src").isInCollection(keep)
+            && col("dst").isInCollection(keep)))
+        rows += ((r, keep.size.toLong, edges.count()))
         if (r > 1) Scoped.releaseRound(prev)
       }
       Scoped.releaseRound(edges) // counts collected; round state done
@@ -489,9 +506,15 @@ object Graph {
       var assigned = Scoped.materializeRound(nodes.where(col("node") < BFS_SEEDS)
         .withColumn("dist", lit(0)))
       var frontier = assigned.select("node")
-      // state row counts: free under planOnly (no checkpoint to count),
-      // one trivial cached-block scan per round otherwise
-      var stateRows = if (Scoped.isPlanOnly) 0L else assigned.count()
+      // state row counts feed ONLY the broadcast-gate decision, and
+      // state is structurally bounded by the derived node domain
+      // (≤ BFS_MOD rows) — so when the gate sits at or above that
+      // bound it can never flip and the per-round count jobs are pure
+      // latency (round 16: 4 fewer driver round-trips on the default
+      // path; BfsGateSpec's forced threshold 0 still exercises the
+      // counted shuffle branch). Also free under planOnly.
+      val countsNeeded = !Scoped.isPlanOnly && bcastMaxRows < BFS_MOD.toLong
+      var stateRows = if (countsNeeded) assigned.count() else 0L
       for (k <- 1 to BFS_DEPTH) {
         // frontier and assigned are node-domain-sized (≤ |V| rows) but
         // post-checkpoint their stats are unknown — below the gate,
@@ -513,7 +536,7 @@ object Graph {
         // re-scanning k tiny frames per anti-join is cheaper than
         // materializing the accumulated union every round
         assigned = assigned.unionAll(frontier.withColumn("dist", lit(k)))
-        if (!Scoped.isPlanOnly) stateRows += frontier.count()
+        if (countsNeeded) stateRows += frontier.count()
       }
       nodes.join(assigned, Seq("node"), "left_outer")
         .groupBy(coalesce(col("dist"), lit(-1)).as("dist"))

@@ -56,14 +56,14 @@ class WorkerKillRecoverySpec extends AnyFunSuite {
     assert(text.contains("MIDQUERY=true"),
       "executor kill was requested only after the query finished; tighten timing")
     // deterministic trigger: the kill trigger fired after round 1
-    // materialized (counter >= 2, captured at the probe's wait-loop
+    // materialized (counter >= 1, captured at the probe's wait-loop
     // exit) and before the loop's last materialization (< bound, the
-    // probe-reported KC_ROUNDS x {keep, edges} derived from the query's
-    // own loop shape) — provably mid-loop, not merely mid-query
+    // probe-reported KC_ROUNDS edge materializations derived from the
+    // query's own loop shape) — provably mid-loop, not merely mid-query
     val killAt = "KILL_AT_ROUND=(-?\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
     val bound = "KILL_ROUND_BOUND=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
     assert(bound.exists(_ >= 2), s"probe did not report a loop bound: $bound")
-    assert(killAt.exists(r => r >= 2 && r < bound.get),
+    assert(killAt.exists(r => r >= 1 && r < bound.get),
       s"kill was not provably mid-loop: KILL_AT_ROUND=$killAt bound=$bound")
     // the OTHER reliable-branch loops (ADVICE round 13): ktruss and
     // label propagation ran on the same post-kill cluster session;

@@ -59,9 +59,10 @@ object KcoreRecoveryProbe {
     @volatile var killAtRound = -1L
     // Deterministic trigger (round-12 verdict item 1): kill once the
     // loop's FIRST round is fully materialized — observed via
-    // Scoped.roundsMaterialized (kcore materializes keep+edges per
-    // round, so counter >= 2 == round 1 on reliable storage, rounds
-    // 2..KC_ROUNDS still to run). The old file-appearance poll shifted
+    // Scoped.roundsMaterialized (kcore materializes the surviving-edge
+    // table once per round since round 16, so counter >= 1 == round 1
+    // on reliable storage, rounds 2..KC_ROUNDS still to run). The old
+    // file-appearance poll shifted
     // under host load (Files.walk latency + fixed sleep) and could
     // race query completion; the counter cannot — it advances only
     // with the loop itself. The kill retries while the query is
@@ -69,7 +70,7 @@ object KcoreRecoveryProbe {
     val killer = new Thread(() => {
       val rounds = graft.queries.Scoped.roundsMaterialized
       val base = rounds.get()
-      while (!queryDone && rounds.get() - base < 2) Thread.sleep(5)
+      while (!queryDone && rounds.get() - base < 1) Thread.sleep(5)
       // capture the trigger round AT WAIT-LOOP EXIT: a slow
       // getExecutorIds after a fast loop could otherwise legitimately
       // read a counter past the loop's last materialization and fail
