@@ -2377,7 +2377,92 @@ object Similarity {
         |  CAST(max(e) AS BIGINT) AS err_max
         |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2) u
         |GROUP BY stage ORDER BY stage""".stripMargin)
+    // ---- banded-LSH family: staged replay of bandedSqlCtes ------------
+    //
+    // Three scale rewrites vs the single-statement twin, none changing
+    // a value: (1) the md5 plane weights are hoisted into ONE flat
+    // list ordered by (j, d) — the inline form recomputes
+    // rows·bands·64 md5 calls PER VECTOR (~20e9 at the 10.56M-vector
+    // decade); hoisted, each weight is computed once and the signature
+    // lambda reads w[j·64 + d + 1], with the same multiply order and
+    // ascending-d list_sum, so every sign bit is bit-identical.
+    // (2) signatures, the candidate join, and the exact verify are
+    // EACH-sliced — signatures and verify by hash(vec_id)/hash(va),
+    // the candidate join by hash(band_id, bv), which partitions the
+    // equi-join key itself so each pair lands in exactly one slice
+    // per matching band; a pair matching in SEVERAL bands can land in
+    // several slices, so a global DISTINCT staging step follows.
+    // (3) the threshold filter moves inside the verify insert
+    // (subquery alias), bounding the staged pair table to the final
+    // result size.
+    def bandedStaged(modK: Int): Seq[String] = Seq(
+      "CREATE TEMP TABLE e AS SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        s"FROM embeddings WHERE vec_id % $modK = 0",
+      s"""CREATE TEMP TABLE rnb AS
+         |SELECT rr, (SELECT b FROM (VALUES $bandTableSql) btab(k, b)
+         |            WHERE btab.k = GREATEST(0, rr - $BAND_GROW_FROM)) AS nbands
+         |FROM (SELECT GREATEST($BAND_ROWS_MIN, LEAST($BAND_ROWS_HARD,
+         |    COALESCE((SELECT max(j) + 1 FROM range(0, 62) t(j)
+         |              WHERE (CAST(1 AS BIGINT) << j) < (SELECT count(*) FROM e)), 0)
+         |    - $BAND_TARGET_LOG)) AS rr) t""".stripMargin,
+      """CREATE TEMP TABLE pl AS SELECT list(w ORDER BY j, d) AS w FROM (
+        |  SELECT tj.j, td.d,
+        |    ((CAST(concat('0x', substr(md5(concat(tj.j, '_', td.d)), 1, 7)) AS BIGINT) % 2001 - 1000)
+        |      / 1000.0) AS w
+        |  FROM (SELECT unnest(range(0, nbands * rr)) AS j FROM rnb) tj,
+        |       (SELECT unnest(range(0, 64)) AS d) td) s""".stripMargin,
+      "CREATE TEMP TABLE gbits (vec_id BIGINT, bs INTEGER[])",
+      """EACH: INSERT INTO gbits
+        |SELECT vec_id, list_transform(range(0, nbands * rr), j ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), d ->
+        |      v[d + 1] * w[j * 64 + d + 1])) > 0
+        |    THEN 1 ELSE 0 END) AS bs
+        |FROM e, rnb, pl WHERE hash(vec_id) % {S} = {s}""".stripMargin,
+      """CREATE TEMP TABLE gbands AS SELECT vec_id, band_id,
+        |  list_sum(list_transform(range(0, rr), k ->
+        |    CASE WHEN bs[k * nbands + band_id + 1] = 1
+        |         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS bv
+        |FROM (SELECT vec_id, bs, unnest(range(0, nbands)) AS band_id
+        |      FROM gbits, rnb), rnb""".stripMargin,
+      "CREATE TEMP TABLE cand (va BIGINT, vb BIGINT)",
+      """EACH: INSERT INTO cand
+        |SELECT DISTINCT a.vec_id, b.vec_id FROM gbands a JOIN gbands b
+        |  ON a.band_id = b.band_id AND a.bv = b.bv AND a.vec_id < b.vec_id
+        |WHERE hash(a.band_id, a.bv) % {S} = {s}""".stripMargin,
+      "CREATE TEMP TABLE gcand AS SELECT DISTINCT va, vb FROM cand")
+    val embcosStaged = bandedStaged(5) ++ Seq(
+      "CREATE TEMP TABLE p (va BIGINT, vb BIGINT, cos DOUBLE)",
+      """EACH: INSERT INTO p SELECT va, vb, cos FROM (
+        |  SELECT c.va, c.vb,
+        |    round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
+        |  FROM gcand c JOIN e a ON c.va = a.vec_id JOIN e b ON c.vb = b.vec_id
+        |  WHERE hash(c.va) % {S} = {s}) t
+        |WHERE cos >= 0.35""".stripMargin,
+      "SELECT va, vb, cos FROM p ORDER BY va, vb")
+    val quantizedStaged = bandedStaged(7) ++ Seq(
+      """CREATE TEMP TABLE qz AS SELECT vec_id,
+        |  list_transform(v, x -> CAST(floor((x / maxabs) * 127.0) AS BIGINT)) AS q
+        |FROM (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e) m
+        |WHERE maxabs > 0""".stripMargin,
+      """CREATE TEMP TABLE nq AS SELECT vec_id, q,
+        |  list_sum(list_transform(q, x -> x * x)) AS qnorm FROM qz""".stripMargin,
+      "CREATE TEMP TABLE p (va BIGINT, vb BIGINT, qcos DOUBLE)",
+      """EACH: INSERT INTO p SELECT va, vb, qcos FROM (
+        |  SELECT c.va, c.vb,
+        |    round(CAST(list_sum(list_transform(range(1, 65),
+        |        i -> a.q[i] * b.q[i])) AS DOUBLE)
+        |      / (sqrt(CAST(a.qnorm AS DOUBLE)) * sqrt(CAST(b.qnorm AS DOUBLE))), 4) AS qcos
+        |  FROM gcand c JOIN nq a ON c.va = a.vec_id JOIN nq b ON c.vb = b.vec_id
+        |  WHERE hash(c.va) % {S} = {s}) t
+        |WHERE qcos >= 0.3""".stripMargin,
+      "SELECT va, vb, qcos FROM p ORDER BY va, vb")
     Map(
+      "q_dedup_embcos" -> (("hash", 8, embcosStaged)),
+      "q_ann_quantized" -> (("hash", 8, quantizedStaged)),
       "q_ann_pq_adc" -> (("hash", 1, pqCore(plainV) ++ Seq(plainAdc, top3Tail))),
       "q_ann_opq" -> (("hash", 1, pqCore(opqV) ++ Seq(plainAdc, top3Tail))),
       "q_ann_ivf_pq" -> (("hash", 1, pqCore(plainV) ++ ivfStages ++ Seq(top3Tail))),
