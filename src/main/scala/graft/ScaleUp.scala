@@ -27,28 +27,35 @@ import org.apache.spark.sql.functions._
   *    sessionization load scales in users, not time range — the
   *    realistic growth axis).
   *  - documents: doc_id offset; copies i>0 suffix EVERY alnum token
-  *    with `x<i>` (one regexp pass). A whole-doc suffix would leave
+  *    with `xl<level>c<i>` (one regexp pass; level = build depth, see
+  *    below). A whole-doc suffix would leave
   *    copies near-identical under minhash/simhash/shingle measures
   *    and fabricate ~100× near-dup pairs (measured: 43M minhash pairs
   *    at factor 10); per-token suffixing makes copy vocabularies
   *    disjoint, so near-dup structure exists only WITHIN a copy and
   *    every dedup/text workload scales linearly with rows. n_chars
-  *    recomputed. CAVEAT (measured, round 15): vocabulary
-  *    disjointness holds only for ONE-LEVEL builds. Scaling an
-  *    already-scaled fixture reuses suffixes — in sf1×16, outer copy
-  *    i's inner sub-copy 0 carries suffix `x<i>`, bit-identical to
-  *    outer copy 0's inner sub-copy i (verified: sf16d docs 5000+k ≡
-  *    50000+k), fabricating full-document cross-copy duplicates. The
-  *    engine handles them fine (q_dedup_suffix reports the full
-  *    length), but per-copy-sliced verification (sharded_check's
-  *    `copy` kind) is only valid on one-level fixtures — build those
-  *    with a single ScaleUp call from the base fixture (factor 160
-  *    documents-only ≈ the sf16d text volume).
+  *    recomputed. The LEVEL salt (round 16) extends disjointness to
+  *    COMPOSED builds: the pre-round-16 `x<i>` scheme reused suffixes
+  *    across levels, so scaling an already-scaled fixture fabricated
+  *    full-document cross-copy duplicates (verified: sf16d docs
+  *    5000+k ≡ 50000+k) and per-copy-sliced verification was valid on
+  *    one-level fixtures only. With level-salted suffixes every
+  *    (level, copy) path is unique and `copy`-kind slicing is valid on
+  *    composed fixtures as well. (Fixtures built BEFORE round 16 —
+  *    the /tmp/sf1 and /tmp/sf16d of record — keep the old scheme on
+  *    disk; regenerating them produces level-salted text with
+  *    different bytes but identical structure.)
   *  - embeddings: vec_id offset; copies i>0 rotate the vector by
-  *    i mod dim positions, composed (once i exceeds the dimension)
-  *    with a deterministic per-(cycle, position) sign flip — both are
+  *    i mod dim positions, composed for EVERY copy with a
+  *    deterministic per-(level, copy, position) sign flip — both are
   *    norm-preserving per-copy isometries, so ANN/near-dup bucket
-  *    densities grow linearly, not quadratically, at any factor.
+  *    densities grow linearly, not quadratically, at any factor, and
+  *    (round 16) composed builds cannot collide copy paths the way
+  *    pure rotations did (rot_j∘rot_i = rot_(i+j)).
+  *
+  *  Build level: resolved from the `scaleup_meta.json` sidecar each
+  *  build writes (source level + 1), falling back to the max
+  *  `xl<level>c` marker in the source documents, then to 1.
   *
   * All transforms are pure deterministic column expressions of a
   * deterministic fixture — repeated runs are bit-identical. Output is
@@ -60,24 +67,28 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
   /** SQL for copy i's embedding isometry over an `embedding` column of
-    * dimension `dim`: rotate by i mod dim positions; once i exceeds
-    * the dimension (rotation alone would repeat every dim copies, and
-    * a raw slice by i > dim is invalid — its length goes negative),
-    * compose with a deterministic per-(cycle, position) Rademacher
-    * sign flip. Both parts are per-copy isometries (norms and
-    * intra-copy distances unchanged) that break cross-copy
-    * correlation for ANY factor; copies with i < dim are
-    * bit-identical to the pure rotation, so fixtures built with
-    * factor <= dim are unchanged. */
-  private[graft] def embeddingCopyExpr(dim: Int, i: Int): String = {
-    val (rot, cyc) = (i % dim, i / dim)
+    * dimension `dim` at build level `lev`: rotate by i mod dim
+    * positions (a raw slice by i > dim is invalid — its length goes
+    * negative — hence the modulo), composed for EVERY copy i > 0 with
+    * a deterministic per-(level, copy, position) Rademacher sign
+    * flip. Both parts are per-copy isometries (norms and intra-copy
+    * distances unchanged). The flip being unconditional and
+    * level-keyed is what makes COMPOSED builds sound: with pure
+    * rotations (the pre-round-16 form, which flipped only past one
+    * full cycle), rot_j∘rot_i = rot_(i+j), so a recursive build
+    * fabricated bit-identical cross-copy vectors — outer copy j of
+    * inner copy 0 equals outer copy 0 of inner copy j (verified at
+    * sf16d). Distinct (level, copy) keys give composed paths distinct
+    * sign patterns, so no two copy paths coincide. */
+  private[graft] def embeddingCopyExpr(dim: Int, i: Int, lev: Int): String = {
+    val rot = i % dim
     val rotated =
       if (rot == 0) "embedding"
       else s"concat(slice(embedding, ${rot + 1}, size(embedding) - $rot), " +
            s"slice(embedding, 1, $rot))"
-    if (cyc == 0) rotated
+    if (i == 0) rotated
     else s"transform($rotated, (x, p) -> cast(x * (1 - 2 * " +
-         s"(conv(substr(md5(concat('$cyc', ':', p)), 1, 1), 16, 10) % 2)) as float))"
+         s"(conv(substr(md5(concat('e${lev}_$i', ':', p)), 1, 1), 16, 10) % 2)) as float))"
   }
 
   def main(args: Array[String]): Unit = {
@@ -168,12 +179,48 @@ object ScaleUp {
       "lineitem")
     write(scaled(events)((d, i) =>
       shift(d, i, "event_id" -> offE, "user_id" -> offU)), "events")
+    // BUILD LEVEL (round 16) — the salt that makes COMPOSED builds
+    // sound. The pre-round-16 schemes reused the same per-copy
+    // transform at every level, and a recursive build then fabricated
+    // cross-copy duplicates: outer copy i's inner sub-copy 0 was
+    // bit-identical to outer copy 0's inner sub-copy i, for documents
+    // (same `x<i>` token suffix; verified at sf16d: docs 5000+k ≡
+    // 50000+k) AND embeddings (pure rotations compose:
+    // rot_j∘rot_i = rot_(i+j)). Level resolution order: (1) the
+    // `scaleup_meta.json` sidecar a round-16+ build writes next to its
+    // parquet output (source level + 1 — works for any tables subset);
+    // (2) the max `xl<level>c` marker in the source documents + 1 (one
+    // full-scan aggregate of a table this build reads anyway — covers
+    // composed builds whose intermediate sidecar was lost); (3) level
+    // 1 (base fixtures, or pre-round-16 sources whose transforms the
+    // new level-1 keys cannot collide with anyway).
+    lazy val buildLevel: Int = {
+      val meta = new java.io.File(src, "scaleup_meta.json")
+      val fromSidecar =
+        if (!meta.isFile) None
+        else "\"level\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(scala.io.Source.fromFile(meta).mkString)
+          .map(_.group(1).toInt + 1)
+      fromSidecar.getOrElse {
+        if (!only.forall(_.contains("documents"))) 1
+        else {
+          val lvlRow = docs.agg(max(array_max(transform(
+            regexp_extract_all(col("text"), lit("xl(\\d+)c\\d+"), lit(1)),
+            x => x.cast("int"))))).head()
+          (if (lvlRow.isNullAt(0)) 0 else lvlRow.getInt(0)) + 1
+        }
+      }
+    }
+    // per-copy token suffix `xl<level>c<i>`: composed suffix chains
+    // (…xl1c3xl2c7) stay unique per (level, copy) path, so copy
+    // vocabularies are disjoint across levels and per-copy slicing
+    // (sharded_check's `copy` kind) is valid on composed fixtures too
     write(scaled(docs) { (d, i) =>
       val shifted = shift(d, i, "doc_id" -> offD)
       if (i == 0) shifted
       else shifted
         .withColumn("text",
-          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1x$i"))
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"$$1xl${buildLevel}c$i"))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
     // One aggregate proves the dimension is uniform (the rotation SQL
@@ -197,9 +244,15 @@ object ScaleUp {
       write(scaled(embs) { (d, i) =>
         val shifted = shift(d, i, "vec_id" -> offV)
         if (i == 0) shifted
-        else shifted.withColumn("embedding", expr(embeddingCopyExpr(dim, i)))
+        else shifted.withColumn("embedding",
+          expr(embeddingCopyExpr(dim, i, buildLevel)))
       }, "embeddings")
     }
+
+    // sidecar for the NEXT build's level resolution (rule 1 above)
+    val metaOut = new java.io.PrintWriter(new java.io.File(dest, "scaleup_meta.json"))
+    try metaOut.println(s"""{"level": $buildLevel, "factor": $factor}""")
+    finally metaOut.close()
 
     spark.stop()
   }
