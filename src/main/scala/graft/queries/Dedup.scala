@@ -1083,7 +1083,7 @@ object Dedup {
     * counts only when it matches whole — either both keys continue
     * with the separator, or the exhausted key ends exactly at the
     * token boundary (the truncated-tail-key case). */
-  private def tokenLcp(a: String, b: String): Long = {
+  private[graft] def tokenLcp(a: String, b: String): Long = {
     val la = a.length; val lb = b.length
     if (la == 0 || lb == 0) return 0L
     val n = math.min(la, lb)
