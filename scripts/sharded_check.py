@@ -116,6 +116,40 @@ def run_step(con, sql):
         done.set()
 
 
+# Frames above this row count skip the pandas canon() path (a
+# Python-level per-row loop — ~an hour and tens of GB at 1e8 rows) and
+# compare INSIDE DuckDB instead: column names, exact row counts, and an
+# order-independent multiset hash (sum over HUGEINT of hash(row) with
+# both frames normalized by the SAME expression — doubles rounded to
+# canon()'s 9 digits, integers widened to BIGINT, rest cast to
+# VARCHAR). Same-process, same normalization on both sides, so any
+# value drift still flips the hash.
+BIG_CMP = int(os.environ.get("GRAFT_BIGCMP_ROWS", "5000000"))
+
+
+def norm_exprs(con, rel):
+    d = con.execute(f"DESCRIBE {rel}").df()
+    pairs = sorted(zip(d["column_name"], d["column_type"]))
+    es = []
+    for cname, ctype in pairs:
+        t = ctype.upper()
+        if "DOUBLE" in t or "FLOAT" in t or "DECIMAL" in t:
+            es.append(f'round(CAST("{cname}" AS DOUBLE), 9)')
+        elif "INT" in t:
+            es.append(f'CAST("{cname}" AS BIGINT)')
+        else:
+            es.append(f'CAST("{cname}" AS VARCHAR)')
+    return ", ".join(es), [p[0] for p in pairs]
+
+
+def multiset_hash(con, rel):
+    expr, cols = norm_exprs(con, rel)
+    n, h = con.execute(
+        f"SELECT count(*), sum(CAST(hash({expr}) AS HUGEINT)) FROM {rel}"
+    ).fetchone()
+    return n, h, cols
+
+
 recipes = json.load(open(f"{out}/oracle_sharded.json"))
 names = sorted(n for n in recipes if only is None or n in only)
 n_ok = n_bad = 0
@@ -125,8 +159,13 @@ for name in names:
         print(f"FAIL  {name}: no engine dump", flush=True)
         n_bad += 1
         continue
-    got = pd.concat([pd.read_parquet(f) for f in sorted(files)],
-                    ignore_index=True)
+    eng_rows = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet(?)", [sorted(files)]).fetchone()[0]
+    big = eng_rows > BIG_CMP
+    got = None
+    if not big:
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                        ignore_index=True)
     rec = recipes[name]
     if rec.get("kind") == "copy":
         S = int(os.environ.get("GRAFT_COPIES", "1"))
@@ -156,18 +195,49 @@ for name in names:
                     print(f"      {name} step {idx} slice {s + 1}/{S} "
                           f"({time.time() - ts:.0f}s cum)", flush=True)
             else:
-                cur = run_step(con, step.replace("{S}", str(S)))
-                if last:
-                    exp = cur.df()
+                sql = step.replace("{S}", str(S))
+                if last and big:
+                    run_step(con, f"CREATE TEMP TABLE __final AS ({sql})")
+                    exp = "__final"
+                else:
+                    cur = run_step(con, sql)
+                    if last:
+                        exp = cur.df()
             print(f"      {name} step {idx} done in "
                   f"{time.time() - ts:.0f}s", flush=True)
+        if big:
+            # DuckDB-side compare (see BIG_CMP note above): engine dump
+            # as a view over its parquet files, same normalization
+            # expression on both relations, count + multiset hash.
+            flist = "[" + ", ".join(f"'{f}'" for f in sorted(files)) + "]"
+            con.execute(
+                f"CREATE VIEW __eng AS SELECT * FROM read_parquet({flist})")
+            en, eh, ecols = multiset_hash(con, "__eng")
+            on, oh, ocols = multiset_hash(con, "__final")
+            problems = []
+            if ecols != ocols:
+                problems.append(f"cols spark={ecols} duck={ocols}")
+            if en != on:
+                problems.append(f"rows spark={en} duck={on}")
+            if not problems and eh != oh:
+                problems.append(f"multiset hash mismatch ({eh} vs {oh})")
+            con.close()
+            if problems:
+                print(f"FAIL  {name}: " + "; ".join(problems), flush=True)
+                n_bad += 1
+            else:
+                print(f"OK    {name}: rows={en} "
+                      f"({time.time() - t0:.0f}s, {S} slices, duckdb-cmp)",
+                      flush=True)
+                n_ok += 1
+            continue
     except Exception as e:
         print(f"FAIL  {name}: step error: {e}", flush=True)
         n_bad += 1
         con.close()
         continue
     con.close()
-    if exp is None:
+    if exp is None or isinstance(exp, str):
         print(f"FAIL  {name}: recipe produced no expected frame", flush=True)
         n_bad += 1
         continue
