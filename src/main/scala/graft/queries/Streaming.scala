@@ -71,8 +71,9 @@ object Streaming {
     // the RocksDB read traffic for a metric the queries never read.
     // Progress reports numRowsTotal = -1 under this flag; the
     // multi-batch eviction gates run on the default provider and are
-    // unaffected.
-    s.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    // unaffected. Env-overridable for paired A/Bs.
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+      sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_TRACK_ROWS", "false"))
   }
 
   /** Scoped checkpoint root for a drained demo query: tmpfs when the
