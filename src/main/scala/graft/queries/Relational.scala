@@ -624,11 +624,79 @@ object Relational {
     * source count. Sources with fewer than K distinct elements fall
     * back to their exact count (θ = 1), per the estimator's law. */
   val qAggKmv: Q = (s, d) => {
-    val hh = Tables.documents(s, d)
+    // ONE corpus-scale shuffle: group the raw (source, h) stream by h,
+    // folding each h's source set into a LONG BITMASK with bit_or — a
+    // plain codegen HashAggregate with map-side partial combine (a
+    // collect_set formulation was A/B'd here and lost: Spark executes
+    // it as ObjectHashAggregate, whose sort-based fallback triggers at
+    // 128 distinct groups and turns the corpus pass into a per-
+    // partition sort). Everything downstream derives from the cached
+    // masks without touching the corpus again: unrolling the mask over
+    // the literal alphabet yields exactly the DISTINCT (source, h)
+    // pairs (the old plan paid a separate corpus-wide distinct), and
+    // the masks ARE the exact-intersection audit's input (the old plan
+    // paid a second full shuffle of the pairs to regroup by h).
+    //
+    // The alphabet collect is a driver-side BOUNDED model (the same
+    // contract the pair output already assumes: ≤C(S,2) rows) read
+    // from one dictionary-backed column scan; >62 sources falls back
+    // to the shuffle-per-phase distinct formulation, which has no
+    // alphabet-width limit.
+    val corpus = Tables.documents(s, d)
       .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("sh"))
       .select(col("source"), hash28(col("sh")).as("h"))
-      .distinct()
-    Scoped.withCached(hh) {
+    val srcs: Array[String] = Tables.documents(s, d)
+      .select("source").distinct().orderBy("source")
+      .collect().map(_.getString(0))
+    val useMask = srcs.nonEmpty && srcs.length <= 62 &&
+      !sys.env.get("SPARK_GRAFT_KMV_MASK").contains("0")
+    // the cached corpus digest: h → source bitmask on the fast path,
+    // distinct (source, h) pairs on the wide-alphabet fallback
+    val base: DataFrame =
+      if (useMask) {
+        // source → bit BEFORE the shingle explode: the map-literal
+        // lookup is a linear string scan over the alphabet, so it must
+        // run once per DOCUMENT, not once per shingle row
+        val bitMap = map(srcs.zipWithIndex.flatMap { case (n, i) =>
+          Seq(lit(n), lit(1L << i)) }: _*)
+        Tables.documents(s, d)
+          .select(element_at(bitMap, col("source")).as("bit"),
+            explode(shingles(tokens(col("text")), 3)).as("sh"))
+          .select(col("bit"), hash28(col("sh")).as("h"))
+          .groupBy("h").agg(bit_or(col("bit")).as("mask"))
+      } else corpus.distinct()
+    Scoped.withCached(base) {
+      // static unroll over the alphabet: S null-filtered whens per row
+      // (all inside whole-stage codegen; S ≤ 62 keeps janino far from
+      // the ~120-branch limit BandedSignature hit)
+      val hh: DataFrame =
+        if (useMask) {
+          val hitCols: Seq[Column] = srcs.zipWithIndex.map { case (n, i) =>
+            when(col("mask").bitwiseAND(lit(1L << i)) =!= 0L, lit(n)) }
+          base.select(col("h"),
+            explode(filter(array(hitCols: _*), x => x.isNotNull)).as("source"))
+        } else base
+      // shared-hash pairs for the exact audit: popcount-gate first
+      // (almost every h has one source), then the ≤C(S,2) static pair
+      // unroll on the small surviving subset
+      val exPairs: DataFrame =
+        if (useMask) {
+          val pairCols: Seq[Column] = (for {
+            i <- srcs.indices; j <- (i + 1) until srcs.length
+          } yield when(
+            col("mask").bitwiseAND(lit((1L << i) | (1L << j))) === lit((1L << i) | (1L << j)),
+            struct(lit(srcs(i)).as("src_a"), lit(srcs(j)).as("src_b")))).toSeq
+          base.where(bit_count(col("mask")) > 1)
+            .select(explode(filter(array(pairCols: _*), x => x.isNotNull)).as("p"))
+            .select(col("p.src_a"), col("p.src_b"))
+        } else base.groupBy("h")
+          .agg(sort_array(collect_set("source")).as("ss"))
+          .where(size(col("ss")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ss, (a, i) ->
+              |  transform(slice(ss, i + 2, size(ss)),
+              |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+          .select(col("p.src_a"), col("p.src_b"))
       val sk = hh
         .withColumn("rn", row_number().over(Window.partitionBy("source").orderBy("h")))
         .where(col("rn") <= KMV_K)
@@ -670,18 +738,10 @@ object Relational {
           .withColumn("est_union", when(col("ku") < KMV_K, col("ku") * 1000L)
             .otherwise(expr("((ku - 1) * 268435456 * 1000) div hu")))
           .withColumn("est_inter", expr("(matches * est_union) div ku"))
-        // exact audit: full hash-set intersection. One groupBy(h) with
-        // map-side combine + a ≤C(S,2) pair explode per shared hash —
-        // half the shuffle of the equivalent self-join (which ships hh
-        // twice); the pair space is the bounded source alphabet
-        val ex = hh.groupBy("h")
-          .agg(sort_array(collect_set("source")).as("ss"))
-          .where(size(col("ss")) > 1)
-          .select(explode(expr(
-            """flatten(transform(ss, (a, i) ->
-              |  transform(slice(ss, i + 2, size(ss)),
-              |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
-          .select(col("p.src_a"), col("p.src_b"))
+        // exact audit: full hash-set intersection, read STRAIGHT off
+        // the cached corpus digest (zero additional corpus shuffle);
+        // the pair space is the bounded source alphabet
+        val ex = exPairs
           .groupBy("src_a", "src_b").agg(count(lit(1)).as("exact_inter"))
         pairs.join(un, Seq("src_a", "src_b"))
           .join(ex, Seq("src_a", "src_b"), "left")
