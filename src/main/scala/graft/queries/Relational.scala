@@ -623,7 +623,14 @@ object Relational {
     * per-key fan-out of the exact hash self-join is bounded by the
     * source count. Sources with fewer than K distinct elements fall
     * back to their exact count (θ = 1), per the estimator's law. */
-  val qAggKmv: Q = (s, d) => {
+  val qAggKmv: Q = (s, d) => kmvImpl(s, d, forceMask = None)
+
+  /** [[qAggKmv]] body; `forceMask` pins the corpus-pass formulation so
+    * the spec can assert bitmask ≡ distinct frame equality (the
+    * wide-alphabet fallback is otherwise never exercised by the gate —
+    * every fixture's alphabet fits 62 bits). */
+  private[graft] def kmvImpl(s: SparkSession, d: String,
+      forceMask: Option[Boolean]): DataFrame = {
     // ONE corpus-scale shuffle: group the raw (source, h) stream by h,
     // folding each h's source set into a LONG BITMASK with bit_or — a
     // plain codegen HashAggregate with map-side partial combine (a
@@ -648,8 +655,10 @@ object Relational {
     val srcs: Array[String] = Tables.documents(s, d)
       .select("source").distinct().orderBy("source")
       .collect().map(_.getString(0))
-    val useMask = srcs.nonEmpty && srcs.length <= 62 &&
-      !sys.env.get("SPARK_GRAFT_KMV_MASK").contains("0")
+    val useMask = forceMask.getOrElse(srcs.nonEmpty && srcs.length <= 62 &&
+      !sys.env.get("SPARK_GRAFT_KMV_MASK").contains("0"))
+    require(!(useMask && (srcs.isEmpty || srcs.length > 62)),
+      s"bitmask path forced but alphabet has ${srcs.length} sources")
     // the cached corpus digest: h → source bitmask on the fast path,
     // distinct (source, h) pairs on the wide-alphabet fallback
     val base: DataFrame =

@@ -56,4 +56,17 @@ class Round16OpsSpec extends AnyFunSuite with PropSupport {
       assert((sa < sb) == seqLt(a, b) || sa == sb, s"order($sa, $sb)")
     }
   }
+
+  test("q_agg_kmv: bitmask corpus pass equals the distinct-pair fallback") {
+    // the gate only ever exercises the path the fixture's alphabet
+    // selects (every fixture fits 62 bits → bitmask); this pins the
+    // wide-alphabet fallback to the same frame
+    val spark = SparkSessionTestWrapper.spark
+    val sf = "/root/testdata/sf0.001"
+    val mask = queries.Relational.kmvImpl(spark, sf, forceMask = Some(true))
+      .collect().map(_.toSeq).toSeq
+    val dist = queries.Relational.kmvImpl(spark, sf, forceMask = Some(false))
+      .collect().map(_.toSeq).toSeq
+    assert(mask.nonEmpty && mask == dist)
+  }
 }
