@@ -15,7 +15,13 @@ object Streaming {
 
   /** The state store creates `shuffle.partitions` state partitions per
     * stateful operator; at demo volumes 32 partitions are pure overhead
-    * (2 measured fastest — 1 and 4 both worse). Rather than flipping the
+    * (2 measured fastest — 1 and 4 both worse; re-measured round 16 on
+    * the 6-query join/dedup/topk family: 2 → 20.4 s, 4 → 24.0, 8 →
+    * 27.3 — per-batch state-commit overhead scales with partitions and
+    * swamps the extra parallelism at these volumes, so the env
+    * override below exists for DEPLOYMENTS whose per-batch volume
+    * warrants more state partitions, not for the bench). Rather than
+    * flipping the
     * session-global conf (which a CONCURRENT batch query on the shared
     * session would observe), each streaming query runs on its own child
     * session from `newSession()`: shared SparkContext and cached data,
@@ -26,7 +32,8 @@ object Streaming {
     * a few conf maps, collected with the reference. */
   private def onStreamSession[T](parent: SparkSession)(body: SparkSession => T): T = {
     val s = parent.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2"))
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // State-store provider switch (measured round 10 at sf1, calm
     // calib 0.38 both runs): RocksDB costs 1.2-1.8x vs the default
