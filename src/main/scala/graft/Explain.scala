@@ -21,8 +21,15 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+      // planOnly: bypass Scoped's eager checkpoint so the REAL operator
+      // tree is printed — otherwise every withCached query explains as
+      // a one-line `Scan ExistingRDD` checkpoint stub (round-16
+      // optimization round; same recipe as PlanPeek). Loop queries
+      // whose round structure lives in driver code still execute their
+      // per-round actions during construction.
+      try graft.queries.Scoped.planOnly {
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      } catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
     }
     spark.stop()
   }
