@@ -661,7 +661,7 @@ object Relational {
       s"bitmask path forced but alphabet has ${srcs.length} sources")
     // the cached corpus digest: h → source bitmask on the fast path,
     // distinct (source, h) pairs on the wide-alphabet fallback
-    val base: DataFrame =
+    val digest: DataFrame =
       if (useMask) {
         // source → bit BEFORE the shingle explode: the map-literal
         // lookup is a linear string scan over the alphabet, so it must
@@ -674,6 +674,28 @@ object Relational {
           .select(col("bit"), hash28(col("sh")).as("h"))
           .groupBy("h").agg(bit_or(col("bit")).as("mask"))
       } else corpus.distinct()
+    // Digest-parallelism floor (optimization round 16, guide §2.2/§2.5
+    // caveat): AQE right-sizes the digest exchange by BYTES, but every
+    // downstream pass over it is CPU-per-ROW-heavy (the S-way when
+    // unroll, the popcount pair expansion, the per-source bottom-K) —
+    // at bench SF the ~375 KB digest coalesces to ONE partition and
+    // those passes ran as sequential single-task jobs (JobProbe: 0.42 s
+    // + 1.09 s single-task stages). Gated on the SOURCE scan's
+    // partition count, the same scale proxy as Tables.spread: a corpus
+    // whose scan already feeds the cores produces a digest AQE keeps
+    // wide, so the extra tiny exchange exists only where the collapse
+    // does. A bare `digest.repartition(p, h)` is ELIDED by
+    // EnsureRequirements (the aggregate's pre-AQE output partitioning
+    // is already hash(h, p), so the requested shuffle looks redundant —
+    // and AQE then coalesces the agg exchange at runtime anyway), so
+    // the digest is materialized first: the checkpoint's unknown
+    // partitioning makes the repartition real, and it doubles as the
+    // lineage cut the cache scope would otherwise carry.
+    val base: DataFrame =
+      if (Tables.documents(s, d).rdd.getNumPartitions >=
+          s.sparkContext.defaultParallelism) digest
+      else Scoped.materializeRound(digest)
+        .repartition(s.sparkContext.defaultParallelism, col("h"))
     Scoped.withCached(base) {
       // static unroll over the alphabet: S null-filtered whens per row
       // (all inside whole-stage codegen; S ≤ 62 keeps janino far from

@@ -1659,7 +1659,11 @@ object Similarity {
     * as LSH caps band buckets. The dot product is a co-partitioned
     * 3-way join keyed on (doc, term) against the same TF table. */
   val qSimSparse: Q = (s, d) => {
-    val tf = Tables.documents(s, d)
+    // scan-parallelism floor (Tables.spread scaladoc): the tokenize +
+    // per-doc TF aggregate is the query's CPU bulk and the fixture
+    // scan is one row group — measured 1.50 → 0.89 s in the round-16
+    // same-window A/B; a no-op once the input has ≥ cores splits
+    val tf = Tables.spread(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     Scoped.withCached(tf) {

@@ -822,7 +822,12 @@ object TextAnalysis {
     * map-side-combined pair counting — at 100 TB the pair space stays
     * |F1|²-bounded regardless of corpus size. */
   val qTextItemsets: Q = (s, d) => {
-    val items = Tables.documents(s, d)
+    // scan-parallelism floor (Tables.spread scaladoc): the cached raw
+    // bigram explode otherwise inherits the fixture's one-row-group
+    // scan and every downstream stage over it runs single-task —
+    // measured 1.76 → 1.26 s in the round-16 same-window A/B; a no-op
+    // once the input has ≥ cores splits
+    val items = Tables.spread(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("item"))
     Scoped.withCached(items) {
       val n = items.agg(countDistinct("doc_id").as("n_docs"))
