@@ -674,28 +674,17 @@ object Relational {
           .select(col("bit"), hash28(col("sh")).as("h"))
           .groupBy("h").agg(bit_or(col("bit")).as("mask"))
       } else corpus.distinct()
-    // Digest-parallelism floor (optimization round 16, guide §2.2/§2.5
-    // caveat): AQE right-sizes the digest exchange by BYTES, but every
-    // downstream pass over it is CPU-per-ROW-heavy (the S-way when
-    // unroll, the popcount pair expansion, the per-source bottom-K) —
-    // at bench SF the ~375 KB digest coalesces to ONE partition and
-    // those passes ran as sequential single-task jobs (JobProbe: 0.42 s
-    // + 1.09 s single-task stages). Gated on the SOURCE scan's
-    // partition count, the same scale proxy as Tables.spread: a corpus
-    // whose scan already feeds the cores produces a digest AQE keeps
-    // wide, so the extra tiny exchange exists only where the collapse
-    // does. A bare `digest.repartition(p, h)` is ELIDED by
-    // EnsureRequirements (the aggregate's pre-AQE output partitioning
-    // is already hash(h, p), so the requested shuffle looks redundant —
-    // and AQE then coalesces the agg exchange at runtime anyway), so
-    // the digest is materialized first: the checkpoint's unknown
-    // partitioning makes the repartition real, and it doubles as the
-    // lineage cut the cache scope would otherwise carry.
-    val base: DataFrame =
-      if (Tables.documents(s, d).rdd.getNumPartitions >=
-          s.sparkContext.defaultParallelism) digest
-      else Scoped.materializeRound(digest)
-        .repartition(s.sparkContext.defaultParallelism, col("h"))
+    // A digest-parallelism floor (materializeRound + repartition(p, h)
+    // of the ~375 KB digest so its CPU-heavy downstream passes don't
+    // run single-task after AQE coalesces the tiny exchange) was
+    // attempted here in optimization round 16 and REJECTED by an
+    // interleaved same-window A/B at sf0.1 (floor ON 3.42/4.02 s vs
+    // OFF 3.15/3.05 s, calib 0.38 all four legs): the extra
+    // materialization job + 32-task stage scheduling costs more than
+    // the widened passes save — the digest's downstream consumers are
+    // each one cheap scan of ≤2^28-hash rows, unlike the sim_sparse /
+    // text_itemsets explode frames where Tables.spread measured a win.
+    val base: DataFrame = digest
     Scoped.withCached(base) {
       // static unroll over the alphabet: S null-filtered whens per row
       // (all inside whole-stage codegen; S ≤ 62 keeps janino far from
