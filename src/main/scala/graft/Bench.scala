@@ -24,6 +24,8 @@ object Bench {
       // All entrypoints share Tables.normalizeTs's documented assumption
       // that the session zone is UTC (epoch-preserving NTZ→TZ cast).
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

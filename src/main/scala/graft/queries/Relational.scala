@@ -674,16 +674,19 @@ object Relational {
           .select(col("bit"), hash28(col("sh")).as("h"))
           .groupBy("h").agg(bit_or(col("bit")).as("mask"))
       } else corpus.distinct()
-    // A digest-parallelism floor (materializeRound + repartition(p, h)
-    // of the ~375 KB digest so its CPU-heavy downstream passes don't
-    // run single-task after AQE coalesces the tiny exchange) was
-    // attempted here in optimization round 16 and REJECTED by an
-    // interleaved same-window A/B at sf0.1 (floor ON 3.42/4.02 s vs
-    // OFF 3.15/3.05 s, calib 0.38 all four legs): the extra
-    // materialization job + 32-task stage scheduling costs more than
-    // the widened passes save — the digest's downstream consumers are
-    // each one cheap scan of ≤2^28-hash rows, unlike the sim_sparse /
-    // text_itemsets explode frames where Tables.spread measured a win.
+    // A digest-parallelism floor was attempted TWICE in optimization
+    // round 16 and rejected by interleaved same-window A/Bs at sf0.1:
+    // (a) materializeRound + repartition(p, h): ON 3.42/4.02 s vs OFF
+    // 3.15/3.05 s — the checkpoint write plus an extra pass cost more
+    // than the widened passes saved; (b) a plain non-elidable
+    // repartition(p, h, mask) (REPARTITION_BY_NUM, so AQE cannot
+    // re-coalesce it): ON 3.59/3.65 s vs OFF 3.35/2.85 s. A global
+    // AQE coalescing floor (minPartitionSize 1m → 64k) DID take kmv
+    // 2.98 → 2.36/2.62 s by widening every exchange at once, but lost
+    // its 16-query A/B overall (q_quality_kn_tri 2.14 → 3.4 s,
+    // q_dedup_suffix 3.58 → 4.8 s) — recorded in OPTIMIZATION_r16.md;
+    // the env knob (SPARK_GRAFT_MIN_PART_SIZE) stays for deployments
+    // whose shuffles are CPU-bound rather than latency-bound.
     val base: DataFrame = digest
     Scoped.withCached(base) {
       // static unroll over the alphabet: S null-filtered whens per row
