@@ -58,7 +58,38 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // PARALLEL-throughput anchor (optimization round 16): a calm
+    // single-thread calib can coexist with heavy multi-core steal — a
+    // neighbor using 24 of 32 cores leaves one thread at full speed
+    // while every 32-task stage runs at a fraction of its parallel
+    // throughput (observed: calib 0.39 < floor with per-query minima
+    // +19% median vs the calm baseline, same tree). Eight concurrent
+    // copies of the same spin measure the MEAN per-thread time: on a
+    // calm host it tracks the single-thread constant (all threads get
+    // their own core); under parallel steal it inflates in proportion.
+    // Reported alongside the single-thread pair, never replacing it —
+    // the calm-host constant and all historical comparisons stand.
+    def calibrateMt(): Double = {
+      val n = math.min(8, Runtime.getRuntime.availableProcessors)
+      val times = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val ts = (1 to n).map { _ =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L; var s = 0L; var i = 0
+          val t0 = System.nanoTime()
+          while (i < 200000000) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; s += x; i += 1
+          }
+          if (s == 42L) print("")
+          times.add((System.nanoTime() - t0) / 1e9); ()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val xs = times.asScala.toSeq
+      xs.sum / xs.size
+    }
     val calibPre = calibrate()
+    val calibMtPre = calibrateMt()
 
     // Optional comma-separated name filter (local iteration aid — the
     // driver always benches the full inventory).
@@ -155,6 +186,7 @@ object Bench {
     // the spin proportionally, so artifacts from different rounds stay
     // comparable regardless of when the host was busy.
     val calibPost = calibrate()
+    val calibMtPost = calibrateMt()
     // Sustained-mild-steal recovery (round 16): the round-15 driver
     // artifact ran at calib 0.433/0.435 — under the 1.1x contended bar
     // yet ~6% sustained steal, which per-query spread cannot see (all
@@ -241,7 +273,7 @@ object Bench {
       s"\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
     val calibEndsJson = calibEnds.mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","loop":"$loopMode","spread_median":$spreadMedian,"ambient_jitter":$spreadMedian,"contended":$contended,"calib_sec":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_ends":$calibEndsJson,"mild_retries":$mildRetries,"calib_floor":$calibFloor,"calib_contended":$calibContended,"queries":$qsFull,"passes":$allPasses,"spreads":$allSpreads,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$agg","loop":"$loopMode","spread_median":$spreadMedian,"ambient_jitter":$spreadMedian,"contended":$contended,"calib_sec":$calib,"calib_pre":$calibPre,"calib_post":$calibPost,"calib_mt_pre":$calibMtPre,"calib_mt_post":$calibMtPost,"calib_ends":$calibEndsJson,"mild_retries":$mildRetries,"calib_floor":$calibFloor,"calib_contended":$calibContended,"queries":$qsFull,"passes":$allPasses,"spreads":$allSpreads,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -261,7 +293,7 @@ object Bench {
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val sp = noisy.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","loop":"$loopMode","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"ambient_jitter":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"calib_pre":${fmt(calibPre, 3)},"calib_post":${fmt(calibPost, 3)},"mild_retries":$mildRetries,"calib_floor":$calibFloor,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","agg":"$agg","loop":"$loopMode","n_queries":${results.size},"spread_median":${fmt(spreadMedian, 2)},"ambient_jitter":${fmt(spreadMedian, 2)},"contended":$contended,"calib_sec":${fmt(calib, 3)},"calib_pre":${fmt(calibPre, 3)},"calib_post":${fmt(calibPost, 3)},"calib_mt_pre":${fmt(calibMtPre, 3)},"calib_mt_post":${fmt(calibMtPost, 3)},"mild_retries":$mildRetries,"calib_floor":$calibFloor,"queries":$qs$omit,"spread_noisy":$sp,"queries_full":"$outPath","sf":"$sfDir"}"""
     }
     val bySlowest = results.sortBy(-_._2)
     val candidates =
