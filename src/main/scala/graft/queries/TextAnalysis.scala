@@ -822,12 +822,18 @@ object TextAnalysis {
     * map-side-combined pair counting — at 100 TB the pair space stays
     * |F1|²-bounded regardless of corpus size. */
   val qTextItemsets: Q = (s, d) => {
-    // scan-parallelism floor (Tables.spread scaladoc): the cached raw
-    // bigram explode otherwise inherits the fixture's one-row-group
-    // scan and every downstream stage over it runs single-task —
-    // measured 1.76 → 1.26 s in the round-16 same-window A/B; a no-op
-    // once the input has ≥ cores splits
-    val items = Tables.spread(Tables.documents(s, d), "doc_id")
+    // A Tables.spread scan-parallelism floor was applied here in
+    // optimization round 16 and REVERTED after full-inventory-context
+    // measurement: focused A/Bs showed 1.76 → 1.26 s, but in every
+    // full-235 bench pass (9 passes across 3 runs) the spread plan
+    // read 3.2–6.5 s vs 1.9–2.6 s without — the co-partitioned
+    // SortMergeJoin the spread induces degrades under the full run's
+    // block-manager/memory pressure, while the broadcast self-join
+    // form is immune. The isolated win does not survive the context
+    // the artifact is scored in. (sim_sparse's spread wins in BOTH
+    // contexts and stays.) At real scale the scan is wide on its own
+    // and the broadcast threshold picks the join strategy either way.
+    val items = Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("item"))
     Scoped.withCached(items) {
       val n = items.agg(countDistinct("doc_id").as("n_docs"))
