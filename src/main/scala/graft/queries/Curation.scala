@@ -345,6 +345,18 @@ object Curation {
   private val KN_TOPK = 10
   private val KN_D = 0.75 // the standard absolute discount
 
+  /** Join posture for the KN scorers' WORD-keyed statistics tables
+    * (one row per distinct word — Heaps-law vocabulary growth, the
+    * same boundedness the model already assumes when it broadcasts
+    * its count-of-counts row): broadcast, so the n-gram model stream
+    * skips a full re-shuffle per statistic. The N-GRAM-keyed tables
+    * (ctx/cont — corpus-scale) stay shuffle_hash. Env-gated to the
+    * shuffle form for same-binary A/Bs and for deployments whose
+    * vocabulary outgrows executor memory. */
+  private def knPerWord(df: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_KN_BCAST").contains("0")) df.hint("shuffle_hash")
+    else broadcast(df)
+
   /** Interpolated Kneser-Ney bigram scoring — the smoothing the real
     * CCNet pipeline's KenLM actually uses (Kneser & Ney 1995; Chen &
     * Goodman 1999 establish interpolated KN as the best-performing
@@ -397,8 +409,10 @@ object Curation {
     val right = cb.groupBy(col("w2").as("u2")).agg(count(lit(1)).as("n1r"))
     val nTypes = cb.agg(count(lit(1)).as("nt"))
     val model = cb
-      .join(left.hint("shuffle_hash"), col("w1") === col("u1"))
-      .join(right.hint("shuffle_hash"), col("w2") === col("u2"))
+      // left/right are WORD-keyed (vocab-scale) statistics — same
+      // broadcast posture as the trigram scorer's mid/uni (knPerWord)
+      .join(knPerWord(left), col("w1") === col("u1"))
+      .join(knPerWord(right), col("w2") === col("u2"))
       .crossJoin(broadcast(nTypes))
       .withColumn("p",
         (greatest(col("cbg").cast("double") - KN_D, lit(0.0))
@@ -471,8 +485,10 @@ object Curation {
       when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
     val y = ratio(col("n1"), col("n1") + col("n2") * 2)
     val model = cb
-      .join(left.hint("shuffle_hash"), col("w1") === col("u1"))
-      .join(right.hint("shuffle_hash"), col("w2") === col("u2"))
+      // left/right are WORD-keyed (vocab-scale) statistics — same
+      // broadcast posture as the trigram scorer's mid/uni (knPerWord)
+      .join(knPerWord(left), col("w1") === col("u1"))
+      .join(knPerWord(right), col("w2") === col("u2"))
       .crossJoin(broadcast(cc))
       // clamped at 0: a degenerate count-of-counts profile (n₃ > n₂ on
       // small/duplicated corpora) can push the raw D₂/D₃ negative,
@@ -568,13 +584,22 @@ object Curation {
       .agg(sum("n23").cast("long").as("n2mid"), count(lit(1)).as("nw2dot"))
     val uni = cont.groupBy(col("v3").as("q3")).agg(count(lit(1)).as("ndw3"))
     val nPairs = cont.agg(count(lit(1)).as("np"))
+    // join strategy split (optimization round 17, guide §3.1): ctx and
+    // cont are N-GRAM-scale tables (one row per distinct context /
+    // continuation pair — they grow with the corpus like ct itself) so
+    // they must stay shuffle joins; mid and uni are WORD-scale (one
+    // row per distinct w2 / w3 — Heaps-law vocabulary growth, the same
+    // bound the KN model itself assumes when it broadcasts the
+    // count-of-counts row), so broadcasting them removes two full
+    // re-shuffles of the trigram model stream (the w2 and w3
+    // exchanges) from the four-join chain.
     val model = ct
       .join(ctx.hint("shuffle_hash"),
         col("w1") === col("x1") && col("w2") === col("x2"))
       .join(cont.hint("shuffle_hash"),
         col("w2") === col("v2") && col("w3") === col("v3"))
-      .join(mid.hint("shuffle_hash"), col("w2") === col("m2"))
-      .join(uni.hint("shuffle_hash"), col("w3") === col("q3"))
+      .join(knPerWord(mid), col("w2") === col("m2"))
+      .join(knPerWord(uni), col("w3") === col("q3"))
       .crossJoin(broadcast(nPairs))
       .withColumn("pcont", col("ndw3").cast("double") / col("np").cast("double"))
       .withColumn("pmid",

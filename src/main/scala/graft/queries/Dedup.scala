@@ -160,9 +160,24 @@ object Dedup {
     * on doc_id. Nothing is ever all-pairs and nothing collects. */
   val qDedupPrefixJoin: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val sh = Tables.documents(s, d)
+    // A per-query AQE coalescing floor (Scoped.coalesceFloorSession)
+    // was A/B'd here too: it widened the two 5-task candidate/verify
+    // stages to 32 tasks but their summed task time grew ~7x (25.2 s vs
+    // 3.4 s) at wall parity — the probe stages are memory-bound, so
+    // extra concurrency just burns CPU. Floor NOT applied here.
+    // Optimization round 17 (guide §2.2/§2.4, JobProbe-attributed):
+    //  - `Tables.spread` parallelizes the tokenize+shingle pass and —
+    //    the dominant cost — the candidate/verification joins that
+    //    stream the cached shingle table (two single-task 1.2–1.5 s
+    //    broadcast-join probe stages over the one-partition cache);
+    //    a structural no-op once the scan has >= cores splits.
+    //  - `Scoped.withMaterialized` builds the shared shingle frame
+    //    ONCE: the lazy `.cache()` let AQE's concurrent broadcast
+    //    builds re-run the scan+explode eight times (~240 ms each)
+    //    before the first writer populated the cache.
+    val shRaw = Tables.spread(Tables.documents(s, d), "doc_id")
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("s"))
-    Scoped.withCached(sh) {
+    Scoped.withMaterialized(shRaw) { sh =>
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
       val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
       val prefix = sh.join(dfc, "s").join(cnt, "doc_id")

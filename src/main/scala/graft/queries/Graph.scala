@@ -108,32 +108,45 @@ object Graph {
     // the oriented edge table is read three times (both wedge sides +
     // the closing semi-join) — cached alongside its inputs so the
     // band/verify joins run once, not three times
-    val o = edges
+    val oRaw = edges
       .join(deg.select(col("v").as("da"), col("deg").as("dega")), "da")
       .join(deg.select(col("v").as("db"), col("deg").as("degb")), "db")
       .select(when(aFirst, col("da")).otherwise(col("db")).as("src"),
         when(aFirst, col("db")).otherwise(col("da")).as("dst"),
         when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
-    Scoped.withCached(sig, edges, o) {
-      val wedges = o.select(col("src"), col("dst").as("v1"), col("ddeg").as("d1"))
-        .join(o.select(col("src"), col("dst").as("v2"), col("ddeg").as("d2")), Seq("src"))
-        .where(col("d1") < col("d2") ||
-          (col("d1") === col("d2") && col("v1") < col("v2")))
-        .select("src", "v1", "v2")
-      val nTri = wedges
-        .join(o.select(col("src").as("v1"), col("dst").as("v2")),
-          Seq("v1", "v2"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      edges.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
-          sum(col("deg") * (col("deg") - 1)).as("w2")))
-        .crossJoin(nTri)
-        .select(col("n_nodes"), col("n_edges"),
-          expr("w2 div 2").as("n_wedges"), col("n_triangles"),
-          when(col("w2") > 0,
-            round(lit(6.0) * col("n_triangles") / col("w2"), 4))
-            .otherwise(lit(null).cast("double")).as("clustering"))
-    }
+    // Optimization round 17 (guide §2.4/§5, the round-16 verdict's
+    // "build sig/edges/o in one materialization"): sig/edges are
+    // cached ONLY while the oriented edge table materializes (one
+    // eager build — the lazy three-frame cache let AQE's concurrent
+    // subtree builds replay the band/verify joins), and every
+    // downstream statistic derives from that one table: the edge
+    // count is |o| (orientation is a bijection on edges), and the
+    // degree table is recomputed from o's endpoints — same multiset
+    // as the edges' endpoints — which costs one tiny aggregate on a
+    // materialized input instead of keeping two more corpus-lineage
+    // caches alive through the whole query.
+    val oM = Scoped.withCached(sig, edges)(oRaw)
+    val degO = oM.select(col("src").as("v"))
+      .unionAll(oM.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = oM.select(col("src"), col("dst").as("v1"), col("ddeg").as("d1"))
+      .join(oM.select(col("src"), col("dst").as("v2"), col("ddeg").as("d2")), Seq("src"))
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+      .select("src", "v1", "v2")
+    val nTri = wedges
+      .join(oM.select(col("src").as("v1"), col("dst").as("v2")),
+        Seq("v1", "v2"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    oM.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(degO.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg") * (col("deg") - 1)).as("w2")))
+      .crossJoin(nTri)
+      .select(col("n_nodes"), col("n_edges"),
+        expr("w2 div 2").as("n_wedges"), col("n_triangles"),
+        when(col("w2") > 0,
+          round(lit(6.0) * col("n_triangles") / col("w2"), 4))
+          .otherwise(lit(null).cast("double")).as("clustering"))
   }
 
   private val LP_ITERS = 3
@@ -493,6 +506,14 @@ object Graph {
     * hash-gated against the oracle (BfsGateSpec forces the shuffle
     * branch at threshold 0). */
   def bfsProfile(s: SparkSession, d: String, bcastMaxRows: Long): DataFrame = {
+    // Narrowing the node ids to INT (guide §2.3 "narrower types") was
+    // measured in optimization round 17 and REJECTED: Spark's shuffle
+    // rows are UnsafeRows whose fixed-width fields occupy 8-byte slots
+    // regardless of declared width, so the edge shuffle measured
+    // byte-identical (9613K vs 9615K in JobProbe) and the interleaved
+    // A/B read parity-to-noise. The "halve the column" lever applies
+    // to strings->ints or columnar/compressed layouts, not to int64 ->
+    // int32 inside row-format exchanges.
     val e = Tables.lineitem(s, d)
       .select((col("l_partkey") % BFS_MOD).as("a"),
         (col("l_suppkey") % BFS_MOD).as("b"))

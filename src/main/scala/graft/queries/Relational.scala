@@ -623,7 +623,14 @@ object Relational {
     * per-key fan-out of the exact hash self-join is bounded by the
     * source count. Sources with fewer than K distinct elements fall
     * back to their exact count (θ = 1), per the estimator's law. */
-  val qAggKmv: Q = (s, d) => kmvImpl(s, d, forceMask = None)
+  val qAggKmv: Q = (s, d) =>
+    // per-query AQE coalescing floor (Scoped.coalesceFloorSession
+    // scaladoc; round-16 verdict item 3): kmv's digest passes carry
+    // heavy per-row CPU (S-way unroll, window, popcount pair scan) on
+    // a ~375 KB exchange that the default 1 MB floor coalesces to ONE
+    // task. The round-16 GLOBAL-floor A/B measured kmv 2.98 -> 2.36 s
+    // but lost the batch; the child session scopes the floor to kmv.
+    kmvImpl(Scoped.coalesceFloorSession(s), d, forceMask = None)
 
   /** [[qAggKmv]] body; `forceMask` pins the corpus-pass formulation so
     * the spec can assert bitmask ≡ distinct frame equality (the
@@ -668,6 +675,13 @@ object Relational {
         // run once per DOCUMENT, not once per shingle row
         val bitMap = map(srcs.zipWithIndex.flatMap { case (n, i) =>
           Seq(lit(n), lit(1L << i)) }: _*)
+        // A Tables.spread of this scan (round 17) was A/B'd and LOST
+        // (5.69/4.39 s vs 3.16/3.73 s same-window): the pre-explode
+        // text exchange plus the widened map side cost more than the
+        // ~520 ms single-task tokenize it parallelizes — unlike
+        // sim_sparse/prefixjoin, kmv's downstream passes are already
+        // fed by the digest exchange, so the spread helps only the one
+        // corpus pass and taxes the shuffle it feeds.
         Tables.documents(s, d)
           .select(element_at(bitMap, col("source")).as("bit"),
             explode(shingles(tokens(col("text")), 3)).as("sh"))
@@ -687,8 +701,13 @@ object Relational {
     // q_dedup_suffix 3.58 → 4.8 s) — recorded in OPTIMIZATION_r16.md;
     // the env knob (SPARK_GRAFT_MIN_PART_SIZE) stays for deployments
     // whose shuffles are CPU-bound rather than latency-bound.
-    val base: DataFrame = digest
-    Scoped.withCached(base) {
+    // withMaterialized, not withCached (optimization round 17): the
+    // lazy cache let AQE's concurrent subtree builds run the 375 KB
+    // corpus digest pass TWICE inside one invocation (JobProbe jobs
+    // 134+144, ~640 ms of duplicate corpus scan+explode); eager
+    // materialization builds it once and every downstream pass —
+    // unroll, window, pair scan, exact audit — reads the blocks.
+    Scoped.withMaterialized(digest) { base =>
       // static unroll over the alphabet: S null-filtered whens per row
       // (all inside whole-stage codegen; S ≤ 62 keeps janino far from
       // the ~120-branch limit BandedSignature hit)

@@ -150,6 +150,72 @@ object Scoped {
       }
     }
 
+  /** Child session carrying a per-QUERY AQE partition-coalescing
+    * floor (optimization round 17, guide §2.2; the round-16 verdict's
+    * "scope the measured minPartitionSize win to the queries that want
+    * it"). AQE's default 1 MB `minPartitionSize` coalesces any small
+    * exchange to ONE partition — correct for the latency-bound
+    * inventory tail (a GLOBAL 64k floor lost its 16-query A/B in
+    * round 16), but it serializes the few queries whose small-byte
+    * exchanges carry heavy per-row CPU (q_agg_kmv's digest passes,
+    * q_dedup_prefixjoin's candidate/verification joins: 3.4 s of task
+    * time squeezed into 5 tasks). Spark reads SQLConf from the
+    * DataFrame's OWN session at execution, so a child session scopes
+    * the floor to exactly one query with zero effect on the rest of
+    * the inventory — the same isolation pattern the streaming family
+    * uses for its state-partition count. At real scale these
+    * exchanges exceed the default floor and AQE keeps them parallel
+    * anyway, so the floor only matters where the digest is small
+    * relative to its CPU — it is a per-row-cost correction, not a
+    * local-mode tune; SPARK_GRAFT_Q_FLOOR=off kills it for A/Bs.
+    * Child sessions are a few conf maps, collected with the reference
+    * (the streaming scaladoc's argument). */
+  private val floorSessions = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+
+  def coalesceFloorSession(parent: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val floor = sys.env.getOrElse("SPARK_GRAFT_Q_FLOOR", "64k")
+    if (floor == "off") parent
+    // memoized per parent: a FRESH child session per invocation
+    // measured ~1.5 s of repeated per-session warmup (fon legs 3.77 s
+    // vs 2.34-2.60 without; a no-op-floor child read 4.14 s — the cost
+    // is the session, not the floor), so the child is created once and
+    // shared by every invocation against the same parent
+    else floorSessions.computeIfAbsent(parent, { p =>
+      val s = p.newSession()
+      s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", floor)
+      s
+    })
+  }
+
+  /** [[withCached]] with an EAGERLY materialized shared input
+    * (optimization round 17, guide §2.4/§5): `.cache()` is lazy, so
+    * when AQE launches a query's broadcast-exchange builds
+    * concurrently, EVERY build re-evaluates the shared frame before
+    * the first writer populates the cache — JobProbe attributed eight
+    * duplicate ~240 ms scan+explode jobs inside one q_dedup_prefixjoin
+    * invocation (and a duplicate 375 KB corpus-digest build inside
+    * q_agg_kmv) to exactly this race; the BlockManager "block already
+    * exists, not re-adding" warnings are its signature. Materializing
+    * the input ONCE up front (deployment-aware, via
+    * [[materializeRound]]) makes every downstream subtree — broadcast
+    * builds included — scan the materialized blocks instead of
+    * re-deriving them. The result is materialized like [[withCached]]
+    * and the input released afterwards; under [[planOnly]] the raw
+    * lazy plan flows through untouched so plan guards see the real
+    * operator tree. */
+  def withMaterialized(input: DataFrame)(body: DataFrame => DataFrame): DataFrame =
+    if (planOnlyFlag.value) body(input)
+    // measurement kill-switch (same posture as SPARK_GRAFT_SPREAD):
+    // =0 degrades to the plain lazy-cache scope for same-binary A/Bs
+    else if (sys.env.get("SPARK_GRAFT_MAT").contains("0"))
+      withCached(input)(body(input))
+    else {
+      val m = materializeRound(input)
+      try materializeRound(body(m)) finally releaseRound(m)
+    }
+
   /** Variant for bodies that RUN driver actions against the cached
     * inputs while constructing the result — e.g. the iterative model
     * fits, which collect a tiny model once per Lloyd round. Caches

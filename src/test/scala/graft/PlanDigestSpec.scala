@@ -61,11 +61,16 @@ class PlanDigestSpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
-    spark.listenerManager.register(listener)
+    // ExecutionListenerManagers are SESSION-scoped, and queries that
+    // run on the memoized per-query tuning child session (q_agg_kmv's
+    // coalescing floor, round 17) would otherwise digest as "trivial"
+    // — register on both the parent and that child.
+    val sessions = Seq(spark, graft.queries.Scoped.coalesceFloorSession(spark))
+    sessions.foreach(_.listenerManager.register(listener))
     try {
       SparkEntry.queries(name)(spark, SF).collect()
       org.apache.spark.ListenerBusProbe.waitUntilEmpty(spark.sparkContext)
-    } finally spark.listenerManager.unregister(listener)
+    } finally sessions.foreach(_.listenerManager.unregister(listener))
     import scala.jdk.CollectionConverters._
     PlanDigest.format(plans.asScala.toSeq)
   }
