@@ -291,6 +291,11 @@ object Dedup {
     * a 28-bit md5-derived hash, 8 bands × 2 rows; candidate pairs =
     * distinct band-key matches. */
   val qDedupMinhash: Q = (s, d) => {
+    // Scoped.withMaterialized was A/B'd here in round 17 and LOST
+    // (1.60/1.63 s vs 1.17/1.23 s interleaved): with only the one band
+    // self-join downstream, the eager checkpoint write costs more than
+    // the duplicate signature build it prevents — unlike cluster/apply,
+    // whose fixpoint loop re-reads the signature table many times.
     val sig = minhashSignatures16(s, d)
     Scoped.withCached(sig)(minhashBandCandidates(sig).orderBy("da", "db"))
   }
@@ -351,11 +356,15 @@ object Dedup {
   private[graft] def clusterLabelsOf(s: SparkSession, docs: DataFrame,
       minAgree: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached for the scope of this invocation (released in the finally):
-    // referenced by the band explode, both verify-join sides and the
-    // label init. The returned plan reads only checkpointed labels, so
-    // the unpersist cannot affect the result.
-    val sig = minhashSignatures16Of(docs).cache()
+    // materialized EAGERLY for the scope of this invocation (released
+    // in the finally): referenced by the band explode, both verify-join
+    // sides and the label init. A lazy .cache() here let concurrent
+    // subtree builds duplicate the 16-perm signature aggregate (~4-6 s
+    // of task time re-spent per invocation — JobProbe round 17, the
+    // same race Scoped.withMaterialized documents); the eager build
+    // runs it once. The returned plan reads only checkpointed labels,
+    // so the release cannot affect the result.
+    val sig = Scoped.materializeRound(minhashSignatures16Of(docs))
     val bandStructs = array((0 until NPERM / 2).map { b =>
       struct(lit(b).as("band_id"),
         concat_ws(",", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("sig"))
@@ -427,7 +436,7 @@ object Dedup {
       }
       require(converged, s"label propagation did not converge in $CLUSTER_MAX_ITERS rounds")
     } finally {
-      sig.unpersist(blocking = false)
+      Scoped.releaseRound(sig)
       edges.unpersist(blocking = false)
     }
     labels
@@ -783,6 +792,13 @@ object Dedup {
   val qDedupSuffix: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val TOP = 8L
+    // A Tables.spread of the doc scan (round 17) was A/B'd and came
+    // out PARITY over six interleaved legs (on 4.57/4.70/4.75 vs off
+    // 5.06/4.82/4.21 — spread ±15% per leg): the ~850 ms of
+    // single-task key-build work it parallelizes is repaid by the
+    // extra exchange plus wider loop stages in the doubling descent.
+    // Left on the unspread scan; negative result recorded so round 18
+    // does not retry it.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
     // env-gated phase clock (SPARK_GRAFT_PHASE_LOG=1): each phase ends

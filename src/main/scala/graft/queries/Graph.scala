@@ -315,9 +315,14 @@ object Graph {
     * the kcore loop so counts never replay the peel prefix. */
   val qGraphKtruss: Q = (s, d) => {
     import s.implicits._
-    val sig = Dedup.minhashSignatures16Of(
-      Tables.documents(s, d).where(col("doc_id") % 25 === 0))
-    Scoped.withCached(sig) {
+    // signature table materialized EAGERLY (round 17): the verified-
+    // pair build reads it via three concurrent join-side subtrees
+    // which otherwise race to evaluate the lazily-cached aggregate
+    // (Scoped.withMaterialized scaladoc); the result below is a local
+    // driver frame, so only the input needs materializing.
+    val sig = Scoped.materializeRound(Dedup.minhashSignatures16Of(
+      Tables.documents(s, d).where(col("doc_id") % 25 === 0)))
+    try {
       // canonical a<b by construction (band candidates use doc_id <)
       var edges = Scoped.materializeRound(
         Dedup.verifiedPairsOf(sig, Dedup.CLUSTER_MIN_AGREE)
@@ -349,7 +354,7 @@ object Graph {
       }
       Scoped.releaseRound(edges) // counts collected; round state done
       rows.toSeq.toDF("round", "n_edges", "n_tri").orderBy("round")
-    }
+    } finally Scoped.releaseRound(sig)
   }
 
   private val GJ_TOPK = 16
